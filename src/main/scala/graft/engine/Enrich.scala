@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row enrichment (SURVEY §2.1 S7/S8): the reference's only join-like ops.
+  *
+  * S7 — event-triggered method call: when a log matches, call methods at
+  * `log.block + offset` and merge outputs into the event row
+  * (/root/reference/chainservice/events.go:93-105, dsl/schema.go:298-311).
+  * Relationally that is an as-of join: latest state row with
+  * state.time <= event.time.
+  *
+  * S8 — block-metadata lookup: attach header fields per block
+  * (/root/reference/chainservice/events.go:425-428, cached via LRU
+  * cached_client.go:93-111). Relationally a broadcast join against a small
+  * dimension.
+  */
+object Enrich {
+
+  /** Scalable as-of join via union + running `last(ignoreNulls)`.
+    *
+    * Why not a range join: `l JOIN r ON l.key = r.key AND r.t <= l.t` then
+    * max-per-row explodes quadratically per key (every left row pairs with
+    * every earlier right row before the aggregate). The union formulation
+    * costs exactly ONE shuffle of (left + right) by key and a per-key sort —
+    * the same cost profile as a sort-merge join — and never materializes
+    * pairs, so it survives 100 TB inputs. Skewed keys sort within a single
+    * partition; if one key dominates, pre-split it by time range first.
+    *
+    * Ordering is made fully deterministic by (t, side, tieBreaker): right
+    * (state) rows sort before left (probe) rows at equal t, so a state change
+    * at exactly t is visible to a probe at t (the reference's offset-0
+    * semantics, events.go:93-105 call at the event's own block).
+    *
+    * @param left       probe rows, keep all their columns
+    * @param right      state rows: must contain key, rightTime, tieBreaker, valueCols
+    * @param key        equality key (contract address / user_id)
+    * @param leftTime   event-time column on left
+    * @param rightTime  event-time column on right
+    * @param tieBreaker unique right column ordering simultaneous states
+    * @param valueCols  right columns to attach (null when no state yet)
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      tieBreaker: String,
+      valueCols: Seq[String],
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+    val r = right
+      .select((Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+        col(tieBreaker).cast("long").as("__tie")) ++
+        valueCols.map(c => col(c).as(s"__v_$c"))): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val enriched = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    enriched
+      .where(col("__side") === 1)
+      .select((leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c"))): _*)
+  }
+
+  /** S8 — broadcast dimension join (block headers, token metadata, …).
+    * The reference's per-row `HeaderByNumber` + LRU cache becomes a broadcast
+    * hash join: the dim ships once to every executor, no shuffle of the fact.
+    */
+  def withDim(
+      fact: DataFrame,
+      dim: DataFrame,
+      joinKeys: Seq[(String, String)], // (factCol, dimCol)
+      how: String = "left",
+  ): DataFrame = {
+    val cond = joinKeys
+      .map { case (f, d) => fact(f) === dim(d) }
+      .reduce(_ && _)
+    fact.join(broadcast(dim), cond, how)
+  }
+
+  /** `balance(addr)`-style lookup (reference dsl/functions.go:71-85,
+    * chainservice.go:244-259): native balance at the row's block, scaled by
+    * 1e18 → double. Testbed: balances live in a keyed state table; the
+    * lookup is a broadcast join + scale, not an I/O UDF.
+    */
+  def balanceLookup(
+      fact: DataFrame,
+      balances: DataFrame, // (addrCol, balCol)
+      factAddr: String,
+      balAddr: String,
+      balCol: String,
+      scaleDecimals: Int,
+      as: String,
+  ): DataFrame =
+    withDim(fact, balances, Seq(factAddr -> balAddr))
+      .withColumn(as, Functions.parseDecimals(col(balCol), scaleDecimals))
+}

@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sinks (SURVEY §2.4 K1-K3 + parquet).
+  *
+  * The reference appends row-at-a-time from the driver loop
+  * (/root/reference/output/output.go:82-173); here every sink is a
+  * distributed `DataFrameWriter` job. Multiple sinks at once (reference
+  * builder pattern, main.go:145-155) = calling several of these on the same
+  * cached frame.
+  */
+object Sinks {
+
+  /** K1 — stdout. */
+  def stdout(df: DataFrame, numRows: Int = 20): Unit =
+    df.show(numRows, truncate = false)
+
+  /** K2 — CSV with header, one directory per query (reference writes one
+    * file per query, output/output.go:104-121). */
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** K3 — JDBC. The reference drops + recreates the table then inserts
+    * row-at-a-time with string-quoted values (generate/sql.go:18-52,
+    * db/db.go:97-111 — SQL-injectable; not copied). `SaveMode.Overwrite`
+    * reproduces the drop-and-recreate contract with batched, parameterized
+    * inserts.
+    */
+  def jdbc(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
+  /** Parquet — the testbed's primary sink. */
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** R8 — demuxed multi-query sink: one sub-directory per query_name, the
+    * Spark analogue of the reference's per-query output channels
+    * (chainservice.go:85-152). Partition pruning makes per-query reads free.
+    */
+  def demuxParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy("query_name").parquet(path)
+}

@@ -1,0 +1,244 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for a training-data pipeline, over `documents`
+  * (exact dedup lives in [[Relational.dedupExact]]; embedding near-dup over
+  * `embeddings`).
+  *
+  * Scale design: all-pairs comparison is never materialized. Candidates come
+  * from MinHash banding (docs agreeing on any band bucket), so the only
+  * shuffles are groupBy(doc) for signatures and a self-join keyed on band
+  * buckets — the standard LSH scale path (bucket sizes stay small because a
+  * band collision already implies high similarity). Exact Jaccard runs only
+  * on the candidate set.
+  *
+  * Determinism/parity: "hash functions" are min-over-shingles of
+  * md5(seed|shingle) compared as hex strings — identical in Spark and DuckDB,
+  * no engine-specific hashing.
+  */
+object DedupOps {
+
+  private val NumPerm = 16
+  private val Bands = 4 // 4 rows per band
+  private val K = 3 // shingle width (word 3-grams)
+
+  /** Spark tokenizer + distinct word-k-gram shingles (0-based array index). */
+  private val toksExpr = "filter(split(lower(text), ' '), t -> t != '')"
+  private val shinglesExpr =
+    s"""array_distinct(transform(
+       |  sequence(1, greatest(size(toks) - ${K - 1}, 0)),
+       |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin
+
+  /** DuckDB tokenizer + shingles (1-based list index). */
+  private val toksSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+  private val shinglesSql =
+    s"list_distinct(list_transform(range(1, greatest(len(t) - ${K - 1}, 0) + 1), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+
+  /** (doc_id, shingle) exploded frame. */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+
+  private val shinglesCte =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM toks)""".stripMargin
+
+  /** MinHash signatures: one row per doc, mh0..mh15 = min(md5("i|shingle")).
+    * One groupBy pass computes all 16 mins (map-side partial aggregation —
+    * the shuffle carries 16 hashes per doc, not the shingles). */
+  private def signatures(spark: SparkSession, sfDir: String): DataFrame =
+    shingles(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
+        (1 until NumPerm).map(i =>
+          min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i")): _*)
+
+  private val signaturesCte =
+    "sig AS (SELECT doc_id, " +
+      (0 until NumPerm).map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(", ") +
+      " FROM sh GROUP BY doc_id)"
+
+  /** Band buckets: md5 of each 4-signature slice. */
+  private def banded(sig: DataFrame): DataFrame =
+    (0 until Bands).foldLeft(sig) { (df, b) =>
+      df.withColumn(s"b$b",
+        md5(concat_ws(",", (0 until NumPerm / Bands).map(r => col(s"mh${b * (NumPerm / Bands) + r}")): _*)))
+    }
+
+  private val bandedCte =
+    "band AS (SELECT *, " +
+      (0 until Bands).map { b =>
+        val cols = (0 until NumPerm / Bands).map(r => s"mh${b * (NumPerm / Bands) + r}")
+        s"md5(${cols.mkString(" || ',' || ")}) AS b$b"
+      }.mkString(", ") + " FROM sig)"
+
+  /** Candidate pairs: docs sharing any band bucket (doc1 < doc2). */
+  private def candidatePairs(band: DataFrame): DataFrame =
+    (0 until Bands).map { b =>
+      val l = band.select(col("doc_id").as("doc1"), col(s"b$b").as("bk"))
+      val r = band.select(col("doc_id").as("doc2"), col(s"b$b").as("bk"))
+      l.join(r, Seq("bk")).where(col("doc1") < col("doc2")).select("doc1", "doc2")
+    }.reduce(_ union _).distinct()
+
+  private val pairsCte =
+    "pairs AS (SELECT DISTINCT doc1, doc2 FROM (" +
+      (0 until Bands).map(b =>
+        s"SELECT a.doc_id AS doc1, c.doc_id AS doc2 FROM band a JOIN band c ON a.b$b = c.b$b AND a.doc_id < c.doc_id")
+        .mkString(" UNION ALL ") + "))"
+
+  /** MinHash+LSH near-dup pairs with the signature-agreement estimate of
+    * Jaccard (matches/16 — exact in binary, no float divergence). */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val band = banded(signatures(spark, sfDir)).cache()
+    val est = (0 until NumPerm)
+      .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidatePairs(band)
+      .join(band.as("x"), col("doc1") === col("x.doc_id"))
+      .join(band.as("y"), col("doc2") === col("y.doc_id"))
+      .select(col("doc1"), col("doc2"), (est.cast("double") / NumPerm.toDouble).as("est_jaccard"))
+      .orderBy("doc1", "doc2")
+  }
+
+  private val minhashLshSql = {
+    val est = (0 until NumPerm)
+      .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shinglesCte,
+       |$signaturesCte,
+       |$bandedCte,
+       |$pairsCte
+       |SELECT p.doc1, p.doc2, CAST($est AS DOUBLE) / 16.0 AS est_jaccard
+       |FROM pairs p
+       |JOIN band x ON p.doc1 = x.doc_id
+       |JOIN band y ON p.doc2 = y.doc_id
+       |ORDER BY doc1, doc2""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard over the LSH candidate set: |S1∩S2| via a shingle
+    * join restricted to candidates, sizes from per-doc distinct counts.
+    * Threshold 0.5 keeps the synthetic near-dup clusters. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val band = banded(signatures(spark, sfDir))
+    val inter = candidatePairs(band)
+      .join(sh.select(col("doc_id").as("doc1"), col("sh")), Seq("doc1"))
+      .join(sh.select(col("doc_id").as("doc2"), col("sh")), Seq("doc2", "sh"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
+      .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .where(col("jaccard") >= 0.5)
+      .select("doc1", "doc2", "n1", "n2", "inter", "jaccard")
+      .orderBy("doc1", "doc2")
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH $shinglesCte,
+       |$signaturesCte,
+       |$bandedCte,
+       |$pairsCte,
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc1, p.doc2, count(*) AS inter
+       |  FROM pairs p
+       |  JOIN sh s1 ON s1.doc_id = p.doc1
+       |  JOIN sh s2 ON s2.doc_id = p.doc2 AND s2.sh = s1.sh
+       |  GROUP BY p.doc1, p.doc2)
+       |SELECT i.doc1, i.doc2, n1.n AS n1, n2.n AS n2, i.inter,
+       |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS jaccard
+       |FROM inter i
+       |JOIN n n1 ON n1.doc_id = i.doc1
+       |JOIN n n2 ON n2.doc_id = i.doc2
+       |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.5
+       |ORDER BY doc1, doc2""".stripMargin
+
+  /** SimHash (32-bit, md5-nibble bits, token multiplicity weighted): one
+    * groupBy pass accumulates all 32 bit-sums; fingerprint bit j set iff the
+    * signed sum is positive. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = (0 until 32).map { j =>
+      val nib = s"(instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1)"
+      sum(expr(s"2 * (shiftright($nib, ${j % 4}) % 2) - 1")).as(s"sum$j")
+    }
+    val fp = (0 until 32)
+      .map(j => when(col(s"sum$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val simhashSql = {
+    val sums = (0 until 32).map { j =>
+      val nib = s"(strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"
+      s"sum(2 * (($nib >> ${j % 4}) % 2) - 1) AS sum$j"
+    }.mkString(",\n    ")
+    val fp = (0 until 32)
+      .map(j => s"CASE WHEN sum$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tok AS (SELECT doc_id, md5(unnest(t)) AS h FROM toks),
+       |s AS (SELECT doc_id,
+       |    $sums
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Embedding cosine near-dup: pairs with cosine ≥ 0.4. Dot/norm folds run
+    * in array order on both engines (Spark `aggregate` ≙ DuckDB
+    * `list_reduce`) so the doubles are bit-identical. The small side is
+    * broadcast; at scale the candidate set would come from
+    * [[SimilarityOps.lshAnn]]-style bucketing instead of i<j pairing. */
+  def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("norm", expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("norm").as("nm1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("norm").as("nm2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("cos_sim", col("dot") / (col("nm1") * col("nm2")))
+      .where(col("cos_sim") >= 0.4)
+      .select("id1", "id2", "cos_sim")
+      .orderBy("id1", "id2")
+  }
+
+  private val embeddingCosineSql = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+        s"k -> CAST($x[k] AS DOUBLE) * CAST($y[k] AS DOUBLE))), (acc, v) -> acc + v)"
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS norm FROM embeddings)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  ${dot("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${dot("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.4
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_embedding_cosine" -> (embeddingCosine _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_embedding_cosine" -> embeddingCosineSql,
+  )
+}

@@ -1,0 +1,299 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational extension operators (SURVEY §2.6): everything the reference
+  * left on its roadmap — aggregations (ROADMAP.md:77), joins, windows, sorts,
+  * set ops — as built-in Catalyst plans.
+  *
+  * Oracle-parity rules used throughout (see also the other ext modules):
+  * money sums go through exact decimals (double sums are
+  * non-associative ⇒ nondeterministic across partitionings — at any scale,
+  * not just 100 TB); pass-through doubles stay untouched; every query ends
+  * in a total ORDER BY.
+  */
+object Relational {
+
+  // Width-controlled exact decimals: fact values fit (12,4); (1±rate) fits
+  // (6,4). Keeps every product within DECIMAL(38) so neither engine rounds
+  // or promotes: (12,4)×(6,4)=(19,8); ×(6,4)=(26,12) — all exact.
+  private def dec(c: Column): Column = c.cast("decimal(12,4)")
+  private def rate1m(c: Column): Column = (lit(1.0) - c).cast("decimal(6,4)")
+  private def rate1p(c: Column): Column = (lit(1.0) + c).cast("decimal(6,4)")
+
+  /** TPC-H Q1-style pricing summary. Partial (map-side) aggregation + one
+    * shuffle of 4 groups — the canonical scale-safe aggregate. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).where(col("l_shipdate") <= lit("1998-09-02"))
+    val discPrice = dec(col("l_extendedprice")) * rate1m(col("l_discount"))
+    val charge = discPrice * rate1p(col("l_tax"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(38,4)").as("sum_base_price"),
+        sum(discPrice).cast("decimal(38,12)").as("sum_disc_price"),
+        sum(charge).cast("decimal(38,12)").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,12)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,12)) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: filter → join → aggregate → top-k. The orders side is
+    * filtered before the join (pushdown) and the join shuffles on the key
+    * both sides are already aggregated by. */
+  def q3ShippingTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, sfDir).where(col("o_orderdate") < lit("1998-03-15"))
+    val li = Tables.lineitem(spark, sfDir).where(col("l_shipdate") > lit("1998-03-15"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * rate1m(col("l_discount")))
+        .cast("decimal(38,8)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,8)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: revenue by nation for one region/year. nation+region
+    * are broadcast; the fact pipeline shuffles once per key change. */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val nr = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    Tables.lineitem(spark, sfDir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * rate1m(col("l_discount")))
+        .cast("decimal(38,8)").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,8)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Ranking window: top-3 orders per customer (deterministic tiebreak). */
+  def winTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val winTopkSql =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running-sum window (exact decimal accumulation — deterministic under
+    * any partitioning). */
+  def winRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, sfDir)
+      .withColumn("run_qty", sum(dec(col("l_quantity"))).over(w).cast("decimal(38,4)"))
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  private val winRunningSumSql =
+    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS run_qty
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  /** Tumbling event-time windows (the streaming-unified batch form —
+    * identical groupBy works under readStream + watermark, see
+    * [[graft.streaming.Streams]]). */
+  def timeWindowTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("decimal(38,4)").as("sum_value"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("day", "event_type")
+
+  private val timeWindowSql =
+    """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** Session windows (30-min gap) per user. Oracle is the classic
+    * gaps-and-islands rewrite; session end = last event + gap, matching
+    * Spark's session_window semantics. */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("decimal(38,4)").as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  private val sessionWindowsSql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  /** Set operators (absent from the reference): users who purchased AND
+    * errored but never signed up. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String) = ev.where(col("event_type") === t).select("user_id")
+    users("purchase").intersect(users("error")).except(users("signup"))
+      .orderBy("user_id")
+  }
+
+  private val setOpsSql =
+    """SELECT user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'error'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'signup')
+      |ORDER BY user_id""".stripMargin
+
+  /** Exact dedup with a deterministic survivor (first block wins) — the
+    * deterministic form of dropDuplicates. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val dedupExactSql =
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** ROLLUP over two grouping levels with grouping_id. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val aggRollupSql =
+    """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Global sort + limit (reference has no ORDER BY at all). */
+  def topkOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val topkOrdersSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
+
+  /** Sketch aggregate: HLL distinct estimate next to the exact count.
+    * No oracle — DuckDB's HLL implementation differs; driver records the
+    * weaker rows-only check. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_topk" -> (q3ShippingTopk _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "win_topk_per_group" -> (winTopkPerGroup _),
+    "win_running_sum" -> (winRunningSum _),
+    "time_window_tumbling" -> (timeWindowTumbling _),
+    "session_windows" -> (sessionWindows _),
+    "set_ops" -> (setOps _),
+    "dedup_exact" -> (dedupExact _),
+    "agg_rollup" -> (aggRollup _),
+    "topk_orders" -> (topkOrders _),
+    "approx_distinct" -> (approxDistinct _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_topk" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "win_topk_per_group" -> winTopkSql,
+    "win_running_sum" -> winRunningSumSql,
+    "time_window_tumbling" -> timeWindowSql,
+    "session_windows" -> sessionWindowsSql,
+    "set_ops" -> setOpsSql,
+    "dedup_exact" -> dedupExactSql,
+    "agg_rollup" -> aggRollupSql,
+    "topk_orders" -> topkOrdersSql,
+  )
+}

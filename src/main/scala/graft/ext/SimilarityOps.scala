@@ -1,0 +1,122 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact baseline. The query set is tiny and
+  *    broadcast; the candidate scan streams once — O(Q·N) work, no shuffle
+  *    of the big side, so it scales linearly with candidates.
+  *  - LSH-bucketed ANN: sign-bit bucketing (axis-aligned random-hyperplane
+  *    LSH). Queries only probe their own bucket → each query touches ~N/2^b
+  *    candidates. The scale path: bucket id is a shuffle key, buckets are
+  *    independent.
+  *
+  * Dot products fold in array order on both engines → bit-identical doubles;
+  * ranking ties broken by vec_id.
+  */
+object SimilarityOps {
+
+  private val TopK = 5
+
+  private val dotExpr =
+    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  private val normExpr =
+    "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  private def dotSql(x: String, y: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+      s"k -> CAST($x[k] AS DOUBLE) * CAST($y[k] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  /** Brute-force cosine top-5: queries = vec_id < 8, candidates = the rest. */
+  def bruteTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir).withColumn("norm", expr(normExpr))
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
+    val c = e.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    c.join(broadcast(q))
+      .withColumn("cos_sim", expr(dotExpr) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select("q_id", "rank", "c_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  private val bruteTopkSql =
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id >= 8),
+       |r AS (
+       |  SELECT q_id, c_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+       |  FROM p)
+       |SELECT q_id, rank, c_id, cos_sim FROM r WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Sign-bit LSH bucket id from the first 4 components. */
+  private val bucketExpr =
+    "CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END " +
+      "+ CASE WHEN element_at(embedding, 2) > 0 THEN 4 ELSE 0 END " +
+      "+ CASE WHEN element_at(embedding, 3) > 0 THEN 2 ELSE 0 END " +
+      "+ CASE WHEN element_at(embedding, 4) > 0 THEN 1 ELSE 0 END AS BIGINT)"
+
+  private val bucketSql =
+    "CAST(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END " +
+      "+ CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END " +
+      "+ CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END " +
+      "+ CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS BIGINT)"
+
+  /** ANN via LSH buckets: per query, top-5 among same-bucket candidates. */
+  def lshAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("norm", expr(normExpr))
+      .withColumn("bucket", expr(bucketExpr))
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"), col("bucket"))
+    val c = e.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cn"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos_sim", expr(dotExpr) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select("q_id", "bucket", "rank", "c_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  private val lshAnnSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm,
+       |    $bucketSql AS bucket
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, q.bucket, c.vec_id AS c_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos_sim
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < 8 AND c.vec_id >= 8),
+       |r AS (
+       |  SELECT q_id, bucket, c_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+       |  FROM p)
+       |SELECT q_id, bucket, rank, c_id, cos_sim FROM r WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_brute_topk" -> (bruteTopk _),
+    "sim_lsh_ann" -> (lshAnn _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_brute_topk" -> bruteTopkSql,
+    "sim_lsh_ann" -> lshAnnSql,
+  )
+}

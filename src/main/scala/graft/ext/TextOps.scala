@@ -1,0 +1,166 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language-ID (stopword n-gram heuristic), quality scoring, token counting,
+  * and document fingerprinting. All pure Catalyst expressions (array lambdas
+  * + regex), no UDFs — fully codegen'd and pushdown-friendly, so they run as
+  * a single scan at any scale.
+  *
+  * Parity notes: the DuckDB oracles mirror each expression tree exactly;
+  * double arithmetic is written in the same operation order on both sides so
+  * results are bit-identical; token splitting drops empty strings on both
+  * sides.
+  */
+object TextOps {
+
+  /** Spark-side tokenizer: lowercase whitespace split, empties dropped. */
+  private val toksExpr = "filter(split(lower(text), ' '), t -> t != '')"
+  /** DuckDB-side tokenizer. */
+  private val toksSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  private val stop = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
+    "zh" -> Seq("的", "是", "在", "和"),
+  )
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Language ID: per-language stopword hit counts, argmax with alphabetical
+    * tie-break. (The synthetic corpus is English-vocabulary throughout; the
+    * operator's contract is the deterministic heuristic itself.) */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = stop.keys.toSeq.sorted
+    val base = Tables.documents(spark, sfDir).withColumn("toks", expr(toksExpr))
+    val scored = langs.foldLeft(base) { (df, l) =>
+      df.withColumn(s"s_$l", expr(s"size(filter(toks, t -> t in ${inList(stop(l))}))").cast("long"))
+    }
+    val m = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pred = langs.foldRight(lit(langs.last)) { (l, acc) =>
+      when(col(s"s_$l") === m, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+      .select((Seq(col("doc_id"), col("lang"), col("pred_lang"), col("is_match")) ++
+        langs.map(l => col(s"s_$l"))): _*)
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql = {
+    val langs = stop.keys.toSeq.sorted
+    val scores = langs.map(l =>
+      s"CAST(len(list_filter(toks, t -> t IN ${inList(stop(l))})) AS BIGINT) AS s_$l").mkString(",\n  ")
+    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |  $scores
+       |FROM t)
+       |SELECT doc_id, lang, CASE $pred ELSE 'zh' END AS pred_lang,
+       |  (CASE $pred ELSE 'zh' END) = lang AS is_match,
+       |  ${langs.map(l => s"s_$l").mkString(", ")}
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality score: length/punctuation/stopword ratios combined with fixed
+    * weights (identical operation order both sides ⇒ bit-identical doubles).
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tok", expr("size(toks)").cast("long"))
+      .withColumn("len_chars", length(col("text")).cast("long"))
+      .withColumn("punct_cnt",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+      .withColumn("stop_cnt", expr(s"size(filter(toks, t -> t in ${inList(stop("en"))}))").cast("long"))
+      .withColumn("punct_ratio", col("punct_cnt").cast("double") / col("len_chars"))
+      .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_tok"))
+      .withColumn("quality",
+        lit(0.4) * col("stop_ratio")
+          + lit(0.3) * least(lit(1.0), col("n_tok").cast("double") / 200.0)
+          + lit(0.3) * (lit(1.0) - col("punct_ratio")))
+      .select("doc_id", "n_tok", "len_chars", "punct_cnt", "stop_cnt",
+        "punct_ratio", "stop_ratio", "quality")
+      .orderBy("doc_id")
+
+  private val qualityScoreSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tok,
+       |    CAST(length(text) AS BIGINT) AS len_chars,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_cnt,
+       |    CAST(len(list_filter(toks, t -> t IN ${inList(stop("en"))})) AS BIGINT) AS stop_cnt
+       |  FROM t)
+       |SELECT doc_id, n_tok, len_chars, punct_cnt, stop_cnt,
+       |  CAST(punct_cnt AS DOUBLE) / len_chars AS punct_ratio,
+       |  CAST(stop_cnt AS DOUBLE) / n_tok AS stop_ratio,
+       |  0.4 * (CAST(stop_cnt AS DOUBLE) / n_tok)
+       |    + 0.3 * least(1.0, CAST(n_tok AS DOUBLE) / 200.0)
+       |    + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / len_chars) AS quality
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens, regex word tokens, and a BPE-ish
+    * chars/4 estimate. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ws_tokens", expr(s"size($toksExpr)").cast("long"))
+      .withColumn("word_tokens", expr("regexp_count(lower(text), '[a-z0-9]+')").cast("long"))
+      .withColumn("est_bpe", ceil(length(col("text")) / 4.0).cast("long"))
+      .select("doc_id", "ws_tokens", "word_tokens", "est_bpe")
+      .orderBy("doc_id")
+
+  private val tokenCountSql =
+    s"""SELECT doc_id,
+       |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+       |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Fingerprinting: canonical form (sorted distinct tokens) → md5, plus a
+    * 31-polynomial rolling hash mod 1e9+7 over the canonical chars. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("canon", expr(s"array_join(array_sort(array_distinct($toksExpr)), ' ')"))
+      .withColumn("fp_md5", md5(col("canon")))
+      .withColumn("fp_roll", expr(
+        """aggregate(
+          |  transform(sequence(1, length(canon)), i -> ascii(substring(canon, i, 1))),
+          |  CAST(0 AS BIGINT),
+          |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin))
+      .select("doc_id", "canon", "fp_md5", "fp_roll")
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    s"""WITH c AS (
+       |  SELECT doc_id, array_to_string(list_sort(list_distinct($toksSql)), ' ') AS canon
+       |  FROM documents)
+       |SELECT doc_id, canon, md5(canon) AS fp_md5,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(canon) + 1),
+       |                     i -> CAST(ascii(substr(canon, i, 1)) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % 1000000007) AS fp_roll
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> (langId _),
+    "text_quality_score" -> (qualityScore _),
+    "text_token_count" -> (tokenCount _),
+    "text_fingerprint" -> (fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> langIdSql,
+    "text_quality_score" -> qualityScoreSql,
+    "text_token_count" -> tokenCountSql,
+    "text_fingerprint" -> fingerprintSql,
+  )
+}

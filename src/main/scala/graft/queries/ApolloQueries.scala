@@ -1,0 +1,359 @@
+package graft.queries
+
+import graft.Tables
+import graft.engine._
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own operator surface (SURVEY §2.1-2.3) as named queries
+  * over the testbed tables, each with a DuckDB oracle. Mapping (FIXTURES §C):
+  * event_type ≙ event signature, user_id ≙ contract address, event_id ≙
+  * block number, ts ≙ block timestamp.
+  */
+object ApolloQueries {
+
+  private val FibAddrs = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L)
+
+  /** Flagship: the `usdc_eth_swaps` pipeline (schema.example.hcl:10-54)
+    * re-expressed through the schema model + compiler. Exercises S1 contract
+    * scan, R3 transform, R4 filter list, R5 save, parse_decimals, ternary,
+    * time bounds (S9-style declared range).
+    */
+  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val spec = QuerySpec(
+      name = "usdc_eth_swaps",
+      chain = "ethereum",
+      contracts = FibAddrs.map(a => ContractSpec(a, events = Seq(EventSpec("purchase", Seq("value", "props"))))),
+      startTime = Some("2024-01-05"),
+      endTime = Some("2024-01-25"),
+      transforms = Seq(
+        "k" -> k,
+        "amount" -> Functions.parseDecimals(col("value"), 2),
+        "buy" -> (k % 2 === 0),
+      ),
+      filters = Seq(col("amount") =!= 0, col("k").isNotNull),
+      saves = Seq(
+        "chain" -> col("chain"),
+        "blocknumber" -> col("blocknumber"),
+        "timestamp" -> col("timestamp"),
+        "contract" -> col("user_id"),
+        "direction" -> Functions.ternary(col("buy"), lit("buy"), lit("sell")),
+        "amount" -> col("amount"),
+        "k" -> col("k"),
+      ),
+    )
+    Compiler.compile(spark, sfDir, spec).orderBy("blocknumber")
+  }
+
+  private val flagshipSql =
+    s"""SELECT 'ethereum' AS chain, event_id AS blocknumber,
+       |  CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp", user_id AS contract,
+       |  CASE WHEN CAST(json_extract_string(props, '$$.k') AS BIGINT) % 2 = 0
+       |       THEN 'buy' ELSE 'sell' END AS direction,
+       |  value / 100.0 AS amount,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |FROM events
+       |WHERE event_type = 'purchase'
+       |  AND user_id IN (${FibAddrs.mkString(",")})
+       |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+       |  AND value / 100.0 <> 0
+       |  AND json_extract_string(props, '$$.k') IS NOT NULL
+       |ORDER BY blocknumber""".stripMargin
+
+  /** S2 — global event scan: signature-only predicate, no address filter. */
+  def globalScan(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.globalEvents(spark, sfDir, "signup")
+      .select(
+        col("event_id").as("blocknumber"),
+        unix_timestamp(col("ts")).as("timestamp"),
+        col("user_id").as("address"),
+        col("value"))
+      .orderBy("blocknumber")
+
+  private val globalScanSql =
+    """SELECT event_id AS blocknumber, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
+      |  user_id AS address, value
+      |FROM events WHERE event_type = 'signup' ORDER BY blocknumber""".stripMargin
+
+  /** S5+R6 — historical method time-series: daily sample grid over declared
+    * [start,end] × 10 contracts, each sample as-of joined to the latest state
+    * row (the reference's `eth_call` per (block, contract),
+    * chainservice/methods.go:21-72). Null value ≙ reference's CallResult.Err
+    * rows for blocks before the contract existed.
+    */
+  def methodTimeseries(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = Sources.sampleGrid(spark, "2024-01-01", "2024-01-30", 86400L,
+      spark.range(0, 10).toDF("user_id"))
+    val state = Tables.events(spark, sfDir).where(col("user_id") < 10)
+    Enrich.asOfJoin(
+      grid, state,
+      key = "user_id", leftTime = "sample_ts", rightTime = "ts",
+      tieBreaker = "event_id", valueCols = Seq("value", "event_id"))
+      .select(col("sample_ts"), col("user_id"),
+        col("asof_value").as("last_value"), col("asof_event_id").as("last_block"))
+      .orderBy("sample_ts", "user_id")
+  }
+
+  private val methodTimeseriesSql =
+    """WITH grid AS (
+      |  SELECT g.t, u.user_id
+      |  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS t) g
+      |  CROSS JOIN (SELECT unnest(range(0, 10)) AS user_id) u),
+      |ev AS (SELECT user_id, ts AS t, event_id, value FROM events WHERE user_id < 10),
+      |un AS (
+      |  SELECT user_id, t, CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value, 1 AS side FROM grid
+      |  UNION ALL
+      |  SELECT user_id, t, event_id, value, 0 AS side FROM ev),
+      |w AS (
+      |  SELECT user_id, t, side,
+      |    last_value(value IGNORE NULLS) OVER win AS last_value,
+      |    last_value(event_id IGNORE NULLS) OVER win AS last_block
+      |  FROM un
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT t AS sample_ts, user_id, last_value, last_block
+      |FROM w WHERE side = 1 ORDER BY sample_ts, user_id""".stripMargin
+
+  /** S7 — event-triggered enrichment: each `purchase` row carries the value
+    * of the latest prior-or-same-block `click` of the same contract (the
+    * reference's per-event method call at log.block + offset,
+    * chainservice/events.go:93-105). Single window pass — no join, no pair
+    * explosion; one shuffle by contract key.
+    */
+  def eventAsOfEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("last_click",
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("blocknumber"), unix_timestamp(col("ts")).as("timestamp"),
+        col("user_id"), col("value"), col("last_click"))
+      .orderBy("blocknumber")
+  }
+
+  private val eventAsOfEnrichSql =
+    """SELECT event_id AS blocknumber, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
+      |  user_id, value, last_click
+      |FROM (
+      |  SELECT *, last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      |  FROM events)
+      |WHERE event_type = 'purchase' ORDER BY blocknumber""".stripMargin
+
+  /** S8 — block-metadata lookup: per-day "header" dimension broadcast-joined
+    * to the fact scan (the reference's LRU-cached HeaderByNumber,
+    * cached_client.go:93-111, as a broadcast hash join — dim ships once, the
+    * 100 TB fact never shuffles).
+    */
+  def blockMetadataJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val headers = ev.groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(min("event_id").as("day_first_block"), count(lit(1)).as("day_events"))
+    val fact = ev.where(col("event_type") === "purchase")
+      .withColumn("day", date_trunc("DAY", col("ts")))
+    Enrich.withDim(fact, headers, Seq("day" -> "day"))
+      .select(fact("event_id").as("blocknumber"), fact("user_id"), fact("day"),
+        col("day_first_block"), col("day_events"))
+      .orderBy("blocknumber")
+  }
+
+  private val blockMetadataJoinSql =
+    """WITH headers AS (
+      |  SELECT date_trunc('day', ts) AS day, min(event_id) AS day_first_block,
+      |         count(*) AS day_events
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id AS blocknumber, e.user_id, date_trunc('day', e.ts) AS day,
+      |       h.day_first_block, h.day_events
+      |FROM events e LEFT JOIN headers h ON date_trunc('day', e.ts) = h.day
+      |WHERE e.event_type = 'purchase' ORDER BY blocknumber""".stripMargin
+
+  /** S9 — BlockDater: timestamp → first block at-or-after, one aggregate
+    * pass for all targets (reference binary-searches per target over RPC,
+    * block_dater.go:48-79).
+    */
+  def blockDater(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.blockDater(
+      Tables.events(spark, sfDir),
+      Seq("2024-01-05 12:00:00", "2024-01-15 00:00:00", "2024-01-25 18:30:00"))
+      .orderBy("target_ts")
+
+  private val blockDaterSql =
+    """SELECT t.target_ts, min(e.event_id) AS first_block
+      |FROM (SELECT TIMESTAMP '2024-01-05 12:00:00' AS target_ts
+      |      UNION ALL SELECT TIMESTAMP '2024-01-15 00:00:00'
+      |      UNION ALL SELECT TIMESTAMP '2024-01-25 18:30:00') t
+      |JOIN events e ON e.ts >= t.target_ts
+      |GROUP BY t.target_ts ORDER BY target_ts""".stripMargin
+
+  /** R7 — loop expansion: `loop { items = [ethereum, arbitrum] }` stamps the
+    * template per item with unique "{i}-{name}" keys (dsl/schema.go:427-442,
+    * chainservice.go:127-131).
+    */
+  def loopExpansion(spark: SparkSession, sfDir: String): DataFrame = {
+    val specs = Loop.expand(Seq("ethereum", "arbitrum")) { (chain, _) =>
+      QuerySpec(
+        name = "views", chain = chain,
+        globalEvents = Seq(EventSpec("view", Seq("value"))),
+        saves = Seq(
+          "chain" -> col("chain"),
+          "blocknumber" -> col("blocknumber"),
+          "timestamp" -> col("timestamp"),
+          "user_id" -> col("user_id"),
+          "value" -> col("value")))
+    }
+    Compiler.demux(specs.map(q => q.name -> Compiler.compile(spark, sfDir, q)).toMap)
+      .orderBy("query_name", "blocknumber")
+  }
+
+  private val loopExpansionSql =
+    """SELECT * FROM (
+      |  SELECT '0-views' AS query_name, 'ethereum' AS chain, event_id AS blocknumber,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp", user_id, value
+      |  FROM events WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT '1-views', 'arbitrum', event_id, CAST(floor(epoch(ts)) AS BIGINT), user_id, value
+      |  FROM events WHERE event_type = 'view')
+      |ORDER BY query_name, blocknumber""".stripMargin
+
+  /** R8 — per-query demux: two queries with different save schemas fan into
+    * one frame tagged query_name (columns union, nulls where absent), ready
+    * for `partitionBy("query_name")` writes — the reference's per-query
+    * channels (chainservice.go:85-152) as data.
+    */
+  def queryDemux(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = QuerySpec(
+      name = "clicks", chain = "ethereum",
+      globalEvents = Seq(EventSpec("click", Seq("value"))),
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "timestamp" -> col("timestamp"),
+        "user_id" -> col("user_id"),
+        "click_value" -> col("value")))
+    val errors = QuerySpec(
+      name = "errors", chain = "ethereum",
+      globalEvents = Seq(EventSpec("error", Seq("props"))),
+      transforms = Seq("err_k" -> get_json_object(col("props"), "$.k").cast("long")),
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "timestamp" -> col("timestamp"),
+        "user_id" -> col("user_id"),
+        "err_k" -> col("err_k")))
+    Compiler.demux(Map(
+      "clicks" -> Compiler.compile(spark, sfDir, clicks),
+      "errors" -> Compiler.compile(spark, sfDir, errors)))
+      .orderBy("query_name", "blocknumber")
+  }
+
+  private val queryDemuxSql =
+    """SELECT * FROM (
+      |  SELECT event_id AS blocknumber, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
+      |    user_id, value AS click_value, CAST(NULL AS BIGINT) AS err_k,
+      |    'clicks' AS query_name
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT), user_id,
+      |    CAST(NULL AS DOUBLE), CAST(json_extract_string(props, '$.k') AS BIGINT),
+      |    'errors'
+      |  FROM events WHERE event_type = 'error')
+      |ORDER BY query_name, blocknumber""".stripMargin
+
+  /** §2.3 — the DSL scalar-function surface in one projection: upper/lower/
+    * abs/parse_decimals/format_date/date rendering/ternary, all as codegen'd
+    * column expressions (the reference interprets these per row on the
+    * driver via cty, dsl/functions.go:15-21).
+    */
+  def scalarSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        upper(col("l_returnflag")).as("flag_upper"),
+        lower(col("l_linestatus")).as("status_lower"),
+        abs(col("l_quantity") - 30.0).as("qty_abs"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_str"),
+        unix_timestamp(col("l_shipdate")).as("ship_unix"),
+        Functions.parseDecimals(col("l_extendedprice"), 3).as("price_kilo"),
+        Functions.ternary(col("l_quantity") > 25, lit("big"), lit("small")).as("size_class"),
+        Functions.formatDate("2006-01-02", lit("2024-01-15")).as("fd_const"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val scalarSuiteSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  upper(l_returnflag) AS flag_upper, lower(l_linestatus) AS status_lower,
+      |  abs(l_quantity - 30.0) AS qty_abs,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_str,
+      |  CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_unix,
+      |  l_extendedprice / 1000.0 AS price_kilo,
+      |  CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS size_class,
+      |  CAST(floor(epoch(TIMESTAMP '2024-01-15')) AS BIGINT) AS fd_const
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** `balance(addr)` (dsl/functions.go:71-85): I/O-per-row in the reference,
+    * broadcast dim join + parse_decimals here. */
+  def balanceLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = Tables.events(spark, sfDir).where(col("event_type") === "purchase")
+    Enrich.balanceLookup(fact, Tables.customer(spark, sfDir),
+      factAddr = "user_id", balAddr = "c_custkey", balCol = "c_acctbal",
+      scaleDecimals = 2, as = "balance")
+      .select(col("event_id").as("blocknumber"), col("user_id"), col("value"), col("balance"))
+      .orderBy("blocknumber")
+  }
+
+  private val balanceLookupSql =
+    """SELECT e.event_id AS blocknumber, e.user_id, e.value,
+      |  c.c_acctbal / 100.0 AS balance
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE e.event_type = 'purchase' ORDER BY blocknumber""".stripMargin
+
+  /** `token_balance(addr, token)` (dsl/functions.go:87-103): two-key lookup
+    * with on-chain `decimals()` scaling — here the decimals come from the
+    * dim row itself, matching the cached `decimals()` call
+    * (cached_client.go:59-70 immutable-key caching).
+    */
+  def tokenBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = Tables.events(spark, sfDir).where(col("event_type") === "purchase")
+      .withColumn("token", col("event_id") % 10 + 1)
+    Enrich.withDim(fact, Tables.supplier(spark, sfDir), Seq("token" -> "s_suppkey"))
+      .withColumn("token_balance", col("s_acctbal") / pow(lit(10.0), col("s_nationkey") % 4))
+      .select(col("event_id").as("blocknumber"), col("token"), col("value"), col("token_balance"))
+      .orderBy("blocknumber")
+  }
+
+  private val tokenBalanceSql =
+    """SELECT e.event_id AS blocknumber, e.event_id % 10 + 1 AS token, e.value,
+      |  s.s_acctbal / pow(10.0, s.s_nationkey % 4) AS token_balance
+      |FROM events e LEFT JOIN supplier s ON e.event_id % 10 + 1 = s.s_suppkey
+      |WHERE e.event_type = 'purchase' ORDER BY blocknumber""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "apollo_flagship_swaps" -> (flagship _),
+    "s2_global_event_scan" -> (globalScan _),
+    "s5_method_timeseries" -> (methodTimeseries _),
+    "s7_event_asof_enrich" -> (eventAsOfEnrich _),
+    "s8_block_metadata_join" -> (blockMetadataJoin _),
+    "s9_block_dater" -> (blockDater _),
+    "r7_loop_expansion" -> (loopExpansion _),
+    "r8_query_demux" -> (queryDemux _),
+    "fn_scalar_suite" -> (scalarSuite _),
+    "fn_balance_lookup" -> (balanceLookup _),
+    "fn_token_balance" -> (tokenBalance _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "apollo_flagship_swaps" -> flagshipSql,
+    "s2_global_event_scan" -> globalScanSql,
+    "s5_method_timeseries" -> methodTimeseriesSql,
+    "s7_event_asof_enrich" -> eventAsOfEnrichSql,
+    "s8_block_metadata_join" -> blockMetadataJoinSql,
+    "s9_block_dater" -> blockDaterSql,
+    "r7_loop_expansion" -> loopExpansionSql,
+    "r8_query_demux" -> queryDemuxSql,
+    "fn_scalar_suite" -> scalarSuiteSql,
+    "fn_balance_lookup" -> balanceLookupSql,
+    "fn_token_balance" -> tokenBalanceSql,
+  )
+}

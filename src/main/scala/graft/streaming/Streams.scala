@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Realtime parity (SURVEY §2.1 S3/S4/S6): the reference's subscription mode
+  * (`eth_subscribe` websocket, chainservice/events.go:221-407) is Structured
+  * Streaming over the SAME transformations as batch — apollo's two modes are
+  * exactly Spark's unified batch/stream model. Checkpointing + watermarks
+  * give the exactly-once and event-time discipline the reference lacks (it
+  * stamps arrival wall-clock, events.go:308-311, and has no checkpoints).
+  */
+object Streams {
+
+  /** events.ts is parquet TIMESTAMP(NANOS) → read as long nanos (see
+    * [[graft.Tables.events]]) and truncate to µs timestamps. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** S3/S4 — event stream: file-source stand-in for the log subscription.
+    * The same `where` pushdown used in batch applies per micro-batch. */
+  def eventStream(spark: SparkSession, sfDir: String, signature: Option[String] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = spark.readStream.schema(eventSchema).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    signature.map(s => base.where(col("event_type") === s)).getOrElse(base)
+  }
+
+  /** Windowed aggregation with watermark (late data handled by event time —
+    * exceeds the reference's arrival-time stamping). Append-mode capable. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming session windows per user (30-minute gap). */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** Streaming dedup within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** S6 — realtime method poller: rate source ticks every `intervalSeconds`
+    * (the reference's ticker loop, chainservice.go:173-179), each tick
+    * fanned out to the declared contracts and looked up against a state
+    * snapshot — broadcast join per micro-batch, no driver-side polling loop.
+    */
+  def methodPoller(
+      spark: SparkSession,
+      addresses: Seq[Long],
+      state: DataFrame, // (user_id, value) latest snapshot
+      intervalSeconds: Int = 1,
+  ): DataFrame = {
+    val addrs = spark.createDataFrame(addresses.map(Tuple1(_))).toDF("user_id")
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", 1)
+      .load() // (timestamp, value)
+      .select(col("timestamp").as("sample_ts"))
+      .join(broadcast(addrs))
+      .join(broadcast(state), Seq("user_id"), "left")
+  }
+}
