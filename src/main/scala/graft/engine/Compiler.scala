@@ -48,12 +48,19 @@ object Compiler {
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
   private def eventSource(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
+    // Contracts declaring the same event signature share ONE scan with an
+    // address-set predicate (pushed into the reader), instead of a scan per
+    // contract — the reference batches the same way by passing all addresses
+    // in a single eth_getLogs filter (chainservice/events.go:39).
+    val bySignature = q.contracts
+      .flatMap(c => c.events.map(ev => ev.signature -> c.address))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
     val scans =
       q.globalEvents.map(ev =>
         Sources.globalEvents(spark, sfDir, ev.signature, q.startTime, q.endTime)) ++
-        q.contracts.flatMap(c =>
-          c.events.map(ev =>
-            Sources.contractEvents(spark, sfDir, Seq(c.address), ev.signature, q.startTime, q.endTime)))
+        bySignature.map { case (sig, addrs) =>
+          Sources.contractEvents(spark, sfDir, addrs, sig, q.startTime, q.endTime)
+        }
     require(scans.nonEmpty, s"query ${q.name}: no event source declared")
     scans.reduce(_ unionByName _)
   }

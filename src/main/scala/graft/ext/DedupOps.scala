@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.Tables
+import graft.functions.{TextFns, Vec}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,12 +9,12 @@ import org.apache.spark.sql.functions._
   * (exact dedup lives in [[Relational.dedupExact]]; embedding near-dup over
   * `embeddings`).
   *
-  * Scale design: all-pairs comparison is never materialized. Candidates come
-  * from MinHash banding (docs agreeing on any band bucket), so the only
-  * shuffles are groupBy(doc) for signatures and a self-join keyed on band
-  * buckets — the standard LSH scale path (bucket sizes stay small because a
-  * band collision already implies high similarity). Exact Jaccard runs only
-  * on the candidate set.
+  * Scale design: all-pairs comparison is never materialized. Signatures are
+  * a pure per-row projection (no shuffle); candidates come from MinHash
+  * banding (docs agreeing on any band bucket), so the ONLY shuffle in the
+  * pipeline is the self-join keyed on band buckets — the standard LSH scale
+  * path (bucket sizes stay small because a band collision already implies
+  * high similarity). Exact Jaccard runs only on the candidate set.
   *
   * Determinism/parity: "hash functions" are min-over-shingles of
   * md5(seed|shingle) compared as hex strings — identical in Spark and DuckDB,
@@ -38,37 +39,54 @@ object DedupOps {
     s"list_distinct(list_transform(range(1, greatest(len(t) - ${K - 1}, 0) + 1), " +
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
 
-  /** (doc_id, shingle) exploded frame. */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+  /** Per-doc shingle array (distinct word 3-grams) via the compiled
+    * [[graft.functions.WordShingles]] kernel. The small parquet file arrives
+    * as one input split; the signature computation downstream is the
+    * CPU-heavy part (NumPerm md5 per shingle), so spread rows across cores
+    * first — on a real multi-split source this repartition is unnecessary
+    * and the kernels parallelize with the scan. */
+  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextFns.wordShingles(col("text"), K).as("shs"))
+
+  /** (doc_id, shingle) exploded frame (for exact-Jaccard intersections). */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    docShingles(spark, sfDir).select(col("doc_id"), explode(col("shs")).as("sh"))
 
   private val shinglesCte =
     s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-       |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM toks)""".stripMargin
+       |docsh AS (SELECT doc_id, $shinglesSql AS shs FROM toks),
+       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM docsh)""".stripMargin
 
-  /** MinHash signatures: one row per doc, mh0..mh15 = min(md5("i|shingle")).
-    * One groupBy pass computes all 16 mins (map-side partial aggregation —
-    * the shuffle carries 16 hashes per doc, not the shingles). */
+  /** MinHash signatures as a pure per-row projection via the compiled
+    * [[graft.functions.MinHashSignature]] kernel: mh_i =
+    * min over shingles of md5("i|shingle"). No explode, no shuffle —
+    * signatures compute inside the scan stage, so at any scale the only
+    * shuffle in the whole pipeline is the band-bucket self-join. (HOF and
+    * aggregate formulations are semantically identical but interpret a
+    * lambda per element / pay a groupBy shuffle.) */
   private def signatures(spark: SparkSession, sfDir: String): DataFrame =
-    shingles(spark, sfDir)
-      .groupBy("doc_id")
-      .agg(
-        min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
-        (1 until NumPerm).map(i =>
-          min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i")): _*)
+    docShingles(spark, sfDir)
+      .withColumn("sigs", TextFns.minhashSignature(col("shs"), NumPerm))
+      .select((Seq(col("doc_id")) ++ (0 until NumPerm).map(i =>
+        element_at(col("sigs"), i + 1).as(s"mh$i"))): _*)
 
   private val signaturesCte =
     "sig AS (SELECT doc_id, " +
-      (0 until NumPerm).map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(", ") +
-      " FROM sh GROUP BY doc_id)"
+      (0 until NumPerm).map(i =>
+        s"list_min(list_transform(shs, s -> md5('$i|' || s))) AS mh$i").mkString(", ") +
+      " FROM docsh)"
 
-  /** Band buckets: md5 of each 4-signature slice. */
+  /** Band buckets: md5 of each 4-signature slice. `concat` (not concat_ws)
+    * so an all-null signature row (doc with <3 tokens) gets a null bucket
+    * and drops out of the join on both engines identically. */
   private def banded(sig: DataFrame): DataFrame =
     (0 until Bands).foldLeft(sig) { (df, b) =>
-      df.withColumn(s"b$b",
-        md5(concat_ws(",", (0 until NumPerm / Bands).map(r => col(s"mh${b * (NumPerm / Bands) + r}")): _*)))
+      val parts = (0 until NumPerm / Bands)
+        .map(r => col(s"mh${b * (NumPerm / Bands) + r}"))
+        .flatMap(c => Seq(c, lit(","))).dropRight(1)
+      df.withColumn(s"b$b", md5(concat(parts: _*)))
     }
 
   private val bandedCte =
@@ -78,13 +96,18 @@ object DedupOps {
         s"md5(${cols.mkString(" || ',' || ")}) AS b$b"
       }.mkString(", ") + " FROM sig)"
 
-  /** Candidate pairs: docs sharing any band bucket (doc1 < doc2). */
-  private def candidatePairs(band: DataFrame): DataFrame =
-    (0 until Bands).map { b =>
-      val l = band.select(col("doc_id").as("doc1"), col(s"b$b").as("bk"))
-      val r = band.select(col("doc_id").as("doc2"), col(s"b$b").as("bk"))
-      l.join(r, Seq("bk")).where(col("doc1") < col("doc2")).select("doc1", "doc2")
-    }.reduce(_ union _).distinct()
+  /** Candidate pairs: docs sharing any band bucket (doc1 < doc2). The four
+    * bands are stacked into (band_idx, bucket) rows so ONE self-join covers
+    * all bands (vs four joins + union = four shuffles). */
+  private def candidatePairs(band: DataFrame): DataFrame = {
+    val stacked = band.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)).as(Seq("band_idx", "bk")))
+    stacked.select(col("doc_id").as("doc1"), col("band_idx"), col("bk"))
+      .join(stacked.select(col("doc_id").as("doc2"), col("band_idx"), col("bk")),
+        Seq("band_idx", "bk"))
+      .where(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+  }
 
   private val pairsCte =
     "pairs AS (SELECT DISTINCT doc1, doc2 FROM (" +
@@ -203,13 +226,11 @@ object DedupOps {
     * [[SimilarityOps.lshAnn]]-style bucketing instead of i<j pairing. */
   def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-      .withColumn("norm", expr(
-        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("norm", Vec.norm(col("embedding")))
     val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("norm").as("nm1"))
     val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("norm").as("nm2"))
     a.join(broadcast(b), col("id1") < col("id2"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("dot", Vec.dot(col("e1"), col("e2")))
       .withColumn("cos_sim", col("dot") / (col("nm1") * col("nm2")))
       .where(col("cos_sim") >= 0.4)
       .select("id1", "id2", "cos_sim")

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.Tables
+import graft.functions.Vec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,10 +24,6 @@ object SimilarityOps {
 
   private val TopK = 5
 
-  private val dotExpr =
-    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-  private val normExpr =
-    "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
   private def dotSql(x: String, y: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
@@ -35,14 +32,14 @@ object SimilarityOps {
   /** Brute-force cosine top-5: queries = vec_id < 8, candidates = the rest. */
   def bruteTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(spark, sfDir).withColumn("norm", expr(normExpr))
+    val e = Tables.embeddings(spark, sfDir).withColumn("norm", Vec.norm(col("embedding")))
     val q = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
     val c = e.where(col("vec_id") >= 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cn"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     c.join(broadcast(q))
-      .withColumn("cos_sim", expr(dotExpr) / (col("qn") * col("cn")))
+      .withColumn("cos_sim", Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
       .select("q_id", "rank", "c_id", "cos_sim")
@@ -79,7 +76,7 @@ object SimilarityOps {
   def lshAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, sfDir)
-      .withColumn("norm", expr(normExpr))
+      .withColumn("norm", Vec.norm(col("embedding")))
       .withColumn("bucket", expr(bucketExpr))
     val q = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"), col("bucket"))
@@ -87,7 +84,7 @@ object SimilarityOps {
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cn"), col("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     c.join(broadcast(q), Seq("bucket"))
-      .withColumn("cos_sim", expr(dotExpr) / (col("qn") * col("cn")))
+      .withColumn("cos_sim", Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
       .select("q_id", "bucket", "rank", "c_id", "cos_sim")

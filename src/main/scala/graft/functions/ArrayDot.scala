@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two numeric arrays, accumulating in double in
+  * index order — the exact left-fold the oracle computes
+  * (`list_reduce(list_transform(...))`), but compiled to a tight Java loop
+  * instead of Spark's interpreted higher-order-function lambdas (HOFs like
+  * `aggregate`/`zip_with` evaluate an expression tree per element; on an
+  * O(pairs × dims) similarity kernel that interpretation dominates the
+  * query). Elements are assumed non-null (embedding vectors).
+  *
+  * Semantics: Σ_i l[i]·r[i] for i < min(|l|,|r|), each element widened to
+  * double before multiply — bit-identical to the interpreted/ oracle fold.
+  */
+case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"arraydot needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val aFloat = elemType(left) == FloatType
+    val bFloat = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(e: Expression, arr: String, i: String) =
+      if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += ${getter(left, a, "i")} * ${getter(right, b, "i")};
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level vector helpers built on [[ArrayDot]]. */
+object Vec {
+  import org.apache.spark.sql.functions.sqrt
+  import org.apache.spark.sql.graft.shim
+
+  def dot(a: Column, b: Column): Column =
+    shim.column(ArrayDot(shim.expression(a), shim.expression(b)))
+
+  /** L2 norm = sqrt(dot(v, v)) — same squared-fold the oracle uses. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+}

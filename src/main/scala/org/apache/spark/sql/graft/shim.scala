@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public Column API and Catalyst expressions.
+  * Spark 4's Column wraps a ColumnNode (Connect-compatible API) and the
+  * converters live behind `private[sql]`; this shim is the supported-pattern
+  * escape hatch for libraries that ship custom Catalyst expressions.
+  */
+object shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
