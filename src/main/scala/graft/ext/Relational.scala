@@ -196,11 +196,14 @@ object Relational {
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   /** Set operators (absent from the reference): users who purchased AND
-    * errored but never signed up. */
+    * errored, excluding the 10 most-active users (deterministic top-N
+    * subquery). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     def users(t: String) = ev.where(col("event_type") === t).select("user_id")
-    users("purchase").intersect(users("error")).except(users("signup"))
+    val topActive = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(10).select("user_id")
+    users("purchase").intersect(users("error")).except(topActive)
       .orderBy("user_id")
   }
 
@@ -210,7 +213,9 @@ object Relational {
       |  INTERSECT
       |  SELECT user_id FROM events WHERE event_type = 'error'
       |  EXCEPT
-      |  SELECT user_id FROM events WHERE event_type = 'signup')
+      |  SELECT user_id FROM (
+      |    SELECT user_id FROM events GROUP BY 1
+      |    ORDER BY count(*) DESC, user_id LIMIT 10))
       |ORDER BY user_id""".stripMargin
 
   /** Exact dedup with a deterministic survivor (first block wins) — the

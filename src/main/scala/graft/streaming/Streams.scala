@@ -27,7 +27,11 @@ object Streams {
     * The same `where` pushdown used in batch applies per micro-batch. */
   def eventStream(spark: SparkSession, sfDir: String, signature: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val base = spark.readStream.schema(eventSchema).parquet(s"$sfDir/events.parquet")
+    // File-stream basePath must be a directory; select just the events
+    // table out of it with a glob (new matching files would stream in).
+    val base = spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     signature.map(s => base.where(col("event_type") === s)).getOrElse(base)
   }

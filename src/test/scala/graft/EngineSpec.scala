@@ -1,0 +1,96 @@
+package graft
+
+import graft.engine.{Compiler, Enrich, Sources}
+import graft.model._
+import org.apache.spark.sql.functions._
+
+class EngineSpec extends SparkSpec {
+
+  test("asOfJoin attaches latest state at-or-before probe time, null before first state") {
+    import spark.implicits._
+    val probes = Seq((1L, 10L), (1L, 25L), (2L, 5L)).toDF("k", "t")
+    val state = Seq((1L, 10L, 100L, 1.0), (1L, 20L, 101L, 2.0), (2L, 7L, 102L, 3.0))
+      .toDF("k", "st", "sid", "v")
+    val got = Enrich.asOfJoin(probes, state, "k", "t", "st", "sid", Seq("v"))
+      .orderBy("k", "t").collect()
+    // probe (1,10): state at 10 included (offset-0 semantics); (1,25)→v=2; (2,5)→null
+    assert(got(0).getDouble(2) == 1.0)
+    assert(got(1).getDouble(2) == 2.0)
+    assert(got(2).isNullAt(2))
+  }
+
+  test("asOfJoin tie-break: larger tieBreaker wins at equal time") {
+    import spark.implicits._
+    val probes = Seq((1L, 10L)).toDF("k", "t")
+    val state = Seq((1L, 10L, 1L, 1.0), (1L, 10L, 2L, 2.0)).toDF("k", "st", "sid", "v")
+    val got = Enrich.asOfJoin(probes, state, "k", "t", "st", "sid", Seq("v")).collect()
+    assert(got.head.getDouble(2) == 2.0)
+  }
+
+  test("QuerySpec validation mirrors dsl/schema.go:213-250") {
+    val ev = EventSpec("click", Seq("value"))
+    // historical event query must NOT set blockInterval
+    val bad = QuerySpec(name = "x", chain = "eth",
+      globalEvents = Seq(ev), blockInterval = Some(60),
+      saves = Seq("a" -> col("value")))
+    intercept[IllegalArgumentException](bad.validate())
+    // save block required
+    val noSave = QuerySpec(name = "y", chain = "eth", globalEvents = Seq(ev))
+    intercept[IllegalArgumentException](noSave.validate())
+  }
+
+  test("Compiler: transforms visible to filters and saves; metadata columns attached") {
+    val q = QuerySpec(
+      name = "t", chain = "testchain",
+      globalEvents = Seq(EventSpec("purchase", Seq("value"))),
+      transforms = Seq("doubled" -> (col("value") * 2)),
+      filters = Seq(col("doubled") > 50),
+      saves = Seq("chain" -> col("chain"), "blocknumber" -> col("blocknumber"),
+        "doubled" -> col("doubled")))
+    val df = Compiler.compile(spark, sf, q)
+    assert(df.columns.toSeq == Seq("chain", "blocknumber", "doubled"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0) == "testchain"))
+    assert(rows.forall(_.getDouble(2) > 50))
+  }
+
+  test("Loop.expand keys queries {i}-{name} like chainservice.go:127-131") {
+    val specs = Loop.expand(Seq("a", "b")) { (item, _) =>
+      QuerySpec(name = "q", chain = item,
+        globalEvents = Seq(EventSpec("view", Nil)),
+        saves = Seq("chain" -> col("chain")))
+    }
+    assert(specs.map(_.name) == Seq("0-q", "1-q"))
+  }
+
+  test("demux unions differing save schemas with nulls + query_name") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("blocknumber", "a_col")
+    val b = Seq((2L, 3.0)).toDF("blocknumber", "b_col")
+    val got = Compiler.demux(Map("qa" -> a, "qb" -> b)).orderBy("query_name")
+    assert(got.columns.toSet == Set("blocknumber", "a_col", "b_col", "query_name"))
+    val rows = got.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("query_name") == "qa" && rows(0).isNullAt(rows(0).fieldIndex("b_col")))
+  }
+
+  test("blockDater finds first block at-or-after each target") {
+    val got = Sources.blockDater(Tables.events(spark, sf), Seq("2024-01-15 00:00:00"))
+      .collect()
+    assert(got.length == 1)
+    val firstBlock = got.head.getLong(1)
+    // the found block's ts must be >= target and the previous block's < target
+    val ev = Tables.events(spark, sf).orderBy("event_id").collect()
+    val target = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    assert(!ev(firstBlock.toInt).getTimestamp(1).before(target))
+    assert(ev(firstBlock.toInt - 1).getTimestamp(1).before(target))
+  }
+
+  test("event scans push predicates to the parquet reader") {
+    val plan = Sources.contractEvents(spark, sf, Seq(1L, 2L), "purchase")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("event_type"), s"event_type not pushed:\n$plan")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{TextFns, Vec}
+import org.apache.spark.sql.functions._
+
+/** The compiled kernels must be bit/value-identical to the composable
+  * higher-order-function formulations they replace (which the DuckDB
+  * oracles mirror). */
+class KernelsSpec extends SparkSpec {
+
+  test("WordShingles ≡ filter/split/transform HOF formulation (as sets)") {
+    val docs = Tables.documents(spark, sf).limit(100)
+      .withColumn("toks", expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .withColumn("hof", expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(toks) - 2, 0)),
+          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin))
+      .withColumn("kernel", TextFns.wordShingles(col("text"), 3))
+    val bad = docs.where(expr(
+      "array_sort(hof) != array_sort(kernel)")).count()
+    assert(bad == 0)
+  }
+
+  test("WordShingles handles short/empty/multi-space texts") {
+    import spark.implicits._
+    val got = Seq("", "one two", "a  b   c d", "x y z")
+      .toDF("text")
+      .select(TextFns.wordShingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == Nil)
+    assert(got(1) == Nil)
+    assert(got(2) == List("a b c", "b c d"))
+    assert(got(3) == List("x y z"))
+  }
+
+  test("MinHashSignature ≡ array_min(transform(md5)) per permutation") {
+    val docs = Tables.documents(spark, sf).limit(100)
+      .withColumn("shs", TextFns.wordShingles(col("text"), 3))
+      .withColumn("sigs", TextFns.minhashSignature(col("shs"), 4))
+    val checks = (0 until 4).map(i =>
+      expr(s"element_at(sigs, ${i + 1}) = array_min(transform(shs, s -> md5('$i|' || s)))"))
+    assert(docs.where(!checks.reduce(_ && _)).count() == 0)
+  }
+
+  test("MinHashSignature is null on empty shingle arrays (array_min parity)") {
+    import spark.implicits._
+    val got = Seq("one two").toDF("text")
+      .select(TextFns.minhashSignature(TextFns.wordShingles(col("text"), 3), 4).as("s"))
+      .collect()
+    assert(got.head.isNullAt(0))
+  }
+
+  test("ArrayDot ≡ aggregate(zip_with) left fold, bit-identical") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val pairs = e.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("j"), col("embedding").as("b")))
+      .where(col("i") < col("j")).limit(500)
+      .withColumn("hof", expr(
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("kernel", Vec.dot(col("a"), col("b")))
+    // exact equality — same fold order, so bits must match
+    assert(pairs.where(col("hof") =!= col("kernel")).count() == 0)
+  }
+
+  test("ArrayDot handles length mismatch (min length) and empty arrays") {
+    import spark.implicits._
+    val got = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f)))
+      .toDF("a", "b").select(Vec.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(got == 1.0 * 4.0 + 2.0 * 5.0)
+    val empty = Seq((Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b").select(Vec.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(empty == 0.0)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming parity (SURVEY §3.3): the same pipelines as batch,
+  * via the file source + memory sink, driven synchronously. */
+class StreamingSpec extends SparkSpec {
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming windowed counts equal the batch aggregation") {
+    val streamed = runToMemory(
+      Streams.windowedCounts(Streams.eventStream(spark, sf)), "wc", mode = "complete")
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("day", "event_type", "n").except(
+      batch.select("day", "event_type", "n")).count() == 0)
+  }
+
+  test("streaming filter pushes the signature predicate per micro-batch") {
+    val streamed = runToMemory(
+      Streams.eventStream(spark, sf, Some("purchase"))
+        .select("event_id", "event_type"), "filtered")
+    assert(streamed.count() ==
+      Tables.events(spark, sf).where(col("event_type") === "purchase").count())
+    assert(streamed.where(col("event_type") =!= "purchase").count() == 0)
+  }
+
+  test("streaming session windows produce per-user sessions") {
+    val streamed = runToMemory(
+      Streams.sessionized(Streams.eventStream(spark, sf)), "sess", mode = "complete")
+    assert(streamed.count() > 0)
+    // session count bounded by event count
+    assert(streamed.agg(sum("n_events")).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+  }
+
+  test("streaming dedup keeps at most one row per (user, type)") {
+    val streamed = runToMemory(Streams.dedupStream(Streams.eventStream(spark, sf)), "dd")
+    val dupes = streamed.groupBy("user_id", "event_type").count().where(col("count") > 1)
+    assert(dupes.count() == 0)
+  }
+
+  test("method poller is a valid unbounded plan (S6)") {
+    val state = Tables.events(spark, sf).groupBy("user_id").agg(max("value").as("value"))
+    val df = Streams.methodPoller(spark, Seq(1L, 2L), state)
+    assert(df.isStreaming)
+    assert(df.columns.contains("sample_ts") && df.columns.contains("value"))
+  }
+}
