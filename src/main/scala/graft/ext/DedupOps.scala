@@ -183,25 +183,17 @@ object DedupOps {
        |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.5
        |ORDER BY doc1, doc2""".stripMargin
 
-  /** SimHash (32-bit, md5-nibble bits, token multiplicity weighted): one
-    * groupBy pass accumulates all 32 bit-sums; fingerprint bit j set iff the
-    * signed sum is positive. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val sums = (0 until 32).map { j =>
-      val nib = s"(instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1)"
-      sum(expr(s"2 * (shiftright($nib, ${j % 4}) % 2) - 1")).as(s"sum$j")
-    }
-    val fp = (0 until 32)
-      .map(j => when(col(s"sum$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+  /** SimHash (32-bit, md5-nibble bits, token multiplicity weighted) via the
+    * compiled [[graft.functions.SimHash32]] kernel — a pure per-row
+    * projection, no explode/groupBy. (The semantically-identical relational
+    * form — explode tokens, 32 signed-bit sums per doc — is what the DuckDB
+    * oracle runs; a 32-aggregate plan also works in Spark but compiles a
+    * huge codegen class and shuffles for no benefit.) */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextFns.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
-  }
 
   private val simhashSql = {
     val sums = (0 until 32).map { j =>

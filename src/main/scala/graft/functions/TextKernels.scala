@@ -65,6 +65,40 @@ object TextKernels {
     false
   }
 
+  /** 32-bit SimHash over whitespace tokens (multiplicity-weighted): bit j of
+    * md5-hex nibble j/4 (bit j%4); fingerprint bit set iff the ±1 sum over
+    * tokens is positive. ≡ the explode + 32-sum-aggregate formulation the
+    * DuckDB oracle uses, folded into one compiled per-row pass. */
+  def simhash32(text: UTF8String): Long = {
+    val toks = text.toString.toLowerCase.split(' ')
+    val md = MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](32)
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        md.reset()
+        val d = md.digest(toks(t).getBytes("UTF-8"))
+        var j = 0
+        while (j < 32) {
+          // hex nibble j/4 of the digest: even index = high nibble of byte
+          val nibIdx = j / 4
+          val b = d(nibIdx / 2)
+          val nib = if (nibIdx % 2 == 0) (b >> 4) & 0xf else b & 0xf
+          counts(j) += 2 * ((nib >> (j % 4)) & 1) - 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
   /** MinHash signature: for each perm i, min over shingles of
     * md5Hex("i|" + shingle). ≡ array_min(transform(shs, s -> md5('i|'||s)))
     * per perm; null when there are no shingles (array_min of empty). */
@@ -138,10 +172,28 @@ case class MinHashSignature(child: Expression, numPerm: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** 32-bit SimHash fingerprint of a string column. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash32 needs a string input, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash32(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column API for the kernels. */
 object TextFns {
   def wordShingles(text: Column, k: Int): Column =
     shim.column(WordShingles(shim.expression(text), k))
   def minhashSignature(shingles: Column, numPerm: Int): Column =
     shim.column(MinHashSignature(shim.expression(shingles), numPerm))
+  def simhash32(text: Column): Column =
+    shim.column(SimHash32(shim.expression(text)))
 }

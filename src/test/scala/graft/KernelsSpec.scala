@@ -50,6 +50,27 @@ class KernelsSpec extends SparkSpec {
     assert(got.head.isNullAt(0))
   }
 
+  test("SimHash32 ≡ the explode + 32-signed-bit-sum relational formulation") {
+    val toks = Tables.documents(spark, sf).limit(100)
+      .withColumn("toks", expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = (0 until 32).map { j =>
+      val nib = s"(instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1)"
+      sum(expr(s"2 * (shiftright($nib, ${j % 4}) % 2) - 1")).as(s"sum$j")
+    }
+    val fp = (0 until 32)
+      .map(j => when(col(s"sum$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val relational = toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("rel"))
+    val kernel = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), TextFns.simhash32(col("text")).as("ker"))
+    val joined = relational.join(kernel, "doc_id")
+    assert(joined.where(col("rel") =!= col("ker")).count() == 0)
+    assert(joined.count() == 100)
+  }
+
   test("ArrayDot ≡ aggregate(zip_with) left fold, bit-identical") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val pairs = e.select(col("vec_id").as("i"), col("embedding").as("a"))

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ext.{DedupOps, Relational, SimilarityOps}
+import graft.queries.ApolloQueries
+
+/** Physical-plan quality gates: the properties that keep these plans viable
+  * at 100 TB must hold structurally, not accidentally. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q5: dims join as broadcast, not shuffle") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q3: customer dim broadcast; no cartesian product") {
+    val p = plan("q3_shipping_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("flagship: single events scan with address+signature pushed filters") {
+    val p = plan("apollo_flagship_swaps")
+    assert(p.contains("PushedFilters"), p)
+    // batched scan: exactly one parquet scan of events
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("s8 block dim join broadcasts the header dimension") {
+    val p = plan("s8_block_metadata_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("s7 as-of enrichment is one window pass — no join operators at all") {
+    val p = plan("s7_event_asof_enrich")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("minhash LSH: no cartesian product anywhere (candidates via bucket equi-join)") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("brute-force similarity broadcasts the query side") {
+    val p = plan("sim_brute_topk")
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("scans prune columns: q1 reads only the aggregated lineitem columns") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"), p)
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("whole-stage codegen covers the flagship transform/filter/save pipeline") {
+    // AQE's pre-execution plan hides codegen wrapping; disable it to see the
+    // final operator tree structurally.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = ApolloQueries.flagship(spark, sf).queryExecution.executedPlan.toString
+      // "*(n)" prefixes mark WholeStageCodegen stages; the whole
+      // filter/project pipeline must sit inside stage 1 with the scan.
+      assert(p.contains("*(1) Project") && p.contains("*(1) Filter"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.engine.{Compiler, Sinks}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("K2 csv sink writes header + all rows") {
+    val out = tmp("csv")
+    val df = Tables.region(spark, sf)
+    Sinks.csv(df, s"$out/region")
+    val back = spark.read.option("header", "true").csv(s"$out/region")
+    assert(back.count() == df.count())
+    assert(back.columns.toSeq == df.columns.toSeq)
+  }
+
+  test("parquet sink round-trips schema and rows") {
+    val out = tmp("pq")
+    val df = Tables.nation(spark, sf)
+    Sinks.parquet(df, s"$out/nation")
+    val back = spark.read.parquet(s"$out/nation")
+    assert(back.schema == df.schema)
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+  }
+
+  test("R8 demux sink partitions by query_name (per-query dirs, pruned reads)") {
+    import spark.implicits._
+    val out = tmp("demux")
+    val demuxed = Compiler.demux(Map(
+      "qa" -> Seq((1L, "a")).toDF("blocknumber", "v"),
+      "qb" -> Seq((2L, "b")).toDF("blocknumber", "v")))
+    Sinks.demuxParquet(demuxed, s"$out/multi")
+    val dirs = new java.io.File(s"$out/multi").listFiles().map(_.getName).filter(_.startsWith("query_name="))
+    assert(dirs.toSet == Set("query_name=qa", "query_name=qb"))
+    // partition pruning: reading one query touches only its directory
+    val one = spark.read.parquet(s"$out/multi").where(col("query_name") === "qa")
+    assert(one.count() == 1)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+
+  test("streaming foreachBatch sink is checkpointed (exactly-once beyond the reference)") {
+    val out = tmp("stream")
+    val target = s"$out/rows"
+    val q = Streams.eventStream(spark, sf, Some("purchase"))
+      .writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(target)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamedCount = spark.read.parquet(target).count()
+    assert(streamedCount ==
+      Tables.events(spark, sf).where(col("event_type") === "purchase").count())
+    // checkpoint exists and pins the source offset
+    assert(new java.io.File(s"$out/ckpt/offsets").listFiles().nonEmpty)
+  }
+}
