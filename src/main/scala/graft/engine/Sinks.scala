@@ -30,6 +30,11 @@ object Sinks {
   def jdbc(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
 
+  /** K4 — JSON lines (unimplemented roadmap item in the reference,
+    * ROADMAP.md:71-73). */
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** Parquet — the testbed's primary sink. */
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)

@@ -136,4 +136,30 @@ object Evm {
     // strip optional 0x then fixed-offset substring — stays codegen'd
     substring(regexp_replace(data, "^0[xX]", ""), i * 64 + 1, 64)
   }
+
+  // ---- R2: call-input packing (BuildCallMsg/BuildCallInput,
+  // /root/reference/generate/callmsg.go:19-54). The 4-byte selector is the
+  // keccak of the signature — computed once at plan time by the schema
+  // compiler (passed in as a literal; keccak is not in the JDK and the
+  // selector is a plan-time constant, never per-row work).
+
+  /** ABI-encode an unsigned integer column into a 64-hex-char word. */
+  def encodeUint(v: Column): Column = {
+    import org.apache.spark.sql.functions._
+    lpad(lower(hex(v.cast("decimal(38,0)"))), 64, "0")
+  }
+
+  /** ABI-encode an address column (0x-prefixed or raw) into a word. */
+  def encodeAddress(addr: Column): Column = {
+    import org.apache.spark.sql.functions._
+    lpad(lower(regexp_replace(addr, "^0[xX]", "")), 64, "0")
+  }
+
+  /** Full calldata: 0x + selector + packed argument words. */
+  def callData(selectorHex: String, args: Column*): Column = {
+    import org.apache.spark.sql.functions._
+    val sel = selectorHex.stripPrefix("0x").toLowerCase
+    require(sel.length == 8, s"selector must be 4 bytes of hex, got '$selectorHex'")
+    concat((lit("0x" + sel) +: args): _*)
+  }
 }
