@@ -273,6 +273,28 @@ object Relational {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** Skew-safe two-phase aggregation: salt the hot key, partially aggregate
+    * per (key, salt), then combine. With exact decimal sums the result is
+    * identical to the direct groupBy (associativity), so the oracle is the
+    * plain GROUP BY — which is the point: salting changes the shuffle
+    * profile, never the answer. At 100 TB this is the pattern for keys whose
+    * fan-in exceeds one reducer (AQE skew-join handles joins; salting
+    * handles aggregations). */
+  def skewSaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val salted = Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("ps"))
+    salted.groupBy("event_type")
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("decimal(38,4)").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val skewSaltedAggSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_topk" -> (q3ShippingTopk _),
@@ -286,6 +308,7 @@ object Relational {
     "agg_rollup" -> (aggRollup _),
     "topk_orders" -> (topkOrders _),
     "approx_distinct" -> (approxDistinct _),
+    "skew_salted_agg" -> (skewSaltedAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -300,5 +323,6 @@ object Relational {
     "dedup_exact" -> dedupExactSql,
     "agg_rollup" -> aggRollupSql,
     "topk_orders" -> topkOrdersSql,
+    "skew_salted_agg" -> skewSaltedAggSql,
   )
 }
