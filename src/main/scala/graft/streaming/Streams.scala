@@ -59,6 +59,52 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Realtime S7 — event-triggered enrichment as custom streaming state:
+    * per contract (user) the latest `click` value is kept in
+    * `GroupState` and every `purchase` is emitted with it attached — the
+    * streaming form of the batch as-of window (`Enrich.asOfJoin`). Rows are
+    * ordered (ts, event_id) within each micro-batch so late-arriving batch
+    * contents enrich deterministically; cross-batch state carries the last
+    * click forward, which is exactly the reference's subscription-mode
+    * behavior (decode log → call method at that block, events.go:285-296).
+    */
+  def asOfEnrichStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("blocknumber", LongType),
+      StructField("value", DoubleType),
+      StructField("last_click", DoubleType)))
+    implicit val outEnc = RowEncoder.encoderFor(outSchema)
+    implicit val stateEnc = Encoders.scalaDouble
+
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Row], state: GroupState[Double]) => {
+          val ordered = rows.toSeq.sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+            r.getAs[Long]("event_id")))
+          var last = state.getOption
+          val out = Seq.newBuilder[Row]
+          ordered.foreach { r =>
+            r.getAs[String]("event_type") match {
+              case "click" => last = Some(r.getAs[Double]("value"))
+              case "purchase" =>
+                out += Row(user, r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+                  last.map(Double.box).orNull)
+              case _ => ()
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** S6 — realtime method poller: rate source ticks every `intervalSeconds`
     * (the reference's ticker loop, chainservice.go:173-179), each tick
     * fanned out to the declared contracts and looked up against a state

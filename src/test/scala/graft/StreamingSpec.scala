@@ -51,6 +51,17 @@ class StreamingSpec extends SparkSpec {
     assert(dupes.count() == 0)
   }
 
+  test("stateful streaming as-of enrichment matches the batch window form (S7)") {
+    val streamed = runToMemory(
+      Streams.asOfEnrichStream(Streams.eventStream(spark, sf)), "asof")
+      .select("blocknumber", "user_id", "value", "last_click")
+    val batch = graft.queries.ApolloQueries.eventAsOfEnrich(spark, sf)
+      .select("blocknumber", "user_id", "value", "last_click")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("method poller is a valid unbounded plan (S6)") {
     val state = Tables.events(spark, sf).groupBy("user_id").agg(max("value").as("value"))
     val df = Streams.methodPoller(spark, Seq(1L, 2L), state)
