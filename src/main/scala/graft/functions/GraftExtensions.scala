@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SQL-surface registration for the custom expressions, so `spark.sql`
+  * users get the same kernels as the Column API:
+  *
+  *   - at runtime: `GraftFunctions.register(spark)`
+  *   - at deploy time: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "arraydot" -> (es => ArrayDot(es(0), es(1))),
+    "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "shingle width k"))),
+    "minhash_signature" -> (es => MinHashSignature(es(0), intArg(es(1), "numPerm"))),
+    "simhash32" -> (es => SimHash32(es(0))),
+    "evm_address" -> (es => EvmAddress(es(0))),
+    "evm_uint" -> (es => EvmUint(es(0))),
+    "evm_int" -> (es => EvmInt(es(0))),
+    "evm_bool" -> (es => EvmBool(es(0))),
+  )
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

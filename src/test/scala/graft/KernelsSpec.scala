@@ -71,6 +71,20 @@ class KernelsSpec extends SparkSpec {
     assert(joined.count() == 100)
   }
 
+  test("custom expressions register for the SQL surface (GraftFunctions)") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash32('hello world spark') AS sh,
+        |       arraydot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       evm_uint('ff') AS u,
+        |       size(word_shingles('a b c d', 3)) AS n""".stripMargin).head()
+    assert(r.getLong(0) == graft.functions.TextKernels.simhash32(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world spark")))
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getDecimal(2).intValue == 255)
+    assert(r.getInt(3) == 2)
+  }
+
   test("ArrayDot ≡ aggregate(zip_with) left fold, bit-identical") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val pairs = e.select(col("vec_id").as("i"), col("embedding").as("a"))
