@@ -273,6 +273,73 @@ object Relational {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** TPC-H Q4-style EXISTS: orders having at least one deep-discount line,
+    * counted by priority — a left-semi join (no row multiplication, the
+    * probe side streams). */
+  def q4SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val deep = Tables.lineitem(spark, sfDir).where(col("l_discount") > 0.09)
+      .select(col("l_orderkey"))
+    Tables.orders(spark, sfDir)
+      .join(deep, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4SemiJoinSql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** NOT EXISTS via left-anti join: customers with no 1997 order. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o97 = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_custkey"))
+    Tables.customer(spark, sfDir)
+      .join(o97, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |                    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** TPC-H Q14-style promo share: conditional aggregate ratio. Both sums are
+    * exact decimals; the final ratio divides their double images — the same
+    * two IEEE ops on both engines. */
+  def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val revenue = dec(col("l_extendedprice")) * rate1m(col("l_discount"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), revenue).otherwise(lit(0).cast("decimal(12,4)")))
+          .cast("decimal(38,8)").as("promo_revenue"),
+        sum(revenue).cast("decimal(38,8)").as("total_revenue"))
+      .withColumn("promo_share",
+        lit(100.0) * col("promo_revenue").cast("double") / col("total_revenue").cast("double"))
+  }
+
+  private val q14PromoShareSql =
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |        THEN CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))
+      |        ELSE CAST(0 AS DECIMAL(12,4)) END) AS DECIMAL(38,8)) AS promo_revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,8)) AS total_revenue,
+      |  100.0 * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |        THEN CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))
+      |        ELSE CAST(0 AS DECIMAL(12,4)) END) AS DECIMAL(38,8)) AS DOUBLE)
+      |      / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,8)) AS DOUBLE) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
   /** Skew-safe two-phase aggregation: salt the hot key, partially aggregate
     * per (key, salt), then combine. With exact decimal sums the result is
     * identical to the direct groupBy (associativity), so the oracle is the
@@ -309,6 +376,9 @@ object Relational {
     "topk_orders" -> (topkOrders _),
     "approx_distinct" -> (approxDistinct _),
     "skew_salted_agg" -> (skewSaltedAgg _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "anti_join" -> (antiJoin _),
+    "q14_promo_share" -> (q14PromoShare _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,5 +394,8 @@ object Relational {
     "agg_rollup" -> aggRollupSql,
     "topk_orders" -> topkOrdersSql,
     "skew_salted_agg" -> skewSaltedAggSql,
+    "q4_semi_join" -> q4SemiJoinSql,
+    "anti_join" -> antiJoinSql,
+    "q14_promo_share" -> q14PromoShareSql,
   )
 }
