@@ -1,0 +1,118 @@
+package graft.model
+
+import org.apache.spark.sql.functions.expr
+
+/** Declarative schema files: the analogue of the reference's HCL surface
+  * (dsl/schema.go:381-479 parses HCL; validation :213-250; loop :427-442).
+  *
+  * A schema document is JSON; transform/filter/save expressions are Spark
+  * SQL expression strings compiled by Catalyst's parser — strictly more
+  * expressive than the reference's HCL expression language (SURVEY §2.3
+  * maps every HCL construct onto SQL expressions). Loop items stamp the
+  * template per item with `${item}` substituted, reproducing the "{i}-{name}"
+  * keying.
+  *
+  * Example:
+  * {{{
+  * {
+  *   "variables": {"min_amount": "0"},
+  *   "loop": ["ethereum", "arbitrum"],
+  *   "queries": [{
+  *     "name": "swaps",
+  *     "chain": "${item}",
+  *     "events": [{"signature": "purchase", "outputs": ["value"]}],
+  *     "contracts": [1, 2, 3],
+  *     "start_time": "2024-01-05", "end_time": "2024-01-25",
+  *     "transforms": {"amount": "value / 100.0"},
+  *     "filters": ["amount != ${min_amount}"],
+  *     "saves": {"chain": "chain", "block": "blocknumber", "amount": "amount"}
+  *   }]
+  * }
+  * }}}
+  */
+object JsonSchema {
+
+  def parse(json: String): SchemaSpec = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val ast = JsonMethods.parse(json)
+
+    val variables: Map[String, String] = ast \ "variables" match {
+      case JObject(fs) => fs.map { case (k, v) => k -> jString(v) }.toMap
+      case _ => Map.empty
+    }
+    val loopItems: Seq[String] = ast \ "loop" match {
+      case JArray(xs) => xs.map(jString)
+      case _ => Nil
+    }
+
+    def substitute(s: String, item: Option[String]): String = {
+      val withVars = variables.foldLeft(s) { case (acc, (k, v)) =>
+        acc.replace("${" + k + "}", v)
+      }
+      item.map(i => withVars.replace("${item}", i)).getOrElse(withVars)
+    }
+
+    def buildQuery(q: JValue, item: Option[String]): QuerySpec = {
+      def str(field: String): Option[String] =
+        q \ field match { case JString(s) => Some(substitute(s, item)); case _ => None }
+      val events = q \ "events" match {
+        case JArray(xs) => xs.map { e =>
+          EventSpec(jString(e \ "signature"),
+            e \ "outputs" match { case JArray(os) => os.map(jString); case _ => Nil })
+        }
+        case _ => Nil
+      }
+      val contracts = q \ "contracts" match {
+        case JArray(xs) => xs.map {
+          case JInt(a) => a.toLong
+          case other => jString(other).toLong
+        }
+        case _ => Nil
+      }
+      val transforms = q \ "transforms" match {
+        case JObject(fs) => fs.map { case (n, e) => n -> expr(substitute(jString(e), item)) }
+        case _ => Nil
+      }
+      val filters = q \ "filters" match {
+        case JArray(xs) => xs.map(f => expr(substitute(jString(f), item)))
+        case _ => Nil
+      }
+      val saves = q \ "saves" match {
+        case JObject(fs) => fs.map { case (n, e) => n -> expr(substitute(jString(e), item)) }
+        case _ => Nil
+      }
+      QuerySpec(
+        name = jString(q \ "name"),
+        chain = str("chain").getOrElse("unknown"),
+        contracts =
+          if (contracts.isEmpty) Nil
+          else contracts.map(a => ContractSpec(a, events = events)),
+        globalEvents = if (contracts.isEmpty) events else Nil,
+        startTime = str("start_time"),
+        endTime = str("end_time"),
+        transforms = transforms,
+        filters = filters,
+        saves = saves)
+    }
+
+    val queryAsts = ast \ "queries" match {
+      case JArray(xs) => xs
+      case _ => Nil
+    }
+    val specs =
+      if (loopItems.isEmpty) queryAsts.map(q => buildQuery(q, None))
+      else queryAsts.flatMap { q =>
+        Loop.expand(loopItems)((item, _) => buildQuery(q, Some(item)))
+      }
+    SchemaSpec(variables = variables, queries = specs)
+  }
+
+  private def jString(v: org.json4s.JValue): String = v match {
+    case org.json4s.JString(s) => s
+    case org.json4s.JInt(i) => i.toString
+    case org.json4s.JDouble(d) => d.toString
+    case org.json4s.JBool(b) => b.toString
+    case other => throw new IllegalArgumentException(s"expected scalar, got $other")
+  }
+}

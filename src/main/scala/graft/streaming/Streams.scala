@@ -59,6 +59,32 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream windowed join: correlate two live event streams within a
+    * bounded event-time interval (purchase ↔ click of the same contract
+    * within `windowSeconds` before the purchase). Watermarks bound the join
+    * state on both sides — the reference has no cross-stream correlation at
+    * all (joins are an unimplemented roadmap item).
+    */
+  def streamStreamJoin(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      windowSeconds: Long = 3600L,
+  ): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("p_block"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("c_block"),
+        col("ts").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"interval $windowSeconds seconds") &&
+        col("c_ts") <= col("p_ts"))
+      .select("user_id", "p_block", "p_ts", "p_value", "c_block", "c_value")
+  }
+
   /** Realtime S7 — event-triggered enrichment as custom streaming state:
     * per contract (user) the latest `click` value is kept in
     * `GroupState` and every `purchase` is emitted with it attached — the

@@ -62,6 +62,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("stream-stream windowed join matches the batch interval join") {
+    val streamed = runToMemory(
+      Streams.streamStreamJoin(
+        Streams.eventStream(spark, sf, Some("purchase")),
+        Streams.eventStream(spark, sf, Some("click"))), "ssj")
+    val ev = Tables.events(spark, sf)
+    val bp = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_block"), col("ts").as("p_ts"))
+    val bc = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_block"), col("ts").as("c_ts"))
+    val batch = bp.join(bc,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("interval 3600 seconds") &&
+        col("c_ts") <= col("p_ts"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.count() > 0)
+    assert(streamed.select("user_id", "p_block", "c_block")
+      .except(batch.select("user_id", "p_block", "c_block")).count() == 0)
+  }
+
   test("method poller is a valid unbounded plan (S6)") {
     val state = Tables.events(spark, sf).groupBy("user_id").agg(max("value").as("value"))
     val df = Streams.methodPoller(spark, Seq(1L, 2L), state)
