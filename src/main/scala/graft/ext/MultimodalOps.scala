@@ -48,7 +48,10 @@ object MultimodalOps {
         when(col("modality") === "image", col("width")).as("width"),
         when(col("modality") === "image", col("height")).as("height"),
         when(col("modality") === "audio", col("sample_rate")).as("sample_rate"),
-        when(col("modality") === "video", col("n_frames")).as("n_frames"))
+        when(col("modality") === "video", col("n_frames")).as("n_frames"),
+        // frame sampling: every 30th frame index, count of sampled frames
+        when(col("modality") === "video",
+          (floor((col("n_frames") - 1) / 30) + 1).cast("long")).as("n_sampled_frames"))
       .orderBy("doc_id")
 
   private val binaryMetaSql =
@@ -62,28 +65,43 @@ object MultimodalOps {
       |  CASE WHEN modality = 'image' THEN 64 + nbytes % 576 END AS width,
       |  CASE WHEN modality = 'image' THEN 64 + (nbytes * 7) % 416 END AS height,
       |  CASE WHEN modality = 'audio' THEN 8000 + (nbytes % 8) * 1000 END AS sample_rate,
-      |  CASE WHEN modality = 'video' THEN 1 + nbytes % 240 END AS n_frames
+      |  CASE WHEN modality = 'video' THEN 1 + nbytes % 240 END AS n_frames,
+      |  CASE WHEN modality = 'video'
+      |       THEN CAST(floor(((1 + nbytes % 240) - 1) / 30) + 1 AS BIGINT) END AS n_sampled_frames
       |FROM b ORDER BY doc_id""".stripMargin
 
-  /** Batched partition-level decode — the Scala analogue of a Pandas UDF
-    * over `mapInPandas`: rows stream per partition in fixed-size batches so
-    * a vectorized decoder amortizes per-call overhead. Exercised in tests;
-    * the query surface above stays expression-only for oracle parity. */
-  def decodeBatched(df: DataFrame, batchSize: Int = 32): DataFrame = {
+  /** Batched partition-level decode + resize + feature-extract — the Scala
+    * analogue of a Pandas UDF over `mapInPandas`: rows stream per partition
+    * in fixed-size batches so a vectorized codec amortizes per-call
+    * overhead. The decode/resize/feature bodies are deterministic STUBS (no
+    * codecs in this container); the schema, batch shape, and partition
+    * plumbing are the real thing. */
+  def decodeBatched(df: DataFrame, batchSize: Int = 32,
+      targetW: Long = 224L, targetH: Long = 224L): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("nbytes", LongType),
       StructField("width", LongType),
-      StructField("height", LongType)))
+      StructField("height", LongType),
+      StructField("resized_w", LongType),
+      StructField("resized_h", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // STUB decode per batch — a real impl hands `batch` to a codec once.
           batch.map { r =>
-            val nbytes = r.getAs[Array[Byte]]("payload").length.toLong
+            val payload = r.getAs[Array[Byte]]("payload")
+            val nbytes = payload.length.toLong
             val (w, h, _, _) = fakeDecode(nbytes)
-            Row(r.getAs[Long]("doc_id"), nbytes, w, h)
+            // STUB resize: aspect-preserving letterbox dims
+            val scale = math.min(targetW.toDouble / w, targetH.toDouble / h)
+            val (rw, rh) = (math.round(w * scale), math.round(h * scale))
+            // STUB feature-extract: 8-dim embedding from the first bytes
+            val feat = Array.tabulate(8)(i =>
+              if (i < payload.length) (payload(i) & 0xff) / 255.0f else 0.0f)
+            Row(r.getAs[Long]("doc_id"), nbytes, w, h, rw, rh, feat.toSeq)
           }
         }
       }(enc)

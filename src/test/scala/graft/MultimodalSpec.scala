@@ -17,6 +17,18 @@ class MultimodalSpec extends SparkSpec {
     assert(viaBatches.count() == viaExprs.count())
   }
 
+  test("batched path also resizes (letterboxed) and extracts features") {
+    val got = MultimodalOps.decodeBatched(Tables.documents(spark, sf), batchSize = 8)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (rw, rh) = (r.getAs[Long]("resized_w"), r.getAs[Long]("resized_h"))
+      assert(rw <= 224 && rh <= 224 && (rw == 224 || rh == 224)) // letterbox hits one edge
+      val f = r.getSeq[Float](r.fieldIndex("features"))
+      assert(f.length == 8 && f.forall(v => v >= 0f && v <= 1f))
+    }
+  }
+
   test("binary payload column is real binary with correct byte length") {
     val r = Tables.documents(spark, sf)
       .select(col("text"), encode(col("text"), "UTF-8").as("payload"))
