@@ -340,6 +340,45 @@ object Relational {
       |      / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,8)) AS DOUBLE) AS promo_share
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
+  /** Exact interpolated percentiles per group (both engines use linear
+    * interpolation a + (b-a)·f over the sorted values → bit-identical
+    * doubles). */
+  def aggPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        min("value").as("vmin"), max("value").as("vmax"))
+      .orderBy("event_type")
+
+  private val aggPercentilesSql =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  quantile_cont(value, 0.99) AS p99,
+      |  min(value) AS vmin, max(value) AS vmax
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Fixed-width histogram over [0,100) in 20 bins (explicit bucket formula
+    * — identical arithmetic on both engines; DuckDB has no width_bucket). */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("bucket", expr(
+        "CASE WHEN value < 0 THEN 0 WHEN value >= 100 THEN 21 " +
+          "ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("decimal(38,4)").as("sum_value"))
+      .orderBy("bucket")
+
+  private val aggHistogramSql =
+    """SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 100 THEN 21
+      |       ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END AS bucket, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Skew-safe two-phase aggregation: salt the hot key, partially aggregate
     * per (key, salt), then combine. With exact decimal sums the result is
     * identical to the direct groupBy (associativity), so the oracle is the
@@ -379,6 +418,8 @@ object Relational {
     "q4_semi_join" -> (q4SemiJoin _),
     "anti_join" -> (antiJoin _),
     "q14_promo_share" -> (q14PromoShare _),
+    "agg_percentiles" -> (aggPercentiles _),
+    "agg_histogram" -> (aggHistogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -397,5 +438,7 @@ object Relational {
     "q4_semi_join" -> q4SemiJoinSql,
     "anti_join" -> antiJoinSql,
     "q14_promo_share" -> q14PromoShareSql,
+    "agg_percentiles" -> aggPercentilesSql,
+    "agg_histogram" -> aggHistogramSql,
   )
 }
