@@ -148,7 +148,9 @@ object DedupOps {
     * Threshold 0.5 keeps the synthetic near-dup clusters. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // |S| = size of the per-doc distinct shingle array — a projection, not a
+    // groupBy over the exploded rows (one shuffle less).
+    val sizes = docShingles(spark, sfDir).select(col("doc_id"), size(col("shs")).cast("long").as("n"))
     val band = banded(signatures(spark, sfDir))
     val inter = candidatePairs(band)
       .join(sh.select(col("doc_id").as("doc1"), col("sh")), Seq("doc1"))
@@ -168,7 +170,7 @@ object DedupOps {
        |$signaturesCte,
        |$bandedCte,
        |$pairsCte,
-       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |n AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n FROM docsh),
        |inter AS (
        |  SELECT p.doc1, p.doc2, count(*) AS inter
        |  FROM pairs p

@@ -379,6 +379,37 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Deterministic variance/stddev: raw double accumulation order is
+    * engine/partitioning-dependent, so the moments are accumulated as EXACT
+    * decimals (sum, sum of squares) and the variance assembled from their
+    * double images with one fixed IEEE formula — identical on both engines.
+    */
+  def aggVariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = dec(col("value")) // (12,4) exact
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("decimal(38,4)").as("sum_v"),
+        sum(v * v).cast("decimal(38,8)").as("sum_v2"))
+      .withColumn("mean", col("sum_v").cast("double") / col("n"))
+      .withColumn("var_pop",
+        col("sum_v2").cast("double") / col("n") - col("mean") * col("mean"))
+      .withColumn("stddev_pop", sqrt(col("var_pop")))
+      .orderBy("event_type")
+  }
+
+  private val aggVarianceSql =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_v,
+      |    CAST(sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,8)) AS sum_v2
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n, sum_v, sum_v2,
+      |  CAST(sum_v AS DOUBLE) / n AS mean,
+      |  CAST(sum_v2 AS DOUBLE) / n - (CAST(sum_v AS DOUBLE) / n) * (CAST(sum_v AS DOUBLE) / n) AS var_pop,
+      |  sqrt(CAST(sum_v2 AS DOUBLE) / n - (CAST(sum_v AS DOUBLE) / n) * (CAST(sum_v AS DOUBLE) / n)) AS stddev_pop
+      |FROM m ORDER BY event_type""".stripMargin
+
   /** Skew-safe two-phase aggregation: salt the hot key, partially aggregate
     * per (key, salt), then combine. With exact decimal sums the result is
     * identical to the direct groupBy (associativity), so the oracle is the
@@ -420,6 +451,7 @@ object Relational {
     "q14_promo_share" -> (q14PromoShare _),
     "agg_percentiles" -> (aggPercentiles _),
     "agg_histogram" -> (aggHistogram _),
+    "agg_variance" -> (aggVariance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -440,5 +472,6 @@ object Relational {
     "q14_promo_share" -> q14PromoShareSql,
     "agg_percentiles" -> aggPercentilesSql,
     "agg_histogram" -> aggHistogramSql,
+    "agg_variance" -> aggVarianceSql,
   )
 }
