@@ -1,0 +1,68 @@
+package graft
+
+import graft.sources.EvmLogs
+import org.apache.spark.sql.functions._
+
+/** DSv2 connector: block-range partitioning + pushdown (the S1-S4 live-source
+  * contracts, with a deterministic fetch standing in for the RPC). */
+class EvmLogsSourceSpec extends SparkSpec {
+
+  private def logs(opts: Map[String, String] = Map.empty) = {
+    val r = spark.read.format("graft.sources.EvmLogsProvider")
+      .option("start", 0).option("end", 1000).option("parts", 8)
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("reads the full deterministic range and matches the generator") {
+    val df = logs()
+    val expected = (0L until 1000L).map(EvmLogs.fetchBlockLogs(_).size).sum
+    assert(df.count() == expected)
+    // spot-check one block's rows against the generator
+    val b42 = df.where(col("blocknumber") === 42).collect()
+    val gen = EvmLogs.fetchBlockLogs(42L)
+    assert(b42.length == gen.length)
+    assert(b42.map(_.getAs[String]("topic")).toSet == gen.map(_._5).toSet)
+  }
+
+  test("planInputPartitions splits the block range into `parts` tasks (SmartFilterLogs chunking)") {
+    assert(logs().rdd.getNumPartitions == 8)
+    assert(logs(Map("parts" -> "3")).rdd.getNumPartitions == 3)
+  }
+
+  test("address + topic + block-range predicates push into the source") {
+    val df = logs().where(col("topic") === "Swap" && col("address").isin(1L, 2L, 3L) &&
+      col("blocknumber") >= 100 && col("blocknumber") < 200)
+    // DSv2 scans render the Scan.description(): pushed predicates must have
+    // reached the connector state, not remained Spark-side only
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanDesc.contains("topic=Some(Swap)"), scanDesc)
+    assert(scanDesc.contains("addresses=Some"), scanDesc)
+    assert(scanDesc.contains("[100, 200)"), scanDesc)
+    // results equal the generator filtered the same way
+    val expected = (100L until 200L).flatMap(EvmLogs.fetchBlockLogs)
+      .count { case (_, _, _, a, t, _) => t == "Swap" && Set(1L, 2L, 3L)(a) }
+    assert(df.count() == expected)
+  }
+
+  test("block-range pushdown narrows the partitions actually planned") {
+    val narrow = logs().where(col("blocknumber") >= 900 && col("blocknumber") < 910)
+    val expected = (900L until 910L).map(EvmLogs.fetchBlockLogs(_).size).sum
+    assert(narrow.count() == expected)
+  }
+
+  test("column pruning reaches the reader (declared-outputs-only decode)") {
+    val df = logs().select("blocknumber", "value")
+    // DSv2 BatchScan lists the pruned output column set
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("BatchScan evmlogs[blocknumber#"), scan)
+    assert(!scan.contains("block_hash"), scan)
+    assert(df.agg(sum("value")).head().getDouble(0) > 0)
+  }
+
+  test("connector feeds the same pipeline shapes as the parquet path") {
+    val agg = logs().where(col("topic") === "Transfer")
+      .groupBy("address").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("address")).limit(5)
+    assert(agg.count() == 5)
+  }
+}
