@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => sstreaming}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -75,15 +76,16 @@ class EvmLogsTable(options: CaseInsensitiveStringMap) extends Table with Support
   override def name(): String = "evmlogs"
   override def schema(): StructType = EvmLogs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new EvmLogsScanBuilder(
       options.getLong("start", 0L),
       options.getLong("end", 1000L),
-      options.getInt("parts", 8))
+      options.getInt("parts", 8),
+      options.getLong("blocksPerBatch", 100L))
 }
 
-class EvmLogsScanBuilder(start: Long, end: Long, parts: Int)
+class EvmLogsScanBuilder(start: Long, end: Long, parts: Int, blocksPerBatch: Long = 100L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = start
@@ -121,16 +123,26 @@ class EvmLogsScanBuilder(start: Long, end: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new EvmLogsScan(lo, hi, parts, addresses, topic, required)
+  override def build(): Scan =
+    new EvmLogsScan(lo, hi, parts, addresses, topic, required, blocksPerBatch)
 }
 
 class EvmLogsScan(
     lo: Long, hi: Long, parts: Int,
     addresses: Option[Set[Long]], topic: Option[String],
-    required: StructType) extends Scan with Batch {
+    required: StructType, blocksPerBatch: Long = 100L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** S3/S4 — the subscription mode: stream offsets ARE block heights; each
+    * trigger ingests the blocks the simulated chain tip advanced by (a real
+    * deployment reads the tip over RPC — `eth_blockNumber`). Offsets commit
+    * through the checkpoint log, giving the exactly-once the reference's
+    * websocket loop lacks (events.go:221-320 just forwards). */
+  override def toMicroBatchStream(checkpointLocation: String): sstreaming.MicroBatchStream =
+    new EvmLogsMicroBatchStream(lo, hi, blocksPerBatch, addresses, topic, required)
+
   override def description(): String =
     s"evmlogs [$lo, $hi) parts=$parts addresses=$addresses topic=$topic"
 
@@ -148,6 +160,51 @@ class EvmLogsScan(
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) =>
       new EvmLogsPartitionReader(partition.asInstanceOf[EvmLogsPartition])
+}
+
+final case class BlockOffset(block: Long) extends sstreaming.Offset {
+  override def json(): String = block.toString
+}
+
+class EvmLogsMicroBatchStream(
+    start: Long, end: Long, blocksPerBatch: Long,
+    addresses: Option[Set[Long]], topic: Option[String],
+    required: StructType) extends sstreaming.MicroBatchStream {
+
+  override def initialOffset(): sstreaming.Offset = BlockOffset(start)
+
+  // Simulated chain tip: advances by blocksPerBatch per poll until `end` (a
+  // real deployment returns `eth_blockNumber` here). Offset RANGES come from
+  // the engine's (start, end) per batch, so replay after failure stays
+  // exactly-once regardless of tip state.
+  @volatile private var tip: Long = start
+
+  override def latestOffset(): sstreaming.Offset = {
+    tip = math.min(end, tip + blocksPerBatch)
+    BlockOffset(tip)
+  }
+
+  @volatile private var lastCommitted: Option[Long] = None
+
+  override def deserializeOffset(json: String): sstreaming.Offset =
+    BlockOffset(json.toLong)
+
+  override def commit(offset: sstreaming.Offset): Unit =
+    lastCommitted = Some(offset.asInstanceOf[BlockOffset].block)
+
+  override def planInputPartitions(
+      startOff: sstreaming.Offset, endOff: sstreaming.Offset): Array[InputPartition] = {
+    val from = startOff.asInstanceOf[BlockOffset].block
+    val until = endOff.asInstanceOf[BlockOffset].block
+    if (from >= until) Array.empty
+    else Array(EvmLogsPartition(from, until, addresses, topic, required.fieldNames))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) =>
+      new EvmLogsPartitionReader(partition.asInstanceOf[EvmLogsPartition])
+
+  override def stop(): Unit = ()
 }
 
 final case class EvmLogsPartition(

@@ -59,6 +59,20 @@ class EvmLogsSourceSpec extends SparkSpec {
     assert(df.agg(sum("value")).head().getDouble(0) > 0)
   }
 
+  test("micro-batch stream ingests the chain by block offsets, exactly once") {
+    val q = spark.readStream.format("graft.sources.EvmLogsProvider")
+      .option("start", 0).option("end", 500).option("blocksPerBatch", 100)
+      .load()
+      .writeStream.outputMode("append").format("memory").queryName("evmstream")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("evmstream")
+    val expected = (0L until 500L).map(EvmLogs.fetchBlockLogs(_).size).sum
+    assert(got.count() == expected) // no duplicates, no gaps across micro-batches
+    assert(got.select("blocknumber").distinct().count() == 500)
+  }
+
   test("connector feeds the same pipeline shapes as the parquet path") {
     val agg = logs().where(col("topic") === "Transfer")
       .groupBy("address").agg(count(lit(1)).as("n"))
