@@ -379,6 +379,22 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** CUBE over two grouping dimensions (all 4 grouping sets). */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("decimal(38,4)").as("sum_price"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"), col("n"), col("sum_price"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val aggCubeSql =
+    """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** Deterministic variance/stddev: raw double accumulation order is
     * engine/partitioning-dependent, so the moments are accumulated as EXACT
     * decimals (sum, sum of squares) and the variance assembled from their
@@ -452,6 +468,7 @@ object Relational {
     "agg_percentiles" -> (aggPercentiles _),
     "agg_histogram" -> (aggHistogram _),
     "agg_variance" -> (aggVariance _),
+    "agg_cube" -> (aggCube _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -473,5 +490,6 @@ object Relational {
     "agg_percentiles" -> aggPercentilesSql,
     "agg_histogram" -> aggHistogramSql,
     "agg_variance" -> aggVarianceSql,
+    "agg_cube" -> aggCubeSql,
   )
 }
