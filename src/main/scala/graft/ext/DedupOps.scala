@@ -26,14 +26,9 @@ object DedupOps {
   private val Bands = 4 // 4 rows per band
   private val K = 3 // shingle width (word 3-grams)
 
-  /** Spark tokenizer + distinct word-k-gram shingles (0-based array index). */
-  private val toksExpr = "filter(split(lower(text), ' '), t -> t != '')"
-  private val shinglesExpr =
-    s"""array_distinct(transform(
-       |  sequence(1, greatest(size(toks) - ${K - 1}, 0)),
-       |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin
-
-  /** DuckDB tokenizer + shingles (1-based list index). */
+  /** DuckDB tokenizer + shingles (1-based list index) — the oracle-side
+    * equivalent of the compiled [[graft.functions.WordShingles]] kernel
+    * (equivalence asserted in KernelsSpec). */
   private val toksSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
   private val shinglesSql =
     s"list_distinct(list_transform(range(1, greatest(len(t) - ${K - 1}, 0) + 1), " +
