@@ -117,7 +117,7 @@ object Relational {
   def winTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, sfDir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_custkey", "rn")
@@ -126,7 +126,7 @@ object Relational {
   private val winTopkSql =
     """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
-      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
@@ -162,7 +162,7 @@ object Relational {
       .orderBy("day", "event_type")
 
   private val timeWindowSql =
-    """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 

@@ -40,7 +40,7 @@ object SimilarityOps {
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     c.join(broadcast(q))
       .withColumn("cos_sim", Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= TopK)
       .select("q_id", "rank", "c_id", "cos_sim")
       .orderBy("q_id", "rank")
@@ -54,7 +54,7 @@ object SimilarityOps {
        |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id >= 8),
        |r AS (
        |  SELECT q_id, c_id, cos_sim,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rank
        |  FROM p)
        |SELECT q_id, rank, c_id, cos_sim FROM r WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
@@ -85,7 +85,7 @@ object SimilarityOps {
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     c.join(broadcast(q), Seq("bucket"))
       .withColumn("cos_sim", Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= TopK)
       .select("q_id", "bucket", "rank", "c_id", "cos_sim")
       .orderBy("q_id", "rank")
@@ -102,7 +102,7 @@ object SimilarityOps {
        |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < 8 AND c.vec_id >= 8),
        |r AS (
        |  SELECT q_id, bucket, c_id, cos_sim,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rank
        |  FROM p)
        |SELECT q_id, bucket, rank, c_id, cos_sim FROM r WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
@@ -135,7 +135,7 @@ object SimilarityOps {
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     c.join(broadcast(routed), Seq("probe_label"))
       .withColumn("cos_sim", Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= TopK)
       .select("q_id", "probe_label", "rank", "c_id", "cos_sim")
       .orderBy("q_id", "rank")
@@ -159,7 +159,7 @@ object SimilarityOps {
        |  FROM routed ro
        |  JOIN e q ON q.vec_id = ro.q_id
        |  JOIN e c ON c.label = ro.probe_label AND c.vec_id >= 8),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rank
        |      FROM scored)
        |SELECT q_id, probe_label, rank, c_id, cos_sim FROM r WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin

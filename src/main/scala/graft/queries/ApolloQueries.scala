@@ -167,7 +167,7 @@ object ApolloQueries {
       |  SELECT date_trunc('day', ts) AS day, min(event_id) AS day_first_block,
       |         count(*) AS day_events
       |  FROM events GROUP BY 1)
-      |SELECT e.event_id AS blocknumber, e.user_id, date_trunc('day', e.ts) AS day,
+      |SELECT e.event_id AS blocknumber, e.user_id, CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
       |       h.day_first_block, h.day_events
       |FROM events e LEFT JOIN headers h ON date_trunc('day', e.ts) = h.day
       |WHERE e.event_type = 'purchase' ORDER BY blocknumber""".stripMargin
