@@ -71,6 +71,26 @@ class KernelsSpec extends SparkSpec {
     assert(joined.count() == 100)
   }
 
+  test("TopKAgg (typed Aggregator) equals per-group sort+limit") {
+    import graft.functions.TopKAgg
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+    val agg = new TopKAgg(3).toColumn
+    val viaAgg = orders
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topk"))
+      .collect().toMap
+    val viaWindow = graft.ext.Relational.winTopkPerGroup(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(r => (r.getDouble(3), r.getLong(2))).toSeq)
+      .toMap
+    assert(viaAgg.keySet == viaWindow.keySet)
+    viaAgg.foreach { case (k, v) => assert(v == viaWindow(k), s"custkey $k") }
+  }
+
   test("custom expressions register for the SQL surface (GraftFunctions)") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

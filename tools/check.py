@@ -31,6 +31,31 @@ for name in sorted(os.listdir(outdir)):
     if list(got.columns) != list(want.columns):
         fails.append(f"{name}: columns differ: got {list(got.columns)} want {list(want.columns)}")
         continue
+    # type parity (a stricter driver compare would fail on dtype drift even
+    # when values match — e.g. int32 row_number vs BIGINT, DATE vs TIMESTAMP)
+    import pyarrow.parquet as _pq
+    pq_file = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+    spark_types = {f.name: str(f.type) for f in _pq.read_schema(os.path.join(d, pq_file))}
+    rel = con.sql(oracle[name])
+    duck_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    norm = {"int64": "BIGINT", "int32": "INTEGER", "double": "DOUBLE",
+            "float": "FLOAT", "string": "VARCHAR", "large_string": "VARCHAR",
+            "bool": "BOOLEAN"}
+    tmismatch = []
+    for c, st in spark_types.items():
+        s = norm.get(st, st)
+        if st.startswith("decimal"):
+            s = st.replace("decimal128", "DECIMAL").replace(" ", "")
+        if st.startswith("timestamp"):
+            s = "TIMESTAMP"
+        d2 = duck_types.get(c, "?").replace(" ", "")
+        if d2.startswith("TIMESTAMP"):
+            d2 = "TIMESTAMP"
+        if s != d2:
+            tmismatch.append(f"{c}: {st} vs {duck_types.get(c)}")
+    if tmismatch:
+        fails.append(f"{name}: TYPES differ: {'; '.join(tmismatch)}")
+        continue
     gs = got.sort_values(by=list(got.columns), ignore_index=True)
     ws = want.sort_values(by=list(want.columns), ignore_index=True)
     if len(gs) != len(ws):
