@@ -24,6 +24,15 @@ object Relational {
   private def rate1m(c: Column): Column = (lit(1.0) - c).cast("decimal(6,4)")
   private def rate1p(c: Column): Column = (lit(1.0) + c).cast("decimal(6,4)")
 
+  // Output boundary: wide decimals hash differently across engines in the
+  // driver's compare (r1: all 12 hash-fails were exactly the DECIMAL(38,x)
+  // output columns). Internal accumulation stays exact-decimal; outputs are
+  // rounded to scale 4 — so the unscaled value stays < 2^53 and the
+  // decimal→double conversion is a single correctly-rounded IEEE op in BOTH
+  // engines — then cast to DOUBLE. Oracle SQL mirrors with
+  // CAST(CAST(x AS DECIMAL(38,4)) AS DOUBLE).
+  private def decOut(c: Column): Column = c.cast("decimal(38,4)").cast("double")
+
   /** TPC-H Q1-style pricing summary. Partial (map-side) aggregation + one
     * shuffle of 4 groups — the canonical scale-safe aggregate. */
   def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
@@ -32,10 +41,10 @@ object Relational {
     val charge = discPrice * rate1p(col("l_tax"))
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("decimal(38,4)").as("sum_base_price"),
-        sum(discPrice).cast("decimal(38,12)").as("sum_disc_price"),
-        sum(charge).cast("decimal(38,12)").as("sum_charge"),
+        decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
+        decOut(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        decOut(sum(discPrice)).as("sum_disc_price"),
+        decOut(sum(charge)).as("sum_charge"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -43,10 +52,10 @@ object Relational {
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,12)) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,12)) AS sum_charge,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))), 4) AS DOUBLE) AS sum_charge,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem
@@ -64,15 +73,15 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(dec(col("l_extendedprice")) * rate1m(col("l_discount")))
-        .cast("decimal(38,8)").as("revenue"))
+      .agg(decOut(sum(dec(col("l_extendedprice")) * rate1m(col("l_discount"))))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   private val q3Sql =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,8)) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -96,14 +105,14 @@ object Relational {
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * rate1m(col("l_discount")))
-        .cast("decimal(38,8)").as("revenue"))
+      .agg(decOut(sum(dec(col("l_extendedprice")) * rate1m(col("l_discount"))))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   private val q5Sql =
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,8)) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -137,16 +146,16 @@ object Relational {
       .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, sfDir)
-      .withColumn("run_qty", sum(dec(col("l_quantity"))).over(w).cast("decimal(38,4)"))
+      .withColumn("run_qty", decOut(sum(dec(col("l_quantity"))).over(w)))
       .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
       .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
   }
 
   private val winRunningSumSql =
     """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) OVER (
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) OVER (
       |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS run_qty
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE) AS run_qty
       |FROM lineitem
       |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
 
@@ -157,13 +166,13 @@ object Relational {
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("decimal(38,4)").as("sum_value"))
+        decOut(sum(dec(col("value")))).as("sum_value"))
       .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("day", "event_type")
 
   private val timeWindowSql =
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
   /** Session windows (30-min gap) per user. Oracle is the classic
@@ -173,7 +182,7 @@ object Relational {
     Tables.events(spark, sfDir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast("decimal(38,4)").as("sum_value"))
+        decOut(sum(dec(col("value")))).as("sum_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
@@ -192,7 +201,7 @@ object Relational {
       |SELECT user_id, min(ts) AS session_start,
       |  max(ts) + INTERVAL 30 MINUTE AS session_end,
       |  count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   /** Set operators (absent from the reference): users who purchased AND
@@ -241,14 +250,14 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-        sum(dec(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"))
+        decOut(sum(dec(col("l_quantity")))).as("sum_qty"))
       .select(col("gid"), col("l_returnflag"), col("l_linestatus"), col("n"), col("sum_qty"))
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   private val aggRollupSql =
     """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
       |  l_returnflag, l_linestatus, count(*) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
@@ -321,24 +330,22 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
       .agg(
-        sum(when(col("p_type").startsWith("PROMO"), revenue).otherwise(lit(0).cast("decimal(12,4)")))
-          .cast("decimal(38,8)").as("promo_revenue"),
-        sum(revenue).cast("decimal(38,8)").as("total_revenue"))
+        decOut(sum(when(col("p_type").startsWith("PROMO"), revenue)
+          .otherwise(lit(0).cast("decimal(12,4)")))).as("promo_revenue"),
+        decOut(sum(revenue)).as("total_revenue"))
       .withColumn("promo_share",
-        lit(100.0) * col("promo_revenue").cast("double") / col("total_revenue").cast("double"))
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
   }
 
   private val q14PromoShareSql =
-    """SELECT
-      |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+    """SELECT promo_revenue, total_revenue,
+      |  100.0 * promo_revenue / total_revenue AS promo_share
+      |FROM (SELECT
+      |  CAST(round(sum(CASE WHEN p_type LIKE 'PROMO%'
       |        THEN CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))
-      |        ELSE CAST(0 AS DECIMAL(12,4)) END) AS DECIMAL(38,8)) AS promo_revenue,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,8)) AS total_revenue,
-      |  100.0 * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-      |        THEN CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))
-      |        ELSE CAST(0 AS DECIMAL(12,4)) END) AS DECIMAL(38,8)) AS DOUBLE)
-      |      / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,8)) AS DOUBLE) AS promo_share
-      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+      |        ELSE CAST(0 AS DECIMAL(12,4)) END), 4) AS DOUBLE) AS promo_revenue,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin
 
   /** Exact interpolated percentiles per group (both engines use linear
     * interpolation a + (b-a)·f over the sorted values → bit-identical
@@ -370,13 +377,13 @@ object Relational {
           "ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("decimal(38,4)").as("sum_value"))
+        decOut(sum(dec(col("value")))).as("sum_value"))
       .orderBy("bucket")
 
   private val aggHistogramSql =
     """SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 100 THEN 21
       |       ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END AS bucket, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** CUBE over two grouping dimensions (all 4 grouping sets). */
@@ -384,14 +391,14 @@ object Relational {
     Tables.orders(spark, sfDir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-        sum(dec(col("o_totalprice"))).cast("decimal(38,4)").as("sum_price"))
+        decOut(sum(dec(col("o_totalprice")))).as("sum_price"))
       .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"), col("n"), col("sum_price"))
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   private val aggCubeSql =
     """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
       |  o_orderstatus, o_orderpriority, count(*) AS n,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_price
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
@@ -405,11 +412,11 @@ object Relational {
     Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        sum(v).cast("decimal(38,4)").as("sum_v"),
-        sum(v * v).cast("decimal(38,8)").as("sum_v2"))
-      .withColumn("mean", col("sum_v").cast("double") / col("n"))
+        decOut(sum(v)).as("sum_v"),
+        decOut(sum(v * v)).as("sum_v2"))
+      .withColumn("mean", col("sum_v") / col("n"))
       .withColumn("var_pop",
-        col("sum_v2").cast("double") / col("n") - col("mean") * col("mean"))
+        col("sum_v2") / col("n") - col("mean") * col("mean"))
       .withColumn("stddev_pop", sqrt(col("var_pop")))
       .orderBy("event_type")
   }
@@ -417,13 +424,13 @@ object Relational {
   private val aggVarianceSql =
     """WITH m AS (
       |  SELECT event_type, count(*) AS n,
-      |    CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_v,
-      |    CAST(sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,8)) AS sum_v2
+      |    CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_v,
+      |    CAST(round(sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_v2
       |  FROM events GROUP BY event_type)
       |SELECT event_type, n, sum_v, sum_v2,
-      |  CAST(sum_v AS DOUBLE) / n AS mean,
-      |  CAST(sum_v2 AS DOUBLE) / n - (CAST(sum_v AS DOUBLE) / n) * (CAST(sum_v AS DOUBLE) / n) AS var_pop,
-      |  sqrt(CAST(sum_v2 AS DOUBLE) / n - (CAST(sum_v AS DOUBLE) / n) * (CAST(sum_v AS DOUBLE) / n)) AS stddev_pop
+      |  sum_v / n AS mean,
+      |  sum_v2 / n - (sum_v / n) * (sum_v / n) AS var_pop,
+      |  sqrt(sum_v2 / n - (sum_v / n) * (sum_v / n)) AS stddev_pop
       |FROM m ORDER BY event_type""".stripMargin
 
   /** Skew-safe two-phase aggregation: salt the hot key, partially aggregate
@@ -439,13 +446,13 @@ object Relational {
       .groupBy(col("event_type"), col("salt"))
       .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("ps"))
     salted.groupBy("event_type")
-      .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("decimal(38,4)").as("sum_value"))
+      .agg(sum(col("pn")).as("n"), decOut(sum(col("ps"))).as("sum_value"))
       .orderBy("event_type")
   }
 
   private val skewSaltedAggSql =
     """SELECT event_type, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
