@@ -45,10 +45,6 @@ object DedupOps {
       .repartition(col("doc_id"))
       .select(col("doc_id"), TextFns.wordShingles(col("text"), K).as("shs"))
 
-  /** (doc_id, shingle) exploded frame (for exact-Jaccard intersections). */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    docShingles(spark, sfDir).select(col("doc_id"), explode(col("shs")).as("sh"))
-
   private val shinglesCte =
     s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |docsh AS (SELECT doc_id, $shinglesSql AS shs FROM toks),
@@ -138,22 +134,21 @@ object DedupOps {
        |ORDER BY doc1, doc2""".stripMargin
   }
 
-  /** Exact n-gram Jaccard over the LSH candidate set: |S1∩S2| via a shingle
-    * join restricted to candidates, sizes from per-doc distinct counts.
-    * Threshold 0.5 keeps the synthetic near-dup clusters. */
+  /** Exact n-gram Jaccard over the LSH candidate set: the candidate pairs
+    * (already restricted by banding) join back to the per-doc shingle
+    * ARRAYS and |S1∩S2| is a per-row `array_intersect` size — the shingle
+    * corpus is never exploded or shuffled, so the work is
+    * O(candidates · avg_shingles), not O(corpus_shingles). Threshold 0.5
+    * keeps the synthetic near-dup clusters. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir).cache()
-    // |S| = size of the per-doc distinct shingle array — a projection, not a
-    // groupBy over the exploded rows (one shuffle less).
-    val sizes = docShingles(spark, sfDir).select(col("doc_id"), size(col("shs")).cast("long").as("n"))
+    val docs = docShingles(spark, sfDir)
     val band = banded(signatures(spark, sfDir))
-    val inter = candidatePairs(band)
-      .join(sh.select(col("doc_id").as("doc1"), col("sh")), Seq("doc1"))
-      .join(sh.select(col("doc_id").as("doc2"), col("sh")), Seq("doc2", "sh"))
-      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
-      .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
+    candidatePairs(band)
+      .join(docs.select(col("doc_id").as("doc1"), col("shs").as("s1")), Seq("doc1"))
+      .join(docs.select(col("doc_id").as("doc2"), col("shs").as("s2")), Seq("doc2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("n1", size(col("s1")).cast("long"))
+      .withColumn("n2", size(col("s2")).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .where(col("jaccard") >= 0.5)
       .select("doc1", "doc2", "n1", "n2", "inter", "jaccard")
@@ -165,19 +160,17 @@ object DedupOps {
        |$signaturesCte,
        |$bandedCte,
        |$pairsCte,
-       |n AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n FROM docsh),
-       |inter AS (
-       |  SELECT p.doc1, p.doc2, count(*) AS inter
+       |j AS (
+       |  SELECT p.doc1, p.doc2,
+       |    CAST(len(d1.shs) AS BIGINT) AS n1, CAST(len(d2.shs) AS BIGINT) AS n2,
+       |    CAST(len(list_intersect(d1.shs, d2.shs)) AS BIGINT) AS inter
        |  FROM pairs p
-       |  JOIN sh s1 ON s1.doc_id = p.doc1
-       |  JOIN sh s2 ON s2.doc_id = p.doc2 AND s2.sh = s1.sh
-       |  GROUP BY p.doc1, p.doc2)
-       |SELECT i.doc1, i.doc2, n1.n AS n1, n2.n AS n2, i.inter,
-       |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS jaccard
-       |FROM inter i
-       |JOIN n n1 ON n1.doc_id = i.doc1
-       |JOIN n n2 ON n2.doc_id = i.doc2
-       |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.5
+       |  JOIN docsh d1 ON d1.doc_id = p.doc1
+       |  JOIN docsh d2 ON d2.doc_id = p.doc2)
+       |SELECT doc1, doc2, n1, n2, inter,
+       |  CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+       |FROM j
+       |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
        |ORDER BY doc1, doc2""".stripMargin
 
   /** SimHash (32-bit, md5-nibble bits, token multiplicity weighted) via the
@@ -208,19 +201,31 @@ object DedupOps {
        |SELECT doc_id, $fp AS simhash FROM s ORDER BY doc_id""".stripMargin
   }
 
-  /** Embedding cosine near-dup: pairs with cosine ≥ 0.4. Dot/norm folds run
-    * in array order on both engines (Spark `aggregate` ≙ DuckDB
-    * `list_reduce`) so the doubles are bit-identical. The small side is
-    * broadcast; at scale the candidate set would come from
-    * [[SimilarityOps.lshAnn]]-style bucketing instead of i<j pairing. */
+  /** Embedding cosine near-dup: candidate pairs come from sign-bit
+    * random-hyperplane LSH (two 4-bit hash tables over dims 1-4 and 5-8,
+    * stacked so ONE equi-self-join keyed on (table, bucket) covers both),
+    * then exact cosine ≥ 0.4 on candidates only. No all-pairs join anywhere
+    * — the shuffle key is the bucket id, buckets are independent, and a
+    * vector lands in exactly 2 buckets, so the plan is linear in N at any
+    * scale (the r1 version was an O(N²) broadcast nested-loop; PlanSpec now
+    * asserts BNLJ-freedom). Dot/norm folds run in array order on both
+    * engines (Spark `aggregate` ≙ DuckDB `list_reduce`) so the doubles are
+    * bit-identical. */
   def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("norm", Vec.norm(col("embedding")))
-    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("norm").as("nm1"))
-    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("norm").as("nm2"))
-    a.join(broadcast(b), col("id1") < col("id2"))
-      .withColumn("dot", Vec.dot(col("e1"), col("e2")))
-      .withColumn("cos_sim", col("dot") / (col("nm1") * col("nm2")))
+      .withColumn("bk0", expr(SimilarityOps.signBucketExpr(1)))
+      .withColumn("bk1", expr(SimilarityOps.signBucketExpr(5)))
+    val stacked = e.select(col("vec_id"),
+      posexplode(array(col("bk0"), col("bk1"))).as(Seq("tbl", "bk")))
+    val cand = stacked.select(col("vec_id").as("id1"), col("tbl"), col("bk"))
+      .join(stacked.select(col("vec_id").as("id2"), col("tbl"), col("bk")), Seq("tbl", "bk"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cand
+      .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("norm").as("nm1")), Seq("id1"))
+      .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("norm").as("nm2")), Seq("id2"))
+      .withColumn("cos_sim", Vec.dot(col("e1"), col("e2")) / (col("nm1") * col("nm2")))
       .where(col("cos_sim") >= 0.4)
       .select("id1", "id2", "cos_sim")
       .orderBy("id1", "id2")
@@ -230,10 +235,16 @@ object DedupOps {
     def dot(x: String, y: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
         s"k -> CAST($x[k] AS DOUBLE) * CAST($y[k] AS DOUBLE))), (acc, v) -> acc + v)"
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS norm FROM embeddings)
-       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS norm,
+       |    ${SimilarityOps.signBucketSql(1)} AS bk0, ${SimilarityOps.signBucketSql(5)} AS bk1
+       |  FROM embeddings),
+       |st AS (SELECT vec_id, 0 AS tbl, bk0 AS bk FROM e
+       |       UNION ALL SELECT vec_id, 1 AS tbl, bk1 AS bk FROM e),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |         FROM st a JOIN st b ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT c.id1, c.id2,
        |  ${dot("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2
        |WHERE ${dot("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.4
        |ORDER BY id1, id2""".stripMargin
   }

@@ -59,18 +59,22 @@ object SimilarityOps {
        |SELECT q_id, rank, c_id, cos_sim FROM r WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
-  /** Sign-bit LSH bucket id from the first 4 components. */
-  private val bucketExpr =
-    "CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END " +
-      "+ CASE WHEN element_at(embedding, 2) > 0 THEN 4 ELSE 0 END " +
-      "+ CASE WHEN element_at(embedding, 3) > 0 THEN 2 ELSE 0 END " +
-      "+ CASE WHEN element_at(embedding, 4) > 0 THEN 1 ELSE 0 END AS BIGINT)"
+  /** Sign-bit LSH bucket id from 4 consecutive components starting at
+    * `startDim` (1-based) — axis-aligned random-hyperplane LSH. Shared with
+    * [[DedupOps.embeddingCosine]]'s multi-table candidate generation. */
+  def signBucketExpr(startDim: Int): String =
+    (0 until 4).map { i =>
+      s"CASE WHEN element_at(embedding, ${startDim + i}) > 0 THEN ${8 >> i} ELSE 0 END"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
 
-  private val bucketSql =
-    "CAST(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END " +
-      "+ CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END " +
-      "+ CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END " +
-      "+ CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS BIGINT)"
+  def signBucketSql(startDim: Int): String =
+    (0 until 4).map { i =>
+      s"CASE WHEN embedding[${startDim + i}] > 0 THEN ${8 >> i} ELSE 0 END"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  private val bucketExpr = signBucketExpr(1)
+
+  private val bucketSql = signBucketSql(1)
 
   /** ANN via LSH buckets: per query, top-5 among same-bucket candidates. */
   def lshAnn(spark: SparkSession, sfDir: String): DataFrame = {

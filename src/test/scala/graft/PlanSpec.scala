@@ -45,6 +45,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("embedding cosine near-dup: bucketed candidates — no all-pairs join") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ngram jaccard: no cartesian / nested-loop anywhere") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("brute-force similarity broadcasts the query side") {
     val p = plan("sim_brute_topk")
     assert(p.contains("Broadcast"), p)
