@@ -1,5 +1,6 @@
 package graft.engine
 
+import graft.Tables
 import graft.model._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,18 +17,107 @@ import org.apache.spark.sql.functions._
   */
 object Compiler {
 
-  /** Compile one query against the testbed event store. */
+  /** Compile one query against the testbed event store. Three source shapes,
+    * matching the reference's three query modes:
+    *  - event scan (S1/S2)                       — contracts/globalEvents
+    *  - contract-method sampling grid (S5)       — contracts(_).methods +
+    *    blockInterval (reference RunMethodCaller, chainservice/methods.go:21-72)
+    *  - event-triggered method calls (S7)        — events(_).methods, each
+    *    called at `log.block + blockOffset` (chainservice/events.go:93-105)
+    *    and merged into the event row (R6).
+    */
   def compile(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
     q.validate()
-    val sourced = eventSource(spark, sfDir, q)
-      .withColumn("chain", lit(q.chain))
-      .withColumn("blocknumber", col("event_id"))
-      .withColumn("timestamp", unix_timestamp(col("ts")))
-    val transformed = q.transforms.foldLeft(sourced) { case (df, (name, e)) =>
+    val sourced =
+      if (q.hasMethods) methodGridSource(spark, sfDir, q)
+      else withEventMethods(spark, sfDir, q,
+        eventSource(spark, sfDir, q)
+          .withColumn("blocknumber", col("event_id"))
+          .withColumn("timestamp", unix_timestamp(col("ts"))))
+    val standard = sourced.withColumn("chain", lit(q.chain))
+    val transformed = q.transforms.foldLeft(standard) { case (df, (name, e)) =>
       df.withColumn(name, e)
     }
     val filtered = transformed.where(Functions.allOf(q.filters))
     filtered.select(q.saves.map { case (name, e) => e.as(name) }: _*)
+  }
+
+  /** As-of-attach one method's outputs onto the probe frame, naming each
+    * output "{method}_{output}" (the reference merges CallResult outputs
+    * keyed by method into one row, apollotypes aggregateCallResults). */
+  private def attachMethod(
+      probe: DataFrame,
+      state: DataFrame,
+      m: MethodSpec,
+      leftTime: String,
+      rightTime: String,
+  ): DataFrame = {
+    val joined = Enrich.asOfJoin(probe, state,
+      key = "user_id", leftTime = leftTime, rightTime = rightTime,
+      tieBreaker = "event_id", valueCols = m.outputs)
+    m.outputs.foldLeft(joined) { (df, o) =>
+      df.withColumnRenamed(s"asof_$o", s"${m.name}_$o")
+    }
+  }
+
+  /** S5 — contract methods sampled on the declared interval grid: one row
+    * per (sample time, contract), each method's latest state as-of the tick.
+    * The grid is tiny (samples × contracts) and is the probe side; the state
+    * table shuffles ONCE per method by contract key inside the as-of join.
+    * BlockOffset is ignored here — the reference only applies it to
+    * event-triggered calls (dsl/schema.go:298-302).
+    */
+  private def methodGridSource(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
+    require(!q.hasEvents, s"query ${q.name}: a query declares methods or events, not both")
+    val start = q.startTime.getOrElse(
+      sys.error(s"query ${q.name}: method sampling requires start_time"))
+    val end = q.endTime.getOrElse(
+      sys.error(s"query ${q.name}: method sampling requires end_time"))
+    val interval = q.blockInterval.getOrElse(
+      sys.error(s"query ${q.name}: method sampling requires blockInterval"))
+    val addrs = q.contracts.map(_.address).distinct.sorted
+    val addrDf = spark.createDataFrame(addrs.map(Tuple1(_))).toDF("user_id")
+    val grid = Sources.sampleGrid(spark, start, end, interval, addrDf)
+    // Same method declared by several contracts shares ONE state scan with an
+    // address-set predicate (as eventSource batches signatures).
+    val byMethod: Seq[(MethodSpec, Seq[Long])] = q.contracts
+      .flatMap(c => c.methods.map(m => m -> c.address))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toSeq
+      .sortBy(_._1.name)
+    val attached = byMethod.foldLeft(grid) { case (df, (m, scope)) =>
+      val state = Tables.events(spark, sfDir)
+        .where(col("user_id").isin(scope: _*) && col("event_type") === m.name)
+      attachMethod(df, state, m, leftTime = "sample_ts", rightTime = "ts")
+    }
+    attached.withColumn("timestamp", unix_timestamp(col("sample_ts")))
+  }
+
+  /** S7 — event-triggered method calls: for each method declared under an
+    * event, attach its state as-of block `event.block + blockOffset`
+    * (events.go:93-105 — the call happens at the log's block plus the
+    * declared offset; offset 0 sees same-block state). One as-of window pass
+    * per distinct method — no pair materialization, one shuffle by contract.
+    */
+  private def withEventMethods(
+      spark: SparkSession, sfDir: String, q: QuerySpec, base: DataFrame): DataFrame = {
+    // method -> Some(declaring addresses) for contract events, None = global
+    val scoped: Seq[(MethodSpec, Option[Seq[Long]])] =
+      q.contracts.flatMap(c => c.events.flatMap(_.methods).map(m => m -> Some(Seq(c.address)))) ++
+        q.globalEvents.flatMap(_.methods).map(m => m -> None)
+    val byMethod = scoped.groupBy(_._1).view
+      .mapValues { vs =>
+        val scopes = vs.map(_._2)
+        if (scopes.contains(None)) None
+        else Some(scopes.flatten.flatten.distinct.sorted)
+      }
+      .toSeq.sortBy(_._1.name)
+    byMethod.foldLeft(base) { case (df, (m, scope)) =>
+      val st0 = Tables.events(spark, sfDir).where(col("event_type") === m.name)
+      val state = scope.fold(st0)(a => st0.where(col("user_id").isin(a: _*)))
+      val probe = df.withColumn("__probe_block", col("blocknumber") + lit(m.blockOffset))
+      attachMethod(probe, state, m, leftTime = "__probe_block", rightTime = "event_id")
+        .drop("__probe_block")
+    }
   }
 
   /** Compile every query of a schema, keyed like the reference keys its

@@ -56,12 +56,29 @@ object JsonSchema {
     def buildQuery(q: JValue, item: Option[String]): QuerySpec = {
       def str(field: String): Option[String] =
         q \ field match { case JString(s) => Some(substitute(s, item)); case _ => None }
+      // Method blocks (reference MethodSchema, dsl/schema.go:298-311):
+      // name + outputs + optional block_offset (event-triggered calls only).
+      def methods(v: JValue): Seq[MethodSpec] = v match {
+        case JArray(xs) => xs.map { m =>
+          MethodSpec(
+            jString(m \ "name"),
+            m \ "outputs" match { case JArray(os) => os.map(jString); case _ => Nil },
+            m \ "block_offset" match { case JInt(i) => i.toLong; case _ => 0L })
+        }
+        case _ => Nil
+      }
       val events = q \ "events" match {
         case JArray(xs) => xs.map { e =>
           EventSpec(jString(e \ "signature"),
-            e \ "outputs" match { case JArray(os) => os.map(jString); case _ => Nil })
+            e \ "outputs" match { case JArray(os) => os.map(jString); case _ => Nil },
+            methods = methods(e \ "methods"))
         }
         case _ => Nil
+      }
+      val contractMethods = methods(q \ "methods")
+      val blockInterval = q \ "block_interval" match {
+        case JInt(i) => Some(i.toLong)
+        case _ => None
       }
       val contracts = q \ "contracts" match {
         case JArray(xs) => xs.map {
@@ -87,10 +104,11 @@ object JsonSchema {
         chain = str("chain").getOrElse("unknown"),
         contracts =
           if (contracts.isEmpty) Nil
-          else contracts.map(a => ContractSpec(a, events = events)),
+          else contracts.map(a => ContractSpec(a, events = events, methods = contractMethods)),
         globalEvents = if (contracts.isEmpty) events else Nil,
         startTime = str("start_time"),
         endTime = str("end_time"),
+        blockInterval = blockInterval,
         transforms = transforms,
         filters = filters,
         saves = saves)

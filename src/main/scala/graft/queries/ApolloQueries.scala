@@ -145,6 +145,101 @@ object ApolloQueries {
       |  FROM events)
       |WHERE event_type = 'purchase' ORDER BY blocknumber""".stripMargin
 
+  /** S7 through the declarative surface with `block_offset != 0`: each
+    * `purchase` carries the latest `click` value as-of block
+    * `purchase.block - 1` (the reference calls the method at
+    * `log.BlockNumber + method.BlockOffset`, chainservice/events.go:93-105;
+    * offset -1 ≙ "state at the block before the event"). Compiled via
+    * [[graft.engine.Compiler]] from a QuerySpec — exercising
+    * EventSpec.methods end-to-end, not a hand-built pipeline.
+    */
+  def methodOffset(spark: SparkSession, sfDir: String): DataFrame = {
+    val spec = QuerySpec(
+      name = "purchases_with_prior_click",
+      chain = "ethereum",
+      contracts = FibAddrs.map(a => ContractSpec(a, events = Seq(EventSpec(
+        "purchase", Seq("value"),
+        methods = Seq(MethodSpec("click", Seq("value"), blockOffset = -1L)))))),
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "timestamp" -> col("timestamp"),
+        "contract" -> col("user_id"),
+        "value" -> col("value"),
+        "click_value" -> col("click_value")),
+    )
+    Compiler.compile(spark, sfDir, spec).orderBy("blocknumber")
+  }
+
+  private val methodOffsetSql =
+    s"""WITH probe AS (
+       |  SELECT user_id, event_id, ts, value FROM events
+       |  WHERE event_type = 'purchase' AND user_id IN (${FibAddrs.mkString(",")})),
+       |st AS (
+       |  SELECT user_id, event_id, value FROM events
+       |  WHERE event_type = 'click' AND user_id IN (${FibAddrs.mkString(",")})),
+       |un AS (
+       |  SELECT user_id, event_id - 1 AS t, 1 AS side, CAST(NULL AS BIGINT) AS tie,
+       |    event_id AS blocknumber, ts, value, CAST(NULL AS DOUBLE) AS sv
+       |  FROM probe
+       |  UNION ALL
+       |  SELECT user_id, event_id AS t, 0 AS side, event_id AS tie,
+       |    CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE), value
+       |  FROM st),
+       |w AS (
+       |  SELECT *, last_value(sv IGNORE NULLS) OVER (
+       |    PARTITION BY user_id ORDER BY t, side, tie
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_value
+       |  FROM un)
+       |SELECT blocknumber, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
+       |  user_id AS contract, value, click_value
+       |FROM w WHERE side = 1 ORDER BY blocknumber""".stripMargin
+
+  /** S5 through the declarative surface: contract-level method blocks +
+    * block_interval compile to the sampling-grid + as-of plan (reference
+    * RunMethodCaller on the generated block cadence, methods.go:21-72 +
+    * chainservice.go:180-188).
+    */
+  def methodGridCompiled(spark: SparkSession, sfDir: String): DataFrame = {
+    val spec = QuerySpec(
+      name = "daily_purchase_state",
+      chain = "ethereum",
+      contracts = (0L until 10L).map(a =>
+        ContractSpec(a, methods = Seq(MethodSpec("purchase", Seq("value", "event_id"))))),
+      startTime = Some("2024-01-01"),
+      endTime = Some("2024-01-30"),
+      blockInterval = Some(86400L),
+      saves = Seq(
+        "sample_ts" -> col("sample_ts"),
+        "timestamp" -> col("timestamp"),
+        "contract" -> col("user_id"),
+        "last_value" -> col("purchase_value"),
+        "last_block" -> col("purchase_event_id")),
+    )
+    Compiler.compile(spark, sfDir, spec).orderBy("sample_ts", "contract")
+  }
+
+  private val methodGridCompiledSql =
+    """WITH grid AS (
+      |  SELECT g.t, u.user_id
+      |  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS t) g
+      |  CROSS JOIN (SELECT unnest(range(0, 10)) AS user_id) u),
+      |ev AS (SELECT user_id, ts AS t, event_id, value FROM events
+      |       WHERE user_id < 10 AND event_type = 'purchase'),
+      |un AS (
+      |  SELECT user_id, t, CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value, 1 AS side FROM grid
+      |  UNION ALL
+      |  SELECT user_id, t, event_id, value, 0 AS side FROM ev),
+      |w AS (
+      |  SELECT user_id, t, side,
+      |    last_value(value IGNORE NULLS) OVER win AS last_value,
+      |    last_value(event_id IGNORE NULLS) OVER win AS last_block
+      |  FROM un
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT t AS sample_ts, CAST(floor(epoch(t)) AS BIGINT) AS "timestamp",
+      |  user_id AS contract, last_value, last_block
+      |FROM w WHERE side = 1 ORDER BY sample_ts, contract""".stripMargin
+
   /** S8 — block-metadata lookup: per-day "header" dimension broadcast-joined
     * to the fact scan (the reference's LRU-cached HeaderByNumber,
     * cached_client.go:93-111, as a broadcast hash join — dim ships once, the
@@ -333,7 +428,9 @@ object ApolloQueries {
     "apollo_flagship_swaps" -> (flagship _),
     "s2_global_event_scan" -> (globalScan _),
     "s5_method_timeseries" -> (methodTimeseries _),
+    "s5_method_grid_compiled" -> (methodGridCompiled _),
     "s7_event_asof_enrich" -> (eventAsOfEnrich _),
+    "s7_method_offset" -> (methodOffset _),
     "s8_block_metadata_join" -> (blockMetadataJoin _),
     "s9_block_dater" -> (blockDater _),
     "r7_loop_expansion" -> (loopExpansion _),
@@ -347,7 +444,9 @@ object ApolloQueries {
     "apollo_flagship_swaps" -> flagshipSql,
     "s2_global_event_scan" -> globalScanSql,
     "s5_method_timeseries" -> methodTimeseriesSql,
+    "s5_method_grid_compiled" -> methodGridCompiledSql,
     "s7_event_asof_enrich" -> eventAsOfEnrichSql,
+    "s7_method_offset" -> methodOffsetSql,
     "s8_block_metadata_join" -> blockMetadataJoinSql,
     "s9_block_dater" -> blockDaterSql,
     "r7_loop_expansion" -> loopExpansionSql,

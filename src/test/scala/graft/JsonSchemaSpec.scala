@@ -45,6 +45,46 @@ class JsonSchemaSpec extends SparkSpec {
     assert(compiled.except(manual).count() == 0)
   }
 
+  test("event-triggered method with block_offset parses and compiles (S7)") {
+    val schema = JsonSchema.parse(
+      """{"queries":[{"name":"m","chain":"eth",
+        |  "contracts": [1, 2, 3, 5, 8],
+        |  "events":[{"signature":"purchase","outputs":["value"],
+        |    "methods":[{"name":"click","outputs":["value"],"block_offset":-1}]}],
+        |  "saves":{"block":"blocknumber","v":"value","cv":"click_value"}}]}""".stripMargin)
+    val m = schema.queries.head.contracts.head.events.head.methods.head
+    assert(m.name == "click" && m.blockOffset == -1L && m.outputs == Seq("value"))
+    val df = Compiler.compile(spark, sf, schema.queries.head)
+    assert(df.columns.toSeq == Seq("block", "v", "cv"))
+    // offset -1: a click at the event's own block must NOT be visible; the
+    // compiled frame equals the window formulation over prior blocks.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val manual = Tables.events(spark, sf)
+      .where(col("user_id").isin(1L, 2L, 3L, 5L, 8L))
+      .withColumn("cv",
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("block"), col("value").as("v"), col("cv"))
+    assert(df.count() == manual.count() && df.count() > 0)
+    assert(df.except(manual).count() == 0)
+  }
+
+  test("contract method block + block_interval parses to the grid plan (S5)") {
+    val schema = JsonSchema.parse(
+      """{"queries":[{"name":"g","chain":"eth",
+        |  "contracts": [0, 1, 2],
+        |  "methods":[{"name":"purchase","outputs":["value"]}],
+        |  "block_interval": 86400,
+        |  "start_time": "2024-01-01", "end_time": "2024-01-10",
+        |  "saves":{"t":"sample_ts","c":"user_id","v":"purchase_value"}}]}""".stripMargin)
+    schema.validate()
+    val df = Compiler.compile(spark, sf, schema.queries.head)
+    assert(df.columns.toSeq == Seq("t", "c", "v"))
+    assert(df.count() == 10 * 3) // 10 daily ticks (inclusive) x 3 contracts
+  }
+
   test("global-event query when no contracts are declared") {
     val schema = JsonSchema.parse(
       """{"queries":[{"name":"g","chain":"eth",
