@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.{DedupOps, MultimodalOps, Relational, SimilarityOps, TextOps}
 import graft.queries.ApolloQueries
+import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +25,8 @@ object SparkEntry {
       DedupOps.queries ++
       SimilarityOps.queries ++
       TextOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++
+      Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +36,6 @@ object SparkEntry {
       DedupOps.oracles ++
       SimilarityOps.oracles ++
       TextOps.oracles ++
-      MultimodalOps.oracles
+      MultimodalOps.oracles ++
+      Streams.oracles
 }

@@ -53,6 +53,20 @@ object EvmKernels {
   def evmBool(w: UTF8String): Boolean =
     new BigInteger(normalizeWord(w), 16).signum() != 0
 
+  /** ABI-encode an unsigned integer (DecimalType(38,0)) into a 64-hex word
+    * via BigInteger — `hex()` would narrow through LONG and null anything
+    * ≥ 2^63 (every 1e18-scaled token amount). Null for negative values
+    * (uint domain) — callers use evm_int packing for signed. */
+  def encodeUint(d: Decimal): UTF8String = {
+    val bi = d.toJavaBigDecimal.toBigIntegerExact
+    if (bi.signum < 0) null
+    else {
+      val hex = bi.toString(16)
+      if (hex.length > 64) null
+      else UTF8String.fromString(("0" * (64 - hex.length)) + hex)
+    }
+  }
+
   /** Word i (0-based) of a concatenated ABI data blob. */
   def evmWord(data: UTF8String, i: Int): UTF8String = {
     val s0 = data.toString
@@ -123,6 +137,29 @@ case class EvmBool(child: Expression) extends EvmWordExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** uint (decimal(38,0)) → 64-hex-char ABI word, arbitrary precision
+  * (R2 call packing, /root/reference/generate/callmsg.go:19-54). */
+case class EvmEncodeUint(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: DecimalType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects a decimal, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    EvmKernels.encodeUint(v.asInstanceOf[Decimal])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.freshName("word")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $s = graft.functions.EvmKernels.encodeUint($c);
+         |if ($s == null) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column API for ABI decoding. */
 object Evm {
   def address(word: Column): Column = shim.column(EvmAddress(shim.expression(word)))
@@ -143,11 +180,12 @@ object Evm {
   // compiler (passed in as a literal; keccak is not in the JDK and the
   // selector is a plan-time constant, never per-row work).
 
-  /** ABI-encode an unsigned integer column into a 64-hex-char word. */
-  def encodeUint(v: Column): Column = {
-    import org.apache.spark.sql.functions._
-    lpad(lower(hex(v.cast("decimal(38,0)"))), 64, "0")
-  }
+  /** ABI-encode an unsigned integer column into a 64-hex-char word.
+    * Arbitrary-precision: values ≥ 2^63 (every 1e18-scaled amount) encode
+    * correctly — the earlier hex()-based form silently narrowed the decimal
+    * to LONG and nulled them. */
+  def encodeUint(v: Column): Column =
+    shim.column(EvmEncodeUint(shim.expression(v.cast("decimal(38,0)"))))
 
   /** ABI-encode an address column (0x-prefixed or raw) into a word. */
   def encodeAddress(addr: Column): Column = {

@@ -26,6 +26,7 @@ object GraftFunctions {
     "evm_uint" -> (es => EvmUint(es(0))),
     "evm_int" -> (es => EvmInt(es(0))),
     "evm_bool" -> (es => EvmBool(es(0))),
+    "evm_encode_uint" -> (es => EvmEncodeUint(es(0))),
   )
 
   def register(spark: SparkSession): Unit =

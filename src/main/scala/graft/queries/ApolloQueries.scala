@@ -357,6 +357,49 @@ object ApolloQueries {
       |  FROM events WHERE event_type = 'error')
       |ORDER BY query_name, blocknumber""".stripMargin
 
+  /** R1/R2 — ABI word decode under the oracle gate: 64-hex words are
+    * synthesized from the testbed's integer columns identically in both
+    * engines, decoded with the codegen'd evm_* kernels, and compared to
+    * DuckDB arithmetic. Covers: uint/int/address/bool decode, the short-data
+    * left-pad path (HandleLog pads sub-32-byte data,
+    * /root/reference/chainservice/events.go:451-456), word extraction from a
+    * concatenated data blob, and an encode→decode round-trip through a value
+    * ≥ 2^63 (1e18-scaled) exercising the arbitrary-precision
+    * [[graft.functions.EvmKernels.encodeUint]] packing.
+    */
+  def abiDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Evm
+    val ev = Tables.events(spark, sfDir)
+    val wUint = lpad(lower(hex(col("event_id"))), 64, "0")
+    val wAddr = lpad(lower(hex(col("user_id"))), 64, "0")
+    val wShort = lower(hex(col("event_id") % 256)) // unpadded → left-pad path
+    val wBool = lpad(lower(hex(col("event_id") % 2)), 64, "0")
+    val blob = concat(wUint, wAddr) // two-word data payload
+    val big = col("event_id").cast("decimal(18,0)") *
+      lit("1000000000000000000").cast("decimal(19,0)") // ≥ 2^63 for event_id ≥ 10
+    ev.select(
+      col("event_id"),
+      Evm.uint(wUint).cast("long").as("dec_uint"),
+      Evm.int(wUint).cast("long").as("dec_int"),
+      Evm.address(wAddr).as("dec_address"),
+      Evm.bool(wBool).as("dec_bool"),
+      Evm.uint(wShort).cast("long").as("dec_short"),
+      Evm.address(Evm.word(blob, 1)).as("dec_word1"),
+      Evm.uint(Evm.encodeUint(big)).cast("string").as("big_roundtrip"))
+      .orderBy("event_id")
+  }
+
+  private val abiDecodeSql =
+    """SELECT event_id,
+      |  event_id AS dec_uint,
+      |  event_id AS dec_int,
+      |  '0x' || lpad(printf('%x', user_id), 40, '0') AS dec_address,
+      |  (event_id % 2) <> 0 AS dec_bool,
+      |  event_id % 256 AS dec_short,
+      |  '0x' || lpad(printf('%x', user_id), 40, '0') AS dec_word1,
+      |  CAST(CAST(event_id AS HUGEINT) * 1000000000000000000 AS VARCHAR) AS big_roundtrip
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** §2.3 — the DSL scalar-function surface in one projection: upper/lower/
     * abs/parse_decimals/format_date/date rendering/ternary, all as codegen'd
     * column expressions (the reference interprets these per row on the
@@ -433,6 +476,7 @@ object ApolloQueries {
     "s7_method_offset" -> (methodOffset _),
     "s8_block_metadata_join" -> (blockMetadataJoin _),
     "s9_block_dater" -> (blockDater _),
+    "r1_abi_decode" -> (abiDecode _),
     "r7_loop_expansion" -> (loopExpansion _),
     "r8_query_demux" -> (queryDemux _),
     "fn_scalar_suite" -> (scalarSuite _),
@@ -449,6 +493,7 @@ object ApolloQueries {
     "s7_method_offset" -> methodOffsetSql,
     "s8_block_metadata_join" -> blockMetadataJoinSql,
     "s9_block_dater" -> blockDaterSql,
+    "r1_abi_decode" -> abiDecodeSql,
     "r7_loop_expansion" -> loopExpansionSql,
     "r8_query_demux" -> queryDemuxSql,
     "fn_scalar_suite" -> scalarSuiteSql,

@@ -131,6 +131,42 @@ object Streams {
         })
   }
 
+  /** S3/S4/S6 driver-checkable correctness: run the REAL streaming engine
+    * (file source → event-time windowed aggregation → memory sink) to
+    * completion on the bounded events table with Trigger.AvailableNow, then
+    * hand the materialized result to the batch oracle compare. Proves
+    * stream ≡ batch on the same input — the unified-model claim the
+    * reference can't make (its realtime mode stamps arrival wall-clock,
+    * events.go:308-311). Sum goes through exact decimals so the result is
+    * deterministic under any micro-batch partitioning, per the same output
+    * discipline as [[graft.ext.Relational]].
+    */
+  def streamBatchParity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,4)")).cast("decimal(38,4)").cast("double").as("sum_value"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+    val sink = "s3_parity_sink"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("day", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s3_stream_batch_parity" -> (streamBatchParity _))
+
+  val oracles: Map[String, String] = Map(
+    "s3_stream_batch_parity" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+
   /** S6 — realtime method poller: rate source ticks every `intervalSeconds`
     * (the reference's ticker loop, chainservice.go:173-179), each tick
     * fanned out to the declared contracts and looked up against a state

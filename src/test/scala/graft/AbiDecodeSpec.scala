@@ -43,6 +43,24 @@ class AbiDecodeSpec extends SparkSpec {
     assert(got.toBigInteger.intValue == 255)
   }
 
+  test("encodeUint round-trips values beyond Long.MaxValue (arbitrary precision)") {
+    import spark.implicits._
+    // 12.3e18 wei ≫ 2^63 — the old hex()-based encode narrowed to LONG and
+    // produced null calldata for every real token amount.
+    val big = "12300000000000000000"
+    val got = Seq(big).toDF("v")
+      .select(Evm.encodeUint(col("v").cast("decimal(38,0)")).as("w"))
+      .select(col("w"), Evm.uint(col("w")).cast("string").as("back"))
+      .head()
+    assert(got.getString(0).length == 64)
+    assert(got.getString(0) == pad64(BigInt(big).toString(16)))
+    assert(got.getString(1) == big)
+    // negative values are outside the uint domain → null word
+    val neg = Seq("-1").toDF("v")
+      .select(Evm.encodeUint(col("v").cast("decimal(38,0)"))).head()
+    assert(neg.isNullAt(0))
+  }
+
   test("AbiSchema parses events and maps types per generate/utils.go:19-50") {
     val abi =
       """[
