@@ -27,8 +27,19 @@ object Sinks {
     * reproduces the drop-and-recreate contract with batched, parameterized
     * inserts.
     */
-  def jdbc(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
-    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+  def jdbc(
+      df: DataFrame, url: String, table: String, props: java.util.Properties,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
+  /** Multi-sink (reference builder chains sinks, main.go:145-155): the frame
+    * is computed ONCE (cached) and each sink writes from the cached blocks —
+    * not one recomputation per sink. */
+  def multi(df: DataFrame, sinks: Seq[DataFrame => Unit]): Unit = {
+    val cached = df.cache()
+    try sinks.foreach(_(cached))
+    finally cached.unpersist()
+  }
 
   /** K4 — JSON lines (unimplemented roadmap item in the reference,
     * ROADMAP.md:71-73). */

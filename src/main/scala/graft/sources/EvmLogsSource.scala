@@ -92,6 +92,10 @@ class EvmLogsScanBuilder(start: Long, end: Long, parts: Int, blocksPerBatch: Lon
   private var hi = end // exclusive
   private var addresses: Option[Set[Long]] = None
   private var topic: Option[String] = None
+  // Two accepted equality filters on the same column with different values
+  // (topic='a' AND topic='b') can't be represented in the single-slot state;
+  // the conjunction is unsatisfiable, so the scan collapses to empty.
+  private var unsatisfiable = false
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = EvmLogs.schema
 
@@ -104,10 +108,15 @@ class EvmLogsScanBuilder(start: Long, end: Long, parts: Int, blocksPerBatch: Lon
       case LessThan("blocknumber", _) | LessThanOrEqual("blocknumber", _) => true
       case _ => false
     }
+    // Same-column constraints INTERSECT (each accepted filter is an AND
+    // conjunct): address sets meet, topics must agree, block bounds tighten.
+    def meetAddrs(as: Set[Long]): Unit =
+      addresses = Some(addresses.fold(as)(_ intersect as))
     accepted.foreach {
-      case EqualTo("topic", t: String) => topic = Some(t)
-      case EqualTo("address", a) => addresses = Some(Set(a.toString.toLong))
-      case In("address", as) => addresses = Some(as.map(_.toString.toLong).toSet)
+      case EqualTo("topic", t: String) =>
+        if (topic.exists(_ != t)) unsatisfiable = true else topic = Some(t)
+      case EqualTo("address", a) => meetAddrs(Set(a.toString.toLong))
+      case In("address", as) => meetAddrs(as.map(_.toString.toLong).toSet)
       case GreaterThan("blocknumber", b) => lo = math.max(lo, b.toString.toLong + 1)
       case GreaterThanOrEqual("blocknumber", b) => lo = math.max(lo, b.toString.toLong)
       case LessThan("blocknumber", b) => hi = math.min(hi, b.toString.toLong)
@@ -124,7 +133,8 @@ class EvmLogsScanBuilder(start: Long, end: Long, parts: Int, blocksPerBatch: Lon
     required = requiredSchema
 
   override def build(): Scan =
-    new EvmLogsScan(lo, hi, parts, addresses, topic, required, blocksPerBatch)
+    if (unsatisfiable) new EvmLogsScan(lo, lo, parts, addresses, topic, required, blocksPerBatch)
+    else new EvmLogsScan(lo, hi, parts, addresses, topic, required, blocksPerBatch)
 }
 
 class EvmLogsScan(

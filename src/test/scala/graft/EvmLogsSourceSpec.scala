@@ -44,6 +44,20 @@ class EvmLogsSourceSpec extends SparkSpec {
     assert(df.count() == expected)
   }
 
+  test("same-column pushed predicates intersect instead of overwriting") {
+    // address = 5 AND address IN (5, 6): the pushed set must be {5}, not {5,6}
+    val df = logs().where(col("address") === 5L && col("address").isin(5L, 6L))
+    val expected = (0L until 1000L).flatMap(EvmLogs.fetchBlockLogs)
+      .count { case (_, _, _, a, _, _) => a == 5L }
+    assert(df.count() == expected)
+    // contradictory topics: conjunction is unsatisfiable -> empty scan
+    val none = logs().where(col("topic") === "Swap" && col("topic") === "Mint")
+    assert(none.count() == 0)
+    // disjoint address constraints -> empty intersection -> no rows
+    val disjoint = logs().where(col("address") === 5L && col("address") === 6L)
+    assert(disjoint.count() == 0)
+  }
+
   test("block-range pushdown narrows the partitions actually planned") {
     val narrow = logs().where(col("blocknumber") >= 900 && col("blocknumber") < 910)
     val expected = (900L until 910L).map(EvmLogs.fetchBlockLogs(_).size).sum

@@ -45,6 +45,36 @@ class SinksSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("K3 jdbc sink round-trips through embedded Derby: overwrite then append") {
+    import org.apache.spark.sql.SaveMode
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val df = Tables.region(spark, sf)
+    Sinks.jdbc(df, url, "region_t", props)
+    val back = spark.read.jdbc(url, "region_t", props)
+    assert(back.count() == df.count())
+    assert(back.columns.sorted.toSeq == df.columns.sorted.toSeq)
+    // overwrite reproduces the reference's drop-and-recreate contract
+    Sinks.jdbc(df, url, "region_t", props)
+    assert(spark.read.jdbc(url, "region_t", props).count() == df.count())
+    // append accumulates
+    Sinks.jdbc(df, url, "region_t", props, SaveMode.Append)
+    assert(spark.read.jdbc(url, "region_t", props).count() == 2 * df.count())
+  }
+
+  test("multi-sink writes every sink from one cached computation (main.go:145-155)") {
+    val out = tmp("multi")
+    val df = Tables.nation(spark, sf)
+    Sinks.multi(df, Seq(
+      d => Sinks.csv(d, s"$out/csv"),
+      d => Sinks.json(d, s"$out/json"),
+      d => Sinks.parquet(d, s"$out/pq")))
+    assert(spark.read.option("header", "true").csv(s"$out/csv").count() == df.count())
+    assert(spark.read.json(s"$out/json").count() == df.count())
+    assert(spark.read.parquet(s"$out/pq").count() == df.count())
+  }
+
   test("streaming foreachBatch sink is checkpointed (exactly-once beyond the reference)") {
     val out = tmp("stream")
     val target = s"$out/rows"
