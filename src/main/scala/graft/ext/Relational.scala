@@ -455,6 +455,35 @@ object Relational {
       |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Skew STRESS: a deliberately pathological key distribution — every
+    * user_id not divisible by 10 folds into one hot key (-1), so ~90% of all
+    * rows share a single group. A direct groupBy sends the hot key's every
+    * row to ONE reducer — the single-task straggler that kills 100 TB jobs.
+    * The two-phase salted plan shuffles by (skew_key, salt) first (32-way
+    * spread of the hot key, map-side partials), then combines 32 partial
+    * rows per key; PlanSpec asserts the first exchange partitions on the
+    * salt. Exact decimal partials keep the result identical to the direct
+    * groupBy, which is the oracle.
+    */
+  def skewHotKeyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.events(spark, sfDir)
+      .withColumn("skew_key",
+        when(col("user_id") % 10 =!= 0, lit(-1L)).otherwise(col("user_id")))
+    val salted = keyed
+      .withColumn("salt", pmod(col("event_id"), lit(32)))
+      .groupBy(col("skew_key"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("ps"))
+    salted.groupBy("skew_key")
+      .agg(sum(col("pn")).as("n"), decOut(sum(col("ps"))).as("sum_value"))
+      .orderBy("skew_key")
+  }
+
+  private val skewHotKeyAggSql =
+    """SELECT CASE WHEN user_id % 10 <> 0 THEN -1 ELSE user_id END AS skew_key,
+      |  count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY skew_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_topk" -> (q3ShippingTopk _),
@@ -469,6 +498,7 @@ object Relational {
     "topk_orders" -> (topkOrders _),
     "approx_distinct" -> (approxDistinct _),
     "skew_salted_agg" -> (skewSaltedAgg _),
+    "skew_hot_key_agg" -> (skewHotKeyAgg _),
     "q4_semi_join" -> (q4SemiJoin _),
     "anti_join" -> (antiJoin _),
     "q14_promo_share" -> (q14PromoShare _),
@@ -491,6 +521,7 @@ object Relational {
     "agg_rollup" -> aggRollupSql,
     "topk_orders" -> topkOrdersSql,
     "skew_salted_agg" -> skewSaltedAggSql,
+    "skew_hot_key_agg" -> skewHotKeyAggSql,
     "q4_semi_join" -> q4SemiJoinSql,
     "anti_join" -> antiJoinSql,
     "q14_promo_share" -> q14PromoShareSql,

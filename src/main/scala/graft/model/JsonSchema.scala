@@ -37,23 +37,37 @@ object JsonSchema {
     import org.json4s.jackson.JsonMethods
     val ast = JsonMethods.parse(json)
 
+    // Variables may be scalars (string/number/bool → "${name}") or objects
+    // ("${name.attr}") — the reference's cty values support both
+    // (dsl/schema.go:40,55-58; schema-ideas.hcl object variables).
     val variables: Map[String, String] = ast \ "variables" match {
-      case JObject(fs) => fs.map { case (k, v) => k -> jString(v) }.toMap
+      case JObject(fs) => fs.flatMap {
+        case (k, JObject(sub)) => sub.map { case (k2, v2) => s"$k.$k2" -> jString(v2) }
+        case (k, v) => Seq(k -> jString(v))
+      }.toMap
       case _ => Map.empty
     }
-    val loopItems: Seq[String] = ast \ "loop" match {
-      case JArray(xs) => xs.map(jString)
+    // Loop items may be scalars ("${item}") or objects with attribute access
+    // ("${item.chain}", "${item.address}") — reference loop decode binds the
+    // whole cty item (dsl/schema.go:427-442; schema-ideas.hcl:111-122).
+    val loopItems: Seq[JValue] = ast \ "loop" match {
+      case JArray(xs) => xs
       case _ => Nil
     }
 
-    def substitute(s: String, item: Option[String]): String = {
-      val withVars = variables.foldLeft(s) { case (acc, (k, v)) =>
-        acc.replace("${" + k + "}", v)
-      }
-      item.map(i => withVars.replace("${item}", i)).getOrElse(withVars)
+    def itemBindings(item: JValue): Map[String, String] = item match {
+      case JObject(fs) => fs.map { case (k, v) => s"item.$k" -> jString(v) }.toMap
+      case other => Map("item" -> jString(other))
     }
 
-    def buildQuery(q: JValue, item: Option[String]): QuerySpec = {
+    def substitute(s: String, item: Option[JValue]): String = {
+      val binds = variables ++ item.map(itemBindings).getOrElse(Map.empty)
+      // "${item}" is a literal token — it never matches inside "${item.x}"
+      // (the closing brace must follow immediately), so order is irrelevant.
+      binds.foldLeft(s) { case (acc, (k, v)) => acc.replace("${" + k + "}", v) }
+    }
+
+    def buildQuery(q: JValue, item: Option[JValue]): QuerySpec = {
       def str(field: String): Option[String] =
         q \ field match { case JString(s) => Some(substitute(s, item)); case _ => None }
       // Method blocks (reference MethodSchema, dsl/schema.go:298-311):
@@ -69,7 +83,7 @@ object JsonSchema {
       }
       val events = q \ "events" match {
         case JArray(xs) => xs.map { e =>
-          EventSpec(jString(e \ "signature"),
+          EventSpec(substitute(jString(e \ "signature"), item),
             e \ "outputs" match { case JArray(os) => os.map(jString); case _ => Nil },
             methods = methods(e \ "methods"))
         }
@@ -83,7 +97,7 @@ object JsonSchema {
       val contracts = q \ "contracts" match {
         case JArray(xs) => xs.map {
           case JInt(a) => a.toLong
-          case other => jString(other).toLong
+          case other => substitute(jString(other), item).toLong
         }
         case _ => Nil
       }

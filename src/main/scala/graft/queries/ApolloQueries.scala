@@ -315,6 +315,44 @@ object ApolloQueries {
       |  FROM events WHERE event_type = 'view')
       |ORDER BY query_name, blocknumber""".stripMargin
 
+  /** R7 with OBJECT loop items + a typed object variable, end-to-end through
+    * the JSON surface: each item binds `${item.chain}`/`${item.sig}` and the
+    * filter reads `${net.min_value}` (reference object items with attribute
+    * access, dsl/schema.go:427-442 + schema-ideas.hcl:111-122). Parse →
+    * compile → demux, oracle-checked.
+    */
+  def loopObjects(spark: SparkSession, sfDir: String): DataFrame = {
+    val doc =
+      """{
+        |  "variables": {"net": {"min_value": 10}},
+        |  "loop": [
+        |    {"chain": "ethereum", "sig": "purchase"},
+        |    {"chain": "arbitrum", "sig": "click"}
+        |  ],
+        |  "queries": [{
+        |    "name": "evts",
+        |    "chain": "${item.chain}",
+        |    "events": [{"signature": "${item.sig}", "outputs": ["value"]}],
+        |    "filters": ["value >= ${net.min_value}"],
+        |    "saves": {"chain": "chain", "blocknumber": "blocknumber",
+        |              "timestamp": "timestamp", "user_id": "user_id", "value": "value"}
+        |  }]
+        |}""".stripMargin
+    val schema = JsonSchema.parse(doc)
+    Compiler.demux(Compiler.compileAll(spark, sfDir, schema))
+      .orderBy("query_name", "blocknumber")
+  }
+
+  private val loopObjectsSql =
+    """SELECT * FROM (
+      |  SELECT '0-evts' AS query_name, 'ethereum' AS chain, event_id AS blocknumber,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp", user_id, value
+      |  FROM events WHERE event_type = 'purchase' AND value >= 10
+      |  UNION ALL
+      |  SELECT '1-evts', 'arbitrum', event_id, CAST(floor(epoch(ts)) AS BIGINT), user_id, value
+      |  FROM events WHERE event_type = 'click' AND value >= 10)
+      |ORDER BY query_name, blocknumber""".stripMargin
+
   /** R8 — per-query demux: two queries with different save schemas fan into
     * one frame tagged query_name (columns union, nulls where absent), ready
     * for `partitionBy("query_name")` writes — the reference's per-query
@@ -478,6 +516,7 @@ object ApolloQueries {
     "s9_block_dater" -> (blockDater _),
     "r1_abi_decode" -> (abiDecode _),
     "r7_loop_expansion" -> (loopExpansion _),
+    "r7_loop_objects" -> (loopObjects _),
     "r8_query_demux" -> (queryDemux _),
     "fn_scalar_suite" -> (scalarSuite _),
     "fn_balance_lookup" -> (balanceLookup _),
@@ -495,6 +534,7 @@ object ApolloQueries {
     "s9_block_dater" -> blockDaterSql,
     "r1_abi_decode" -> abiDecodeSql,
     "r7_loop_expansion" -> loopExpansionSql,
+    "r7_loop_objects" -> loopObjectsSql,
     "r8_query_demux" -> queryDemuxSql,
     "fn_scalar_suite" -> scalarSuiteSql,
     "fn_balance_lookup" -> balanceLookupSql,

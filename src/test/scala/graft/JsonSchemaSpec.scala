@@ -45,6 +45,33 @@ class JsonSchemaSpec extends SparkSpec {
     assert(compiled.except(manual).count() == 0)
   }
 
+  test("object loop items bind ${item.attr}; object variables bind ${name.attr}") {
+    val schema = JsonSchema.parse(
+      """{
+        |  "variables": {"net": {"min_value": 10}, "top": 3},
+        |  "loop": [
+        |    {"chain": "ethereum", "sig": "purchase", "addr": "5"},
+        |    {"chain": "arbitrum", "sig": "click", "addr": "8"}
+        |  ],
+        |  "queries": [{
+        |    "name": "evts", "chain": "${item.chain}",
+        |    "contracts": ["${item.addr}"],
+        |    "events": [{"signature": "${item.sig}", "outputs": ["value"]}],
+        |    "filters": ["value >= ${net.min_value}", "user_id <= ${top} + 10"],
+        |    "saves": {"chain": "chain", "block": "blocknumber", "v": "value"}
+        |  }]
+        |}""".stripMargin)
+    assert(schema.queries.map(_.name) == Seq("0-evts", "1-evts"))
+    assert(schema.queries.map(_.chain) == Seq("ethereum", "arbitrum"))
+    assert(schema.queries.map(_.contracts.map(_.address)) == Seq(Seq(5L), Seq(8L)))
+    assert(schema.queries.head.contracts.head.events.head.signature == "purchase")
+    val df = Compiler.compile(spark, sf, schema.queries.head)
+    val manual = Tables.events(spark, sf)
+      .where(col("user_id") === 5L && col("event_type") === "purchase" &&
+        col("value") >= 10 && col("user_id") <= 13)
+    assert(df.count() == manual.count())
+  }
+
   test("event-triggered method with block_offset parses and compiles (S7)") {
     val schema = JsonSchema.parse(
       """{"queries":[{"name":"m","chain":"eth",

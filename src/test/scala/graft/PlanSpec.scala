@@ -62,6 +62,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("skew-stress agg shuffles by (key, salt) — the hot key never hits one reducer") {
+    val p = plan("skew_hot_key_agg")
+    // first exchange must partition on the salted compound key
+    assert("hashpartitioning\\(skew_key#\\d+L?, salt#".r.findFirstIn(p).isDefined, p)
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem columns") {
     val p = plan("q1_pricing_summary")
     val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
