@@ -88,6 +88,45 @@ object Enrich {
     fact.join(broadcast(dim), cond, how)
   }
 
+  /** `is_contract(addr)` (reference ROADMAP v1.1 custom function): address
+    * membership in a contract registry. Per-row `eth_getCode` in a live
+    * deployment; relationally a broadcast left join against the registry
+    * dim with a null-test — the fact side never shuffles.
+    */
+  def isContract(
+      fact: DataFrame,
+      registry: DataFrame,
+      factAddr: String,
+      regAddr: String,
+      as: String,
+  ): DataFrame =
+    withDim(fact, registry.select(col(regAddr)), Seq(factAddr -> regAddr))
+      .withColumn(as, col(regAddr).isNotNull)
+      .drop(regAddr)
+
+  /** `get_price(from, to)` (reference dsl/functions.go:105-126 — designed
+    * but commented out): price of a token pair from a per-token price dim,
+    * computed as price(from)/price(to). Two broadcast joins against the same
+    * dim — the reference would have made two RPC calls per row.
+    */
+  def pairPrice(
+      fact: DataFrame,
+      prices: DataFrame, // (keyCol, priceCol)
+      fromCol: String,
+      toCol: String,
+      keyCol: String,
+      priceCol: String,
+      as: String,
+  ): DataFrame = {
+    val pf = prices.select(col(keyCol).as(s"__pk_f"), col(priceCol).as("__price_from"))
+    val pt = prices.select(col(keyCol).as(s"__pk_t"), col(priceCol).as("__price_to"))
+    fact
+      .join(broadcast(pf), col(fromCol) === col("__pk_f"), "left")
+      .join(broadcast(pt), col(toCol) === col("__pk_t"), "left")
+      .withColumn(as, col("__price_from") / col("__price_to"))
+      .drop("__pk_f", "__pk_t", "__price_from", "__price_to")
+  }
+
   /** `balance(addr)`-style lookup (reference dsl/functions.go:71-85,
     * chainservice.go:244-259): native balance at the row's block, scaled by
     * 1e18 → double. Testbed: balances live in a keyed state table; the

@@ -505,6 +505,46 @@ object ApolloQueries {
       |FROM events e LEFT JOIN supplier s ON e.event_id % 10 + 1 = s.s_suppkey
       |WHERE e.event_type = 'purchase' ORDER BY blocknumber""".stripMargin
 
+  /** `is_contract(addr)` (ROADMAP v1.1): registry membership as a broadcast
+    * left join + null-test; testbed registry = supplier keys. */
+  def isContract(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = Tables.events(spark, sfDir).where(col("event_type") === "view")
+    Enrich.isContract(fact, Tables.supplier(spark, sfDir),
+      factAddr = "user_id", regAddr = "s_suppkey", as = "is_contract")
+      .select(col("event_id").as("blocknumber"), col("user_id"), col("is_contract"))
+      .orderBy("blocknumber")
+  }
+
+  private val isContractSql =
+    """SELECT e.event_id AS blocknumber, e.user_id,
+      |  (s.s_suppkey IS NOT NULL) AS is_contract
+      |FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
+      |WHERE e.event_type = 'view' ORDER BY blocknumber""".stripMargin
+
+  /** `get_price(from, to)` (designed-but-disabled in the reference,
+    * dsl/functions.go:105-126): pair price = price(from)/price(to) over a
+    * per-token price dim (part retail prices), two broadcast joins. */
+  def getPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = Tables.events(spark, sfDir).where(col("event_type") === "purchase")
+      .withColumn("from_token", col("event_id") % 200 + 1)
+      .withColumn("to_token", col("event_id") % 100 + 1)
+    Enrich.pairPrice(fact, Tables.part(spark, sfDir),
+      fromCol = "from_token", toCol = "to_token",
+      keyCol = "p_partkey", priceCol = "p_retailprice", as = "price")
+      .select(col("event_id").as("blocknumber"), col("from_token"), col("to_token"),
+        col("value"), col("price"))
+      .orderBy("blocknumber")
+  }
+
+  private val getPriceSql =
+    """SELECT e.event_id AS blocknumber,
+      |  e.event_id % 200 + 1 AS from_token, e.event_id % 100 + 1 AS to_token,
+      |  e.value, pf.p_retailprice / pt.p_retailprice AS price
+      |FROM events e
+      |LEFT JOIN part pf ON e.event_id % 200 + 1 = pf.p_partkey
+      |LEFT JOIN part pt ON e.event_id % 100 + 1 = pt.p_partkey
+      |WHERE e.event_type = 'purchase' ORDER BY blocknumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "apollo_flagship_swaps" -> (flagship _),
     "s2_global_event_scan" -> (globalScan _),
@@ -521,6 +561,8 @@ object ApolloQueries {
     "fn_scalar_suite" -> (scalarSuite _),
     "fn_balance_lookup" -> (balanceLookup _),
     "fn_token_balance" -> (tokenBalance _),
+    "fn_is_contract" -> (isContract _),
+    "fn_get_price" -> (getPrice _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -539,5 +581,7 @@ object ApolloQueries {
     "fn_scalar_suite" -> scalarSuiteSql,
     "fn_balance_lookup" -> balanceLookupSql,
     "fn_token_balance" -> tokenBalanceSql,
+    "fn_is_contract" -> isContractSql,
+    "fn_get_price" -> getPriceSql,
   )
 }
