@@ -107,11 +107,34 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** The batched mapPartitions decode path under the oracle gate: scalar
+    * outputs (sizes + letterbox resize dims) are deterministic and checked
+    * against DuckDB; the float feature vector stays spec-tested
+    * (MultimodalSpec) — byte-level string access differs across engines.
+    * resize rounding is written as floor(x + 0.5) on the SQL side, which is
+    * exactly Java's Math.round for positive doubles. */
+  def batchedDecode(spark: SparkSession, sfDir: String): DataFrame =
+    decodeBatched(Tables.documents(spark, sfDir))
+      .select("doc_id", "nbytes", "width", "height", "resized_w", "resized_h")
+      .orderBy("doc_id")
+
+  private val batchedDecodeSql =
+    """WITH b AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nbytes FROM documents),
+      |d AS (SELECT doc_id, nbytes,
+      |        64 + nbytes % 576 AS w, 64 + (nbytes * 7) % 416 AS h FROM b)
+      |SELECT doc_id, nbytes, w AS width, h AS height,
+      |  CAST(floor(w * least(224.0 / w, 224.0 / h) + 0.5) AS BIGINT) AS resized_w,
+      |  CAST(floor(h * least(224.0 / w, 224.0 / h) + 0.5) AS BIGINT) AS resized_h
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
+    "mm_batched_decode" -> (batchedDecode _),
   )
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> binaryMetaSql,
+    "mm_batched_decode" -> batchedDecodeSql,
   )
 }
