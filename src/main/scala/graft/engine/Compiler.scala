@@ -100,23 +100,37 @@ object Compiler {
     */
   private def withEventMethods(
       spark: SparkSession, sfDir: String, q: QuerySpec, base: DataFrame): DataFrame = {
-    // method -> Some(declaring addresses) for contract events, None = global
-    val scoped: Seq[(MethodSpec, Option[Seq[Long]])] =
-      q.contracts.flatMap(c => c.events.flatMap(_.methods).map(m => m -> Some(Seq(c.address)))) ++
-        q.globalEvents.flatMap(_.methods).map(m => m -> None)
-    val byMethod = scoped.groupBy(_._1).view
-      .mapValues { vs =>
-        val scopes = vs.map(_._2)
-        if (scopes.contains(None)) None
-        else Some(scopes.flatten.flatten.distinct.sorted)
+    // (method, declaring addresses (None = global), declaring event signature)
+    val scoped: Seq[(MethodSpec, Option[Long], String)] =
+      q.contracts.flatMap(c => c.events.flatMap(e =>
+        e.methods.map(m => (m, Some(c.address): Option[Long], e.signature)))) ++
+        q.globalEvents.flatMap(e => e.methods.map(m => (m, None, e.signature)))
+    val byMethod: Seq[(MethodSpec, Option[Seq[Long]], Seq[String])] = scoped
+      .groupBy(_._1).view
+      .map { case (m, vs) =>
+        val addrs = vs.map(_._2)
+        val scope = if (addrs.contains(None)) None else Some(addrs.flatten.distinct.sorted)
+        (m, scope, vs.map(_._3).distinct.sorted)
       }
       .toSeq.sortBy(_._1.name)
-    byMethod.foldLeft(base) { case (df, (m, scope)) =>
+    // Output columns are keyed "{method}_{output}" — two method specs with
+    // the same name but different offsets/outputs would collide silently.
+    val dup = byMethod.groupBy(_._1.name).collect { case (n, ms) if ms.size > 1 => n }
+    require(dup.isEmpty,
+      s"query ${q.name}: method '${dup.head}' declared twice with different outputs/blockOffset")
+    byMethod.foldLeft(base) { case (df, (m, scope, sigs)) =>
       val st0 = Tables.events(spark, sfDir).where(col("event_type") === m.name)
       val state = scope.fold(st0)(a => st0.where(col("user_id").isin(a: _*)))
       val probe = df.withColumn("__probe_block", col("blocknumber") + lit(m.blockOffset))
-      attachMethod(probe, state, m, leftTime = "__probe_block", rightTime = "event_id")
+      val attached = attachMethod(probe, state, m,
+        leftTime = "__probe_block", rightTime = "event_id")
         .drop("__probe_block")
+      // The reference calls methods only for the TRIGGERING event's logs
+      // (events.go:93-105) — rows of other declared events keep null outputs.
+      m.outputs.foldLeft(attached) { (d, o) =>
+        val c = s"${m.name}_$o"
+        d.withColumn(c, when(col("event_type").isin(sigs: _*), col(c)))
+      }
     }
   }
 

@@ -99,10 +99,14 @@ object Enrich {
       factAddr: String,
       regAddr: String,
       as: String,
-  ): DataFrame =
-    withDim(fact, registry.select(col(regAddr)), Seq(factAddr -> regAddr))
-      .withColumn(as, col(regAddr).isNotNull)
-      .drop(regAddr)
+  ): DataFrame = {
+    // distinct: membership must not multiply fact rows on duplicate registry
+    // keys; rename: keeps the join unambiguous when factAddr == regAddr.
+    val reg = registry.select(col(regAddr).as("__reg_addr")).distinct()
+    fact.join(broadcast(reg), fact(factAddr) === col("__reg_addr"), "left")
+      .withColumn(as, col("__reg_addr").isNotNull)
+      .drop("__reg_addr")
+  }
 
   /** `get_price(from, to)` (reference dsl/functions.go:105-126 — designed
     * but commented out): price of a token pair from a per-token price dim,
@@ -118,8 +122,10 @@ object Enrich {
       priceCol: String,
       as: String,
   ): DataFrame = {
-    val pf = prices.select(col(keyCol).as(s"__pk_f"), col(priceCol).as("__price_from"))
-    val pt = prices.select(col(keyCol).as(s"__pk_t"), col(priceCol).as("__price_to"))
+    // one price per token: duplicate keys would multiply fact rows
+    val p1 = prices.select(col(keyCol), col(priceCol)).dropDuplicates(keyCol)
+    val pf = p1.select(col(keyCol).as("__pk_f"), col(priceCol).as("__price_from"))
+    val pt = p1.select(col(keyCol).as("__pk_t"), col(priceCol).as("__price_to"))
     fact
       .join(broadcast(pf), col(fromCol) === col("__pk_f"), "left")
       .join(broadcast(pt), col(toCol) === col("__pk_t"), "left")

@@ -95,9 +95,13 @@ object MultimodalOps {
             val payload = r.getAs[Array[Byte]]("payload")
             val nbytes = payload.length.toLong
             val (w, h, _, _) = fakeDecode(nbytes)
-            // STUB resize: aspect-preserving letterbox dims
+            // STUB resize: aspect-preserving letterbox dims. floor(x + 0.5)
+            // — NOT Math.round, which compensates for double-rounding since
+            // JDK 7 and can differ by 1 near half-integers; the oracle SQL
+            // computes the identical floor(x + 0.5) IEEE expression.
             val scale = math.min(targetW.toDouble / w, targetH.toDouble / h)
-            val (rw, rh) = (math.round(w * scale), math.round(h * scale))
+            val (rw, rh) =
+              (math.floor(w * scale + 0.5).toLong, math.floor(h * scale + 0.5).toLong)
             // STUB feature-extract: 8-dim embedding from the first bytes
             val feat = Array.tabulate(8)(i =>
               if (i < payload.length) (payload(i) & 0xff) / 255.0f else 0.0f)
@@ -111,8 +115,8 @@ object MultimodalOps {
     * outputs (sizes + letterbox resize dims) are deterministic and checked
     * against DuckDB; the float feature vector stays spec-tested
     * (MultimodalSpec) — byte-level string access differs across engines.
-    * resize rounding is written as floor(x + 0.5) on the SQL side, which is
-    * exactly Java's Math.round for positive doubles. */
+    * resize rounding is floor(x + 0.5) on BOTH sides (the Scala stub avoids
+    * Math.round, whose double-rounding compensation can differ by 1). */
   def batchedDecode(spark: SparkSession, sfDir: String): DataFrame =
     decodeBatched(Tables.documents(spark, sfDir))
       .select("doc_id", "nbytes", "width", "height", "resized_w", "resized_h")

@@ -58,10 +58,13 @@ object EvmKernels {
     * ≥ 2^63 (every 1e18-scaled token amount). Null for negative values
     * (uint domain) — callers use evm_int packing for signed. */
   def encodeUint(d: Decimal): UTF8String = {
-    val bi = d.toJavaBigDecimal.toBigIntegerExact
-    if (bi.signum < 0) null
+    val bd = d.toJavaBigDecimal
+    // null (not a crash) for fractional or negative input — the SQL-exposed
+    // evm_encode_uint accepts any decimal type, uint words only encode
+    // non-negative integers (same null convention as the decoders).
+    if (bd.stripTrailingZeros.scale > 0 || bd.signum < 0) null
     else {
-      val hex = bi.toString(16)
+      val hex = bd.toBigInteger.toString(16)
       if (hex.length > 64) null
       else UTF8String.fromString(("0" * (64 - hex.length)) + hex)
     }

@@ -110,8 +110,12 @@ class EvmLogsScanBuilder(start: Long, end: Long, parts: Int, blocksPerBatch: Lon
     }
     // Same-column constraints INTERSECT (each accepted filter is an AND
     // conjunct): address sets meet, topics must agree, block bounds tighten.
-    def meetAddrs(as: Set[Long]): Unit =
-      addresses = Some(addresses.fold(as)(_ intersect as))
+    def meetAddrs(as: Set[Long]): Unit = {
+      val met = addresses.fold(as)(_ intersect as)
+      addresses = Some(met)
+      // empty intersection ⇒ no row can match ⇒ don't fetch any block
+      if (met.isEmpty) unsatisfiable = true
+    }
     accepted.foreach {
       case EqualTo("topic", t: String) =>
         if (topic.exists(_ != t)) unsatisfiable = true else topic = Some(t)

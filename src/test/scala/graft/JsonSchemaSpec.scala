@@ -98,6 +98,36 @@ class JsonSchemaSpec extends SparkSpec {
     assert(df.except(manual).count() == 0)
   }
 
+  test("event methods fire only for the triggering event's rows (events.go:93-105)") {
+    val schema = JsonSchema.parse(
+      """{"queries":[{"name":"m2","chain":"eth",
+        |  "contracts": [1, 2, 3, 5, 8],
+        |  "events":[
+        |    {"signature":"purchase","outputs":["value"],
+        |     "methods":[{"name":"click","outputs":["value"]}]},
+        |    {"signature":"view","outputs":["value"]}],
+        |  "saves":{"et":"event_type","block":"blocknumber","cv":"click_value"}}]}""".stripMargin)
+    val df = Compiler.compile(spark, sf, schema.queries.head)
+    // view rows must NOT carry method outputs — the method is declared under
+    // the purchase event only.
+    assert(df.where(col("et") === "view" && col("cv").isNotNull).count() == 0)
+    assert(df.where(col("et") === "purchase" && col("cv").isNotNull).count() > 0)
+  }
+
+  test("duplicate method names with different specs are rejected, not silently merged") {
+    val schema = JsonSchema.parse(
+      """{"queries":[{"name":"dup","chain":"eth",
+        |  "contracts": [1],
+        |  "events":[
+        |    {"signature":"purchase","outputs":["value"],
+        |     "methods":[{"name":"click","outputs":["value"],"block_offset":0}]},
+        |    {"signature":"view","outputs":["value"],
+        |     "methods":[{"name":"click","outputs":["value"],"block_offset":-1}]}],
+        |  "saves":{"block":"blocknumber","cv":"click_value"}}]}""".stripMargin)
+    val e = intercept[IllegalArgumentException](Compiler.compile(spark, sf, schema.queries.head))
+    assert(e.getMessage.contains("click"))
+  }
+
   test("contract method block + block_interval parses to the grid plan (S5)") {
     val schema = JsonSchema.parse(
       """{"queries":[{"name":"g","chain":"eth",
