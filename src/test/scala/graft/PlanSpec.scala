@@ -62,6 +62,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("registry/price lookups broadcast the dim — the fact side never shuffles for them") {
+    val pIs = plan("fn_is_contract")
+    assert(pIs.contains("BroadcastHashJoin"), pIs)
+    val pPrice = plan("fn_get_price")
+    assert(pPrice.contains("BroadcastHashJoin"), pPrice)
+    assert(!pPrice.contains("SortMergeJoin"), pPrice)
+  }
+
   test("skew-stress agg shuffles by (key, salt) — the hot key never hits one reducer") {
     val p = plan("skew_hot_key_agg")
     // first exchange must partition on the salted compound key
