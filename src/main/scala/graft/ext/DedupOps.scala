@@ -249,11 +249,79 @@ object DedupOps {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Near-dup CLUSTERING with a canonical survivor: connected components
+    * over the LSH near-dup pairs (est_jaccard ≥ 0.5), each doc labeled with
+    * the min doc_id of its component — the "keep one representative per
+    * duplicate cluster" step that follows pair detection in a real dedup
+    * pipeline. Implementation is min-label propagation to a fixpoint: each
+    * iteration is one join + groupBy-min over the edge list (both shuffles
+    * keyed on doc id), converging in ≤ diameter iterations — the plan shape
+    * of large-scale CC (large-star/small-star is the same loop with edge
+    * rewrites; at 100 TB you'd add per-iteration checkpointing to cut the
+    * lineage, the per-iteration data movement is identical). The driver only
+    * ever sees a change COUNT per iteration, never rows. Oracle: DuckDB
+    * recursive CTE computing min reachable id.
+    */
+  def clusterCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir)
+      .where(col("est_jaccard") >= 0.5)
+      .select("doc1", "doc2")
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .cache()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 50) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+      .select(col("node").as("doc_id"), col("label").as("canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val clusterCanonicalSql = {
+    val est = (0 until NumPerm)
+      .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE $shinglesCte,
+       |$signaturesCte,
+       |$bandedCte,
+       |$pairsCte,
+       |np AS (
+       |  SELECT p.doc1, p.doc2 FROM pairs p
+       |  JOIN band x ON p.doc1 = x.doc_id
+       |  JOIN band y ON p.doc2 = y.doc_id
+       |  WHERE CAST($est AS DOUBLE) / 16.0 >= 0.5),
+       |e AS (SELECT doc1 AS a, doc2 AS b FROM np
+       |      UNION ALL SELECT doc2, doc1 FROM np),
+       |n AS (SELECT DISTINCT a AS node FROM e),
+       |r(node, reach) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT r.node, e.b FROM r JOIN e ON e.a = r.reach)
+       |SELECT node AS doc_id, min(reach) AS canonical
+       |FROM r GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
+    "dedup_cluster_canonical" -> (clusterCanonical _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -261,5 +329,6 @@ object DedupOps {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" -> embeddingCosineSql,
+    "dedup_cluster_canonical" -> clusterCanonicalSql,
   )
 }

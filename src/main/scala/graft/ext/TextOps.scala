@@ -150,11 +150,46 @@ object TextOps {
        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp_roll
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** PII / term scrubbing: regex redaction over the document text — emails,
+    * phone-shaped digit runs, and a denylist of terms, replaced with a
+    * marker. A single-scan projection (regexp engines: Java on Spark, RE2 on
+    * DuckDB — the pattern sticks to the common subset: literal classes,
+    * alternation, `\b`, bounded repeats). Output carries the redaction count
+    * and the md5 of the scrubbed text (stable compare without shipping the
+    * full scrubbed corpus through the gate).
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val pat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" + // email
+      "|\\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\\b" + // phone-shaped
+      "|\\b(key|value)\\b" // denylist terms
+    // expr() goes through the SQL parser, where backslashes in string
+    // literals are escapes — double them; the Column-API regexp_replace
+    // takes the Java regex verbatim.
+    val sqlPat = pat.replace("\\", "\\\\")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$sqlPat', 0)")).cast("long").as("n_redactions"),
+        md5(regexp_replace(col("text"), pat, "[SCRUBBED]")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubSql = {
+    val pat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" +
+      "|\\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\\b" +
+      "|\\b(key|value)\\b"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_redactions,
+       |  md5(regexp_replace(text, '$pat', '[SCRUBBED]', 'g')) AS scrubbed_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (langId _),
     "text_quality_score" -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
+    "text_pii_scrub" -> (piiScrub _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,5 +197,6 @@ object TextOps {
     "text_quality_score" -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
     "text_fingerprint" -> fingerprintSql,
+    "text_pii_scrub" -> piiScrubSql,
   )
 }
