@@ -253,14 +253,15 @@ object DedupOps {
     * over the LSH near-dup pairs (est_jaccard ≥ 0.5), each doc labeled with
     * the min doc_id of its component — the "keep one representative per
     * duplicate cluster" step that follows pair detection in a real dedup
-    * pipeline. Implementation is min-label propagation to a fixpoint: each
-    * iteration is one join + groupBy-min over the edge list (both shuffles
-    * keyed on doc id), converging in ≤ diameter iterations — the plan shape
-    * of large-scale CC (large-star/small-star is the same loop with edge
-    * rewrites; at 100 TB you'd add per-iteration checkpointing to cut the
-    * lineage, the per-iteration data movement is identical). The driver only
-    * ever sees a change COUNT per iteration, never rows. Oracle: DuckDB
-    * recursive CTE computing min reachable id.
+    * pipeline. Implementation is min-label propagation with POINTER JUMPING
+    * (label := label(label) each round, the path-halving of classic parallel
+    * CC), so convergence is O(log diameter) iterations instead of linear —
+    * each iteration is two equi-joins + a groupBy-min, all keyed on doc id
+    * (the plan shape of large-star/small-star; at 100 TB add per-iteration
+    * checkpointing to cut lineage — data movement is identical). Labels
+    * decrease monotonically, so convergence is detected by one scalar
+    * sum(label) aggregate per iteration — the driver never sees rows.
+    * Oracle: DuckDB recursive CTE computing min reachable id.
     */
   def clusterCanonical(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashLsh(spark, sfDir)
@@ -272,19 +273,30 @@ object DedupOps {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .cache()
-    var changed = 1L
+    var lastSum = labels.agg(sum("label")).head().getLong(0)
+    var converged = false
     var iters = 0
-    while (changed > 0 && iters < 50) {
+    while (!converged && iters < 50) {
       val prop = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-      val next = labels.union(prop)
+      // cached: viaEdges feeds BOTH sides of the pointer-jump self-join
+      val viaEdges = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old")).count()
+      // pointer jumping: labels are node ids, so label(label) is defined;
+      // it only decreases (label(n) <= n by construction).
+      val jumped = viaEdges.as("a")
+        .join(viaEdges.select(col("node").as("jn"), col("label").as("jl")),
+          col("a.label") === col("jn"), "left")
+        .select(col("a.node").as("node"), coalesce(col("jl"), col("a.label")).as("label"))
+        .cache()
+      val newSum = jumped.agg(sum("label")).head().getLong(0)
+      converged = newSum == lastSum
+      lastSum = newSum
       labels.unpersist()
-      labels = next
+      viaEdges.unpersist()
+      labels = jumped
       iters += 1
     }
     edges.unpersist()
