@@ -35,11 +35,30 @@ object Compiler {
           .withColumn("blocknumber", col("event_id"))
           .withColumn("timestamp", unix_timestamp(col("ts"))))
     val standard = sourced.withColumn("chain", lit(q.chain))
-    val transformed = q.transforms.foldLeft(standard) { case (df, (name, e)) =>
+    val scoped = contractTransforms(q, standard)
+    val transformed = q.transforms.foldLeft(scoped) { case (df, (name, e)) =>
       df.withColumn(name, e)
     }
     val filtered = transformed.where(Functions.allOf(q.filters))
     filtered.select(q.saves.map { case (name, e) => e.as(name) }: _*)
+  }
+
+  /** Contract-scoped transforms (dsl/schema.go:352-357): each name becomes
+    * ONE column whose value is a CASE chain over the declaring contracts
+    * (null on other contracts' rows) — per-contract semantics without
+    * per-contract plans. Applied before query-level transforms so filters/
+    * saves see the names (schema.example.hcl:41 semantics). */
+  private def contractTransforms(q: QuerySpec, df: DataFrame): DataFrame = {
+    val byName: Seq[(String, Seq[(Long, org.apache.spark.sql.Column)])] = q.contracts
+      .flatMap(c => c.transforms.map { case (n, e) => (n, c.address, e) })
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toSeq.sortBy(_._1)
+    byName.foldLeft(df) { case (d, (name, cases)) =>
+      val chained = cases.tail.foldLeft(
+        when(col("user_id") === cases.head._1, cases.head._2)) {
+        case (acc, (a, e)) => acc.when(col("user_id") === a, e)
+      }
+      d.withColumn(name, chained)
+    }
   }
 
   /** As-of-attach one method's outputs onto the probe frame, naming each

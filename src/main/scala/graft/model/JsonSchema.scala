@@ -94,13 +94,27 @@ object JsonSchema {
         case JInt(i) => Some(i.toLong)
         case _ => None
       }
-      val contracts = q \ "contracts" match {
-        case JArray(xs) => xs.map {
-          case JInt(a) => a.toLong
-          case other => substitute(jString(other), item).toLong
-        }
+      // Contract entries are plain addresses (int/string) or objects with
+      // contract-scoped transforms: {"address": 5, "transforms": {...}}
+      // (reference contract blocks, dsl/schema.go:276-292).
+      def exprMap(v: JValue): Seq[(String, org.apache.spark.sql.Column)] = v match {
+        case JObject(fs) => fs.map { case (n, e) => n -> expr(substitute(jString(e), item)) }
         case _ => Nil
       }
+      val contracts: Seq[(Long, Seq[(String, org.apache.spark.sql.Column)])] =
+        q \ "contracts" match {
+          case JArray(xs) => xs.map {
+            case JInt(a) => (a.toLong, Nil)
+            case obj: JObject =>
+              val addr = obj \ "address" match {
+                case JInt(a) => a.toLong
+                case other => substitute(jString(other), item).toLong
+              }
+              (addr, exprMap(obj \ "transforms"))
+            case other => (substitute(jString(other), item).toLong, Nil)
+          }
+          case _ => Nil
+        }
       val transforms = q \ "transforms" match {
         case JObject(fs) => fs.map { case (n, e) => n -> expr(substitute(jString(e), item)) }
         case _ => Nil
@@ -118,7 +132,9 @@ object JsonSchema {
         chain = str("chain").getOrElse("unknown"),
         contracts =
           if (contracts.isEmpty) Nil
-          else contracts.map(a => ContractSpec(a, events = events, methods = contractMethods)),
+          else contracts.map { case (a, ct) =>
+            ContractSpec(a, events = events, methods = contractMethods, transforms = ct)
+          },
         globalEvents = if (contracts.isEmpty) events else Nil,
         startTime = str("start_time"),
         endTime = str("end_time"),

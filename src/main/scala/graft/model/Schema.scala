@@ -40,13 +40,17 @@ final case class MethodSpec(
     blockOffset: Long = 0L,
 )
 
-/** Contract block: address (user_id in the testbed) + events/methods.
-  * Reference: dsl/schema.go:276-292.
+/** Contract block: address (user_id in the testbed) + events/methods +
+  * contract-scoped transforms — derived columns that apply only to THIS
+  * contract's rows (e.g. per-token decimal scaling), visible to the
+  * query-level filters/saves. Reference: dsl/schema.go:276-292 (Transforms
+  * at :352-357; usage schema.example.hcl:23-33).
   */
 final case class ContractSpec(
     address: Long,
     events: Seq[EventSpec] = Nil,
     methods: Seq[MethodSpec] = Nil,
+    transforms: Seq[(String, Column)] = Nil,
 )
 
 /** One named query = one output pipeline (reference QuerySchema,

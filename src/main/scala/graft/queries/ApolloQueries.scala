@@ -315,6 +315,44 @@ object ApolloQueries {
       |  FROM events WHERE event_type = 'view')
       |ORDER BY query_name, blocknumber""".stripMargin
 
+  /** R3 contract-SCOPED transforms (dsl/schema.go:352-357,
+    * schema.example.hcl:23-33): each contract derives the same column names
+    * with its own expressions (per-token decimal scaling in the reference's
+    * flagship), and the query-level save sees them — null on contracts that
+    * don't define them.
+    */
+  def contractTransforms(spark: SparkSession, sfDir: String): DataFrame = {
+    val spec = QuerySpec(
+      name = "scoped_transforms",
+      chain = "ethereum",
+      contracts = Seq(
+        ContractSpec(1L, events = Seq(EventSpec("purchase", Seq("value"))),
+          transforms = Seq(
+            "amount" -> (col("value") / 100.0),
+            "token" -> lit("usdc"))),
+        ContractSpec(2L, events = Seq(EventSpec("purchase", Seq("value"))),
+          transforms = Seq(
+            "amount" -> (col("value") / 1000.0),
+            "token" -> lit("weth")))),
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "timestamp" -> col("timestamp"),
+        "contract" -> col("user_id"),
+        "token" -> col("token"),
+        "amount" -> col("amount")),
+    )
+    Compiler.compile(spark, sfDir, spec).orderBy("blocknumber")
+  }
+
+  private val contractTransformsSql =
+    """SELECT event_id AS blocknumber, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
+      |  user_id AS contract,
+      |  CASE WHEN user_id = 1 THEN 'usdc' WHEN user_id = 2 THEN 'weth' END AS token,
+      |  CASE WHEN user_id = 1 THEN value / 100.0 WHEN user_id = 2 THEN value / 1000.0 END AS amount
+      |FROM events
+      |WHERE event_type = 'purchase' AND user_id IN (1, 2)
+      |ORDER BY blocknumber""".stripMargin
+
   /** R7 with OBJECT loop items + a typed object variable, end-to-end through
     * the JSON surface: each item binds `${item.chain}`/`${item.sig}` and the
     * filter reads `${net.min_value}` (reference object items with attribute
@@ -555,6 +593,7 @@ object ApolloQueries {
     "s8_block_metadata_join" -> (blockMetadataJoin _),
     "s9_block_dater" -> (blockDater _),
     "r1_abi_decode" -> (abiDecode _),
+    "r3_contract_transforms" -> (contractTransforms _),
     "r7_loop_expansion" -> (loopExpansion _),
     "r7_loop_objects" -> (loopObjects _),
     "r8_query_demux" -> (queryDemux _),
@@ -575,6 +614,7 @@ object ApolloQueries {
     "s8_block_metadata_join" -> blockMetadataJoinSql,
     "s9_block_dater" -> blockDaterSql,
     "r1_abi_decode" -> abiDecodeSql,
+    "r3_contract_transforms" -> contractTransformsSql,
     "r7_loop_expansion" -> loopExpansionSql,
     "r7_loop_objects" -> loopObjectsSql,
     "r8_query_demux" -> queryDemuxSql,

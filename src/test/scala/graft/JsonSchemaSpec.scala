@@ -142,6 +142,27 @@ class JsonSchemaSpec extends SparkSpec {
     assert(df.count() == 10 * 3) // 10 daily ticks (inclusive) x 3 contracts
   }
 
+  test("contract objects with scoped transforms parse and apply per contract") {
+    val schema = JsonSchema.parse(
+      """{"queries":[{"name":"ct","chain":"eth",
+        |  "contracts": [
+        |    {"address": 1, "transforms": {"amount": "value / 100.0"}},
+        |    {"address": 2, "transforms": {"amount": "value / 1000.0"}},
+        |    3],
+        |  "events":[{"signature":"purchase","outputs":["value"]}],
+        |  "saves":{"c":"user_id","v":"value","amount":"amount"}}]}""".stripMargin)
+    val specs = schema.queries.head.contracts
+    assert(specs.map(_.address) == Seq(1L, 2L, 3L))
+    assert(specs(0).transforms.map(_._1) == Seq("amount") && specs(2).transforms.isEmpty)
+    val df = Compiler.compile(spark, sf, schema.queries.head)
+    val rows = df.where(col("v") =!= 0).groupBy("c")
+      .agg(max(col("amount") / col("v")).as("ratio")).collect()
+      .map(r => r.getAs[Long]("c") -> r.getAs[Double]("ratio")).toMap
+    assert(math.abs(rows(1L) - 0.01) < 1e-12)
+    assert(math.abs(rows(2L) - 0.001) < 1e-12)
+    assert(rows.get(3L).forall(_ == null.asInstanceOf[Double]) || df.where(col("c") === 3 && col("amount").isNotNull).count() == 0)
+  }
+
   test("global-event query when no contracts are declared") {
     val schema = JsonSchema.parse(
       """{"queries":[{"name":"g","chain":"eth",
