@@ -33,7 +33,9 @@ object Compiler {
       else withEventMethods(spark, sfDir, q,
         eventSource(spark, sfDir, q)
           .withColumn("blocknumber", col("event_id"))
-          .withColumn("timestamp", unix_timestamp(col("ts"))))
+          .withColumn("timestamp", unix_timestamp(col("ts")))
+          // reference save-block context variable (schema.example.hcl:45)
+          .withColumn("contract_address", col("user_id")))
     val standard = sourced.withColumn("chain", lit(q.chain))
     val scoped = contractTransforms(q, standard)
     val transformed = q.transforms.foldLeft(scoped) { case (df, (name, e)) =>

@@ -267,12 +267,18 @@ object DedupOps {
     val pairs = minhashLsh(spark, sfDir)
       .where(col("est_jaccard") >= 0.5)
       .select("doc1", "doc2")
+    // localCheckpoint (NOT cache): jumped references viaEdges twice, so the
+    // LOGICAL plan would double every iteration — caching cuts execution but
+    // Catalyst still re-analyzes the exponentially-growing tree on every
+    // action (measured: iteration 2 spent seconds in planning). Truncating
+    // lineage keeps each iteration's plan constant-size; on a cluster use
+    // reliable checkpoint() instead (localCheckpoint dies with an executor).
     val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
       .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .cache()
+      .localCheckpoint()
     var lastSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
     var iters = 0
@@ -280,26 +286,25 @@ object DedupOps {
       val prop = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-      // cached: viaEdges feeds BOTH sides of the pointer-jump self-join
       val viaEdges = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
-        .cache()
+        .localCheckpoint()
       // pointer jumping: labels are node ids, so label(label) is defined;
       // it only decreases (label(n) <= n by construction).
-      val jumped = viaEdges.as("a")
-        .join(viaEdges.select(col("node").as("jn"), col("label").as("jl")),
-          col("a.label") === col("jn"), "left")
-        .select(col("a.node").as("node"), coalesce(col("jl"), col("a.label")).as("label"))
-        .cache()
+      // toDF mints fresh attribute ids — a plain alias self-join over one
+      // checkpointed LogicalRDD trips Spark's attribute dedup
+      val jmap = viaEdges.toDF("jn", "jl")
+      val jumped = viaEdges
+        .join(jmap, viaEdges("label") === jmap("jn"), "left")
+        .select(viaEdges("node").as("node"),
+          coalesce(jmap("jl"), viaEdges("label")).as("label"))
+        .localCheckpoint()
       val newSum = jumped.agg(sum("label")).head().getLong(0)
       converged = newSum == lastSum
       lastSum = newSum
-      labels.unpersist()
-      viaEdges.unpersist()
       labels = jumped
       iters += 1
     }
-    edges.unpersist()
     labels
       .select(col("node").as("doc_id"), col("label").as("canonical"))
       .orderBy("doc_id")

@@ -46,13 +46,13 @@ class EngineSpec extends SparkSpec {
       transforms = Seq("doubled" -> (col("value") * 2)),
       filters = Seq(col("doubled") > 50),
       saves = Seq("chain" -> col("chain"), "blocknumber" -> col("blocknumber"),
-        "doubled" -> col("doubled")))
+        "contract" -> col("contract_address"), "doubled" -> col("doubled")))
     val df = Compiler.compile(spark, sf, q)
-    assert(df.columns.toSeq == Seq("chain", "blocknumber", "doubled"))
+    assert(df.columns.toSeq == Seq("chain", "blocknumber", "contract", "doubled"))
     val rows = df.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getString(0) == "testchain"))
-    assert(rows.forall(_.getDouble(2) > 50))
+    assert(rows.forall(_.getDouble(3) > 50))
   }
 
   test("Loop.expand keys queries {i}-{name} like chainservice.go:127-131") {
