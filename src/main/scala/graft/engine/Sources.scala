@@ -71,26 +71,50 @@ object Sources {
       intervalSeconds: Long,
       addresses: DataFrame, // one column: address
   ): DataFrame = {
-    val ticks = spark.range(1)
-      .select(explode(sequence(
-        to_timestamp(lit(startTime)),
-        to_timestamp(lit(endTime)),
-        expr(s"interval $intervalSeconds seconds"))).as("sample_ts"))
+    // spark.range(nTicks), NOT one sequence(...) array exploded from a single
+    // row: a year at 1-second cadence is a 31M-element array materialized in
+    // ONE task before explode — range generates ticks split across tasks, so
+    // the grid parallelizes at any cadence. Bounds are query literals, so
+    // computing the tick count driver-side costs nothing.
+    require(intervalSeconds > 0, s"sampleGrid: interval must be positive, got $intervalSeconds")
+    val startEpoch = literalEpochSeconds(startTime)
+    val endEpoch = literalEpochSeconds(endTime)
+    require(endEpoch >= startEpoch, s"sampleGrid: end $endTime before start $startTime")
+    val nTicks = (endEpoch - startEpoch) / intervalSeconds + 1
+    val ticks = spark.range(0, nTicks)
+      .select(timestamp_seconds(lit(startEpoch) + col("id") * intervalSeconds).as("sample_ts"))
     ticks.crossJoin(addresses)
+  }
+
+  /** Epoch seconds of a "yyyy-MM-dd[ HH:mm:ss]" literal in the session's UTC
+    * timezone — the driver-side twin of `to_timestamp(lit(s))`. */
+  private def literalEpochSeconds(s: String): Long = {
+    import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+    val dt =
+      if (s.contains(" ")) LocalDateTime.parse(s.replace(' ', 'T'))
+      else LocalDate.parse(s).atStartOfDay()
+    dt.toEpochSecond(ZoneOffset.UTC)
   }
 
   /** S9 — BlockDater: timestamp → first block at-or-after it. The reference
     * binary-searches headers over RPC (chainservice/block_dater.go:48-79);
-    * here one aggregate pass over the events table answers every target at
-    * once (event_id is monotone in ts, so min(event_id | ts >= target) is the
-    * first block). Targets are a tiny literal relation → broadcast cross.
+    * here one conditional-aggregation pass over the events table answers
+    * every target at once (event_id is monotone in ts, so
+    * min(event_id | ts >= target) is the first block). No join at all —
+    * targets become N aggregate expressions in a single map-side-combined
+    * scan, then unpivot the one result row; targets with no block at-or-after
+    * drop out (the semantics the former inner join had).
     */
   def blockDater(events: DataFrame, targets: Seq[String]): DataFrame = {
-    val t = events.sparkSession
-      .createDataFrame(targets.map(Tuple1(_))).toDF("target")
-      .select(to_timestamp(col("target")).as("target_ts"))
-    events.join(broadcast(t), col("ts") >= col("target_ts"))
-      .groupBy(col("target_ts"))
-      .agg(min(col("event_id")).as("first_block"))
+    require(targets.nonEmpty, "blockDater: at least one target timestamp required")
+    val aggs = targets.zipWithIndex.map { case (t, i) =>
+      min(when(col("ts") >= to_timestamp(lit(t)), col("event_id"))).as(s"__fb$i")
+    }
+    events.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(targets.zipWithIndex.map { case (t, i) =>
+        struct(to_timestamp(lit(t)).as("target_ts"), col(s"__fb$i").as("first_block"))
+      }: _*)).as("r"))
+      .select(col("r.target_ts"), col("r.first_block"))
+      .where(col("first_block").isNotNull)
   }
 }

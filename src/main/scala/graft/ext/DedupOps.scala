@@ -279,7 +279,10 @@ object DedupOps {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var lastSum = labels.agg(sum("label")).head().getLong(0)
+    // coalesce: sum over an EMPTY labels frame (corpus without near-dups)
+    // is null — head().getLong would NPE instead of returning the empty
+    // clustering.
+    var lastSum = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
     var converged = false
     var iters = 0
     while (!converged && iters < 50) {
@@ -299,12 +302,16 @@ object DedupOps {
         .select(viaEdges("node").as("node"),
           coalesce(jmap("jl"), viaEdges("label")).as("label"))
         .localCheckpoint()
-      val newSum = jumped.agg(sum("label")).head().getLong(0)
+      val newSum = jumped.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
       converged = newSum == lastSum
       lastSum = newSum
       labels = jumped
       iters += 1
     }
+    // Fail loud rather than silently emitting partially-propagated labels if
+    // the iteration cap ever bites (pointer jumping converges in O(log
+    // diameter) — 50 rounds covers components of diameter ~2^50).
+    require(converged, s"clusterCanonical: label propagation not converged after $iters iterations")
     labels
       .select(col("node").as("doc_id"), col("label").as("canonical"))
       .orderBy("doc_id")
