@@ -17,25 +17,70 @@ import org.apache.spark.sql.functions._
   */
 object Compiler {
 
-  /** Compile one query against the testbed event store. Three source shapes,
-    * matching the reference's three query modes:
-    *  - event scan (S1/S2)                       — contracts/globalEvents
-    *  - contract-method sampling grid (S5)       — contracts(_).methods +
-    *    blockInterval (reference RunMethodCaller, chainservice/methods.go:21-72)
-    *  - event-triggered method calls (S7)        — events(_).methods, each
-    *    called at `log.block + blockOffset` (chainservice/events.go:93-105)
-    *    and merged into the event row (R6).
+  /** Compile one query against the testbed event store. Dispatches on the
+    * schema's `mode` exactly like the reference's chainservice
+    * (/root/reference/chainservice/chainservice.go:167-215 routes one
+    * DynamicSchema to the historical or the realtime handler):
+    *
+    *  - [[Mode.Historical]] — a batch plan. Three source shapes:
+    *    event scan (S1/S2, contracts/globalEvents), contract-method sampling
+    *    grid (S5, contracts(_).methods + blockInterval — reference
+    *    RunMethodCaller, chainservice/methods.go:21-72), event-triggered
+    *    method calls (S7, events(_).methods called at `log.block +
+    *    blockOffset`, chainservice/events.go:93-105, merged into the row, R6).
+    *  - [[Mode.Realtime]] — the SAME transform/filter/save pipeline over the
+    *    streaming source (reference subscription mode, events.go:221-320).
+    *    Event queries return an unstarted STREAMING DataFrame (start it with
+    *    `writeStream`, or [[graft.streaming.Streams.runToTable]] for a
+    *    bounded Trigger.AvailableNow run); realtime method queries execute
+    *    the bounded poll to `endTime` eagerly — the reference's ticker loop
+    *    (chainservice.go:173-179) — and return the materialized grid.
     */
   def compile(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
     q.validate()
+    q.mode match {
+      case Mode.Historical => compileBatch(spark, sfDir, q)
+      case Mode.Realtime   => compileRealtime(spark, sfDir, q)
+    }
+  }
+
+  private def compileBatch(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
     val sourced =
       if (q.hasMethods) methodGridSource(spark, sfDir, q)
-      else withEventMethods(spark, sfDir, q,
-        eventSource(spark, sfDir, q)
-          .withColumn("blocknumber", col("event_id"))
-          .withColumn("timestamp", unix_timestamp(col("ts")))
-          // reference save-block context variable (schema.example.hcl:45)
-          .withColumn("contract_address", col("user_id")))
+      else withEventMethods(spark, sfDir, q, standardColumns(eventSource(spark, sfDir, q)))
+    pipeline(q, sourced)
+  }
+
+  /** Realtime: identical declarative surface, streaming execution. A user
+    * declaring `mode = Realtime` gets the streaming engine — not silently a
+    * batch plan. */
+  private def compileRealtime(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
+    if (q.hasMethods) {
+      // S6 — realtime method poller: streaming pre-aggregation to tick
+      // granularity, then the tiny grid finalization (Streams.methodGridRealtime).
+      pipeline(q, graft.streaming.Streams.methodGridRealtime(spark, sfDir, q))
+    } else {
+      require(
+        q.contracts.forall(_.events.forall(_.methods.isEmpty)) &&
+          q.globalEvents.forall(_.methods.isEmpty),
+        s"query ${q.name}: event-triggered method calls are not yet compiled in realtime " +
+          "mode — use the stateful streaming form (Streams.asOfEnrichStream) directly")
+      pipeline(q, standardColumns(streamEventSource(spark, sfDir, q)))
+    }
+  }
+
+  /** Reference save-block context variables (schema.example.hcl:45) on an
+    * event source — identical for the batch scan and the stream. */
+  private def standardColumns(events: DataFrame): DataFrame =
+    events
+      .withColumn("blocknumber", col("event_id"))
+      .withColumn("timestamp", unix_timestamp(col("ts")))
+      .withColumn("contract_address", col("user_id"))
+
+  /** The shared declarative tail: transforms → AND-folded filters → saves.
+    * Works identically on a batch or streaming source — this is the unified
+    * batch/stream claim made executable. */
+  private def pipeline(q: QuerySpec, sourced: DataFrame): DataFrame = {
     val standard = sourced.withColumn("chain", lit(q.chain))
     val scoped = contractTransforms(q, standard)
     val transformed = q.transforms.foldLeft(scoped) { case (df, (name, e)) =>
@@ -188,5 +233,24 @@ object Compiler {
         }
     require(scans.nonEmpty, s"query ${q.name}: no event source declared")
     scans.reduce(_ unionByName _)
+  }
+
+  /** Streaming twin of [[eventSource]]: the same signature-batched predicates
+    * (contracts declaring the same event share ONE filtered stream — the
+    * reference passes all addresses in a single subscription filter,
+    * events.go:247-260) pushed per micro-batch into the file-source scan.
+    * Time bounds are plain event-time predicates. */
+  private def streamEventSource(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
+    val base = graft.streaming.Streams.eventStream(spark, sfDir)
+    val bySignature = q.contracts
+      .flatMap(c => c.events.map(ev => ev.signature -> c.address))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val scans =
+      q.globalEvents.map(ev => base.where(col("event_type") === ev.signature)) ++
+        bySignature.map { case (sig, addrs) =>
+          base.where(col("event_type") === sig && col("user_id").isin(addrs: _*))
+        }
+    require(scans.nonEmpty, s"query ${q.name}: no event source declared")
+    Sources.timeBound(scans.reduce(_ unionByName _), q.startTime, q.endTime)
   }
 }

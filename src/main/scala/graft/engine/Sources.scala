@@ -47,7 +47,7 @@ object Sources {
       startTime,
       endTime)
 
-  private def timeBound(df: DataFrame, start: Option[String], end: Option[String]): DataFrame = {
+  private[graft] def timeBound(df: DataFrame, start: Option[String], end: Option[String]): DataFrame = {
     val s = start.map(t => col("ts") >= to_timestamp(lit(t))).getOrElse(lit(true))
     val e = end.map(t => col("ts") < to_timestamp(lit(t))).getOrElse(lit(true))
     df.where(s && e)
@@ -77,8 +77,8 @@ object Sources {
     // the grid parallelizes at any cadence. Bounds are query literals, so
     // computing the tick count driver-side costs nothing.
     require(intervalSeconds > 0, s"sampleGrid: interval must be positive, got $intervalSeconds")
-    val startEpoch = literalEpochSeconds(startTime)
-    val endEpoch = literalEpochSeconds(endTime)
+    val startEpoch = literalEpochSeconds(spark, startTime)
+    val endEpoch = literalEpochSeconds(spark, endTime)
     require(endEpoch >= startEpoch, s"sampleGrid: end $endTime before start $startTime")
     val nTicks = (endEpoch - startEpoch) / intervalSeconds + 1
     val ticks = spark.range(0, nTicks)
@@ -86,14 +86,21 @@ object Sources {
     ticks.crossJoin(addresses)
   }
 
-  /** Epoch seconds of a "yyyy-MM-dd[ HH:mm:ss]" literal in the session's UTC
-    * timezone — the driver-side twin of `to_timestamp(lit(s))`. */
-  private def literalEpochSeconds(s: String): Long = {
-    import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+  /** Epoch seconds of a date/datetime literal — the driver-side twin of
+    * `to_timestamp(lit(s))`. Accepts "yyyy-MM-dd", with optional time part
+    * separated by ' ' or ISO 'T', with optional fractional seconds (truncated
+    * — grid cadence is whole seconds). The offset comes from the SESSION
+    * timezone (spark.sql.session.timeZone), so driver-side grid arithmetic
+    * agrees with to_timestamp/timestamp_seconds rendering in any session, not
+    * just UTC ones. */
+  private[graft] def literalEpochSeconds(spark: SparkSession, s: String): Long = {
+    import java.time.{LocalDate, LocalDateTime, ZoneId}
+    val norm = s.trim.replace(' ', 'T')
     val dt =
-      if (s.contains(" ")) LocalDateTime.parse(s.replace(' ', 'T'))
-      else LocalDate.parse(s).atStartOfDay()
-    dt.toEpochSecond(ZoneOffset.UTC)
+      if (norm.contains("T")) LocalDateTime.parse(norm)
+      else LocalDate.parse(norm).atStartOfDay()
+    val zone = ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    dt.atZone(zone).toEpochSecond
   }
 
   /** S9 — BlockDater: timestamp → first block at-or-after it. The reference
@@ -107,14 +114,33 @@ object Sources {
     */
   def blockDater(events: DataFrame, targets: Seq[String]): DataFrame = {
     require(targets.nonEmpty, "blockDater: at least one target timestamp required")
-    val aggs = targets.zipWithIndex.map { case (t, i) =>
+    // Duplicate targets collapse to one output row (the pre-r3 groupBy
+    // semantics); each distinct target costs one aggregate expression, so
+    // past ~64 the conditional-agg form would bloat whole-stage codegen —
+    // fall back to a broadcast theta-join + hash aggregate there (matched
+    // pairs stream straight into map-side partial min, never materialized).
+    val distinctTargets = targets.distinct
+    if (distinctTargets.size > 64) return blockDaterJoin(events, distinctTargets)
+    val aggs = distinctTargets.zipWithIndex.map { case (t, i) =>
       min(when(col("ts") >= to_timestamp(lit(t)), col("event_id"))).as(s"__fb$i")
     }
     events.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(targets.zipWithIndex.map { case (t, i) =>
+      .select(explode(array(distinctTargets.zipWithIndex.map { case (t, i) =>
         struct(to_timestamp(lit(t)).as("target_ts"), col(s"__fb$i").as("first_block"))
       }: _*)).as("r"))
       .select(col("r.target_ts"), col("r.first_block"))
       .where(col("first_block").isNotNull)
+  }
+
+  /** Many-target formulation: broadcast the (small) target list, theta-join
+    * `ts >= target_ts`, aggregate min(event_id) per target. O(targets) work
+    * per event row either way; this form keeps the generated code constant
+    * size at the cost of one (partial-aggregated) shuffle. */
+  private def blockDaterJoin(events: DataFrame, targets: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    val t = spark.createDataFrame(targets.map(Tuple1(_))).toDF("__target")
+      .select(to_timestamp(col("__target")).as("target_ts"))
+    events.join(broadcast(t), col("ts") >= col("target_ts"))
+      .groupBy("target_ts").agg(min("event_id").as("first_block"))
   }
 }

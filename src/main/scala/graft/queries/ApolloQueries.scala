@@ -20,9 +20,9 @@ object ApolloQueries {
     * scan, R3 transform, R4 filter list, R5 save, parse_decimals, ternary,
     * time bounds (S9-style declared range).
     */
-  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+  private def flagshipSpec: QuerySpec = {
     val k = get_json_object(col("props"), "$.k").cast("long")
-    val spec = QuerySpec(
+    QuerySpec(
       name = "usdc_eth_swaps",
       chain = "ethereum",
       contracts = FibAddrs.map(a => ContractSpec(a, events = Seq(EventSpec("purchase", Seq("value", "props"))))),
@@ -44,7 +44,23 @@ object ApolloQueries {
         "k" -> col("k"),
       ),
     )
-    Compiler.compile(spark, sfDir, spec).orderBy("blocknumber")
+  }
+
+  def flagship(spark: SparkSession, sfDir: String): DataFrame =
+    Compiler.compile(spark, sfDir, flagshipSpec).orderBy("blocknumber")
+
+  /** S3/S4 through the COMPILED realtime surface: the flagship QuerySpec with
+    * `mode = Realtime` compiles to a streaming pipeline (same transforms/
+    * filters/saves — [[graft.engine.Compiler]] dispatches the source, the
+    * declarative tail is shared code), runs to completion on the bounded
+    * events table with Trigger.AvailableNow, and must hash-match the SAME
+    * oracle as the batch flagship. This is the reference's one-schema
+    * two-modes dispatch (chainservice/chainservice.go:167-215) made
+    * executable + verifiable. */
+  def compiledStreamParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = Compiler.compile(spark, sfDir, flagshipSpec.copy(mode = Mode.Realtime))
+    assert(stream.isStreaming, "realtime compile must produce a streaming plan")
+    graft.streaming.Streams.runToTable(stream, "s3_compiled_sink").orderBy("blocknumber")
   }
 
   private val flagshipSql =
@@ -199,24 +215,36 @@ object ApolloQueries {
     * RunMethodCaller on the generated block cadence, methods.go:21-72 +
     * chainservice.go:180-188).
     */
-  def methodGridCompiled(spark: SparkSession, sfDir: String): DataFrame = {
-    val spec = QuerySpec(
-      name = "daily_purchase_state",
-      chain = "ethereum",
-      contracts = (0L until 10L).map(a =>
-        ContractSpec(a, methods = Seq(MethodSpec("purchase", Seq("value", "event_id"))))),
-      startTime = Some("2024-01-01"),
-      endTime = Some("2024-01-30"),
-      blockInterval = Some(86400L),
-      saves = Seq(
-        "sample_ts" -> col("sample_ts"),
-        "timestamp" -> col("timestamp"),
-        "contract" -> col("user_id"),
-        "last_value" -> col("purchase_value"),
-        "last_block" -> col("purchase_event_id")),
-    )
-    Compiler.compile(spark, sfDir, spec).orderBy("sample_ts", "contract")
-  }
+  private val dailyPurchaseSpec = QuerySpec(
+    name = "daily_purchase_state",
+    chain = "ethereum",
+    contracts = (0L until 10L).map(a =>
+      ContractSpec(a, methods = Seq(MethodSpec("purchase", Seq("value", "event_id"))))),
+    startTime = Some("2024-01-01"),
+    endTime = Some("2024-01-30"),
+    blockInterval = Some(86400L),
+    saves = Seq(
+      "sample_ts" -> col("sample_ts"),
+      "timestamp" -> col("timestamp"),
+      "contract" -> col("user_id"),
+      "last_value" -> col("purchase_value"),
+      "last_block" -> col("purchase_event_id")),
+  )
+
+  def methodGridCompiled(spark: SparkSession, sfDir: String): DataFrame =
+    Compiler.compile(spark, sfDir, dailyPurchaseSpec).orderBy("sample_ts", "contract")
+
+  /** S6 — realtime method poller, compiled: the SAME method QuerySpec with
+    * `mode = Realtime` routes through the streaming poller
+    * ([[graft.streaming.Streams.methodGridRealtime]]: streaming bucketed
+    * last-state aggregation run to completion, then grid as-of alignment) and
+    * must hash-match the batch S5 grid oracle — closing the last §2.1 source
+    * without an oracle row. Reference ticker loop:
+    * chainservice/chainservice.go:173-179. */
+  def methodPollerRealtime(spark: SparkSession, sfDir: String): DataFrame =
+    Compiler.compile(spark, sfDir,
+      dailyPurchaseSpec.copy(name = "daily_purchase_state_rt", mode = Mode.Realtime))
+      .orderBy("sample_ts", "contract")
 
   private val methodGridCompiledSql =
     """WITH grid AS (
@@ -585,6 +613,8 @@ object ApolloQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "apollo_flagship_swaps" -> (flagship _),
+    "s3_compiled_stream_parity" -> (compiledStreamParity _),
+    "s6_method_poller" -> (methodPollerRealtime _),
     "s2_global_event_scan" -> (globalScan _),
     "s5_method_timeseries" -> (methodTimeseries _),
     "s5_method_grid_compiled" -> (methodGridCompiled _),
@@ -606,6 +636,8 @@ object ApolloQueries {
 
   val oracles: Map[String, String] = Map(
     "apollo_flagship_swaps" -> flagshipSql,
+    "s3_compiled_stream_parity" -> flagshipSql,
+    "s6_method_poller" -> methodGridCompiledSql,
     "s2_global_event_scan" -> globalScanSql,
     "s5_method_timeseries" -> methodTimeseriesSql,
     "s5_method_grid_compiled" -> methodGridCompiledSql,

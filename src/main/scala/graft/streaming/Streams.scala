@@ -1,7 +1,10 @@
 package graft.streaming
 
+import graft.engine.{Enrich, Sources}
+import graft.model.{MethodSpec, QuerySpec}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** Realtime parity (SURVEY §2.1 S3/S4/S6): the reference's subscription mode
@@ -141,21 +144,27 @@ object Streams {
     * deterministic under any micro-batch partitioning, per the same output
     * discipline as [[graft.ext.Relational]].
     */
+  /** Run a streaming DataFrame to completion on the currently-available data
+    * (Trigger.AvailableNow) into a named memory sink and return the
+    * materialized table. The bounded-run harness for parity oracles; a live
+    * deployment starts the same frame with an unbounded trigger + real sink. */
+  def runToTable(df: DataFrame, name: String, outputMode: String = "append"): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
   def streamBatchParity(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val agg = eventStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(12,4)")).cast("decimal(38,4)").cast("double").as("sum_value"))
       .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
-    val sink = "s3_parity_sink"
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink).orderBy("day", "event_type")
+    runToTable(agg, "s3_parity_sink", "complete").orderBy("day", "event_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -185,5 +194,76 @@ object Streams {
       .select(col("timestamp").as("sample_ts"))
       .join(broadcast(addrs))
       .join(broadcast(state), Seq("user_id"), "left")
+  }
+
+  /** S6 through the declarative surface — the bounded realtime method poll
+    * [[graft.engine.Compiler]] dispatches `Mode.Realtime` method queries to.
+    *
+    * The reference's poller is a driver-side ticker that `eth_call`s every
+    * declared contract each interval (chainservice/chainservice.go:173-179 +
+    * methods.go:21-72). Here the STREAMING engine does the heavy part and the
+    * grid alignment runs on tick-granularity data:
+    *
+    *  1. streaming phase — each method's state events stream through a
+    *     grouped aggregation keyed on (visible tick, contract): an event with
+    *     timestamp ts becomes visible at the smallest grid tick >= ts, and
+    *     max_by((ts, event_id)) keeps the bucket's latest state. Run to
+    *     completion with Trigger.AvailableNow; state is one row per
+    *     (tick, contract) — bounded by the grid, not the event volume.
+    *  2. static phase — the bucketed last-states carry forward onto the full
+    *     sample grid with the same as-of join batch uses ([[Enrich.asOfJoin]]),
+    *     over tick-resolution rows only (|ticks| × |contracts|, tiny).
+    *
+    * Deterministic for a bounded input regardless of micro-batch boundaries
+    * (the aggregation is associative and output mode is complete), and the
+    * result equals the batch S5 grid — the parity the oracle asserts.
+    */
+  def methodGridRealtime(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
+    require(!q.hasEvents, s"query ${q.name}: a query declares methods or events, not both")
+    val start = q.startTime.getOrElse(
+      sys.error(s"query ${q.name}: realtime method sampling requires start_time"))
+    val end = q.endTime.getOrElse(
+      sys.error(s"query ${q.name}: realtime method sampling requires end_time (bounded testbed)"))
+    val interval = q.blockInterval.get // validated by QuerySpec.validate
+    val startEpoch = Sources.literalEpochSeconds(spark, start)
+    val endEpoch = Sources.literalEpochSeconds(spark, end)
+    val nTicks = (endEpoch - startEpoch) / interval + 1
+    val addrs = q.contracts.map(_.address).distinct.sorted
+    val addrDf = spark.createDataFrame(addrs.map(Tuple1(_))).toDF("user_id")
+    val grid = Sources.sampleGrid(spark, start, end, interval, addrDf)
+    val byMethod: Seq[(MethodSpec, Seq[Long])] = q.contracts
+      .flatMap(c => c.methods.map(m => m -> c.address))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toSeq
+      .sortBy(_._1.name)
+    val attached = byMethod.foldLeft(grid) { case (df, (m, scope)) =>
+      // visible tick index: ceil((ts - start) / interval) in µs-exact integer
+      // arithmetic, clamped to 0 (pre-start state is visible at the first
+      // sample); events past the last tick are never sampled — drop them.
+      val ivUs = interval * 1000000L
+      val startUs = startEpoch * 1000000L
+      val st = eventStream(spark, sfDir)
+        .where(col("user_id").isin(scope: _*) && col("event_type") === m.name)
+        .withColumn("__tick",
+          expr(s"(greatest(unix_micros(ts) - ${startUs}L, 0L) + ${ivUs - 1}L) div ${ivUs}L"))
+        .where(col("__tick") < nTicks)
+      val aggs = m.outputs.map(o =>
+        max_by(col(o), struct(col("ts"), col("event_id"))).as(s"__v_$o"))
+      val bucketed = st.groupBy(col("__tick"), col("user_id"))
+        .agg(aggs.head, aggs.tail: _*)
+      val sink = s"s6_${q.name}_${m.name}".replaceAll("[^A-Za-z0-9_]", "_")
+      val state = m.outputs.foldLeft(
+        runToTable(bucketed, sink, "complete")
+          .withColumn("__bucket_ts",
+            timestamp_seconds(lit(startEpoch) + col("__tick") * interval))) {
+        (d, o) => d.withColumnRenamed(s"__v_$o", o)
+      }
+      val joined = Enrich.asOfJoin(df, state,
+        key = "user_id", leftTime = "sample_ts", rightTime = "__bucket_ts",
+        tieBreaker = "__tick", valueCols = m.outputs)
+      m.outputs.foldLeft(joined) { (d, o) =>
+        d.withColumnRenamed(s"asof_$o", s"${m.name}_$o")
+      }
+    }
+    attached.withColumn("timestamp", unix_timestamp(col("sample_ts")))
   }
 }

@@ -82,6 +82,22 @@ class StreamingSpec extends SparkSpec {
       .except(batch.select("user_id", "p_block", "c_block")).count() == 0)
   }
 
+  test("Mode.Realtime event query compiles to a streaming plan matching batch (S3 via Compiler)") {
+    val rt = graft.queries.ApolloQueries.compiledStreamParity(spark, sf)
+    val batch = graft.queries.ApolloQueries.flagship(spark, sf)
+    assert(rt.count() == batch.count() && batch.count() > 0)
+    assert(rt.except(batch).count() == 0)
+    assert(batch.except(rt).count() == 0)
+  }
+
+  test("Mode.Realtime method query matches the batch S5 grid (S6 via Compiler)") {
+    val rt = graft.queries.ApolloQueries.methodPollerRealtime(spark, sf)
+    val batch = graft.queries.ApolloQueries.methodGridCompiled(spark, sf)
+    assert(rt.count() == batch.count() && batch.count() > 0)
+    assert(rt.except(batch).count() == 0)
+    assert(batch.except(rt).count() == 0)
+  }
+
   test("method poller is a valid unbounded plan (S6)") {
     val state = Tables.events(spark, sf).groupBy("user_id").agg(max("value").as("value"))
     val df = Streams.methodPoller(spark, Seq(1L, 2L), state)
