@@ -53,6 +53,18 @@ object EvmKernels {
   def evmBool(w: UTF8String): Boolean =
     new BigInteger(normalizeWord(w), 16).signum() != 0
 
+  /** Canonical hex passthrough of a uint256 word: "0x" + lowercase hex with
+    * leading zeros stripped ("0x0" for zero). Values past DecimalType(38,0)
+    * null out of [[evmUint]]; this companion keeps the FULL 256-bit value as
+    * a string — the reference's cty path carries the number as a string end
+    * to end (/root/reference/dsl/schema.go:488-512), so a >38-digit amount
+    * survives there and must survive here. */
+  def evmUintHex(w: UTF8String): UTF8String = {
+    val s = normalizeWord(w).toLowerCase
+    val t = s.dropWhile(_ == '0')
+    UTF8String.fromString("0x" + (if (t.isEmpty) "0" else t))
+  }
+
   /** ABI-encode an unsigned integer (DecimalType(38,0)) into a 64-hex word
     * via BigInteger — `hex()` would narrow through LONG and null anything
     * ≥ 2^63 (every 1e18-scaled token amount). Null for negative values
@@ -131,6 +143,16 @@ case class EvmInt(child: Expression) extends EvmWordExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** uint256 word → canonical full-fidelity hex string (no 38-digit cap). */
+case class EvmUintHex(child: Expression) extends EvmWordExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(w: Any): Any =
+    EvmKernels.evmUintHex(w.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.EvmKernels.evmUintHex($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class EvmBool(child: Expression) extends EvmWordExpression {
   override def dataType: DataType = BooleanType
   override protected def nullSafeEval(w: Any): Any =
@@ -167,6 +189,10 @@ case class EvmEncodeUint(child: Expression) extends UnaryExpression {
 object Evm {
   def address(word: Column): Column = shim.column(EvmAddress(shim.expression(word)))
   def uint(word: Column): Column = shim.column(EvmUint(shim.expression(word)))
+
+  /** Full-fidelity companion to [[uint]]: the word's canonical hex string —
+    * survives values past 38 decimal digits that `uint` nulls out. */
+  def uintHex(word: Column): Column = shim.column(EvmUintHex(shim.expression(word)))
   def int(word: Column): Column = shim.column(EvmInt(shim.expression(word)))
   def bool(word: Column): Column = shim.column(EvmBool(shim.expression(word)))
 

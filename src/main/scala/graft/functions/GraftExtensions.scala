@@ -24,6 +24,7 @@ object GraftFunctions {
     "simhash32" -> (es => SimHash32(es(0))),
     "evm_address" -> (es => EvmAddress(es(0))),
     "evm_uint" -> (es => EvmUint(es(0))),
+    "evm_uint_hex" -> (es => EvmUintHex(es(0))),
     "evm_int" -> (es => EvmInt(es(0))),
     "evm_bool" -> (es => EvmBool(es(0))),
     "evm_encode_uint" -> (es => EvmEncodeUint(es(0))),

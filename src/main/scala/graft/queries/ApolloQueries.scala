@@ -481,6 +481,11 @@ object ApolloQueries {
     val blob = concat(wUint, wAddr) // two-word data payload
     val big = col("event_id").cast("decimal(18,0)") *
       lit("1000000000000000000").cast("decimal(19,0)") // ≥ 2^63 for event_id ≥ 10
+    // event_id's 16-hex repeated over all four 64-bit lanes: a 256-bit value
+    // ≥ 2^192 (≥ 58 decimal digits) — Evm.uint nulls it, the hex companion
+    // must carry it losslessly (reference cty string path, dsl/schema.go:488-512).
+    val rep = lpad(lower(hex(col("event_id"))), 16, "0")
+    val wBig = concat(rep, rep, rep, rep)
     ev.select(
       col("event_id"),
       Evm.uint(wUint).cast("long").as("dec_uint"),
@@ -489,7 +494,9 @@ object ApolloQueries {
       Evm.bool(wBool).as("dec_bool"),
       Evm.uint(wShort).cast("long").as("dec_short"),
       Evm.address(Evm.word(blob, 1)).as("dec_word1"),
-      Evm.uint(Evm.encodeUint(big)).cast("string").as("big_roundtrip"))
+      Evm.uint(Evm.encodeUint(big)).cast("string").as("big_roundtrip"),
+      Evm.uint(wBig).cast("string").as("big_dec_nulled"),
+      Evm.uintHex(wBig).as("big_hex"))
       .orderBy("event_id")
   }
 
@@ -501,7 +508,11 @@ object ApolloQueries {
       |  (event_id % 2) <> 0 AS dec_bool,
       |  event_id % 256 AS dec_short,
       |  '0x' || lpad(printf('%x', user_id), 40, '0') AS dec_word1,
-      |  CAST(CAST(event_id AS HUGEINT) * 1000000000000000000 AS VARCHAR) AS big_roundtrip
+      |  CAST(CAST(event_id AS HUGEINT) * 1000000000000000000 AS VARCHAR) AS big_roundtrip,
+      |  CASE WHEN event_id = 0 THEN '0' END AS big_dec_nulled,
+      |  '0x' || CASE WHEN ltrim(repeat(lpad(printf('%x', event_id), 16, '0'), 4), '0') = ''
+      |               THEN '0'
+      |               ELSE ltrim(repeat(lpad(printf('%x', event_id), 16, '0'), 4), '0') END AS big_hex
       |FROM events ORDER BY event_id""".stripMargin
 
   /** §2.3 — the DSL scalar-function surface in one projection: upper/lower/

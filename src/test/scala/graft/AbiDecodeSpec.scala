@@ -23,6 +23,21 @@ class AbiDecodeSpec extends SparkSpec {
     assert(got(2).getDecimal(0).toBigInteger == new java.math.BigInteger("1000000000000000000"))
   }
 
+  test("Evm.uintHex keeps full 256-bit fidelity where uint nulls out (cty string path)") {
+    import spark.implicits._
+    val w255 = "8" + "0" * 63 // 2^255 — 77 decimal digits, far past Decimal(38)
+    val max = "f" * 64 // uint256 max
+    val got = Seq(w255, "0x" + max, "00ff", "0" * 64).toDF("w")
+      .select(Evm.uintHex(col("w")).as("h"), Evm.uint(col("w")).as("d")).collect()
+    assert(got(0).getString(0) == "0x" + w255.dropWhile(_ == '0'))
+    assert(BigInt(got(0).getString(0).drop(2), 16) == BigInt(2).pow(255))
+    assert(got(0).isNullAt(1)) // the decimal path nulls — the hex survives
+    assert(got(1).getString(0) == "0x" + max)
+    assert(BigInt(got(1).getString(0).drop(2), 16) == BigInt(2).pow(256) - 1)
+    assert(got(2).getString(0) == "0xff") // left-pad path + canonicalization
+    assert(got(3).getString(0) == "0x0") // zero keeps one digit
+  }
+
   test("Evm.int decodes two's complement negatives") {
     import spark.implicits._
     val minusTwo = "f" * 63 + "e"

@@ -83,6 +83,37 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"), readSchema)
   }
 
+  test("s9 block dater: one conditional-aggregation pass — no BNLJ, no cartesian (r3 fix guard)") {
+    val p = plan("s9_block_dater")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("sampleGrid at 10M ticks: distributed Range — no single-task array explode (r3 fix guard)") {
+    val addrs = spark.range(0, 4).toDF("user_id")
+    // ~10M one-second ticks: the pre-r3 sequence()+explode form materialized
+    // the whole array in one task; the Range form must split across tasks.
+    val g = graft.engine.Sources.sampleGrid(spark, "2024-01-01", "2024-04-26", 1L, addrs)
+    val p = g.queryExecution.executedPlan.toString
+    assert(p.contains("Range"), p)
+    assert(!p.toLowerCase.contains("explode"), p)
+    assert(g.select("sample_ts").rdd.getNumPartitions > 1, "tick generation must parallelize")
+  }
+
+  test("blockDater join fallback (>64 targets) matches the conditional-agg form") {
+    import graft.engine.Sources
+    val ev = Tables.events(spark, sf)
+    val targets = (0 until 70).map(i => f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:00:00")
+    assert(targets.distinct.size > 64)
+    val viaJoin = Sources.blockDater(ev, targets ++ targets) // dupes collapse too
+    val (a, b) = targets.splitAt(35)
+    val viaAgg = Sources.blockDater(ev, a).union(Sources.blockDater(ev, b))
+    assert(viaJoin.count() == viaAgg.count())
+    assert(viaJoin.except(viaAgg).count() == 0)
+    assert(viaAgg.except(viaJoin).count() == 0)
+  }
+
   test("whole-stage codegen covers the flagship transform/filter/save pipeline") {
     // AQE's pre-execution plan hides codegen wrapping; disable it to see the
     // final operator tree structurally.
