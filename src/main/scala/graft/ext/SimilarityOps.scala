@@ -72,52 +72,76 @@ object SimilarityOps {
       s"CASE WHEN embedding[${startDim + i}] > 0 THEN ${8 >> i} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS BIGINT)")
 
-  private val bucketExpr = signBucketExpr(1)
-
-  private val bucketSql = signBucketSql(1)
-
-  /** ANN via LSH buckets: per query, top-5 among same-bucket candidates. */
+  /** ANN via multi-table LSH: TWO 4-bit sign hash tables (dims 1-4 and 5-8,
+    * the same tables [[DedupOps.embeddingCosine]] stacks), candidates = docs
+    * sharing a bucket in EITHER table, exact cosine top-5 on candidates only.
+    * Adding tables is THE recall knob for hyperplane LSH (each table is an
+    * independent chance to catch a neighbor); measured on this corpus it
+    * doubles recall@5 vs one table (0.175 → 0.30, see SCALING.md §ANN) while
+    * still scanning ~2/16 of the corpus per query. The stacked (tbl, bk) key
+    * keeps candidate generation ONE equi-self-join at any table count. */
   def lshAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("norm", Vec.norm(col("embedding")))
-      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("bk0", expr(signBucketExpr(1)))
+      .withColumn("bk1", expr(signBucketExpr(5)))
+    val stacked = e.select(col("vec_id"),
+      posexplode(array(col("bk0"), col("bk1"))).as(Seq("tbl", "bk")))
+    val cand = stacked.where(col("vec_id") >= 8).select(col("vec_id").as("c_id"), col("tbl"), col("bk"))
+      .join(broadcast(
+        stacked.where(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("tbl"), col("bk"))),
+        Seq("tbl", "bk"))
+      .select("q_id", "c_id").distinct()
     val q = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
     val c = e.where(col("vec_id") >= 8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cn"), col("bucket"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cn"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
-    c.join(broadcast(q), Seq("bucket"))
+    // (cand ⋈ q) is queries × avg-bucket-size — always the broadcast side;
+    // the big candidate table c streams through without shuffling.
+    c.join(broadcast(cand.join(broadcast(q), Seq("q_id"))), Seq("c_id"))
       .withColumn("cos_sim", Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= TopK)
-      .select("q_id", "bucket", "rank", "c_id", "cos_sim")
+      .select("q_id", "rank", "c_id", "cos_sim")
       .orderBy("q_id", "rank")
   }
 
   private val lshAnnSql =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm,
-       |    $bucketSql AS bucket
+       |    ${signBucketSql(1)} AS bk0, ${signBucketSql(5)} AS bk1
        |  FROM embeddings),
+       |st AS (SELECT vec_id, 0 AS tbl, bk0 AS bk FROM e
+       |       UNION ALL SELECT vec_id, 1 AS tbl, bk1 AS bk FROM e),
+       |cand AS (SELECT DISTINCT b.vec_id AS q_id, a.vec_id AS c_id
+       |         FROM st a JOIN st b ON a.tbl = b.tbl AND a.bk = b.bk
+       |         WHERE b.vec_id < 8 AND a.vec_id >= 8),
        |p AS (
-       |  SELECT q.vec_id AS q_id, q.bucket, c.vec_id AS c_id,
+       |  SELECT cd.q_id, cd.c_id,
        |    ${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos_sim
-       |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < 8 AND c.vec_id >= 8),
+       |  FROM cand cd JOIN e q ON q.vec_id = cd.q_id JOIN e c ON c.vec_id = cd.c_id),
        |r AS (
-       |  SELECT q_id, bucket, c_id, cos_sim,
+       |  SELECT q_id, c_id, cos_sim,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rank
        |  FROM p)
-       |SELECT q_id, bucket, rank, c_id, cos_sim FROM r WHERE rank <= $TopK
+       |SELECT q_id, rank, c_id, cos_sim FROM r WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
-  /** IVF-style ANN: a coarse quantizer routes each query to ONE cell, and
-    * only that cell's members are scored. Cells = the `label` partitioning;
-    * each cell's representative = its min-vec_id member (a deterministic
-    * seeded quantizer — in production the representatives come from k-means,
-    * which changes the routing table, not the plan shape). At scale the cell
-    * id is the shuffle key: each query scores ~N/cells candidates, cells are
-    * independent, and the representative table broadcasts. */
+  private val NProbe = 3
+
+  /** IVF-style ANN with MULTI-PROBE routing: a coarse quantizer routes each
+    * query to its `NProbe` nearest cells and only those cells' members are
+    * scored. Cells = the `label` partitioning; each cell's representative =
+    * its min-vec_id member (a deterministic seeded quantizer — in production
+    * the representatives come from k-means, which changes the routing table,
+    * not the plan shape). nprobe is the recall knob: 1 probe scored 0.075
+    * recall@5 on this corpus, 3 probes scores 0.25 at 3/10 of the corpus
+    * scanned (SCALING.md §ANN). At scale the cell id is the shuffle key:
+    * each query scores ~nprobe·N/cells candidates, cells stay independent
+    * (disjoint, so no candidate dedup is needed), and the representative
+    * table broadcasts. */
   def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, sfDir).withColumn("norm", Vec.norm(col("embedding")))
@@ -126,12 +150,12 @@ object SimilarityOps {
       .withColumn("rnorm", Vec.norm(col("rvec")))
     val q = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
-    // route: nearest representative (nprobe = 1), ties by label
+    // route: nprobe nearest representatives, ties by label
     val wr = Window.partitionBy("q_id").orderBy(col("rcos").desc, col("label"))
     val routed = q.join(broadcast(reps))
       .withColumn("rcos", Vec.dot(col("qe"), col("rvec")) / (col("qn") * col("rnorm")))
       .withColumn("rrank", row_number().over(wr))
-      .where(col("rrank") === 1)
+      .where(col("rrank") <= NProbe)
       .select(col("q_id"), col("qe"), col("qn"), col("label").as("probe_label"))
     val c = e.where(col("vec_id") >= 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cn"),
@@ -141,7 +165,7 @@ object SimilarityOps {
       .withColumn("cos_sim", Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= TopK)
-      .select("q_id", "probe_label", "rank", "c_id", "cos_sim")
+      .select("q_id", "rank", "c_id", "cos_sim")
       .orderBy("q_id", "rank")
   }
 
@@ -156,27 +180,66 @@ object SimilarityOps {
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${dotSql("q.embedding", "r.rvec")} / (q.norm * r.rnorm) DESC, r.label) AS rrank
        |    FROM e q CROSS JOIN repsn r WHERE q.vec_id < 8)
-       |  WHERE rrank = 1),
+       |  WHERE rrank <= $NProbe),
        |scored AS (
-       |  SELECT ro.q_id, ro.probe_label, c.vec_id AS c_id,
+       |  SELECT ro.q_id, c.vec_id AS c_id,
        |    ${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos_sim
        |  FROM routed ro
        |  JOIN e q ON q.vec_id = ro.q_id
        |  JOIN e c ON c.label = ro.probe_label AND c.vec_id >= 8),
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rank
        |      FROM scored)
-       |SELECT q_id, probe_label, rank, c_id, cos_sim FROM r WHERE rank <= $TopK
+       |SELECT q_id, rank, c_id, cos_sim FROM r WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
+
+  /** recall@5 of each approximate path against the exact brute-force top-5,
+    * per query point — the number a real ANN deployment tunes bands/nprobe
+    * against (and the one that exposes the nprobe=1 recall cliff: a query
+    * routed to a cell missing its true neighbors scores low here, visibly).
+    * Join key is (q_id, c_id); recall = |approx ∩ exact| / |exact|. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = bruteTopk(spark, sfDir).select(col("q_id"), col("c_id"))
+    def recallOf(ann: DataFrame, method: String): DataFrame =
+      brute
+        .join(ann.select(col("q_id"), col("c_id")).withColumn("__hit", lit(1)),
+          Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg((count(col("__hit")).cast("double") / count(lit(1)).cast("double"))
+          .as("recall_at_5"))
+        .withColumn("method", lit(method))
+    recallOf(lshAnn(spark, sfDir), "lsh")
+      .unionByName(recallOf(ivfAnn(spark, sfDir), "ivf"))
+      .select("method", "q_id", "recall_at_5")
+      .orderBy("method", "q_id")
+  }
+
+  private val annRecallSql =
+    s"""WITH brute AS ($bruteTopkSql),
+       |lsh AS ($lshAnnSql),
+       |ivf AS ($ivfAnnSql),
+       |r AS (
+       |  SELECT 'lsh' AS method, b.q_id,
+       |    CAST(count(l.c_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_5
+       |  FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.c_id = l.c_id
+       |  GROUP BY b.q_id
+       |  UNION ALL
+       |  SELECT 'ivf' AS method, b.q_id,
+       |    CAST(count(i.c_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_5
+       |  FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+       |  GROUP BY b.q_id)
+       |SELECT method, q_id, recall_at_5 FROM r ORDER BY method, q_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> (bruteTopk _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (ivfAnn _),
+    "sim_ann_recall" -> (annRecall _),
   )
 
   val oracles: Map[String, String] = Map(
     "sim_brute_topk" -> bruteTopkSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_ann" -> ivfAnnSql,
+    "sim_ann_recall" -> annRecallSql,
   )
 }
