@@ -87,14 +87,38 @@ object DedupOps {
         s"md5(${cols.mkString(" || ',' || ")}) AS b$b"
       }.mkString(", ") + " FROM sig)"
 
+  /** A band bucket larger than this is excluded from candidate generation.
+    * A band collision implies ~all 4 signature rows agree, so honest buckets
+    * are near-dup clusters (dozens); a bucket of B docs costs B² join output,
+    * and a DEGENERATE corpus (mass-duplicated boilerplate) would put
+    * millions of docs in one bucket — one reducer building 10¹² pairs. The
+    * cap bounds per-bucket join work; a real pipeline routes over-cap
+    * buckets to exact dedup first (they are exact-dup clusters, by
+    * construction of the collision). */
+  private val MaxBucketSize = 2000
+
   /** Candidate pairs: docs sharing any band bucket (doc1 < doc2). The four
     * bands are stacked into (band_idx, bucket) rows so ONE self-join covers
-    * all bands (vs four joins + union = four shuffles). */
-  private def candidatePairs(band: DataFrame): DataFrame = {
-    val stacked = band.select(col("doc_id"),
+    * all bands (vs four joins + union = four shuffles). Bucket sizes are
+    * counted with a window over the SAME (band_idx, bk) key the join
+    * shuffles on, over-cap buckets are dropped before the join, and the
+    * dropped-row count is published as an `observe` metric
+    * ("dedup_lsh_buckets"/overcap_rows_dropped — no extra job, readable via
+    * QueryExecutionListener) so a capped run is self-identifying. */
+  private[graft] def candidatePairs(band: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = band.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)).as(Seq("band_idx", "bk")))
-    stacked.select(col("doc_id").as("doc1"), col("band_idx"), col("bk"))
-      .join(stacked.select(col("doc_id").as("doc2"), col("band_idx"), col("bk")),
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy("band_idx", "bk")))
+    val kept = sized.where(col("__bsz") <= maxBucket).select("doc_id", "band_idx", "bk")
+    // the observation rides the LEFT side only — a metric name may appear
+    // once per query, and the self-join references this subtree twice
+    val observedLeft = sized
+      .observe("dedup_lsh_buckets",
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("overcap_rows_dropped"))
+      .where(col("__bsz") <= maxBucket)
+    observedLeft.select(col("doc_id").as("doc1"), col("band_idx"), col("bk"))
+      .join(kept.select(col("doc_id").as("doc2"), col("band_idx"), col("bk")),
         Seq("band_idx", "bk"))
       .where(col("doc1") < col("doc2"))
       .select("doc1", "doc2").distinct()
@@ -185,7 +209,7 @@ object DedupOps {
       .select(col("doc_id"), TextFns.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
 
-  private val simhashSql = {
+  private[graft] val simhashSql = {
     val sums = (0 until 32).map { j =>
       val nib = s"(strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"
       s"sum(2 * (($nib >> ${j % 4}) % 2) - 1) AS sum$j"

@@ -62,6 +62,41 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming NEAR-dup dedup: the SimHash kernel computes each arriving
+    * document's fingerprint inside the micro-batch scan, and
+    * `dropDuplicatesWithinWatermark` keyed on the fingerprint keeps one
+    * survivor per near-dup family within the watermark horizon — the
+    * streaming form of the batch SimHash dedup, with state bounded by the
+    * watermark instead of growing with the corpus. Which family member
+    * survives depends on arrival order (exactly like any first-wins stream
+    * dedup), so the DETERMINISTIC parity surface is the surviving KEY SET:
+    * the bounded run must emit exactly the batch-distinct fingerprints —
+    * that is what the oracle asserts. */
+  def nearDupDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.readStream.schema(documentSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val deduped = docs
+      .select(col("doc_id"), graft.functions.TextFns.simhash32(col("text")).as("simhash"))
+      // synthetic bounded event time (documents carry none): every row lands
+      // inside one watermark horizon, so no key is ever evicted mid-run and
+      // the bounded result is exact. Strictly AFTER the initial watermark
+      // (epoch 0) — a row AT the watermark is already "late" and silently
+      // dropped, which costs exactly the doc_id=0 fingerprint.
+      .withColumn("__evt", timestamp_seconds(col("doc_id") % 3600 + 3600))
+      .withWatermark("__evt", "2 hours")
+      .dropDuplicatesWithinWatermark("simhash")
+    runToTable(deduped, "neardup_dedup_sink")
+      .select("simhash").orderBy("simhash")
+  }
+
   /** Stream-stream windowed join: correlate two live event streams within a
     * bounded event-time interval (purchase ↔ click of the same contract
     * within `windowSeconds` before the purchase). Watermarks bound the join
@@ -97,7 +132,7 @@ object Streams {
     * click forward, which is exactly the reference's subscription-mode
     * behavior (decode log → call method at that block, events.go:285-296).
     */
-  def asOfEnrichStream(events: DataFrame): DataFrame = {
+  def asOfEnrichStream(events: DataFrame, maxBufferedPerKey: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -116,18 +151,32 @@ object Streams {
       .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[Row], state: GroupState[Double]) => {
-          val ordered = rows.toSeq.sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
-            r.getAs[Long]("event_id")))
+          // Ordered processing needs the micro-batch's key-group sorted, and
+          // the engine hands it over unsorted — buffering is unavoidable, so
+          // it is (a) COMPACT: 4 primitives per relevant row, not the full
+          // Row, with irrelevant event types dropped before buffering, and
+          // (b) BOUNDED: a hot key past the cap fails loud with a remedy,
+          // instead of quietly pressuring one executor's heap. The real
+          // lever on a cluster is trigger sizing — cross-batch state is one
+          // Double regardless.
+          val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean, Double)]()
+          rows.foreach { r =>
+            val et = r.getAs[String]("event_type")
+            if (et == "click" || et == "purchase") {
+              require(buf.size < maxBufferedPerKey,
+                s"asOfEnrichStream: key $user exceeded $maxBufferedPerKey buffered rows in one " +
+                  "micro-batch — shrink the trigger interval (maxFilesPerTrigger/maxOffsetsPerTrigger) " +
+                  "or raise maxBufferedPerKey")
+              buf += ((r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id"),
+                et == "click", r.getAs[Double]("value")))
+            }
+          }
+          val ordered = buf.sortInPlaceBy(t => (t._1, t._2))
           var last = state.getOption
           val out = Seq.newBuilder[Row]
-          ordered.foreach { r =>
-            r.getAs[String]("event_type") match {
-              case "click" => last = Some(r.getAs[Double]("value"))
-              case "purchase" =>
-                out += Row(user, r.getAs[Long]("event_id"), r.getAs[Double]("value"),
-                  last.map(Double.box).orNull)
-              case _ => ()
-            }
+          ordered.foreach { case (_, block, isClick, v) =>
+            if (isClick) last = Some(v)
+            else out += Row(user, block, v, last.map(Double.box).orNull)
           }
           last.foreach(state.update)
           out.result().iterator
@@ -168,13 +217,16 @@ object Streams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s3_stream_batch_parity" -> (streamBatchParity _))
+    "s3_stream_batch_parity" -> (streamBatchParity _),
+    "stream_neardup_dedup" -> (nearDupDedupStream _))
 
   val oracles: Map[String, String] = Map(
     "s3_stream_batch_parity" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "stream_neardup_dedup" ->
+      s"SELECT DISTINCT simhash FROM (${graft.ext.DedupOps.simhashSql}) ORDER BY simhash")
 
   /** S6 — realtime method poller: rate source ticks every `intervalSeconds`
     * (the reference's ticker loop, chainservice.go:173-179), each tick

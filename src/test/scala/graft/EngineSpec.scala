@@ -93,4 +93,20 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("PushedFilters"))
     assert(plan.contains("event_type"), s"event_type not pushed:\n$plan")
   }
+
+  test("LSH band-bucket cap: an all-identical corpus cannot create a giant bucket join") {
+    import spark.implicits._
+    // 100 docs with IDENTICAL band hashes — the degenerate mass-duplicate
+    // corpus: one bucket of 100 → 4950 pairs uncapped.
+    val band = (1 to 100).map(i => (i.toLong, "h0", "h1", "h2", "h3"))
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+    assert(graft.ext.DedupOps.candidatePairs(band, maxBucket = 50).count() == 0)
+    assert(graft.ext.DedupOps.candidatePairs(band, maxBucket = 100).count() == 100L * 99 / 2)
+    // mixed corpus: the honest small bucket survives while the degenerate
+    // one is excluded
+    val mixed = band.union(
+      Seq((1000L, "x0", "x1", "x2", "x3"), (1001L, "x0", "x1", "x2", "x3"))
+        .toDF("doc_id", "b0", "b1", "b2", "b3"))
+    assert(graft.ext.DedupOps.candidatePairs(mixed, maxBucket = 50).count() == 1)
+  }
 }

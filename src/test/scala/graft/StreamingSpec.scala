@@ -82,6 +82,27 @@ class StreamingSpec extends SparkSpec {
       .except(batch.select("user_id", "p_block", "c_block")).count() == 0)
   }
 
+  test("asOfEnrichStream fails loud when one key exceeds the per-batch buffer cap") {
+    val df = Streams.asOfEnrichStream(Streams.eventStream(spark, sf), maxBufferedPerKey = 5)
+    val q = df.writeStream.outputMode("append").format("memory").queryName("asof_cap").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    assert(chain(e).contains("exceeded 5 buffered rows"), chain(e))
+  }
+
+  test("streaming near-dup dedup emits exactly the batch-distinct fingerprints") {
+    val streamed = Streams.nearDupDedupStream(spark, sf)
+    val batch = graft.ext.DedupOps.simhash(spark, sf).select("simhash").distinct()
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    // and it actually deduplicates: fewer fingerprints than documents
+    assert(streamed.count() < Tables.documents(spark, sf).count())
+  }
+
   test("Mode.Realtime event query compiles to a streaming plan matching batch (S3 via Compiler)") {
     val rt = graft.queries.ApolloQueries.compiledStreamParity(spark, sf)
     val batch = graft.queries.ApolloQueries.flagship(spark, sf)
