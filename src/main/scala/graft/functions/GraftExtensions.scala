@@ -17,6 +17,13 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def strArg(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(s, _: org.apache.spark.sql.types.StringType) if s != null =>
+      s.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "arraydot" -> (es => ArrayDot(es(0), es(1))),
     "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "shingle width k"))),
@@ -28,6 +35,20 @@ object GraftFunctions {
     "evm_int" -> (es => EvmInt(es(0))),
     "evm_bool" -> (es => EvmBool(es(0))),
     "evm_encode_uint" -> (es => EvmEncodeUint(es(0))),
+    // the reference DSL's scalar functions by name, so HCL-translated (and
+    // plain spark.sql) expressions resolve them (dsl/functions.go:15-21).
+    // Pure catalyst trees — a Column-API round-trip would wrap unresolved
+    // ColumnNodes that survive analysis as Unevaluable.
+    "parse_decimals" -> { es =>
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Literal, Pow}
+      import org.apache.spark.sql.types.DoubleType
+      Cast(Divide(Cast(es(0), DoubleType), Pow(Literal(10.0), Cast(es(1), DoubleType))), DoubleType)
+    },
+    "format_date" -> { es =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal, UnixTimestamp}
+      UnixTimestamp(es(1),
+        Literal(graft.engine.Functions.goLayoutToJava(strArg(es(0), "go layout"))))
+    },
   )
 
   def register(spark: SparkSession): Unit =

@@ -49,6 +49,51 @@ class FixturesSpec extends SparkSpec {
     })
   }
 
+  test("HCL: the reference's test/schema.hcl parses and executes end-to-end") {
+    graft.functions.GraftFunctions.register(spark)
+    val hcl = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/test/schema.hcl"))
+    val schema = HclSchema.parse(hcl)
+    assert(schema.queries.map(_.name) == Seq("0-pairs_created", "1-pairs_created"))
+    assert(schema.queries.map(_.chain) == Seq("ethereum", "arbitrum"))
+    assert(schema.queries.forall(_.globalEvents.map(_.signature) == Seq("PairCreated")))
+    val all = Compiler.demux(Compiler.compileAll(spark, sf, schema))
+    assert(all.columns.toSeq ==
+      Seq("timestamp", "block", "token0", "token1", "pair", "query_name"))
+    // executes (no PairCreated rows exist in the testbed store → empty result)
+    assert(all.count() == 0)
+  }
+
+  test("HCL: the reference's schema.example.hcl parses and executes end-to-end") {
+    graft.functions.GraftFunctions.register(spark)
+    val hcl = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/schema.example.hcl"))
+    val json = HclSchema.toJson(hcl)
+    // format_date("02-01-2006 15:04", "25-05-2022 12:00") folds at load;
+    // end_time = now → unbounded; variables fold through upper()
+    assert(json.contains("2022-05-25 12:00:00"))
+    assert(!json.contains("end_time"))
+    assert(json.contains("ETH_BUY") && json.contains("ETH_SELL"))
+    val schema = HclSchema.parse(hcl)
+    val q = schema.queries.head
+    assert(q.name == "usdc_eth_swaps" && q.chain == "arbitrum")
+    assert(q.contracts.size == 1 && q.contracts.head.events.map(_.signature) == Seq("Swap"))
+    assert(q.contracts.head.transforms.map(_._1) ==
+      Seq("usdc_sold", "eth_sold", "usdc_bought", "eth_bought", "buy"))
+    val df = Compiler.compile(spark, sf, q)
+    assert(df.columns.toSeq == Seq(
+      "timestamp", "block", "contract", "tx_hash", "swap_price", "direction", "size_in_udsc"))
+    assert(df.count() == 0) // the fixture's mainnet address holds no testbed rows
+  }
+
+  test("HCL: ternary rewrite is nesting- and string-aware") {
+    assert(HclSchema.rewriteTernary("a ? b : c") == "IF(a, b, c)")
+    assert(HclSchema.rewriteTernary("a ? (x ? y : z) : c") == "IF(a, (IF(x, y, z)), c)")
+    assert(HclSchema.rewriteTernary("p + (q ? r : s)") == "p + (IF(q, r, s))")
+    assert(HclSchema.rewriteTernary("a ? b : x ? y : z") == "IF(a, b, IF(x, y, z))")
+    assert(HclSchema.rewriteTernary("f(a, b) > 0 ? 'q:m' : c") == "IF(f(a, b) > 0, 'q:m', c)")
+  }
+
   test("typed Dataset surface works over the event store (Dataset[Event])") {
     import spark.implicits._
     val ds = Tables.events(spark, sf)
