@@ -55,16 +55,17 @@ object Compiler {
     * declaring `mode = Realtime` gets the streaming engine — not silently a
     * batch plan. */
   private def compileRealtime(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
+    val hasEventMethods = q.contracts.exists(_.events.exists(_.methods.nonEmpty)) ||
+      q.globalEvents.exists(_.methods.nonEmpty)
     if (q.hasMethods) {
       // S6 — realtime method poller: streaming pre-aggregation to tick
       // granularity, then the tiny grid finalization (Streams.methodGridRealtime).
       pipeline(q, graft.streaming.Streams.methodGridRealtime(spark, sfDir, q))
+    } else if (hasEventMethods) {
+      // realtime S7 — event-triggered methods as streaming state (offset 0,
+      // the reference's subscription-mode call-at-that-block semantics).
+      pipeline(q, standardColumns(graft.streaming.Streams.eventMethodsStream(spark, sfDir, q)))
     } else {
-      require(
-        q.contracts.forall(_.events.forall(_.methods.isEmpty)) &&
-          q.globalEvents.forall(_.methods.isEmpty),
-        s"query ${q.name}: event-triggered method calls are not yet compiled in realtime " +
-          "mode — use the stateful streaming form (Streams.asOfEnrichStream) directly")
       pipeline(q, standardColumns(streamEventSource(spark, sfDir, q)))
     }
   }
@@ -200,11 +201,22 @@ object Compiler {
     }
   }
 
+  /** Per-chain dispatch: each query's events come from ITS chain's store —
+    * the reference resolves the RPC client per chain the same way
+    * (config.go:18-31 + chainservice.go:127-131 one service per chain). */
+  def compile(spark: SparkSession, registry: ChainRegistry, q: QuerySpec): DataFrame =
+    compile(spark, registry.resolve(q.chain), q)
+
   /** Compile every query of a schema, keyed like the reference keys its
     * per-query channels (chainservice.go:127-131). */
-  def compileAll(spark: SparkSession, sfDir: String, schema: SchemaSpec): Map[String, DataFrame] = {
+  def compileAll(spark: SparkSession, sfDir: String, schema: SchemaSpec): Map[String, DataFrame] =
+    compileAll(spark, ChainRegistry.single(sfDir), schema)
+
+  /** Multi-chain compileAll: queries declaring different chains read
+    * different stores, resolved per query through the registry. */
+  def compileAll(spark: SparkSession, registry: ChainRegistry, schema: SchemaSpec): Map[String, DataFrame] = {
     schema.validate()
-    schema.queries.map(q => q.name -> compile(spark, sfDir, q)).toMap
+    schema.queries.map(q => q.name -> compile(spark, registry, q)).toMap
   }
 
   /** R8 — per-query demux as data: one unioned frame tagged with query_name,

@@ -276,15 +276,25 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
 
-  /** Sketch aggregate: HLL distinct estimate next to the exact count.
-    * No oracle — DuckDB's HLL implementation differs; driver records the
-    * weaker rows-only check. */
+  /** Sketch aggregate: HLL distinct estimate next to the exact count. The
+    * raw estimate is engine-specific (DuckDB's HLL differs) so it can't be
+    * hashed — instead the ESTIMATE QUALITY is the oracle-gated value:
+    * `within_5pct` must come out true (the oracle pins it to literal TRUE),
+    * so an HLL drifting past ±5% of exact fails the gate instead of
+    * sliding through a rows-only handshake. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users").cast("double") - col("exact_users").cast("double")) /
+          col("exact_users").cast("double") <= 0.05).as("within_5pct"))
       .orderBy("event_type")
+
+  private val approxDistinctSql =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** TPC-H Q4-style EXISTS: orders having at least one deep-discount line,
     * counted by priority — a left-semi join (no row multiplication, the
@@ -524,6 +534,7 @@ object Relational {
     "dedup_exact" -> dedupExactSql,
     "agg_rollup" -> aggRollupSql,
     "topk_orders" -> topkOrdersSql,
+    "approx_distinct" -> approxDistinctSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "skew_hot_key_agg" -> skewHotKeyAggSql,
     "q4_semi_join" -> q4SemiJoinSql,

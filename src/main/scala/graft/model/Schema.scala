@@ -92,6 +92,22 @@ final case class QuerySpec(
   }
 }
 
+/** Per-chain source registry: chain name → event-store location, the
+  * analogue of the reference's config mapping chain → RPC endpoint
+  * (/root/reference/config.go:18-31 — `rpc { ethereum = "wss://..." }`).
+  * A schema whose queries declare different chains (e.g. via loop items)
+  * reads each query's events from that chain's OWN store; unknown chains
+  * fall back to `default` (the single-store testbed behavior).
+  */
+final case class ChainRegistry(stores: Map[String, String], default: String) {
+  def resolve(chain: String): String = stores.getOrElse(chain, default)
+}
+
+object ChainRegistry {
+  /** Single-store registry — every chain reads `dir` (testbed default). */
+  def single(dir: String): ChainRegistry = ChainRegistry(Map.empty, dir)
+}
+
 /** Top-level schema: variables (plan-time constants), optional loop items
   * stamping the template query per item (reference loop, dsl/schema.go:427-442;
   * non-unique names keyed "{i}-{name}", chainservice.go:127-131).

@@ -186,6 +186,56 @@ object ApolloQueries {
     Compiler.compile(spark, sfDir, spec).orderBy("blocknumber")
   }
 
+  /** Realtime S7 through the COMPILED surface: the same event-triggered
+    * method declaration at blockOffset 0 with `mode = Realtime` routes
+    * through [[graft.streaming.Streams.eventMethodsStream]] (per-contract
+    * GroupState folding each method's latest state forward, subscription-mode
+    * call-at-that-block semantics, events.go:285-296), runs bounded with
+    * AvailableNow, and must hash-match the batch as-of oracle. */
+  def realtimeEventMethods(spark: SparkSession, sfDir: String): DataFrame = {
+    val spec = QuerySpec(
+      name = "purchases_with_click_rt",
+      chain = "ethereum",
+      contracts = FibAddrs.map(a => ContractSpec(a, events = Seq(EventSpec(
+        "purchase", Seq("value"),
+        methods = Seq(MethodSpec("click", Seq("value"), blockOffset = 0L)))))),
+      mode = Mode.Realtime,
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "timestamp" -> col("timestamp"),
+        "contract" -> col("user_id"),
+        "value" -> col("value"),
+        "click_value" -> col("click_value")),
+    )
+    val stream = Compiler.compile(spark, sfDir, spec)
+    assert(stream.isStreaming, "realtime event-method compile must produce a streaming plan")
+    graft.streaming.Streams.runToTable(stream, "s7_rt_sink").orderBy("blocknumber")
+  }
+
+  private val realtimeEventMethodsSql =
+    s"""WITH probe AS (
+       |  SELECT user_id, event_id, ts, value FROM events
+       |  WHERE event_type = 'purchase' AND user_id IN (${FibAddrs.mkString(",")})),
+       |st AS (
+       |  SELECT user_id, event_id, value FROM events
+       |  WHERE event_type = 'click' AND user_id IN (${FibAddrs.mkString(",")})),
+       |un AS (
+       |  SELECT user_id, event_id AS t, 1 AS side, CAST(NULL AS BIGINT) AS tie,
+       |    event_id AS blocknumber, ts, value, CAST(NULL AS DOUBLE) AS sv
+       |  FROM probe
+       |  UNION ALL
+       |  SELECT user_id, event_id AS t, 0 AS side, event_id AS tie,
+       |    CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE), value
+       |  FROM st),
+       |w AS (
+       |  SELECT *, last_value(sv IGNORE NULLS) OVER (
+       |    PARTITION BY user_id ORDER BY t, side, tie
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_value
+       |  FROM un)
+       |SELECT blocknumber, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
+       |  user_id AS contract, value, click_value
+       |FROM w WHERE side = 1 ORDER BY blocknumber""".stripMargin
+
   private val methodOffsetSql =
     s"""WITH probe AS (
        |  SELECT user_id, event_id, ts, value FROM events
@@ -631,6 +681,7 @@ object ApolloQueries {
     "s5_method_grid_compiled" -> (methodGridCompiled _),
     "s7_event_asof_enrich" -> (eventAsOfEnrich _),
     "s7_method_offset" -> (methodOffset _),
+    "s7_realtime_event_methods" -> (realtimeEventMethods _),
     "s8_block_metadata_join" -> (blockMetadataJoin _),
     "s9_block_dater" -> (blockDater _),
     "r1_abi_decode" -> (abiDecode _),
@@ -654,6 +705,7 @@ object ApolloQueries {
     "s5_method_grid_compiled" -> methodGridCompiledSql,
     "s7_event_asof_enrich" -> eventAsOfEnrichSql,
     "s7_method_offset" -> methodOffsetSql,
+    "s7_realtime_event_methods" -> realtimeEventMethodsSql,
     "s8_block_metadata_join" -> blockMetadataJoinSql,
     "s9_block_dater" -> blockDaterSql,
     "r1_abi_decode" -> abiDecodeSql,

@@ -248,6 +248,149 @@ object Streams {
       .join(broadcast(state), Seq("user_id"), "left")
   }
 
+  /** Realtime S7 through the declarative surface — event-triggered method
+    * calls as streaming state, compiled from a QuerySpec by
+    * [[graft.engine.Compiler]] when `mode = Realtime` and events declare
+    * methods.
+    *
+    * Semantics = the reference's subscription mode: decode each matching log
+    * and call the declared methods AT THAT BLOCK
+    * (/root/reference/chainservice/events.go:285-296) — i.e. blockOffset 0;
+    * non-zero offsets are a historical-mode feature (the stream cannot see
+    * future blocks, and rewinding needs the archive — use Mode.Historical).
+    *
+    * Per contract key, each method's latest state folds forward in
+    * `GroupState` across micro-batches; every probe (declared-event) row
+    * emits with each method's current state attached, null until the first
+    * state arrives and null for rows outside the method's trigger
+    * signatures/contract scope — exactly the batch as-of + masking
+    * semantics ([[graft.engine.Compiler]] withEventMethods). Rows buffer
+    * compactly per key per batch under the same loud cap as
+    * [[asOfEnrichStream]].
+    */
+  def eventMethodsStream(
+      spark: SparkSession,
+      sfDir: String,
+      q: QuerySpec,
+      maxBufferedPerKey: Int = 1 << 20,
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    // Same method grouping as the batch compiler (one state fold per
+    // distinct method, scope = union of declaring contracts, None = global).
+    val scoped: Seq[(MethodSpec, Option[Long], String)] =
+      q.contracts.flatMap(c => c.events.flatMap(e =>
+        e.methods.map(m => (m, Some(c.address): Option[Long], e.signature)))) ++
+        q.globalEvents.flatMap(e => e.methods.map(m => (m, None, e.signature)))
+    val byMethod: Seq[(MethodSpec, Option[Set[Long]], Set[String])] = scoped
+      .groupBy(_._1).view
+      .map { case (m, vs) =>
+        val addrs = vs.map(_._2)
+        val scope = if (addrs.contains(None)) None else Some(addrs.flatten.toSet)
+        (m, scope, vs.map(_._3).toSet)
+      }
+      .toSeq.sortBy(_._1.name)
+    require(byMethod.nonEmpty, s"query ${q.name}: no event-triggered methods declared")
+    require(byMethod.forall(_._1.blockOffset == 0L),
+      s"query ${q.name}: realtime event-triggered methods run at the log's own block " +
+        "(blockOffset 0, events.go:285-296) — non-zero offsets need Mode.Historical")
+    val supported = Set("event_id", "value", "props")
+    byMethod.foreach { case (m, _, _) =>
+      val bad = m.outputs.filterNot(supported)
+      require(bad.isEmpty,
+        s"query ${q.name}: realtime method ${m.name} outputs $bad unsupported (use $supported)")
+    }
+
+    // probe membership: global signatures match any contract; contract
+    // signatures match their declaring addresses
+    val globalSigs: Set[String] = q.globalEvents.map(_.signature).toSet
+    val contractSigAddrs: Map[String, Set[Long]] = q.contracts
+      .flatMap(c => c.events.map(e => e.signature -> c.address))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val stateSigs: Set[String] = byMethod.map(_._1.name).toSet
+    val allSigs = (globalSigs ++ contractSigAddrs.keySet ++ stateSigs).toSeq.sorted
+
+    val base = Sources.timeBound(
+      eventStream(spark, sfDir).where(col("event_type").isin(allSigs: _*)),
+      q.startTime, q.endTime)
+
+    def outType(o: String): DataType = o match {
+      case "event_id" => LongType
+      case "value" => DoubleType
+      case "props" => StringType
+    }
+    val outSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)) ++
+      byMethod.flatMap { case (m, _, _) =>
+        m.outputs.map(o => StructField(s"${m.name}_$o", outType(o)))
+      })
+    implicit val outEnc = RowEncoder.encoderFor(outSchema)
+    // state: per method, the latest (event_id, value, props) — None before
+    // the first state event of that method for this contract
+    implicit val stateEnc = Encoders.kryo[Array[Option[(Long, Double, String)]]]
+
+    val methods = byMethod.toArray
+    base
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"), col("props"))
+      .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Row], state: GroupState[Array[Option[(Long, Double, String)]]]) => {
+          val buf = new scala.collection.mutable.ArrayBuffer[
+            (java.sql.Timestamp, Long, String, Double, String)]()
+          rows.foreach { r =>
+            require(buf.size < maxBufferedPerKey,
+              s"eventMethodsStream: key $user exceeded $maxBufferedPerKey buffered rows in one " +
+                "micro-batch — shrink the trigger interval or raise maxBufferedPerKey")
+            buf += ((r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+              r.getAs[String]("event_type"), r.getAs[Double]("value"), r.getAs[String]("props")))
+          }
+          val ordered = buf.sortInPlaceBy(t => (t._1.getTime, t._2))
+          val st = state.getOption.getOrElse(Array.fill(methods.length)(
+            None: Option[(Long, Double, String)]))
+          val out = Seq.newBuilder[Row]
+          ordered.foreach { case (ts, block, sig, v, props) =>
+            // state update FIRST: a state event at block b is visible to a
+            // probe at the same block (batch tie-break side=0 sorts first)
+            var i = 0
+            while (i < methods.length) {
+              val (m, scope, _) = methods(i)
+              if (sig == m.name && scope.forall(_.contains(user)))
+                st(i) = Some((block, v, props))
+              i += 1
+            }
+            val isProbe = globalSigs.contains(sig) ||
+              contractSigAddrs.get(sig).exists(_.contains(user))
+            if (isProbe) {
+              val extra = methods.zipWithIndex.flatMap { case ((m, scope, sigs), idx) =>
+                val cur =
+                  if (sigs.contains(sig) && scope.forall(_.contains(user))) st(idx)
+                  else None
+                m.outputs.map { o =>
+                  cur.map { case (sb, sv, sp) =>
+                    o match {
+                      case "event_id" => Long.box(sb)
+                      case "value" => Double.box(sv)
+                      case "props" => sp
+                    }
+                  }.orNull
+                }
+              }
+              out += Row.fromSeq(Seq(block, ts, user, sig, v, props) ++ extra)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
   /** S6 through the declarative surface — the bounded realtime method poll
     * [[graft.engine.Compiler]] dispatches `Mode.Realtime` method queries to.
     *

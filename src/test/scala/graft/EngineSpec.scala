@@ -94,6 +94,27 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("event_type"), s"event_type not pushed:\n$plan")
   }
 
+  test("per-chain source registry routes each query to its chain's store (config.go:18-31)") {
+    val reg = ChainRegistry(
+      Map("ethereum" -> "/root/testdata/sf0.001", "arbitrum" -> "/root/testdata/sf0.01"),
+      default = sf)
+    val specs = Loop.expand(Seq("ethereum", "arbitrum")) { (chain, _) =>
+      QuerySpec(name = "views", chain = chain,
+        globalEvents = Seq(EventSpec("view", Seq("value"))),
+        saves = Seq("chain" -> col("chain"), "blocknumber" -> col("blocknumber")))
+    }
+    val compiled = Compiler.compileAll(spark, reg, SchemaSpec(queries = specs))
+    val nEth = Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("event_type") === "view").count()
+    val nArb = Tables.events(spark, "/root/testdata/sf0.01")
+      .where(col("event_type") === "view").count()
+    assert(nEth != nArb) // the two stores genuinely differ
+    assert(compiled("0-views").count() == nEth)
+    assert(compiled("1-views").count() == nArb)
+    // unknown chain falls back to the default store
+    assert(reg.resolve("base") == sf)
+  }
+
   test("LSH band-bucket cap: an all-identical corpus cannot create a giant bucket join") {
     import spark.implicits._
     // 100 docs with IDENTICAL band hashes — the degenerate mass-duplicate

@@ -13,7 +13,9 @@ class QueriesSpec extends SparkSpec {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
     assert(ok.subsetOf(qk), s"oracle-only keys: ${ok -- qk}")
-    assert((qk -- ok) == Set("approx_distinct"), "only approx_distinct may lack an oracle")
+    // every query is oracle-gated — approx_distinct's estimate quality is
+    // asserted via its within_5pct column since r4
+    assert((qk -- ok).isEmpty, s"queries lacking an oracle: ${qk -- ok}")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -119,6 +119,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(rt).count() == 0)
   }
 
+  test("Mode.Realtime event-triggered methods match the batch as-of form (S7 via Compiler)") {
+    val rt = graft.queries.ApolloQueries.realtimeEventMethods(spark, sf)
+    // the batch form of the same spec: offset-0 method via historical compile
+    val batchSpec = graft.model.QuerySpec(
+      name = "purchases_with_click_batch", chain = "ethereum",
+      contracts = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L).map(a =>
+        graft.model.ContractSpec(a, events = Seq(graft.model.EventSpec(
+          "purchase", Seq("value"),
+          methods = Seq(graft.model.MethodSpec("click", Seq("value"), blockOffset = 0L)))))),
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "timestamp" -> col("timestamp"),
+        "contract" -> col("user_id"),
+        "value" -> col("value"),
+        "click_value" -> col("click_value")))
+    val batch = graft.engine.Compiler.compile(spark, sf, batchSpec).orderBy("blocknumber")
+    assert(rt.count() == batch.count() && batch.count() > 0)
+    assert(rt.except(batch).count() == 0)
+    assert(batch.except(rt).count() == 0)
+  }
+
   test("method poller is a valid unbounded plan (S6)") {
     val state = Tables.events(spark, sf).groupBy("user_id").agg(max("value").as("value"))
     val df = Streams.methodPoller(spark, Seq(1L, 2L), state)
