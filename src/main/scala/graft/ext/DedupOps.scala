@@ -364,12 +364,48 @@ object DedupOps {
        |FROM r GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
+  /** END-TO-END corpus curation — the composition a real training-data
+    * pipeline runs as one job, here as one verified query: near-dup
+    * clustering picks one canonical survivor per duplicate family
+    * ([[clusterCanonical]]), non-duplicated docs pass through, and a
+    * token-count quality floor drops fragments. Output = the curated corpus
+    * (doc_id, lang, n_toks). Composition is where operator bugs hide
+    * (survivor selection interacting with filters); the oracle checks the
+    * whole chain, not the stages in isolation.
+    *
+    * Scale shape: clustering is the dominant cost (log-round CC over LSH
+    * pairs); the survivor filter is a LEFT join against the cluster labels
+    * (small — only docs IN near-dup families have labels) and the quality
+    * floor is a scan-stage predicate. */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = clusterCanonical(spark, sfDir).select("doc_id", "canonical")
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("n_toks",
+        expr("size(filter(split(lower(text), ' '), t -> t != ''))").cast("long"))
+    docs.join(broadcast(clusters), Seq("doc_id"), "left")
+      .where(col("canonical").isNull || col("canonical") === col("doc_id"))
+      .where(col("n_toks") >= 30)
+      .select("doc_id", "lang", "n_toks")
+      .orderBy("doc_id")
+  }
+
+  private val curationPipelineSql =
+    s"""WITH clusters AS ($clusterCanonicalSql),
+       |d AS (SELECT doc_id, lang,
+       |        CAST(len($toksSql) AS BIGINT) AS n_toks
+       |      FROM documents)
+       |SELECT d.doc_id, d.lang, d.n_toks
+       |FROM d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+       |WHERE (c.canonical IS NULL OR c.canonical = d.doc_id) AND d.n_toks >= 30
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_cluster_canonical" -> (clusterCanonical _),
+    "curation_pipeline" -> (curationPipeline _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -378,5 +414,6 @@ object DedupOps {
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" -> embeddingCosineSql,
     "dedup_cluster_canonical" -> clusterCanonicalSql,
+    "curation_pipeline" -> curationPipelineSql,
   )
 }

@@ -183,7 +183,8 @@ final case class BlockOffset(block: Long) extends sstreaming.Offset {
 class EvmLogsMicroBatchStream(
     start: Long, end: Long, blocksPerBatch: Long,
     addresses: Option[Set[Long]], topic: Option[String],
-    required: StructType) extends sstreaming.MicroBatchStream {
+    required: StructType)
+  extends sstreaming.MicroBatchStream with sstreaming.SupportsTriggerAvailableNow {
 
   override def initialOffset(): sstreaming.Offset = BlockOffset(start)
 
@@ -193,10 +194,28 @@ class EvmLogsMicroBatchStream(
   // exactly-once regardless of tip state.
   @volatile private var tip: Long = start
 
-  override def latestOffset(): sstreaming.Offset = {
-    tip = math.min(end, tip + blocksPerBatch)
-    BlockOffset(tip)
+  // Trigger.AvailableNow contract: after prepare, latestOffset must return a
+  // FIXED target (everything available now) so the query drains to it and
+  // terminates — for a bounded backfill that target is `end`. Without this,
+  // the engine's generic wrapper would freeze whatever the advancing tip
+  // happened to return first and stop after one blocksPerBatch chunk.
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(end)
+
+  override def latestOffset(): sstreaming.Offset = availableNowTarget match {
+    case Some(target) => BlockOffset(target)
+    case None =>
+      tip = math.min(end, tip + blocksPerBatch)
+      BlockOffset(tip)
   }
+
+  // SupportsAdmissionControl form (the engine calls this one when the
+  // source advertises admission control): same tip logic; the ReadLimit is
+  // advisory and the per-batch chunk is already bounded by blocksPerBatch.
+  override def latestOffset(startOffset: sstreaming.Offset, limit: sstreaming.ReadLimit): sstreaming.Offset =
+    latestOffset()
 
   @volatile private var lastCommitted: Option[Long] = None
 

@@ -87,6 +87,21 @@ class EvmLogsSourceSpec extends SparkSpec {
     assert(got.select("blocknumber").distinct().count() == 500)
   }
 
+  test("Trigger.AvailableNow drains the bounded backfill to `end` and terminates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("graft.sources.EvmLogsProvider")
+      .option("start", 0).option("end", 500).option("blocksPerBatch", 100)
+      .load()
+      .writeStream.outputMode("append").format("memory").queryName("evmavailnow")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // must self-terminate — that IS the assertion
+    val got = spark.table("evmavailnow")
+    val expected = (0L until 500L).map(EvmLogs.fetchBlockLogs(_).size).sum
+    assert(got.count() == expected)
+    assert(got.select("blocknumber").distinct().count() == 500)
+  }
+
   test("connector feeds the same pipeline shapes as the parquet path") {
     val agg = logs().where(col("topic") === "Transfer")
       .groupBy("address").agg(count(lit(1)).as("n"))

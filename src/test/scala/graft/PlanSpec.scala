@@ -62,6 +62,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("multi-table LSH ANN: candidate set broadcasts; the embedding table never cartesians") {
+    val p = plan("sim_lsh_ann")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ANN recall joins stay broadcast-shaped — no cartesian anywhere") {
+    val p = plan("sim_ann_recall")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("registry/price lookups broadcast the dim — the fact side never shuffles for them") {
     val pIs = plan("fn_is_contract")
     assert(pIs.contains("BroadcastHashJoin"), pIs)
