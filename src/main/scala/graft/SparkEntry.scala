@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{DedupOps, MultimodalOps, Relational, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, MultimodalOps, Relational, SamplingOps, SimilarityOps, TextOps}
 import graft.queries.ApolloQueries
 import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -24,6 +24,7 @@ object SparkEntry {
       Relational.queries ++
       DedupOps.queries ++
       SimilarityOps.queries ++
+      SamplingOps.queries ++
       TextOps.queries ++
       MultimodalOps.queries ++
       Streams.queries
@@ -35,6 +36,7 @@ object SparkEntry {
       Relational.oracles ++
       DedupOps.oracles ++
       SimilarityOps.oracles ++
+      SamplingOps.oracles ++
       TextOps.oracles ++
       MultimodalOps.oracles ++
       Streams.oracles

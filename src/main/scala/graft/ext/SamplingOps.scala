@@ -1,0 +1,89 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data curation over
+  * `documents` — the two operations every corpus pipeline runs after
+  * dedup+filtering:
+  *
+  *  - stratified sampling: exactly k docs per stratum (source), chosen by a
+  *    seeded hash order, so the sample is reproducible run-over-run and
+  *    engine-over-engine (no `rand()`, no `TABLESAMPLE` — both are
+  *    engine-specific). One shuffle by stratum; the rank is a window over
+  *    the hash order.
+  *  - train/val/test assignment: md5-bucket of the doc id → 80/10/10,
+  *    stable under corpus growth (a doc's split never changes when other
+  *    docs are added — the property that prevents train/test contamination
+  *    across dataset versions; reshuffling on resample breaks it).
+  *
+  * Both are pure column expressions (md5 on both engines) — fully
+  * distributed, no driver involvement, identical hashes in Spark and DuckDB.
+  */
+object SamplingOps {
+
+  private val Seed = "graft-sample-1"
+  private val PerStratum = 20
+
+  /** Exactly `PerStratum` docs per source, by seeded-md5 order. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("__h"), col("doc_id")) // doc_id breaks (improbable) hash ties
+    Tables.documents(spark, sfDir)
+      .withColumn("__h", md5(concat(lit(Seed + "|"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= PerStratum)
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+  }
+
+  private val stratifiedSampleSql =
+    s"""SELECT source, rk, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY source
+       |      ORDER BY md5('$Seed|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $PerStratum
+       |ORDER BY source, rk""".stripMargin
+
+  /** Stable 80/10/10 split: bucket = first two md5 hex chars mod 10;
+    * 0-7 train, 8 val, 9 test. */
+  def trainValTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (conv(substring(md5(concat(lit(Seed + "|"), col("doc_id").cast("string"))), 1, 2),
+      16, 10).cast("long") % 10)
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 8, "train").when(col("bucket") === 8, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+
+  private val trainValTestSplitSql = {
+    // first two md5 hex chars → 0..255 via strpos nibble math (no strtol in
+    // either engine's common subset), then mod 10
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH b AS (
+       |  SELECT doc_id, md5('$Seed|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |s AS (
+       |  SELECT doc_id, (16 * ${nib(1)} + ${nib(2)}) % 10 AS bucket FROM b)
+       |SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs
+       |FROM s GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (stratifiedSample _),
+    "split_train_val_test" -> (trainValTestSplit _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sample_stratified" -> stratifiedSampleSql,
+    "split_train_val_test" -> trainValTestSplitSql,
+  )
+}

@@ -86,6 +86,9 @@ object HclSchema {
           else c match {
             case '"' => inStr = true
             case '[' | '{' => depth += 1
+            // an UNMATCHED '}' closes the enclosing block (one-line blocks:
+            // `event e { outputs = [...] }`) — terminate without consuming
+            case '}' if depth == 0 => done = true
             case ']' | '}' => depth -= 1
             case '\n' if depth == 0 => done = true
             case _ => ()
@@ -352,7 +355,9 @@ object HclSchema {
         if (transforms.isEmpty) base
         else base ~ ("transforms" -> JObject(transforms.map { case (k, v) => k -> (JString(v): JValue) }.toList))
       }
-      val allEvents = globalEvents ++ contracts.flatMap(_._3)
+      // contracts declaring the same event collapse to one query-level entry
+      // (the compiler re-scopes by address via its signature batching)
+      val allEvents = (globalEvents ++ contracts.flatMap(_._3)).distinct
       val contractMethods = contracts.flatMap(_._4)
       val queryTransforms: Seq[(String, String)] = qb.blocks.collect {
         case ("transform", _, tb) => tb.attrs.map { case (k, v) => k -> sql(v) }

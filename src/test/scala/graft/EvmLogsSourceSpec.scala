@@ -102,6 +102,31 @@ class EvmLogsSourceSpec extends SparkSpec {
     assert(got.select("blocknumber").distinct().count() == 500)
   }
 
+  test("checkpointed restart resumes from committed offsets — no dups, no gaps") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("evmck").toString
+    // run 1 ingests blocks [0,300); run 2 is a RESTART against the same
+    // checkpoint with the chain tip now at 500 — it must resume from the
+    // committed offset (300), not re-ingest from initialOffset.
+    def run(end: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.EvmLogsProvider")
+        .option("start", 0).option("end", end).option("blocksPerBatch", 100)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(300)
+    run(500)
+    val got = spark.read.parquet(s"$dir/out")
+    val expected = (0L until 500L).map(EvmLogs.fetchBlockLogs(_).size).sum
+    assert(got.count() == expected) // a re-ingest would double blocks [0,300)
+    assert(got.select("blocknumber").distinct().count() == 500)
+  }
+
   test("connector feeds the same pipeline shapes as the parquet path") {
     val agg = logs().where(col("topic") === "Transfer")
       .groupBy("address").agg(count(lit(1)).as("n"))

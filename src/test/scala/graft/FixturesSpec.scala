@@ -86,6 +86,52 @@ class FixturesSpec extends SparkSpec {
     assert(df.count() == 0) // the fixture's mainnet address holds no testbed rows
   }
 
+  test("HCL with testbed signatures executes WITH ROWS and matches the Scala DSL") {
+    graft.functions.GraftFunctions.register(spark)
+    val hcl =
+      """start_time = "2024-01-05"
+        |end_time = "2024-01-25"
+        |query testbed_swaps {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = 1
+        |    event purchase { outputs = ["value"] }
+        |    transform { amount = parse_decimals(value, 2) }
+        |  }
+        |  contract {
+        |    address = 2
+        |    event purchase { outputs = ["value"] }
+        |    transform { amount = parse_decimals(value, 3) }
+        |  }
+        |  filter = [ amount != 0 ]
+        |  save {
+        |    block = blocknumber
+        |    contract = contract_address
+        |    amount = amount
+        |  }
+        |}""".stripMargin
+    val viaHcl = Compiler.compile(spark, sf, HclSchema.parse(hcl).queries.head)
+      .orderBy("block")
+    val scalaSpec = QuerySpec(
+      name = "testbed_swaps", chain = "ethereum",
+      contracts = Seq(
+        ContractSpec(1L, events = Seq(EventSpec("purchase", Seq("value"))),
+          transforms = Seq("amount" -> (col("value").cast("double") / 100.0))),
+        ContractSpec(2L, events = Seq(EventSpec("purchase", Seq("value"))),
+          transforms = Seq("amount" -> (col("value").cast("double") / 1000.0)))),
+      startTime = Some("2024-01-05"), endTime = Some("2024-01-25"),
+      filters = Seq(col("amount") =!= 0),
+      saves = Seq(
+        "block" -> col("blocknumber"),
+        "contract" -> col("contract_address"),
+        "amount" -> col("amount")))
+    val viaScala = Compiler.compile(spark, sf, scalaSpec).orderBy("block")
+    assert(viaHcl.count() > 0)
+    assert(viaHcl.count() == viaScala.count())
+    assert(viaHcl.except(viaScala).count() == 0)
+    assert(viaScala.except(viaHcl).count() == 0)
+  }
+
   test("HCL: ternary rewrite is nesting- and string-aware") {
     assert(HclSchema.rewriteTernary("a ? b : c") == "IF(a, b, c)")
     assert(HclSchema.rewriteTernary("a ? (x ? y : z) : c") == "IF(a, (IF(x, y, z)), c)")
