@@ -45,17 +45,28 @@ object Bench {
     // ratio. A clean run shows cpu_util ≈ the query's parallelism and
     // loadavg ≲ cpus; a contended run shows loadavg ≫ cpus with depressed
     // cpu_util — the polluted measurement now identifies itself.
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val mxBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // platform-extension bean (process CPU time) may be absent on exotic
+    // JVMs — lose the optional load columns, never the benchmark
+    val sunBean = mxBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def processCpuNs(): Option[Long] = sunBean.map(_.getProcessCpuTime).filter(_ >= 0)
+    def sysLoad(): Double = {
+      val l = mxBean.getSystemLoadAverage
+      if (l < 0) Double.NaN else l // -1 = unsupported → rendered as null
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): (Double, Double, Double) = {
-        val cpu0 = osBean.getProcessCpuTime // ns, this JVM (local mode = all executors)
+        val cpu0 = processCpuNs() // ns, this JVM (local mode = all executors)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        val cpuUtil = (osBean.getProcessCpuTime - cpu0) / 1e9 / wall
-        (wall, cpuUtil, osBean.getSystemLoadAverage)
+        val cpuUtil = (for (a <- cpu0; b <- processCpuNs())
+          yield (b - a) / 1e9 / wall).getOrElse(Double.NaN)
+        (wall, cpuUtil, sysLoad())
       }
       val times =
         try {

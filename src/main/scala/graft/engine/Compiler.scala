@@ -147,11 +147,7 @@ object Compiler {
     val grid = Sources.sampleGrid(spark, start, end, interval, addrDf)
     // Same method declared by several contracts shares ONE state scan with an
     // address-set predicate (as eventSource batches signatures).
-    val byMethod: Seq[(MethodSpec, Seq[Long])] = q.contracts
-      .flatMap(c => c.methods.map(m => m -> c.address))
-      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toSeq
-      .sortBy(_._1.name)
-    val attached = byMethod.foldLeft(grid) { case (df, (m, scope)) =>
+    val attached = q.contractMethodScopes.foldLeft(grid) { case (df, (m, scope)) =>
       val state = Tables.events(spark, sfDir)
         .where(col("user_id").isin(scope: _*) && col("event_type") === m.name)
       attachMethod(df, state, m, leftTime = "sample_ts", rightTime = "ts")

@@ -124,11 +124,22 @@ object DedupOps {
       .select("doc1", "doc2").distinct()
   }
 
-  private val pairsCte =
-    "pairs AS (SELECT DISTINCT doc1, doc2 FROM (" +
-      (0 until Bands).map(b =>
-        s"SELECT a.doc_id AS doc1, c.doc_id AS doc2 FROM band a JOIN band c ON a.b$b = c.b$b AND a.doc_id < c.doc_id")
-        .mkString(" UNION ALL ") + "))"
+  /** Oracle-side candidate pairs — mirrors [[candidatePairs]] INCLUDING the
+    * bucket-size cap, so the two engines stay value-identical even on a
+    * corpus where a bucket exceeds the cap (a Spark-only cap would silently
+    * diverge the moment it fires). */
+  private val pairsCte = {
+    val stack = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band_idx, b$b AS bk FROM band")
+      .mkString(" UNION ALL ")
+    s"""stk AS (SELECT doc_id, band_idx, bk,
+       |          count(*) OVER (PARTITION BY band_idx, bk) AS bsz
+       |        FROM ($stack)),
+       |kept AS (SELECT doc_id, band_idx, bk FROM stk WHERE bsz <= $MaxBucketSize),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+       |          FROM kept a JOIN kept c
+       |          ON a.band_idx = c.band_idx AND a.bk = c.bk AND a.doc_id < c.doc_id)""".stripMargin
+  }
 
   /** MinHash+LSH near-dup pairs with the signature-agreement estimate of
     * Jaccard (matches/16 — exact in binary, no float divergence). */

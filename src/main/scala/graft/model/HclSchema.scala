@@ -262,10 +262,24 @@ object HclSchema {
 
   // ---------- assembly ----------
 
-  def parse(hcl: String): SchemaSpec = JsonSchema.parse(toJson(hcl))
+  def parse(hcl: String): SchemaSpec =
+    toJsonDocs(hcl).map(JsonSchema.parse)
+      .reduceOption((a, b) => SchemaSpec(a.variables ++ b.variables, a.queries ++ b.queries))
+      .getOrElse(SchemaSpec())
 
-  /** The JSON-dialect document equivalent to `hcl` (exposed for tests). */
+  /** The JSON-dialect document equivalent to `hcl` (exposed for tests).
+    * Schemas mixing a loop block with standalone queries convert to TWO
+    * documents — use [[parse]] for those. */
   def toJson(hcl: String): String = {
+    val docs = toJsonDocs(hcl)
+    require(docs.size == 1,
+      "hcl: schema mixes loop and standalone queries — HclSchema.parse handles both")
+    docs.head
+  }
+
+  /** One JSON document per loop scope (loop queries are stamped per item;
+    * standalone queries must not be). */
+  private def toJsonDocs(hcl: String): Seq[String] = {
     import org.json4s.JsonDSL._
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -347,17 +361,23 @@ object HclSchema {
       val outputs = declaredOutputs.toSet -- native
       def sql(e: String): String = toSql(e, outputs, varNames)
 
-      val contractJson: Seq[JObject] = contracts.map { case (addr, cb, _, _) =>
+      val contractJson: Seq[JObject] = contracts.map { case (addr, cb, ownEvents, _) =>
         val transforms: Seq[(String, String)] = cb.blocks.collect {
           case ("transform", _, tb) => tb.attrs.map { case (k, v) => k -> sql(v) }
         }.flatten
-        val base: JObject = JObject("address" -> JInt(addr))
-        if (transforms.isEmpty) base
-        else base ~ ("transforms" -> JObject(transforms.map { case (k, v) => k -> (JString(v): JValue) }.toList))
+        var base: JObject = JObject("address" -> JInt(addr))
+        if (transforms.nonEmpty)
+          base = base ~ ("transforms" -> JObject(transforms.map { case (k, v) => k -> (JString(v): JValue) }.toList))
+        // contract-scoped events stay ON the contract (reference semantics:
+        // each contract declares its own events) — the JSON dialect's
+        // per-contract "events" list carries them through
+        if (ownEvents.nonEmpty) base = base ~ ("events" -> JArray(ownEvents.toList))
+        base
       }
-      // contracts declaring the same event collapse to one query-level entry
-      // (the compiler re-scopes by address via its signature batching)
-      val allEvents = (globalEvents ++ contracts.flatMap(_._3)).distinct
+      // query-level (bare) event blocks: global when no contracts declared;
+      // with contracts present they act as the default event list for
+      // contracts without their own (JsonSchema fallback semantics)
+      val allEvents = globalEvents
       val contractMethods = contracts.flatMap(_._4)
       val queryTransforms: Seq[(String, String)] = qb.blocks.collect {
         case ("transform", _, tb) => tb.attrs.map { case (k, v) => k -> sql(v) }
@@ -387,22 +407,30 @@ object HclSchema {
       q
     }
 
-    // loop { items, query ... } — one loop per document, like the reference
+    // loop { items, query ... } — ONLY the queries declared INSIDE the loop
+    // block are stamped per item (dsl/schema.go:427-442); standalone queries
+    // go to a separate loop-free document, since the JSON dialect's `loop`
+    // applies to every query in its document.
     val loopBlock = top.blocks.collectFirst { case ("loop", _, lb) => lb }
     val loopItems: Seq[String] = loopBlock.toSeq.flatMap(lb =>
       lb.attrs.collectFirst { case ("items", v) => parseArr(v).map(unquote) }.getOrElse(Nil))
-    val queryBlocks: Seq[(String, Body)] =
-      (top.blocks ++ loopBlock.map(_.blocks).getOrElse(Nil)).collect {
-        case ("query", Some(n), qb) => (n, qb)
-      }
+    val loopQueries: Seq[(String, Body)] = loopBlock.toSeq.flatMap(_.blocks).collect {
+      case ("query", Some(n), qb) => (n, qb)
+    }
+    val plainQueries: Seq[(String, Body)] = top.blocks.collect {
+      case ("query", Some(n), qb) => (n, qb)
+    }
 
-    val doc: JObject = {
+    def doc(items: Seq[String], queries: Seq[(String, Body)]): String = {
       var d: JObject = JObject()
       if (varEntries.nonEmpty)
         d = d ~ ("variables" -> JObject(varEntries.map { case (k, v) => k -> (JString(v): JValue) }.toList))
-      if (loopItems.nonEmpty) d = d ~ ("loop" -> loopItems)
-      d ~ ("queries" -> queryBlocks.map { case (n, qb) => buildQuery(n, qb) })
+      if (items.nonEmpty) d = d ~ ("loop" -> items)
+      d = d ~ ("queries" -> queries.map { case (n, qb) => buildQuery(n, qb) })
+      JsonMethods.compact(JsonMethods.render(d))
     }
-    JsonMethods.compact(JsonMethods.render(doc))
+
+    (if (loopQueries.nonEmpty) Seq(doc(loopItems, loopQueries)) else Nil) ++
+      (if (plainQueries.nonEmpty || loopQueries.isEmpty) Seq(doc(Nil, plainQueries)) else Nil)
   }
 }

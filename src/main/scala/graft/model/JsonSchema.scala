@@ -81,7 +81,7 @@ object JsonSchema {
         }
         case _ => Nil
       }
-      val events = q \ "events" match {
+      def eventList(v: JValue): Seq[EventSpec] = v match {
         case JArray(xs) => xs.map { e =>
           EventSpec(substitute(jString(e \ "signature"), item),
             e \ "outputs" match { case JArray(os) => os.map(jString); case _ => Nil },
@@ -89,29 +89,36 @@ object JsonSchema {
         }
         case _ => Nil
       }
+      val events = eventList(q \ "events")
       val contractMethods = methods(q \ "methods")
       val blockInterval = q \ "block_interval" match {
         case JInt(i) => Some(i.toLong)
         case _ => None
       }
       // Contract entries are plain addresses (int/string) or objects with
-      // contract-scoped transforms: {"address": 5, "transforms": {...}}
-      // (reference contract blocks, dsl/schema.go:276-292).
+      // contract-scoped transforms and optionally contract-scoped EVENTS:
+      // {"address": 5, "transforms": {...}, "events": [...]} (reference
+      // contract blocks, dsl/schema.go:276-292 — each contract declares its
+      // own events; absent, the query-level event list applies).
       def exprMap(v: JValue): Seq[(String, org.apache.spark.sql.Column)] = v match {
         case JObject(fs) => fs.map { case (n, e) => n -> expr(substitute(jString(e), item)) }
         case _ => Nil
       }
-      val contracts: Seq[(Long, Seq[(String, org.apache.spark.sql.Column)])] =
+      val contracts: Seq[(Long, Seq[(String, org.apache.spark.sql.Column)], Option[Seq[EventSpec]])] =
         q \ "contracts" match {
           case JArray(xs) => xs.map {
-            case JInt(a) => (a.toLong, Nil)
+            case JInt(a) => (a.toLong, Nil, None)
             case obj: JObject =>
               val addr = obj \ "address" match {
                 case JInt(a) => a.toLong
                 case other => substitute(jString(other), item).toLong
               }
-              (addr, exprMap(obj \ "transforms"))
-            case other => (substitute(jString(other), item).toLong, Nil)
+              val own = obj \ "events" match {
+                case arr: JArray => Some(eventList(arr))
+                case _ => None
+              }
+              (addr, exprMap(obj \ "transforms"), own)
+            case other => (substitute(jString(other), item).toLong, Nil, None)
           }
           case _ => Nil
         }
@@ -132,8 +139,9 @@ object JsonSchema {
         chain = str("chain").getOrElse("unknown"),
         contracts =
           if (contracts.isEmpty) Nil
-          else contracts.map { case (a, ct) =>
-            ContractSpec(a, events = events, methods = contractMethods, transforms = ct)
+          else contracts.map { case (a, ct, own) =>
+            ContractSpec(a, events = own.getOrElse(events),
+              methods = contractMethods, transforms = ct)
           },
         globalEvents = if (contracts.isEmpty) events else Nil,
         startTime = str("start_time"),

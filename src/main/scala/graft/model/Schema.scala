@@ -76,6 +76,16 @@ final case class QuerySpec(
   def hasEvents: Boolean =
     globalEvents.nonEmpty || contracts.exists(_.events.nonEmpty)
 
+  /** Distinct contract-level methods with their declaring-address scopes —
+    * the single source of truth for S5/S6 method grouping (a method declared
+    * by several contracts shares ONE state scan over the address set), used
+    * by both the batch grid compiler and the realtime poller so their
+    * semantics cannot drift apart. */
+  def contractMethodScopes: Seq[(MethodSpec, Seq[Long])] =
+    contracts.flatMap(c => c.methods.map(m => m -> c.address))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toSeq
+      .sortBy(_._1.name)
+
   /** Validation parity with reference DynamicSchema.Validate
     * (dsl/schema.go:213-250): realtime method queries need an interval;
     * historical method queries need an interval when a range is set;

@@ -194,28 +194,30 @@ class EvmLogsMicroBatchStream(
   // exactly-once regardless of tip state.
   @volatile private var tip: Long = start
 
-  // Trigger.AvailableNow contract: after prepare, latestOffset must return a
-  // FIXED target (everything available now) so the query drains to it and
-  // terminates — for a bounded backfill that target is `end`. Without this,
-  // the engine's generic wrapper would freeze whatever the advancing tip
-  // happened to return first and stop after one blocksPerBatch chunk.
-  @volatile private var availableNowTarget: Option[Long] = None
+  // Trigger.AvailableNow contract: the prepared target is everything
+  // available now — for a bounded backfill, `end`. The engine keeps planning
+  // micro-batches until latestOffset stops advancing, so the tip STILL moves
+  // by blocksPerBatch per call (admission control holds — a million-block
+  // backfill is many bounded batches, not one giant one) and simply stops at
+  // the prepared target. Without implementing this interface, the generic
+  // wrapper freezes the FIRST latestOffset() answer (start + one chunk) as
+  // the terminal target and the run stops after one batch.
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(end)
-
-  override def latestOffset(): sstreaming.Offset = availableNowTarget match {
-    case Some(target) => BlockOffset(target)
-    case None =>
-      tip = math.min(end, tip + blocksPerBatch)
-      BlockOffset(tip)
+  override def latestOffset(): sstreaming.Offset = {
+    tip = math.min(end, tip + blocksPerBatch)
+    BlockOffset(tip)
   }
 
-  // SupportsAdmissionControl form (the engine calls this one when the
-  // source advertises admission control): same tip logic; the ReadLimit is
-  // advisory and the per-batch chunk is already bounded by blocksPerBatch.
-  override def latestOffset(startOffset: sstreaming.Offset, limit: sstreaming.ReadLimit): sstreaming.Offset =
+  // SupportsAdmissionControl form — the one the engine actually calls when
+  // the source advertises admission control. `startOffset` is the engine's
+  // committed position: on a RESTART it is ahead of this instance's fresh
+  // tip, and advancing from the smaller local tip would hand the engine a
+  // regressed offset and re-ingest already-committed blocks. Clamp up first.
+  override def latestOffset(startOffset: sstreaming.Offset, limit: sstreaming.ReadLimit): sstreaming.Offset = {
+    tip = math.max(tip, startOffset.asInstanceOf[BlockOffset].block)
     latestOffset()
+  }
 
   @volatile private var lastCommitted: Option[Long] = None
 

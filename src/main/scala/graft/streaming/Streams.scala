@@ -183,16 +183,6 @@ object Streams {
         })
   }
 
-  /** S3/S4/S6 driver-checkable correctness: run the REAL streaming engine
-    * (file source → event-time windowed aggregation → memory sink) to
-    * completion on the bounded events table with Trigger.AvailableNow, then
-    * hand the materialized result to the batch oracle compare. Proves
-    * stream ≡ batch on the same input — the unified-model claim the
-    * reference can't make (its realtime mode stamps arrival wall-clock,
-    * events.go:308-311). Sum goes through exact decimals so the result is
-    * deterministic under any micro-batch partitioning, per the same output
-    * discipline as [[graft.ext.Relational]].
-    */
   /** Run a streaming DataFrame to completion on the currently-available data
     * (Trigger.AvailableNow) into a named memory sink and return the
     * materialized table. The bounded-run harness for parity oracles; a live
@@ -206,6 +196,16 @@ object Streams {
     df.sparkSession.table(name)
   }
 
+  /** S3/S4/S6 driver-checkable correctness: run the REAL streaming engine
+    * (file source → event-time windowed aggregation → memory sink) to
+    * completion on the bounded events table with Trigger.AvailableNow, then
+    * hand the materialized result to the batch oracle compare. Proves
+    * stream ≡ batch on the same input — the unified-model claim the
+    * reference can't make (its realtime mode stamps arrival wall-clock,
+    * events.go:308-311). Sum goes through exact decimals so the result is
+    * deterministic under any micro-batch partitioning, per the same output
+    * discipline as [[graft.ext.Relational]].
+    */
   def streamBatchParity(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = eventStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
@@ -303,18 +303,37 @@ object Streams {
         s"query ${q.name}: realtime method ${m.name} outputs $bad unsupported (use $supported)")
     }
 
+    // Output columns are keyed "{method}_{output}" and state matches by
+    // method name — same collision rule as the batch compiler.
+    val dupNames = byMethod.groupBy(_._1.name).collect { case (n, ms) if ms.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"query ${q.name}: method '${dupNames.headOption.getOrElse("")}' declared twice " +
+        "with different outputs/blockOffset")
+
     // probe membership: global signatures match any contract; contract
     // signatures match their declaring addresses
     val globalSigs: Set[String] = q.globalEvents.map(_.signature).toSet
     val contractSigAddrs: Map[String, Set[Long]] = q.contracts
       .flatMap(c => c.events.map(e => e.signature -> c.address))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val stateSigs: Set[String] = byMethod.map(_._1.name).toSet
-    val allSigs = (globalSigs ++ contractSigAddrs.keySet ++ stateSigs).toSeq.sorted
 
-    val base = Sources.timeBound(
-      eventStream(spark, sfDir).where(col("event_type").isin(allSigs: _*)),
-      q.startTime, q.endTime)
+    // Probes carry the query's TIME BOUNDS; state does NOT (the batch path
+    // reads state from the unbounded table — a probe just inside the range
+    // must still see state from before it). A row matching both roles flows
+    // twice, once per role, exactly like the batch union formulation.
+    val ev = eventStream(spark, sfDir)
+    val probePreds =
+      (if (globalSigs.nonEmpty) Seq(col("event_type").isin(globalSigs.toSeq.sorted: _*)) else Nil) ++
+        contractSigAddrs.toSeq.sortBy(_._1).map { case (sig, addrs) =>
+          col("event_type") === sig && col("user_id").isin(addrs.toSeq.sorted: _*)
+        }
+    val statePreds = byMethod.map { case (m, scope, _) =>
+      scope.fold(col("event_type") === m.name)(a =>
+        col("event_type") === m.name && col("user_id").isin(a.toSeq.sorted: _*))
+    }
+    val base = Sources.timeBound(ev.where(probePreds.reduce(_ || _)), q.startTime, q.endTime)
+      .withColumn("__role", lit(1))
+      .unionByName(ev.where(statePreds.reduce(_ || _)).withColumn("__role", lit(0)))
 
     def outType(o: String): DataType = o match {
       case "event_id" => LongType
@@ -339,36 +358,36 @@ object Streams {
     val methods = byMethod.toArray
     base
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
-        col("value"), col("props"))
+        col("value"), col("props"), col("__role"))
       .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[Row], state: GroupState[Array[Option[(Long, Double, String)]]]) => {
           val buf = new scala.collection.mutable.ArrayBuffer[
-            (java.sql.Timestamp, Long, String, Double, String)]()
+            (java.sql.Timestamp, Long, Int, String, Double, String)]()
           rows.foreach { r =>
             require(buf.size < maxBufferedPerKey,
               s"eventMethodsStream: key $user exceeded $maxBufferedPerKey buffered rows in one " +
                 "micro-batch — shrink the trigger interval or raise maxBufferedPerKey")
             buf += ((r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
-              r.getAs[String]("event_type"), r.getAs[Double]("value"), r.getAs[String]("props")))
+              r.getAs[Int]("__role"), r.getAs[String]("event_type"),
+              r.getAs[Double]("value"), r.getAs[String]("props")))
           }
-          val ordered = buf.sortInPlaceBy(t => (t._1.getTime, t._2))
+          // role 0 (state) before role 1 (probe) at the same instant: a
+          // state event at block b is visible to a probe at the same block
+          // (the batch tie-break, side=0 sorts first)
+          val ordered = buf.sortInPlaceBy(t => (t._1.getTime, t._2, t._3))
           val st = state.getOption.getOrElse(Array.fill(methods.length)(
             None: Option[(Long, Double, String)]))
           val out = Seq.newBuilder[Row]
-          ordered.foreach { case (ts, block, sig, v, props) =>
-            // state update FIRST: a state event at block b is visible to a
-            // probe at the same block (batch tie-break side=0 sorts first)
-            var i = 0
-            while (i < methods.length) {
-              val (m, scope, _) = methods(i)
-              if (sig == m.name && scope.forall(_.contains(user)))
-                st(i) = Some((block, v, props))
-              i += 1
-            }
-            val isProbe = globalSigs.contains(sig) ||
-              contractSigAddrs.get(sig).exists(_.contains(user))
-            if (isProbe) {
+          ordered.foreach { case (ts, block, role, sig, v, props) =>
+            if (role == 0) {
+              // state rows are pre-filtered to (method name, scope)
+              var i = 0
+              while (i < methods.length) {
+                if (sig == methods(i)._1.name) st(i) = Some((block, v, props))
+                i += 1
+              }
+            } else {
               val extra = methods.zipWithIndex.flatMap { case ((m, scope, sigs), idx) =>
                 val cur =
                   if (sigs.contains(sig) && scope.forall(_.contains(user))) st(idx)
@@ -426,11 +445,7 @@ object Streams {
     val addrs = q.contracts.map(_.address).distinct.sorted
     val addrDf = spark.createDataFrame(addrs.map(Tuple1(_))).toDF("user_id")
     val grid = Sources.sampleGrid(spark, start, end, interval, addrDf)
-    val byMethod: Seq[(MethodSpec, Seq[Long])] = q.contracts
-      .flatMap(c => c.methods.map(m => m -> c.address))
-      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toSeq
-      .sortBy(_._1.name)
-    val attached = byMethod.foldLeft(grid) { case (df, (m, scope)) =>
+    val attached = q.contractMethodScopes.foldLeft(grid) { case (df, (m, scope)) =>
       // visible tick index: ceil((ts - start) / interval) in µs-exact integer
       // arithmetic, clamped to 0 (pre-start state is visible at the first
       // sample); events past the last tick are never sampled — drop them.

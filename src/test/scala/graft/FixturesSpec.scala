@@ -132,6 +132,61 @@ class FixturesSpec extends SparkSpec {
     assert(viaScala.except(viaHcl).count() == 0)
   }
 
+  test("HCL: contract-scoped events stay scoped to their contract") {
+    graft.functions.GraftFunctions.register(spark)
+    val hcl =
+      """query scoped_events {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = 1
+        |    event purchase { outputs = ["value"] }
+        |  }
+        |  contract {
+        |    address = 2
+        |    event click { outputs = ["value"] }
+        |  }
+        |  save {
+        |    block = blocknumber
+        |    contract = contract_address
+        |    sig = event_type
+        |  }
+        |}""".stripMargin
+    val q = HclSchema.parse(hcl).queries.head
+    assert(q.contracts.map(c => c.address -> c.events.map(_.signature)) ==
+      Seq(1L -> Seq("purchase"), 2L -> Seq("click")))
+    val got = Compiler.compile(spark, sf, q)
+    // ONLY purchase@1 and click@2 rows — the cross pairs must not leak in
+    val ev = Tables.events(spark, sf)
+    val expected =
+      ev.where(col("user_id") === 1 && col("event_type") === "purchase").count() +
+        ev.where(col("user_id") === 2 && col("event_type") === "click").count()
+    assert(got.count() == expected && expected > 0)
+    assert(got.where(col("contract") === 1 && col("sig") === "click").count() == 0)
+    assert(got.where(col("contract") === 2 && col("sig") === "purchase").count() == 0)
+  }
+
+  test("HCL: a loop block does not stamp standalone queries") {
+    val hcl =
+      """loop {
+        |  items = ["ethereum", "arbitrum"]
+        |  query looped {
+        |    chain = item
+        |    event view { outputs = ["value"] }
+        |    save { block = blocknumber }
+        |  }
+        |}
+        |query standalone {
+        |  chain = "ethereum"
+        |  event signup { outputs = ["value"] }
+        |  save { block = blocknumber }
+        |}""".stripMargin
+    val schema = HclSchema.parse(hcl)
+    assert(schema.queries.map(_.name).sorted == Seq("0-looped", "1-looped", "standalone"))
+    assert(schema.queries.find(_.name == "standalone").get.chain == "ethereum")
+    // toJson refuses ambiguity loudly for mixed schemas
+    intercept[IllegalArgumentException](HclSchema.toJson(hcl))
+  }
+
   test("HCL: ternary rewrite is nesting- and string-aware") {
     assert(HclSchema.rewriteTernary("a ? b : c") == "IF(a, b, c)")
     assert(HclSchema.rewriteTernary("a ? (x ? y : z) : c") == "IF(a, (IF(x, y, z)), c)")

@@ -140,6 +140,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(rt).count() == 0)
   }
 
+  test("Mode.Realtime event methods: time bounds apply to probes, NOT state (batch parity)") {
+    // the probe window starts mid-data — clicks BEFORE the window must still
+    // enrich the first in-window purchase, exactly like the batch path whose
+    // state scan is unbounded
+    def spec(mode: graft.model.Mode) = graft.model.QuerySpec(
+      name = s"bounded_$mode", chain = "ethereum",
+      contracts = (0L until 10L).map(a =>
+        graft.model.ContractSpec(a, events = Seq(graft.model.EventSpec(
+          "purchase", Seq("value"),
+          methods = Seq(graft.model.MethodSpec("click", Seq("value"))))))),
+      startTime = Some("2024-01-15"), endTime = Some("2024-01-25"),
+      mode = mode,
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "contract" -> col("user_id"),
+        "value" -> col("value"),
+        "click_value" -> col("click_value")))
+    val rtStream = graft.engine.Compiler.compile(spark, sf, spec(graft.model.Mode.Realtime))
+    val rt = Streams.runToTable(rtStream, "s7_rt_bounded").orderBy("blocknumber")
+    val batch = graft.engine.Compiler.compile(spark, sf, spec(graft.model.Mode.Historical))
+      .orderBy("blocknumber")
+    assert(rt.count() == batch.count() && batch.count() > 0)
+    // pre-window state must be visible: at least one in-window purchase is
+    // enriched by a click outside (before) the window
+    assert(batch.where(col("click_value").isNotNull).count() > 0)
+    assert(rt.except(batch).count() == 0)
+    assert(batch.except(rt).count() == 0)
+  }
+
   test("method poller is a valid unbounded plan (S6)") {
     val state = Tables.events(spark, sf).groupBy("user_id").agg(max("value").as("value"))
     val df = Streams.methodPoller(spark, Seq(1L, 2L), state)
