@@ -78,6 +78,51 @@ object ApolloQueries {
        |  AND json_extract_string(props, '$$.k') IS NOT NULL
        |ORDER BY blocknumber""".stripMargin
 
+  /** The HCL schema surface under the DRIVER's gate: a reference-dialect
+    * .hcl document (contract blocks with scoped events + transforms, filter
+    * list, save block) parses through [[graft.model.HclSchema]], compiles,
+    * and must hash-match a plain-SQL oracle — proving the whole
+    * HCL → JSON → QuerySpec → Catalyst chain end-to-end, not just in unit
+    * tests. */
+  def hclScopedSwaps(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val hcl =
+      """start_time = "2024-01-05"
+        |end_time = "2024-01-25"
+        |query hcl_swaps {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = 1
+        |    event purchase { outputs = ["value"] }
+        |    transform { amount = parse_decimals(value, 2) }
+        |  }
+        |  contract {
+        |    address = 2
+        |    event purchase { outputs = ["value"] }
+        |    transform { amount = parse_decimals(value, 3) }
+        |  }
+        |  filter = [ amount != 0 ]
+        |  save {
+        |    block = blocknumber
+        |    contract = contract_address
+        |    direction = amount > 1 ? "big" : "small"
+        |    amount = amount
+        |  }
+        |}""".stripMargin
+    Compiler.compile(spark, sfDir, HclSchema.parse(hcl).queries.head).orderBy("block")
+  }
+
+  private val hclScopedSwapsSql =
+    """SELECT event_id AS block, user_id AS contract,
+      |  CASE WHEN value / CASE WHEN user_id = 1 THEN 100.0 ELSE 1000.0 END > 1
+      |       THEN 'big' ELSE 'small' END AS direction,
+      |  value / CASE WHEN user_id = 1 THEN 100.0 ELSE 1000.0 END AS amount
+      |FROM events
+      |WHERE event_type = 'purchase' AND user_id IN (1, 2)
+      |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+      |  AND value / CASE WHEN user_id = 1 THEN 100.0 ELSE 1000.0 END <> 0
+      |ORDER BY block""".stripMargin
+
   /** S2 — global event scan: signature-only predicate, no address filter. */
   def globalScan(spark: SparkSession, sfDir: String): DataFrame =
     Sources.globalEvents(spark, sfDir, "signup")
@@ -674,6 +719,7 @@ object ApolloQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "apollo_flagship_swaps" -> (flagship _),
+    "hcl_scoped_swaps" -> (hclScopedSwaps _),
     "s3_compiled_stream_parity" -> (compiledStreamParity _),
     "s6_method_poller" -> (methodPollerRealtime _),
     "s2_global_event_scan" -> (globalScan _),
@@ -698,6 +744,7 @@ object ApolloQueries {
 
   val oracles: Map[String, String] = Map(
     "apollo_flagship_swaps" -> flagshipSql,
+    "hcl_scoped_swaps" -> hclScopedSwapsSql,
     "s3_compiled_stream_parity" -> flagshipSql,
     "s6_method_poller" -> methodGridCompiledSql,
     "s2_global_event_scan" -> globalScanSql,
