@@ -568,7 +568,11 @@ object ApolloQueries {
     */
   def abiDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Evm
-    val ev = Tables.events(spark, sfDir)
+    // The test parquet arrives as ONE split and the decode is
+    // BigInteger-bound, so spread rows across cores before the kernels (a
+    // real multi-split source parallelizes with the scan and doesn't need
+    // this — same note as DedupOps.docShingles).
+    val ev = Tables.events(spark, sfDir).repartition(col("event_id"))
     val wUint = lpad(lower(hex(col("event_id"))), 64, "0")
     val wAddr = lpad(lower(hex(col("user_id"))), 64, "0")
     val wShort = lower(hex(col("event_id") % 256)) // unpadded → left-pad path
