@@ -146,8 +146,14 @@ object Relational {
   /** Running-sum window (exact decimal accumulation — deterministic under
     * any partitioning). */
   def winRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    // l_quantity joins the tiebreak: the synthetic lineitem carries duplicate
+    // (orderkey, linenumber) pairs (found at sf0.1 — suppkey 707 has two
+    // 45185/7 rows), and without it the two engines accumulate the tied rows
+    // in different orders, differing on ONE intermediate run_qty. Rows tied
+    // on all four columns are interchangeable (same addend ⇒ same prefix
+    // sums), so this order is value-deterministic.
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, sfDir)
       .withColumn("run_qty", decOut(sum(dec(col("l_quantity"))).over(w)))
@@ -158,7 +164,7 @@ object Relational {
   private val winRunningSumSql =
     """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
       |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) OVER (
-      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE) AS run_qty
       |FROM lineitem
       |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
@@ -285,7 +291,11 @@ object Relational {
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      // rsd = 1%: the default 5% rsd is a STANDARD deviation, so individual
+      // estimates land outside a 5% bound routinely (caught at sf0.1 where
+      // 1500 distinct users drifted 6-8%); at 1% rsd the 5% gate is ~5σ —
+      // deterministic-in-practice while still exercising the sketch path
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users").cast("double") - col("exact_users").cast("double")) /
