@@ -58,9 +58,14 @@ object Compiler {
     val hasEventMethods = q.contracts.exists(_.events.exists(_.methods.nonEmpty)) ||
       q.globalEvents.exists(_.methods.nonEmpty)
     if (q.hasMethods) {
-      // S6 — realtime method poller: streaming pre-aggregation to tick
-      // granularity, then the tiny grid finalization (Streams.methodGridRealtime).
-      pipeline(q, graft.streaming.Streams.methodGridRealtime(spark, sfDir, q))
+      // S6 — realtime method poller. Bounded (end_time declared): streaming
+      // pre-aggregation to tick granularity + grid finalization, eager.
+      // Unbounded (no end_time): the reference's open-ended ticker — an
+      // unstarted streaming frame polling current state per tick.
+      if (q.endTime.isEmpty)
+        pipeline(q, graft.streaming.Streams.methodPollerUnbounded(spark, sfDir, q))
+      else
+        pipeline(q, graft.streaming.Streams.methodGridRealtime(spark, sfDir, q))
     } else if (hasEventMethods) {
       // realtime S7 — event-triggered methods as streaming state (offset 0,
       // the reference's subscription-mode call-at-that-block semantics).

@@ -248,6 +248,39 @@ object Streams {
       .join(broadcast(state), Seq("user_id"), "left")
   }
 
+  /** S6 UNBOUNDED through the declarative surface — a `Mode.Realtime` method
+    * query WITHOUT `end_time` compiles here: the reference's open-ended
+    * ticker (chainservice.go:173-179 runs until the process stops). Each
+    * tick fans out to the declared contracts and reads each method's current
+    * state snapshot via a per-micro-batch broadcast join ("call at latest").
+    * Returns an UNSTARTED streaming frame — start it with `writeStream`; no
+    * oracle entry because an unbounded poll has no finite ground truth (the
+    * bounded twin [[methodGridRealtime]] carries the oracle). */
+  def methodPollerUnbounded(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
+    require(!q.hasEvents, s"query ${q.name}: a query declares methods or events, not both")
+    val interval = q.blockInterval.get // validated by QuerySpec.validate
+    val addrs = q.contracts.map(_.address).distinct.sorted
+    val addrDf = spark.createDataFrame(addrs.map(Tuple1(_))).toDF("user_id")
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", 1)
+      .load()
+      .where(col("value") % interval === 0) // one tick per declared interval
+      .select(col("timestamp").as("sample_ts"))
+    val fanned = ticks.join(broadcast(addrDf))
+      .withColumn("timestamp", unix_timestamp(col("sample_ts")))
+    q.contractMethodScopes.foldLeft(fanned) { case (df, (m, scope)) =>
+      // current state = latest row per contract for this method ("latest"
+      // block in the reference's eth_call), deterministic via max_by
+      val snapAggs = m.outputs.map(o =>
+        max_by(col(o), struct(col("ts"), col("event_id"))).as(s"${m.name}_$o"))
+      val snap = graft.Tables.events(spark, sfDir)
+        .where(col("user_id").isin(scope: _*) && col("event_type") === m.name)
+        .groupBy("user_id")
+        .agg(snapAggs.head, snapAggs.tail: _*)
+      df.join(broadcast(snap), Seq("user_id"), "left")
+    }
+  }
+
   /** Realtime S7 through the declarative surface — event-triggered method
     * calls as streaming state, compiled from a QuerySpec by
     * [[graft.engine.Compiler]] when `mode = Realtime` and events declare

@@ -169,6 +169,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(rt).count() == 0)
   }
 
+  test("Mode.Realtime method query WITHOUT end_time compiles to the unbounded poller stream") {
+    val spec = graft.model.QuerySpec(
+      name = "open_poll", chain = "ethereum", mode = graft.model.Mode.Realtime,
+      contracts = (0L until 5L).map(a =>
+        graft.model.ContractSpec(a, methods = Seq(
+          graft.model.MethodSpec("purchase", Seq("value", "event_id"))))),
+      blockInterval = Some(5L),
+      saves = Seq(
+        "sample_ts" -> col("sample_ts"),
+        "contract" -> col("user_id"),
+        "last_value" -> col("purchase_value"),
+        "last_block" -> col("purchase_event_id")))
+    val df = graft.engine.Compiler.compile(spark, sf, spec)
+    assert(df.isStreaming, "open-ended realtime poll must be a streaming frame")
+    assert(df.columns.toSeq == Seq("sample_ts", "contract", "last_value", "last_block"))
+  }
+
   test("method poller is a valid unbounded plan (S6)") {
     val state = Tables.events(spark, sf).groupBy("user_id").agg(max("value").as("value"))
     val df = Streams.methodPoller(spark, Seq(1L, 2L), state)
