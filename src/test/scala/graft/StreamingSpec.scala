@@ -103,6 +103,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() < Tables.documents(spark, sf).count())
   }
 
+  test("stateful as-of enrichment carries state across REAL micro-batches") {
+    import java.nio.file.{Files, Paths}
+    // split the events table into 3 TIME-ORDERED files and stream them one
+    // file per trigger — 3 micro-batches, so clicks in batch 1 must enrich
+    // purchases arriving in batches 2-3 purely via GroupState carry-forward
+    val dir = Files.createTempDirectory("asof_mb").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables.table(spark, sf, "events") // ts stays LongType nanos
+    val maxId = raw.agg(max("event_id")).head().getLong(0)
+    val cuts = Seq(0L, maxId / 3, 2 * maxId / 3, maxId + 1)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val tmp = s"$dir/stage$i"
+      raw.where(col("event_id") >= lo && col("event_id") < hi)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(s"$dir/f$i.parquet")
+      Files.move(part.toPath, dst)
+      // file source processes oldest-mtime first — pin strictly increasing
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val base = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = runToMemory(Streams.asOfEnrichStream(base), "asof_mb")
+      .select("blocknumber", "user_id", "value", "last_click")
+    val batch = graft.queries.ApolloQueries.eventAsOfEnrich(spark, sf)
+      .select("blocknumber", "user_id", "value", "last_click")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("Mode.Realtime event query compiles to a streaming plan matching batch (S3 via Compiler)") {
     val rt = graft.queries.ApolloQueries.compiledStreamParity(spark, sf)
     val batch = graft.queries.ApolloQueries.flagship(spark, sf)
