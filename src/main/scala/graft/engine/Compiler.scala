@@ -32,9 +32,12 @@ object Compiler {
     *    streaming source (reference subscription mode, events.go:221-320).
     *    Event queries return an unstarted STREAMING DataFrame (start it with
     *    `writeStream`, or [[graft.streaming.Streams.runToTable]] for a
-    *    bounded Trigger.AvailableNow run); realtime method queries execute
-    *    the bounded poll to `endTime` eagerly — the reference's ticker loop
-    *    (chainservice.go:173-179) — and return the materialized grid.
+    *    bounded Trigger.AvailableNow run). Realtime method queries split on
+    *    `endTime`: WITH an end, the bounded poll executes eagerly to
+    *    `endTime` — the reference's ticker loop (chainservice.go:173-179) —
+    *    returning the materialized grid; WITHOUT one, the open-ended live
+    *    poller returns as an unstarted streaming frame
+    *    ([[graft.streaming.Streams.methodPollerUnbounded]]).
     */
   def compile(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
     q.validate()

@@ -158,7 +158,9 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .withColumn("run_qty", decOut(sum(dec(col("l_quantity"))).over(w)))
       .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
-      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      // run_qty completes the total order: duplicate-PK rows tie on the
+      // first four keys but carry distinct prefix sums
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "run_qty")
   }
 
   private val winRunningSumSql =
@@ -167,7 +169,7 @@ object Relational {
       |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE) AS run_qty
       |FROM lineitem
-      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, run_qty""".stripMargin
 
   /** Tumbling event-time windows (the streaming-unified batch form —
     * identical groupBy works under readStream + watermark, see

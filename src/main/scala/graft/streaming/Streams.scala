@@ -258,6 +258,13 @@ object Streams {
     * bounded twin [[methodGridRealtime]] carries the oracle). */
   def methodPollerUnbounded(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
     require(!q.hasEvents, s"query ${q.name}: a query declares methods or events, not both")
+    // A live poller ticks from NOW — it cannot backfill a declared start.
+    // Silently dropping start_time would hand the user live ticks where they
+    // expected a range; route ranged polls to the bounded grid instead.
+    require(q.startTime.isEmpty,
+      s"query ${q.name}: start_time with no end_time — a live poller cannot backfill; " +
+        "declare end_time for the bounded historical grid (Mode.Realtime + end_time), " +
+        "or drop start_time for an open-ended live poll")
     val interval = q.blockInterval.get // validated by QuerySpec.validate
     val addrs = q.contracts.map(_.address).distinct.sorted
     val addrDf = spark.createDataFrame(addrs.map(Tuple1(_))).toDF("user_id")

@@ -123,6 +123,12 @@ class StreamingSpec extends SparkSpec {
       // file source processes oldest-mtime first — pin strictly increasing
       dst.toFile.setLastModified(1700000000000L + i * 60000L)
     }
+    // precondition the split relies on: event_id ranges ARE time ranges
+    // (event_id monotone in ts) — assert it rather than assume it of the
+    // synthetic generator
+    val fileMaxTs = (0 until 3).map(i =>
+      spark.read.parquet(s"$dir/f$i.parquet").agg(max("ts")).head().getLong(0))
+    assert(fileMaxTs == fileMaxTs.sorted, s"files not time-ordered: $fileMaxTs")
     val base = spark.readStream.schema(Streams.eventSchema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet")
@@ -133,8 +139,10 @@ class StreamingSpec extends SparkSpec {
     val batch = graft.queries.ApolloQueries.eventAsOfEnrich(spark, sf)
       .select("blocknumber", "user_id", "value", "last_click")
     assert(streamed.count() == batch.count() && batch.count() > 0)
-    assert(streamed.except(batch).count() == 0)
-    assert(batch.except(streamed).count() == 0)
+    // exceptAll: MULTISET difference — set-based except would miss a bug
+    // that duplicates one identical row while dropping another
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
   }
 
   test("Mode.Realtime event query compiles to a streaming plan matching batch (S3 via Compiler)") {
