@@ -184,7 +184,85 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher-style within-doc repetition signals (the quality-filter family
+    * that drops looping/degenerate generations): fraction of duplicated
+    * 3-grams and the most-frequent-token share, both as single-scan per-row
+    * expressions — the distinct/count work happens inside the row's own
+    * arrays, so the operator is shuffle-free at any corpus size (the
+    * per-row cost is O(tokens²) worst case on the top-token count, bounded
+    * by document length, not corpus size). */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val tg = "transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("tg", expr(tg))
+      .withColumn("dup_trigram_frac",
+        when(expr("size(tg)") > 0,
+          (expr("size(tg)") - expr("size(array_distinct(tg))")).cast("double") /
+            expr("size(tg)").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("top_token_frac",
+        when(expr("size(toks)") > 0,
+          expr("array_max(transform(array_distinct(toks), w -> size(filter(toks, x -> x = w))))")
+            .cast("double") / expr("size(toks)").cast("double"))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "dup_trigram_frac", "top_token_frac")
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, toks,
+       |        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+       |      FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN len(tg) > 0
+       |       THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)
+       |       ELSE 0.0 END AS dup_trigram_frac,
+       |  CASE WHEN len(toks) > 0
+       |       THEN CAST(list_max(list_transform(list_distinct(toks),
+       |              w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+       |            / CAST(len(toks) AS DOUBLE)
+       |       ELSE 0.0 END AS top_token_frac
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Cross-corpus boilerplate detection (the C4-style "same span in many
+    * documents" signal that feeds span removal): distinct 5-grams per doc,
+    * counted across the corpus, reported when shared by ≥ 2 docs
+    * (any cross-document 5-gram repeat — on this corpus these are exactly
+    * the near-dup families' shared spans). ONE
+    * shuffle keyed on the n-gram with map-side partial counts — at 100 TB
+    * this is the plan shape of every shared-span dedup; the report is tiny
+    * (only over-threshold n-grams survive the HAVING). */
+  def boilerplateNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val fg = "array_distinct(transform(sequence(1, greatest(size(toks) - 4, 0)), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2), " +
+      "element_at(toks, i + 3), element_at(toks, i + 4))))"
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(fg)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_docs")) // distinct per doc ⇒ count = doc count
+      .where(col("n_docs") >= 2)
+      .orderBy("ngram")
+  }
+
+  private val boilerplateNgramsSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        range(1, greatest(len(toks) - 4, 0) + 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |             toks[i+3] || ' ' || toks[i+4]))) AS ngram
+       |      FROM t)
+       |SELECT ngram, count(*) AS n_docs
+       |FROM g GROUP BY ngram HAVING count(*) >= 2
+       |ORDER BY ngram""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
+    "text_boilerplate_ngrams" -> (boilerplateNgrams _),
     "text_langid" -> (langId _),
     "text_quality_score" -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
@@ -193,6 +271,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" -> repetitionSql,
+    "text_boilerplate_ngrams" -> boilerplateNgramsSql,
     "text_langid" -> langIdSql,
     "text_quality_score" -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
