@@ -72,6 +72,84 @@ object Enrich {
       .select((leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c"))): _*)
   }
 
+  /** Skew-safe as-of join: [[asOfJoin]] semantics, with each key's timeline
+    * SPLIT into `slices` time ranges so a hot key's per-key sort spreads
+    * over `slices` partitions instead of landing on one reducer — the
+    * documented residual risk of the plain union formulation ("skewed keys
+    * sort within a single partition"), now closed the same way
+    * [[graft.ext.Relational]] salts hot aggregation keys.
+    *
+    * Plan shape: ONE shuffle of probes+state keyed (key, slice) with a
+    * window per slice (the local prefix state), plus a per-(key, slice)
+    * carry-in — the last state of every EARLIER slice — computed from a
+    * tiny keys×slices aggregate and joined back co-partitioned. Correctness:
+    * as-of(t) = the slice-local running last, or where the slice has no
+    * state yet, the carry-in from previous slices; rows tied on (t, side,
+    * tie) order identically to the plain form.
+    *
+    * `boundaries` are the slice split points, LITERALS in the time columns'
+    * own domain (java.sql.Timestamp for timestamp columns, Long for block
+    * heights), ascending — use equi-depth quantiles of the PROBE times so a
+    * time-skewed hot key also splits evenly; they are plan-time constants,
+    * so slicing is a codegen'd when-chain, not a join.
+    */
+  def asOfJoinSliced(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      tieBreaker: String,
+      valueCols: Seq[String],
+      boundaries: Seq[Any], // ascending; slice i = (-inf..b0], (b0..b1], ...
+  ): DataFrame = {
+    require(boundaries.nonEmpty, "asOfJoinSliced: at least one slice boundary required")
+    val leftCols = left.columns.toSeq
+    def sliceOf(t: Column): Column =
+      boundaries.map(b => when(t > lit(b), 1).otherwise(0)).reduce(_ + _)
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+    val r = right
+      .select((Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+        col(tieBreaker).cast("long").as("__tie")) ++
+        valueCols.map(c => col(c).as(s"__v_$c"))): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__slice", sliceOf(col("__t")))
+    // slice-local prefix state: window over (key, slice) — a hot key's rows
+    // spread across `slices` window partitions
+    val wLocal = Window.partitionBy(col(key), col("__slice"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__loc_$c", last(col(s"__v_$c"), ignoreNulls = true).over(wLocal))
+    }
+    // carry-in: last state row per (key, slice), carried over the ORDERED
+    // slices per key shifted one slice forward. The carry domain must be
+    // EVERY (key, slice) the union observes — a slice holding probes but no
+    // state still needs the earlier slices' carry (left join from the
+    // distinct domain; only state-bearing slices carry a __last).
+    val lastPerSlice = r.withColumn("__slice", sliceOf(col("__t")))
+      .groupBy(col(key), col("__slice"))
+      .agg(max_by(struct(valueCols.map(c => col(s"__v_$c")): _*),
+        struct(col("__t"), col("__tie"))).as("__last"))
+    val sliceDomain = unioned.select(col(key), col("__slice")).distinct()
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = sliceDomain.join(lastPerSlice, Seq(key, "__slice"), "left")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
+      .select(col(key), col("__slice"), col("__carry"))
+    val joined = local.join(carry, Seq(key, "__slice"), "left")
+    val resolved = valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        coalesce(col(s"__loc_$c"), col("__carry").getField(s"__v_$c")))
+    }
+    resolved
+      .where(col("__side") === 1)
+      .select((leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c"))): _*)
+  }
+
   /** S8 — broadcast dimension join (block headers, token metadata, …).
     * The reference's per-row `HeaderByNumber` + LRU cache becomes a broadcast
     * hash join: the dim ships once to every executor, no shuffle of the fact.

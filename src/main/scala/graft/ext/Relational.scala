@@ -510,6 +510,49 @@ object Relational {
       |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY skew_key""".stripMargin
 
+  /** Hot-key as-of enrichment through the TIME-SLICED join
+    * ([[graft.engine.Enrich.asOfJoinSliced]]): ~90% of probe AND state rows
+    * fold onto one key, and the sliced plan spreads that key's sort over
+    * (key, slice) partitions while producing exactly the plain as-of answer
+    * — which is what the (windowed, slice-free) oracle asserts. */
+  def skewAsofSliced(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.engine.Enrich
+    val hot = when(col("event_id") % 10 < 9, lit(0L)).otherwise(col("user_id"))
+    val ev = Tables.events(spark, sfDir).withColumn("k", hot)
+    val probes = ev.where(col("event_type") === "purchase")
+      .select(col("k"), col("event_id"), col("value"))
+    val state = ev.where(col("event_type") === "click")
+      .select(col("k"), col("event_id"), col("value"))
+    val bounds = probes.stat.approxQuantile("event_id", Array(0.25, 0.5, 0.75), 0.0)
+      .map(_.toLong).distinct.sorted.toSeq
+    Enrich.asOfJoinSliced(probes, state,
+      key = "k", leftTime = "event_id", rightTime = "event_id",
+      tieBreaker = "event_id", valueCols = Seq("value"), boundaries = bounds)
+      .select(col("event_id").as("blocknumber"), col("k"), col("value"),
+        col("asof_value").as("last_click"))
+      .orderBy("blocknumber")
+  }
+
+  private val skewAsofSlicedSql =
+    """WITH e AS (
+      |  SELECT CASE WHEN event_id % 10 < 9 THEN 0 ELSE user_id END AS k,
+      |         event_id, event_type, value
+      |  FROM events),
+      |un AS (
+      |  SELECT k, event_id AS t, 1 AS side, CAST(NULL AS BIGINT) AS tie,
+      |    event_id AS blocknumber, value, CAST(NULL AS DOUBLE) AS sv
+      |  FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT k, event_id, 0, event_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), value
+      |  FROM e WHERE event_type = 'click'),
+      |w AS (
+      |  SELECT *, last_value(sv IGNORE NULLS) OVER (
+      |    PARTITION BY k ORDER BY t, side, tie
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      |  FROM un)
+      |SELECT blocknumber, k, value, last_click
+      |FROM w WHERE side = 1 ORDER BY blocknumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_topk" -> (q3ShippingTopk _),
@@ -525,6 +568,7 @@ object Relational {
     "approx_distinct" -> (approxDistinct _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "skew_hot_key_agg" -> (skewHotKeyAgg _),
+    "skew_asof_sliced" -> (skewAsofSliced _),
     "q4_semi_join" -> (q4SemiJoin _),
     "anti_join" -> (antiJoin _),
     "q14_promo_share" -> (q14PromoShare _),
@@ -549,6 +593,7 @@ object Relational {
     "approx_distinct" -> approxDistinctSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "skew_hot_key_agg" -> skewHotKeyAggSql,
+    "skew_asof_sliced" -> skewAsofSlicedSql,
     "q4_semi_join" -> q4SemiJoinSql,
     "anti_join" -> antiJoinSql,
     "q14_promo_share" -> q14PromoShareSql,

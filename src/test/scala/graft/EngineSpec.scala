@@ -94,6 +94,29 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("event_type"), s"event_type not pushed:\n$plan")
   }
 
+  test("time-sliced as-of join equals the plain form and splits a key across partitions") {
+    val ev = Tables.events(spark, sf)
+    val probes = ev.where(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val state = ev.where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts", "value")
+    val plain = Enrich.asOfJoin(probes, state,
+      key = "user_id", leftTime = "event_id", rightTime = "event_id",
+      tieBreaker = "event_id", valueCols = Seq("value"))
+    // slice boundaries = block-height quartiles of the probe side
+    val bounds = probes.stat.approxQuantile("event_id", Array(0.25, 0.5, 0.75), 0.0)
+      .map(_.toLong).distinct.sorted.toSeq
+    val sliced = Enrich.asOfJoinSliced(probes, state,
+      key = "user_id", leftTime = "event_id", rightTime = "event_id",
+      tieBreaker = "event_id", valueCols = Seq("value"), boundaries = bounds)
+    assert(plain.count() == sliced.count() && plain.count() > 0)
+    assert(sliced.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(sliced).count() == 0)
+    // the plan must shuffle on (key, slice) — the hot key spreads
+    val p = sliced.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id#\\d+L?, __slice#".r.findFirstIn(p).isDefined, p)
+  }
+
   test("per-chain source registry routes each query to its chain's store (config.go:18-31)") {
     val reg = ChainRegistry(
       Map("ethereum" -> "/root/testdata/sf0.001", "arbitrum" -> "/root/testdata/sf0.01"),
