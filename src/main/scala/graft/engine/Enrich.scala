@@ -79,13 +79,15 @@ object Enrich {
     * sort within a single partition"), now closed the same way
     * [[graft.ext.Relational]] salts hot aggregation keys.
     *
-    * Plan shape: ONE shuffle of probes+state keyed (key, slice) with a
-    * window per slice (the local prefix state), plus a per-(key, slice)
-    * carry-in — the last state of every EARLIER slice — computed from a
-    * tiny keys×slices aggregate and joined back co-partitioned. Correctness:
-    * as-of(t) = the slice-local running last, or where the slice has no
-    * state yet, the carry-in from previous slices; rows tied on (t, side,
-    * tie) order identically to the plain form.
+    * Plan shape: the big shuffle is probes+state keyed (key, slice) with a
+    * window per slice (the local prefix state); the per-(key, slice)
+    * carry-in — per-column last non-null state of every EARLIER slice — is
+    * a tiny keys×slices aggregate joined back co-partitioned. Each input is
+    * read twice (window union + carry aggregates — Spark does not share
+    * scan subtrees), both times map-side-reduced before any wide exchange.
+    * Correctness: as-of(t) = the slice-local running last, or where the
+    * slice has no state yet, the carry-in from previous slices; rows tied
+    * on (t, side, tie) order identically to the plain form.
     *
     * `boundaries` are the slice split points, LITERALS in the time columns'
     * own domain (java.sql.Timestamp for timestamp columns, Long for block
@@ -125,25 +127,33 @@ object Enrich {
     val local = valueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__loc_$c", last(col(s"__v_$c"), ignoreNulls = true).over(wLocal))
     }
-    // carry-in: last state row per (key, slice), carried over the ORDERED
-    // slices per key shifted one slice forward. The carry domain must be
-    // EVERY (key, slice) the union observes — a slice holding probes but no
-    // state still needs the earlier slices' carry (left join from the
-    // distinct domain; only state-bearing slices carry a __last).
+    // carry-in: PER-COLUMN last non-null state per (key, slice), carried
+    // over the ORDERED slices per key shifted one slice forward. Per-column
+    // (FILTER non-null), NOT the last row's whole struct — plain asOfJoin's
+    // last(ignoreNulls) is per-column, and a slice whose final state row
+    // holds a null column must not mask an earlier non-null value. The
+    // carry domain must cover every (key, slice) holding probes (they need
+    // earlier slices' carry even with no local state) AND every state-only
+    // slice (its values must enter the carry chain) — probe-side distinct
+    // FULL OUTER the state aggregate, so neither input is scanned a third
+    // time for the domain.
+    val lastAggs = valueCols.map(c =>
+      expr(s"max_by(__v_$c, struct(__t, __tie)) FILTER (WHERE __v_$c IS NOT NULL)")
+        .as(s"__last_$c"))
     val lastPerSlice = r.withColumn("__slice", sliceOf(col("__t")))
       .groupBy(col(key), col("__slice"))
-      .agg(max_by(struct(valueCols.map(c => col(s"__v_$c")): _*),
-        struct(col("__t"), col("__tie"))).as("__last"))
-    val sliceDomain = unioned.select(col(key), col("__slice")).distinct()
+      .agg(lastAggs.head, lastAggs.tail: _*)
+    val probeDomain = l.withColumn("__slice", sliceOf(col("__t")))
+      .select(col(key), col("__slice")).distinct()
     val wCarry = Window.partitionBy(col(key)).orderBy(col("__slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = sliceDomain.join(lastPerSlice, Seq(key, "__slice"), "left")
-      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
-      .select(col(key), col("__slice"), col("__carry"))
+    val carry = valueCols.foldLeft(
+      probeDomain.join(lastPerSlice, Seq(key, "__slice"), "full_outer")) { (df, c) =>
+      df.withColumn(s"__carry_$c", last(col(s"__last_$c"), ignoreNulls = true).over(wCarry))
+    }.select((Seq(col(key), col("__slice")) ++ valueCols.map(c => col(s"__carry_$c"))): _*)
     val joined = local.join(carry, Seq(key, "__slice"), "left")
     val resolved = valueCols.foldLeft(joined) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        coalesce(col(s"__loc_$c"), col("__carry").getField(s"__v_$c")))
+      df.withColumn(s"asof_$c", coalesce(col(s"__loc_$c"), col(s"__carry_$c")))
     }
     resolved
       .where(col("__side") === 1)

@@ -191,10 +191,17 @@ object TextOps {
     * arrays, so the operator is shuffle-free at any corpus size (the
     * per-row cost is O(tokens²) worst case on the top-token count, bounded
     * by document length, not corpus size). */
-  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val tg = "transform(sequence(1, greatest(size(toks) - 2, 0)), " +
-      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
-    Tables.documents(spark, sfDir)
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionOf(Tables.documents(spark, sfDir))
+
+  private[graft] def repetitionOf(documents: DataFrame): DataFrame = {
+    // guard short docs: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
+    // element_at(_, 0) throws under ANSI — a 1-token doc must yield an
+    // empty trigram list (as DuckDB's range(1, 1) does), not kill the query
+    val tg = "IF(size(toks) >= 3, transform(sequence(1, size(toks) - 2), " +
+      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))), " +
+      "CAST(array() AS ARRAY<STRING>))"
+    documents
       .withColumn("toks", expr(toksExpr))
       .withColumn("tg", expr(tg))
       .withColumn("dup_trigram_frac",
@@ -236,13 +243,17 @@ object TextOps {
     * shuffle keyed on the n-gram with map-side partial counts — at 100 TB
     * this is the plan shape of every shared-span dedup; the report is tiny
     * (only over-threshold n-grams survive the HAVING). */
-  def boilerplateNgrams(spark: SparkSession, sfDir: String): DataFrame = {
-    val fg = "array_distinct(transform(sequence(1, greatest(size(toks) - 4, 0)), " +
-      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2), " +
-      "element_at(toks, i + 3), element_at(toks, i + 4))))"
-    Tables.documents(spark, sfDir)
-      .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id"), explode(expr(fg)).as("ngram"))
+  def boilerplateNgrams(spark: SparkSession, sfDir: String): DataFrame =
+    boilerplateNgramsOf(Tables.documents(spark, sfDir))
+
+  private[graft] def boilerplateNgramsOf(documents: DataFrame): DataFrame = {
+    // distinct word 5-grams = the compiled WordShingles kernel (same
+    // tokenizer, KernelsSpec-proven ≡ the DuckDB form; its length guard also
+    // handles <5-token docs, and the kernel beats an interpreted HOF by the
+    // repo's measured 20×)
+    documents
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.wordShingles(col("text"), 5)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_docs")) // distinct per doc ⇒ count = doc count
       .where(col("n_docs") >= 2)

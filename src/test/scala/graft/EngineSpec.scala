@@ -117,6 +117,44 @@ class EngineSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id#\\d+L?, __slice#".r.findFirstIn(p).isDefined, p)
   }
 
+  test("repetition/boilerplate survive short and empty documents (ANSI element_at guard)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hi"), (2L, ""), (3L, "a b"), (4L, "a b c d"),
+      (5L, "x y x y x y x y")).toDF("doc_id", "text")
+    val rep = graft.ext.TextOps.repetitionOf(docs).collect()
+    assert(rep.length == 5)
+    // <3 tokens → zero trigrams → 0.0 by definition, no crash
+    assert(rep.take(3).forall(_.getDouble(1) == 0.0))
+    // the looping doc is caught: 6 trigrams, 2 distinct → 4/6 duplicated
+    assert(math.abs(rep(4).getDouble(1) - 4.0 / 6.0) < 1e-15)
+    assert(rep(4).getDouble(2) == 0.5) // top token x: 4 of 8
+    // <5 tokens → no 5-grams at all, no crash
+    assert(graft.ext.TextOps.boilerplateNgramsOf(docs.where(col("doc_id") <= 4)).count() == 0)
+  }
+
+  test("sliced as-of: null state columns don't mask earlier values; state-only slices carry") {
+    import spark.implicits._
+    // slice boundary at t=5: state (t=1, v=5.0) then (t=2, v=null) in slice
+    // 0, probe at t=10 in slice 1 — per-column last-non-null must surface
+    // 5.0 (a row-wise carry struct would yield null)
+    val probes = Seq((1L, 10L)).toDF("k", "t")
+    val state = Seq((1L, 1L, Some(5.0)), (1L, 2L, None)).toDF("k", "t", "v")
+    def both(p: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.DataFrame) = (
+      Enrich.asOfJoin(p, s, "k", "t", "t", "t", Seq("v")).collect().toSeq,
+      Enrich.asOfJoinSliced(p, s, "k", "t", "t", "t", Seq("v"), Seq(5L)).collect().toSeq)
+    val (plain, sliced) = both(probes, state)
+    assert(plain == sliced, s"plain=$plain sliced=$sliced")
+    assert(sliced.head.getDouble(2) == 5.0)
+    // state-only middle slice: boundaries (2, 5) put state t=3 alone in
+    // slice 1 with no probes — its value must still reach the probe at t=10
+    val probes2 = Seq((1L, 10L)).toDF("k", "t")
+    val state2 = Seq((1L, 3L, Some(7.0))).toDF("k", "t", "v")
+    val sliced2 = Enrich.asOfJoinSliced(probes2, state2, "k", "t", "t", "t",
+      Seq("v"), Seq(2L, 5L)).collect().toSeq
+    assert(sliced2.head.getDouble(2) == 7.0, sliced2.toString)
+  }
+
   test("per-chain source registry routes each query to its chain's store (config.go:18-31)") {
     val reg = ChainRegistry(
       Map("ethereum" -> "/root/testdata/sf0.001", "arbitrum" -> "/root/testdata/sf0.01"),
