@@ -187,6 +187,47 @@ class FixturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](HclSchema.toJson(hcl))
   }
 
+  test("HCL: contract method blocks + block_interval compile to the S5 grid") {
+    graft.functions.GraftFunctions.register(spark)
+    val hcl =
+      """start_time = "2024-01-01"
+        |end_time = "2024-01-30"
+        |query daily_state {
+        |  chain = "ethereum"
+        |  block_interval = 86400
+        |  contract {
+        |    address = 1
+        |    method purchase { outputs = ["value"] }
+        |  }
+        |  contract {
+        |    address = 2
+        |    method purchase { outputs = ["value"] }
+        |  }
+        |  save {
+        |    sample_ts = sample_ts
+        |    contract = user_id
+        |    last_value = purchase_value
+        |  }
+        |}""".stripMargin
+    val q = HclSchema.parse(hcl).queries.head
+    assert(q.blockInterval.contains(86400L) && q.hasMethods)
+    val got = Compiler.compile(spark, sf, q)
+    // 30 daily samples × 2 contracts
+    assert(got.count() == 30 * 2)
+    assert(got.columns.toSeq == Seq("sample_ts", "contract", "last_value"))
+    // matches the Scala-DSL grid for the same declaration
+    val scala = Compiler.compile(spark, sf, QuerySpec(
+      name = "daily_state", chain = "ethereum",
+      contracts = Seq(1L, 2L).map(a =>
+        ContractSpec(a, methods = Seq(MethodSpec("purchase", Seq("value"))))),
+      startTime = Some("2024-01-01"), endTime = Some("2024-01-30"),
+      blockInterval = Some(86400L),
+      saves = Seq("sample_ts" -> col("sample_ts"), "contract" -> col("user_id"),
+        "last_value" -> col("purchase_value"))))
+    assert(got.exceptAll(scala).count() == 0)
+    assert(scala.exceptAll(got).count() == 0)
+  }
+
   test("HCL: ternary rewrite is nesting- and string-aware") {
     assert(HclSchema.rewriteTernary("a ? b : c") == "IF(a, b, c)")
     assert(HclSchema.rewriteTernary("a ? (x ? y : z) : c") == "IF(a, (IF(x, y, z)), c)")

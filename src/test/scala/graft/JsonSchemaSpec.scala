@@ -172,4 +172,34 @@ class JsonSchemaSpec extends SparkSpec {
     assert(df.count() ==
       Tables.events(spark, sf).where(col("event_type") === "view").count())
   }
+
+  test("contract objects with their OWN events scope per contract (r4 JSON dialect)") {
+    val doc =
+      """{
+        |  "queries": [{
+        |    "name": "scoped",
+        |    "chain": "ethereum",
+        |    "contracts": [
+        |      {"address": 1, "events": [{"signature": "purchase", "outputs": ["value"]}]},
+        |      {"address": 2, "events": [{"signature": "click", "outputs": ["value"]}]},
+        |      3
+        |    ],
+        |    "events": [{"signature": "view", "outputs": ["value"]}],
+        |    "saves": {"blocknumber": "blocknumber", "contract": "user_id", "sig": "event_type"}
+        |  }]
+        |}""".stripMargin
+    val q = JsonSchema.parse(doc).queries.head
+    // own events stay scoped; the bare contract falls back to the query list
+    assert(q.contracts.map(c => c.address -> c.events.map(_.signature)) ==
+      Seq(1L -> Seq("purchase"), 2L -> Seq("click"), 3L -> Seq("view")))
+    val got = Compiler.compile(spark, sf, q)
+    val ev = Tables.events(spark, sf)
+    val expected =
+      ev.where(col("user_id") === 1 && col("event_type") === "purchase").count() +
+        ev.where(col("user_id") === 2 && col("event_type") === "click").count() +
+        ev.where(col("user_id") === 3 && col("event_type") === "view").count()
+    assert(got.count() == expected && expected > 0)
+    assert(got.where(col("contract") === 1 && col("sig") =!= "purchase").count() == 0)
+    assert(got.where(col("contract") === 3 && col("sig") =!= "view").count() == 0)
+  }
 }
