@@ -257,6 +257,34 @@ object ApolloQueries {
     graft.streaming.Streams.runToTable(stream, "s7_rt_sink").orderBy("blocknumber")
   }
 
+  /** Realtime S7 with a NEGATIVE block offset: the reference's subscription
+    * mode calls at `log.BlockNumber + method.BlockOffset`
+    * (events.go:287-288) — look-backs run live here via the bounded
+    * per-key state ring in
+    * [[graft.streaming.Streams.eventMethodsStream]]. Same declaration as
+    * the batch `s7_method_offset` but `mode = Realtime`; must hash-match
+    * that batch as-of oracle (a latest-state-only stream would return the
+    * same-block click instead of the prior-block one and fail it). */
+  def realtimeNegativeOffset(spark: SparkSession, sfDir: String): DataFrame = {
+    val spec = QuerySpec(
+      name = "purchases_with_prior_click_rt",
+      chain = "ethereum",
+      contracts = FibAddrs.map(a => ContractSpec(a, events = Seq(EventSpec(
+        "purchase", Seq("value"),
+        methods = Seq(MethodSpec("click", Seq("value"), blockOffset = -1L)))))),
+      mode = Mode.Realtime,
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "timestamp" -> col("timestamp"),
+        "contract" -> col("user_id"),
+        "value" -> col("value"),
+        "click_value" -> col("click_value")),
+    )
+    val stream = Compiler.compile(spark, sfDir, spec)
+    assert(stream.isStreaming, "realtime event-method compile must produce a streaming plan")
+    graft.streaming.Streams.runToTable(stream, "s7_rt_neg_sink").orderBy("blocknumber")
+  }
+
   private val realtimeEventMethodsSql =
     s"""WITH probe AS (
        |  SELECT user_id, event_id, ts, value FROM events
@@ -732,6 +760,7 @@ object ApolloQueries {
     "s7_event_asof_enrich" -> (eventAsOfEnrich _),
     "s7_method_offset" -> (methodOffset _),
     "s7_realtime_event_methods" -> (realtimeEventMethods _),
+    "s7_realtime_negative_offset" -> (realtimeNegativeOffset _),
     "s8_block_metadata_join" -> (blockMetadataJoin _),
     "s9_block_dater" -> (blockDater _),
     "r1_abi_decode" -> (abiDecode _),
@@ -757,6 +786,7 @@ object ApolloQueries {
     "s7_event_asof_enrich" -> eventAsOfEnrichSql,
     "s7_method_offset" -> methodOffsetSql,
     "s7_realtime_event_methods" -> realtimeEventMethodsSql,
+    "s7_realtime_negative_offset" -> methodOffsetSql,
     "s8_block_metadata_join" -> blockMetadataJoinSql,
     "s9_block_dater" -> blockDaterSql,
     "r1_abi_decode" -> abiDecodeSql,

@@ -16,6 +16,19 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** Per-method cross-batch state for [[eventMethodsStream]]: `ring` is the
+    * recent state rows (block, value, props) in ascending block order —
+    * value/props BOXED so null state columns survive (the batch twin's
+    * per-column last(ignoreNulls) must not see nulls collapse to 0.0 —
+    * round-4 advice); `carry*` is the per-column last non-null value folded
+    * out of evicted ring entries, the baseline any as-of lookup falls back
+    * to. */
+  private[streaming] final case class MethodState(
+      ring: List[(Long, java.lang.Double, String)],
+      carryBlock: java.lang.Long,
+      carryValue: java.lang.Double,
+      carryProps: String)
+
   /** events.ts is parquet TIMESTAMP(NANOS) → read as long nanos (see
     * [[graft.Tables.events]]) and truncate to µs timestamps. */
   val eventSchema: StructType = StructType(Seq(
@@ -158,8 +171,12 @@ object Streams {
           // (b) BOUNDED: a hot key past the cap fails loud with a remedy,
           // instead of quietly pressuring one executor's heap. The real
           // lever on a cluster is trigger sizing — cross-batch state is one
-          // Double regardless.
-          val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean, Double)]()
+          // Double regardless. `value` is read null-aware (java.lang.Double):
+          // the batch twin's last(ignoreNulls) skips null clicks and passes
+          // null purchase values through — a primitive getAs[Double] would
+          // silently unbox both to 0.0.
+          val buf = new scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Boolean, java.lang.Double)]()
           rows.foreach { r =>
             val et = r.getAs[String]("event_type")
             if (et == "click" || et == "purchase") {
@@ -167,15 +184,19 @@ object Streams {
                 s"asOfEnrichStream: key $user exceeded $maxBufferedPerKey buffered rows in one " +
                   "micro-batch — shrink the trigger interval (maxFilesPerTrigger/maxOffsetsPerTrigger) " +
                   "or raise maxBufferedPerKey")
+              val v: java.lang.Double =
+                if (r.isNullAt(r.fieldIndex("value"))) null else r.getAs[Double]("value")
               buf += ((r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id"),
-                et == "click", r.getAs[Double]("value")))
+                et == "click", v))
             }
           }
           val ordered = buf.sortInPlaceBy(t => (t._1, t._2))
-          var last = state.getOption
+          var last: Option[Double] = state.getOption
           val out = Seq.newBuilder[Row]
           ordered.foreach { case (_, block, isClick, v) =>
-            if (isClick) last = Some(v)
+            // null click = no state change (per-column last NON-NULL, the
+            // batch as-of semantics); null purchase value emits as null.
+            if (isClick) { if (v != null) last = Some(v.doubleValue) }
             else out += Row(user, block, v, last.map(Double.box).orNull)
           }
           last.foreach(state.update)
@@ -294,25 +315,38 @@ object Streams {
     * methods.
     *
     * Semantics = the reference's subscription mode: decode each matching log
-    * and call the declared methods AT THAT BLOCK
-    * (/root/reference/chainservice/events.go:285-296) — i.e. blockOffset 0;
-    * non-zero offsets are a historical-mode feature (the stream cannot see
-    * future blocks, and rewinding needs the archive — use Mode.Historical).
+    * and call the declared methods at `log.BlockNumber + method.BlockOffset`
+    * (/root/reference/chainservice/events.go:285-296 — ListenForEvents
+    * applies the offset in subscription mode too). Offsets ≤ 0 are
+    * supported live: a LOOK-BACK needs only recent history, which a bounded
+    * per-key ring of past states provides. Positive offsets stay rejected
+    * loudly — a stream cannot see future blocks (use Mode.Historical, which
+    * reads the archive).
     *
-    * Per contract key, each method's latest state folds forward in
-    * `GroupState` across micro-batches; every probe (declared-event) row
-    * emits with each method's current state attached, null until the first
-    * state arrives and null for rows outside the method's trigger
-    * signatures/contract scope — exactly the batch as-of + masking
-    * semantics ([[graft.engine.Compiler]] withEventMethods). Rows buffer
-    * compactly per key per batch under the same loud cap as
-    * [[asOfEnrichStream]].
+    * Per contract key, each method keeps (a) a RING of its recent state
+    * rows — enough history to answer "latest state as-of block b + offset"
+    * for any future probe under the monotone-block assumption — and (b) a
+    * per-column CARRY of the last non-null value evicted from the ring, so
+    * the lookup reproduces the batch as-of's per-column last(ignoreNulls)
+    * exactly (a state row with a null column must not mask an earlier
+    * non-null value). Ring entries older than `newest block + min offset`
+    * can never answer a future probe and are folded into the carry, so
+    * cross-batch state is bounded by the look-back window's state density,
+    * not the stream length — and a degenerate key that still overflows
+    * `maxRingPerKey` fails loud with a remedy. Every probe row emits with
+    * each method's as-of state attached, null until the first state arrives
+    * and null for rows outside the method's trigger signatures/contract
+    * scope — the batch as-of + masking semantics
+    * ([[graft.engine.Compiler]] withEventMethods). Rows buffer compactly
+    * per key per batch under the same loud cap as [[asOfEnrichStream]].
     */
   def eventMethodsStream(
       spark: SparkSession,
       sfDir: String,
       q: QuerySpec,
       maxBufferedPerKey: Int = 1 << 20,
+      maxRingPerKey: Int = 1 << 16,
+      eventsOverride: Option[DataFrame] = None, // test seam: custom source stream
   ): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -333,9 +367,10 @@ object Streams {
       }
       .toSeq.sortBy(_._1.name)
     require(byMethod.nonEmpty, s"query ${q.name}: no event-triggered methods declared")
-    require(byMethod.forall(_._1.blockOffset == 0L),
-      s"query ${q.name}: realtime event-triggered methods run at the log's own block " +
-        "(blockOffset 0, events.go:285-296) — non-zero offsets need Mode.Historical")
+    require(byMethod.forall(_._1.blockOffset <= 0L),
+      s"query ${q.name}: realtime event-triggered methods look back from the log's block " +
+        "(blockOffset <= 0, events.go:287-288) — a stream cannot see future blocks; " +
+        "positive offsets need Mode.Historical")
     val supported = Set("event_id", "value", "props")
     byMethod.foreach { case (m, _, _) =>
       val bad = m.outputs.filterNot(supported)
@@ -361,7 +396,7 @@ object Streams {
     // reads state from the unbounded table — a probe just inside the range
     // must still see state from before it). A row matching both roles flows
     // twice, once per role, exactly like the batch union formulation.
-    val ev = eventStream(spark, sfDir)
+    val ev = eventsOverride.getOrElse(eventStream(spark, sfDir))
     val probePreds =
       (if (globalSigs.nonEmpty) Seq(col("event_type").isin(globalSigs.toSeq.sorted: _*)) else Nil) ++
         contractSigAddrs.toSeq.sortBy(_._1).map { case (sig, addrs) =>
@@ -391,61 +426,96 @@ object Streams {
         m.outputs.map(o => StructField(s"${m.name}_$o", outType(o)))
       })
     implicit val outEnc = RowEncoder.encoderFor(outSchema)
-    // state: per method, the latest (event_id, value, props) — None before
-    // the first state event of that method for this contract
-    implicit val stateEnc = Encoders.kryo[Array[Option[(Long, Double, String)]]]
+    implicit val stateEnc = Encoders.kryo[Array[MethodState]]
 
     val methods = byMethod.toArray
+    val offsets = methods.map(_._1.blockOffset)
     base
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
         col("value"), col("props"), col("__role"))
       .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[Row], state: GroupState[Array[Option[(Long, Double, String)]]]) => {
+        (user: Long, rows: Iterator[Row], state: GroupState[Array[MethodState]]) => {
           val buf = new scala.collection.mutable.ArrayBuffer[
-            (java.sql.Timestamp, Long, Int, String, Double, String)]()
+            (java.sql.Timestamp, Long, Int, String, java.lang.Double, String)]()
           rows.foreach { r =>
             require(buf.size < maxBufferedPerKey,
               s"eventMethodsStream: key $user exceeded $maxBufferedPerKey buffered rows in one " +
                 "micro-batch — shrink the trigger interval or raise maxBufferedPerKey")
+            val v: java.lang.Double =
+              if (r.isNullAt(r.fieldIndex("value"))) null else r.getAs[Double]("value")
             buf += ((r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
               r.getAs[Int]("__role"), r.getAs[String]("event_type"),
-              r.getAs[Double]("value"), r.getAs[String]("props")))
+              v, r.getAs[String]("props")))
           }
           // role 0 (state) before role 1 (probe) at the same instant: a
           // state event at block b is visible to a probe at the same block
           // (the batch tie-break, side=0 sorts first)
           val ordered = buf.sortInPlaceBy(t => (t._1.getTime, t._2, t._3))
           val st = state.getOption.getOrElse(Array.fill(methods.length)(
-            None: Option[(Long, Double, String)]))
+            MethodState(Nil, null, null, null)))
+          // rings are appended at the tail; keep them as reversed lists
+          // (newest first) while processing, restore ascending at save
+          val rings = st.map(_.ring.reverse.to(scala.collection.mutable.ListBuffer))
+          // as-of lookup at `target`, per-column last non-null: newest-first
+          // scan of ring entries at block <= target, carry as the fallback
+          def lookup(idx: Int, target: Long, o: String): Any = {
+            val ms = st(idx)
+            val it = rings(idx).iterator.dropWhile(_._1 > target)
+            o match {
+              case "event_id" =>
+                if (it.hasNext) Long.box(it.next()._1) else ms.carryBlock
+              case "value" =>
+                it.map(_._2).find(_ != null).getOrElse(ms.carryValue)
+              case "props" =>
+                it.map(_._3).find(_ != null).getOrElse(ms.carryProps)
+            }
+          }
           val out = Seq.newBuilder[Row]
+          var maxBlock = Long.MinValue
           ordered.foreach { case (ts, block, role, sig, v, props) =>
+            maxBlock = math.max(maxBlock, block)
             if (role == 0) {
               // state rows are pre-filtered to (method name, scope)
               var i = 0
               while (i < methods.length) {
-                if (sig == methods(i)._1.name) st(i) = Some((block, v, props))
+                if (sig == methods(i)._1.name) {
+                  require(rings(i).size < maxRingPerKey,
+                    s"eventMethodsStream: key $user holds $maxRingPerKey look-back states for " +
+                      s"method ${methods(i)._1.name} — raise maxRingPerKey or narrow blockOffset")
+                  rings(i).prepend((block, v, props))
+                }
                 i += 1
               }
             } else {
               val extra = methods.zipWithIndex.flatMap { case ((m, scope, sigs), idx) =>
-                val cur =
-                  if (sigs.contains(sig) && scope.forall(_.contains(user))) st(idx)
-                  else None
+                val active = sigs.contains(sig) && scope.forall(_.contains(user))
                 m.outputs.map { o =>
-                  cur.map { case (sb, sv, sp) =>
-                    o match {
-                      case "event_id" => Long.box(sb)
-                      case "value" => Double.box(sv)
-                      case "props" => sp
-                    }
-                  }.orNull
+                  if (active) lookup(idx, block + m.blockOffset, o) else null
                 }
               }
               out += Row.fromSeq(Seq(block, ts, user, sig, v, props) ++ extra)
             }
           }
-          state.update(st)
+          // Evict ring entries no future probe can need: under monotone
+          // blocks, every future target is >= maxBlock + offset, so while
+          // the SECOND-newest..oldest tail contains an entry whose successor
+          // is already <= that bound, the oldest entry can only ever serve
+          // as a per-column fallback — fold its non-null columns into carry.
+          val newSt = st.indices.map { i =>
+            var ring = rings(i).toList.reverse // ascending blocks
+            var (cb, cv, cp) = (st(i).carryBlock, st(i).carryValue, st(i).carryProps)
+            val bound = if (maxBlock == Long.MinValue) Long.MinValue else maxBlock + offsets(i)
+            while (ring.lengthCompare(2) >= 0 && ring.tail.head._1 <= bound) {
+              val h = ring.head
+              cb = Long.box(h._1)
+              if (h._2 != null) cv = h._2
+              if (h._3 != null) cp = h._3
+              ring = ring.tail
+            }
+            MethodState(ring, cb, cv, cp)
+          }.toArray
+          state.update(newSt)
           out.result().iterator
         })
   }

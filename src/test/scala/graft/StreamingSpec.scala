@@ -211,6 +211,145 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(rt).count() == 0)
   }
 
+  test("Mode.Realtime NEGATIVE block offset matches the batch as-of (events.go:287-288)") {
+    val rt = graft.queries.ApolloQueries.realtimeNegativeOffset(spark, sf)
+    val batch = graft.queries.ApolloQueries.methodOffset(spark, sf)
+    assert(rt.count() == batch.count() && batch.count() > 0)
+    assert(rt.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(rt).count() == 0)
+    // (event_ids are globally unique in the testbed, so offset 0 and -1
+    // coincide here; the look-back is distinguished on the hand-built
+    // fixture in the null-state test below, offset -2)
+  }
+
+  test("negative-offset state ring carries across REAL micro-batches") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("ring_mb").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables.table(spark, sf, "events")
+    val maxId = raw.agg(max("event_id")).head().getLong(0)
+    val cuts = Seq(0L, maxId / 3, 2 * maxId / 3, maxId + 1)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val tmp = s"$dir/stage$i"
+      raw.where(col("event_id") >= lo && col("event_id") < hi)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(s"$dir/f$i.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val base = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val spec = graft.model.QuerySpec(
+      name = "prior_click_mb", chain = "ethereum",
+      contracts = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L).map(a =>
+        graft.model.ContractSpec(a, events = Seq(graft.model.EventSpec(
+          "purchase", Seq("value"),
+          methods = Seq(graft.model.MethodSpec("click", Seq("value"), blockOffset = -1L)))))),
+      mode = graft.model.Mode.Realtime,
+      saves = Nil)
+    val streamed = runToMemory(
+      Streams.eventMethodsStream(spark, sf, spec, eventsOverride = Some(base))
+        .select(col("event_id").as("blocknumber"), col("user_id").as("contract"),
+          col("value"), col("click_value")), "ring_mb")
+    val batch = graft.queries.ApolloQueries.methodOffset(spark, sf)
+      .select("blocknumber", "contract", "value", "click_value")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("null state columns survive the stream (per-column last ignoreNulls parity)") {
+    import java.nio.file.{Files, Paths}
+    // hand-built fixture: clicks with NULL values interleaved — the batch
+    // as-of skips them (last ignoreNulls); a primitive-unboxing stream
+    // would attach 0.0 instead (round-4 advice finding)
+    val dir = Files.createTempDirectory("nullst").toString
+    val rows = Seq(
+      // (event_id, ts_nanos, user_id, event_type, value, props)
+      (1L, 1000000000000L, 7L, "click", Some(11.0), "a"),
+      (2L, 2000000000000L, 7L, "purchase", Some(100.0), "b"),
+      (3L, 3000000000000L, 7L, "click", None, "c"), // null click value
+      (4L, 4000000000000L, 7L, "purchase", None, "d"), // null probe value
+      (5L, 5000000000000L, 7L, "click", Some(55.0), null.asInstanceOf[String]),
+      (6L, 6000000000000L, 7L, "purchase", Some(300.0), "f"))
+    val df = spark.createDataFrame(rows.map(r =>
+      (r._1, r._2, r._3, r._4, r._5.map(Double.box).orNull.asInstanceOf[java.lang.Double], r._6)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "CAST(ts AS BIGINT) AS ts", "user_id", "event_type",
+        "CAST(value AS DOUBLE) AS value", "props")
+    val tmp = s"$dir/stage"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(s"$dir/events.parquet"))
+    def spec(mode: graft.model.Mode) = graft.model.QuerySpec(
+      name = s"nullst_$mode", chain = "ethereum",
+      contracts = Seq(graft.model.ContractSpec(7L, events = Seq(graft.model.EventSpec(
+        "purchase", Seq("value"),
+        methods = Seq(graft.model.MethodSpec("click", Seq("value", "props"))))))),
+      mode = mode,
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "value" -> col("value"),
+        "click_value" -> col("click_value"),
+        "click_props" -> col("click_props")))
+    val rt = Streams.runToTable(
+      graft.engine.Compiler.compile(spark, dir, spec(graft.model.Mode.Realtime)), "nullst_rt")
+      .orderBy("blocknumber")
+    val batch = graft.engine.Compiler.compile(spark, dir, spec(graft.model.Mode.Historical))
+      .orderBy("blocknumber")
+    assert(rt.count() == 3 && batch.count() == 3)
+    assert(rt.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(rt).count() == 0)
+    // block 4: click at block 3 had NULL value → click_value must still be
+    // 11.0 (per-column carry), and the probe's own null value stays null
+    val b4 = rt.where(col("blocknumber") === 4).head()
+    assert(b4.isNullAt(b4.fieldIndex("value")))
+    assert(b4.getDouble(b4.fieldIndex("click_value")) == 11.0)
+    assert(b4.getString(b4.fieldIndex("click_props")) == "c")
+    // block 6: click at 5 has value but NULL props → props carries from 3
+    val b6 = rt.where(col("blocknumber") === 6).head()
+    assert(b6.getDouble(b6.fieldIndex("click_value")) == 55.0)
+    assert(b6.getString(b6.fieldIndex("click_props")) == "c")
+
+    // deeper look-back IS distinguishable: offset -2 at block 6 targets
+    // block 4 → skips the click at 5, lands on the null-valued click at 3,
+    // per-column carry resolves value back to 11.0 — and stream == batch
+    def spec2(mode: graft.model.Mode) = spec(mode).copy(
+      name = s"nullst2_$mode",
+      contracts = Seq(graft.model.ContractSpec(7L, events = Seq(graft.model.EventSpec(
+        "purchase", Seq("value"),
+        methods = Seq(graft.model.MethodSpec("click", Seq("value", "props"),
+          blockOffset = -2L)))))))
+    val rt2 = Streams.runToTable(
+      graft.engine.Compiler.compile(spark, dir, spec2(graft.model.Mode.Realtime)), "nullst_rt2")
+      .orderBy("blocknumber")
+    val batch2 = graft.engine.Compiler.compile(spark, dir, spec2(graft.model.Mode.Historical))
+      .orderBy("blocknumber")
+    assert(rt2.exceptAll(batch2).count() == 0)
+    assert(batch2.exceptAll(rt2).count() == 0)
+    val c6 = rt2.where(col("blocknumber") === 6).head()
+    assert(c6.getDouble(c6.fieldIndex("click_value")) == 11.0)
+    assert(c6.getString(c6.fieldIndex("click_props")) == "c")
+  }
+
+  test("realtime POSITIVE block offset still fails loud") {
+    val spec = graft.model.QuerySpec(
+      name = "pos_off", chain = "ethereum",
+      contracts = Seq(graft.model.ContractSpec(1L, events = Seq(graft.model.EventSpec(
+        "purchase", Seq("value"),
+        methods = Seq(graft.model.MethodSpec("click", Seq("value"), blockOffset = 2L)))))),
+      mode = graft.model.Mode.Realtime,
+      saves = Seq("blocknumber" -> col("blocknumber")))
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Compiler.compile(spark, sf, spec)
+    }
+    assert(e.getMessage.contains("positive offsets need Mode.Historical"))
+  }
+
   test("Mode.Realtime method query WITHOUT end_time compiles to the unbounded poller stream") {
     val spec = graft.model.QuerySpec(
       name = "open_poll", chain = "ethereum", mode = graft.model.Mode.Realtime,
