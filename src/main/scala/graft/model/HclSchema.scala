@@ -29,10 +29,12 @@ package graft.model
   * `tx_hash` save-context variable is synthesized deterministically from
   * (blocknumber, contract); `abi` attributes are accepted and recorded but
   * decode in the testbed is by signature. 0x-hex contract addresses fold
-  * into the int64 key space of the testbed store (a live DSv2 source keys by
-  * the raw address string). Contract-scoped `event` blocks union into the
-  * query's event list (per-contract event scoping is available in the Scala
-  * DSL; the file dialect scopes transforms per contract, events per query).
+  * into the int64 key space of the testbed store (a live DSv2 source keys
+  * by the raw address string; folding fails loud if two declared addresses
+  * collide into one key). Contract-scoped `event` blocks stay scoped TO
+  * their declaring contract (an event under contract A never captures
+  * contract B's address — the 'contract-scoped events stay scoped' fixture
+  * locks this); bare query-level `event` blocks are global.
   */
 object HclSchema {
 
@@ -120,14 +122,17 @@ object HclSchema {
 
   // ---------- expression translation ----------
 
-  /** HCL ternary `c ? a : b` → `IF(c, a, b)`, nesting- and string-aware. */
+  /** HCL ternary `c ? a : b` → `IF(c, a, b)`, nesting- and string-aware.
+    * String state tracks WHICH quote char opened the literal, so an
+    * apostrophe inside a double-quoted string (`x ? "it's: a" : b`) neither
+    * ends the literal early nor hides the real `:`. */
   private[graft] def rewriteTernary(s: String): String = {
-    var depth = 0; var i = 0; var q = -1; var inStr = false
+    var depth = 0; var i = 0; var q = -1; var inStr = false; var qc = ' '
     while (i < s.length && q < 0) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '"' || c == '\'') inStr = false }
+      if (inStr) { if (c == qc) inStr = false }
       else c match {
-        case '"' | '\'' => inStr = true
+        case '"' | '\'' => inStr = true; qc = c
         case '(' | '[' => depth += 1
         case ')' | ']' => depth -= 1
         case '?' if depth == 0 => q = i
@@ -140,9 +145,9 @@ object HclSchema {
     depth = 0; inStr = false; i = q + 1
     while (i < s.length && colon < 0) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '"' || c == '\'') inStr = false }
+      if (inStr) { if (c == qc) inStr = false }
       else c match {
-        case '"' | '\'' => inStr = true
+        case '"' | '\'' => inStr = true; qc = c
         case '(' | '[' => depth += 1
         case ')' | ']' => depth -= 1
         case '?' if depth == 0 => nest += 1
@@ -204,13 +209,38 @@ object HclSchema {
     mapOutsideStrings(s)(_.replaceAll("\\b" + java.util.regex.Pattern.quote(token) + "\\b",
       java.util.regex.Matcher.quoteReplacement(replacement)))
 
+  /** Re-quote string literals for Spark SQL: HCL's double-quoted literals
+    * become single-quoted, with embedded single quotes backslash-escaped —
+    * a blanket char replace would corrupt `"it's"` into `'it's'`. Literals
+    * already single-quoted pass through with their content re-escaped. */
+  private[graft] def requoteLiterals(s: String): String = {
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var qc = ' '
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inStr) {
+        if (c == '"' || c == '\'') { inStr = true; qc = c; out.append('\'') }
+        else out.append(c)
+        i += 1
+      } else if (c == '\\' && i + 1 < s.length) {
+        val n = s.charAt(i + 1)
+        // \" inside "..." is a literal double quote — safe bare in SQL
+        if (n == '"' && qc == '"') out.append('"') else out.append('\\').append(n)
+        i += 2
+      } else if (c == qc) { inStr = false; out.append('\''); i += 1 }
+      else if (c == '\'') { out.append('\\').append('\''); i += 1 }
+      else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Full HCL-expression → Spark-SQL-expression translation. */
   private def toSql(raw: String, outputs: Set[String], varNames: Set[String]): String = {
     var e = rewriteTernary(raw.trim)
     e = mapOutsideStrings(e)(_.replace("&&", " AND ").replace("||", " OR "))
     // HCL string literals are double-quoted; Spark SQL wants single quotes
     // (double quotes would parse as identifiers under default ANSI settings).
-    e = e.replace("\"", "'")
+    e = requoteLiterals(e)
     for (o <- outputs)
       e = replaceToken(e, o, s"CAST(get_json_object(props, '$$.$o') AS DOUBLE)")
     for (v <- varNames)
@@ -224,31 +254,127 @@ object HclSchema {
     e
   }
 
-  // ---------- literal folding (variables, start/end time) ----------
+  // ---------- constant folding (variables, start/end time, intervals) ----------
 
   private val QuotedRe = """^"(.*)"$""".r
-  private val UpperRe = """^upper\(\s*"(.*)"\s*\)$""".r
-  private val LowerRe = """^lower\(\s*"(.*)"\s*\)$""".r
-  private val FormatDateRe = """^format_date\(\s*"(.*)"\s*,\s*"(.*)"\s*\)$""".r
 
-  /** Fold a variable/time value to a plain string at schema-load time — the
-    * reference evaluates these with cty at load (dsl/schema.go:372). Returns
-    * None for `now` (callers treat it as "unbounded"). */
+  /** A load-time constant: string or number (the reference's cty values,
+    * dsl/schema.go:400-408). */
+  private[graft] sealed trait Folded
+  private[graft] final case class FStr(value: String) extends Folded
+  private[graft] final case class FNum(value: BigDecimal) extends Folded
+
+  private def renderFolded(f: Folded): String = f match {
+    case FStr(s) => s
+    case FNum(n) => if (n.isWhole) n.toBigInt.toString else n.toString
+  }
+
+  /** Constant-evaluate an HCL value expression at schema-load time — the
+    * reference evaluates full cty expressions here (dsl/schema.go:400-408).
+    * Supports string/number literals, +-*'/' arithmetic with parens, and
+    * nested upper/lower/format_date calls. Returns None when the expression
+    * is not a load-time constant (callers pass it through untouched). */
+  private[graft] def evalConst(input: String): Option[Folded] = {
+    try {
+      val s = input.trim
+      var i = 0
+      def skip(): Unit = { while (i < s.length && s.charAt(i).isWhitespace) i += 1 }
+      def peek: Char = if (i < s.length) s.charAt(i) else ' '
+      def parseString(): String = {
+        val q = s.charAt(i); i += 1
+        val sb = new StringBuilder
+        while (i < s.length && s.charAt(i) != q) {
+          if (s.charAt(i) == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+          else { sb.append(s.charAt(i)); i += 1 }
+        }
+        require(i < s.length, "unterminated string"); i += 1
+        sb.toString
+      }
+      def asStr(f: Folded): String = renderFolded(f)
+      def applyFn(name: String, args: Seq[Folded]): Folded = name match {
+        case "upper" => require(args.size == 1, "upper/1"); FStr(asStr(args.head).toUpperCase)
+        case "lower" => require(args.size == 1, "lower/1"); FStr(asStr(args.head).toLowerCase)
+        case "format_date" =>
+          require(args.size == 2, "format_date/2")
+          import java.time.format.DateTimeFormatter
+          import java.time.{LocalDate, LocalDateTime}
+          val pattern = graft.engine.Functions.goLayoutToJava(asStr(args(0)))
+          val fmt = DateTimeFormatter.ofPattern(pattern)
+          val dt =
+            if (pattern.exists("Hms".contains(_))) LocalDateTime.parse(asStr(args(1)), fmt)
+            else LocalDate.parse(asStr(args(1)), fmt).atStartOfDay()
+          FStr(dt.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+        case other => sys.error(s"not a load-time constant function: $other")
+      }
+      def factor(): Folded = {
+        skip()
+        peek match {
+          case '"' | '\'' => FStr(parseString())
+          case '(' =>
+            i += 1; val v = expr(); skip()
+            require(peek == ')', "expected )"); i += 1; v
+          case c if c.isDigit || c == '-' =>
+            val st = i
+            if (peek == '-') i += 1
+            require(i < s.length && s.charAt(i).isDigit, "expected number")
+            while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+            FNum(BigDecimal(s.substring(st, i)))
+          case c if c.isLetter || c == '_' =>
+            val st = i
+            while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+            val name = s.substring(st, i)
+            skip()
+            require(peek == '(', s"not a constant: $name")
+            i += 1
+            val args = scala.collection.mutable.ArrayBuffer[Folded]()
+            skip()
+            if (peek != ')') {
+              args += expr(); skip()
+              while (peek == ',') { i += 1; args += expr(); skip() }
+            }
+            require(peek == ')', "expected )"); i += 1
+            applyFn(name, args.toSeq)
+          case other => sys.error(s"unexpected char '$other'")
+        }
+      }
+      def term(): Folded = {
+        var v = factor(); skip()
+        while (peek == '*' || peek == '/') {
+          val op = peek; i += 1
+          val r = factor(); skip()
+          v = (v, r) match {
+            case (FNum(a), FNum(b)) => FNum(if (op == '*') a * b else a / b)
+            case _ => sys.error("arithmetic on non-numbers")
+          }
+        }
+        v
+      }
+      def expr(): Folded = {
+        var v = term(); skip()
+        while (peek == '+' || peek == '-') {
+          val op = peek; i += 1
+          val r = term(); skip()
+          v = (v, r) match {
+            case (FNum(a), FNum(b)) => FNum(if (op == '+') a + b else a - b)
+            case _ => sys.error("arithmetic on non-numbers")
+          }
+        }
+        v
+      }
+      val v = expr()
+      skip()
+      if (i != s.length) None else Some(v)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fold a variable/time value to a plain string at schema-load time.
+    * Returns None for `now` (callers treat it as "unbounded"); expressions
+    * that are not load-time constants pass through verbatim (old behavior —
+    * they fail loud later if a constant was required). */
   private[graft] def foldLiteral(raw: String): Option[String] = raw.trim match {
     case "now" => None
-    case QuotedRe(s) => Some(s)
-    case UpperRe(s) => Some(s.toUpperCase)
-    case LowerRe(s) => Some(s.toLowerCase)
-    case FormatDateRe(layout, value) =>
-      import java.time.format.DateTimeFormatter
-      import java.time.{LocalDate, LocalDateTime}
-      val pattern = graft.engine.Functions.goLayoutToJava(layout)
-      val fmt = DateTimeFormatter.ofPattern(pattern)
-      val dt =
-        if (pattern.exists("Hms".contains(_))) LocalDateTime.parse(value, fmt)
-        else LocalDate.parse(value, fmt).atStartOfDay()
-      Some(dt.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
-    case other => Some(other) // numbers and bare literals pass through
+    case QuotedRe(s) if !s.contains("\"") => Some(s)
+    case other => Some(evalConst(other).map(renderFolded).getOrElse(other))
   }
 
   /** 0x-hex contract address → the testbed store's int64 key space (low 62
@@ -292,10 +418,25 @@ object HclSchema {
       require(v.startsWith("{"), s"hcl: variables must be a map, got $v")
       val (body, _) = parseBody(v.drop(1), 0, topLevel = false)
       body.attrs.map { case (k, raw) =>
-        k -> foldLiteral(raw).map(s => s"'$s'").getOrElse(
-          sys.error(s"hcl: variable $k cannot be `now`"))
+        require(raw.trim != "now", s"hcl: variable $k cannot be `now`")
+        // numbers substitute as bare SQL literals (a quoted number would
+        // force string coercion in comparisons); strings as quoted literals
+        // with embedded single quotes escaped
+        k -> (evalConst(raw) match {
+          case Some(n: FNum) => renderFolded(n)
+          case Some(FStr(s)) => "'" + s.replace("'", "\\'") + "'"
+          case None => "'" + raw.replace("'", "\\'") + "'"
+        })
       }
     }.flatten
+
+    /** Integer attr (block_interval / block_offset) — arithmetic folds at
+      * load: `block_interval = 60 * 60 * 24` is a cty constant expression
+      * in the reference (dsl/schema.go:400-408). */
+    def toLongConst(v: String, what: String): Long = evalConst(v) match {
+      case Some(FNum(n)) if n.isWhole => n.toBigInt.toLong
+      case _ => sys.error(s"hcl: $what must be an integer constant expression, got $v")
+    }
     val varNames = varEntries.map(_._1).toSet
 
     val startTime = top.attrs.collectFirst { case ("start_time", v) => foldLiteral(v) }.flatten
@@ -332,7 +473,7 @@ object HclSchema {
           ("name" -> name) ~
             ("outputs" -> mb.attrs.collectFirst { case ("outputs", v) => parseArr(v).map(unquote) }
               .getOrElse(Seq.empty[String]))
-        mb.attrs.collectFirst { case ("block_offset", v) => v.trim.toLong }
+        mb.attrs.collectFirst { case ("block_offset", v) => toLongConst(v, "block_offset") }
           .fold(base)(off => base ~ ("block_offset" -> off))
     }
 
@@ -354,14 +495,22 @@ object HclSchema {
       val declaredOutputs = scala.collection.mutable.Set.empty[String]
       val globalEvents = eventsOf(qb, declaredOutputs)
       val contracts = qb.blocks.collect { case ("contract", _, cb) =>
-        val addr = cb.attrs.collectFirst { case ("address", v) => addressToLong(v) }
+        val raw = cb.attrs.collectFirst { case ("address", v) =>
+          v.trim.stripPrefix("\"").stripSuffix("\"") }
           .getOrElse(sys.error(s"hcl: contract block in query $name lacks address"))
-        (addr, cb, eventsOf(cb, declaredOutputs), methodsOf(cb))
+        (raw, addressToLong(raw), cb, eventsOf(cb, declaredOutputs), methodsOf(cb))
       }
+      // the 62-bit fold must keep declared addresses distinct — a collision
+      // would silently merge two contracts' event/transform scopes
+      val declDistinct = contracts.map(_._1.toLowerCase).distinct
+      val foldDistinct = contracts.map(_._2).distinct
+      require(foldDistinct.size == declDistinct.size,
+        s"hcl: query $name: declared contract addresses ${declDistinct.mkString(", ")} fold " +
+          s"to ${foldDistinct.size} colliding testbed keys — rename one address or widen the key space")
       val outputs = declaredOutputs.toSet -- native
       def sql(e: String): String = toSql(e, outputs, varNames)
 
-      val contractJson: Seq[JObject] = contracts.map { case (addr, cb, ownEvents, _) =>
+      val contractJson: Seq[JObject] = contracts.map { case (_, addr, cb, ownEvents, _) =>
         val transforms: Seq[(String, String)] = cb.blocks.collect {
           case ("transform", _, tb) => tb.attrs.map { case (k, v) => k -> sql(v) }
         }.flatten
@@ -378,7 +527,7 @@ object HclSchema {
       // with contracts present they act as the default event list for
       // contracts without their own (JsonSchema fallback semantics)
       val allEvents = globalEvents
-      val contractMethods = contracts.flatMap(_._4)
+      val contractMethods = contracts.flatMap(_._5)
       val queryTransforms: Seq[(String, String)] = qb.blocks.collect {
         case ("transform", _, tb) => tb.attrs.map { case (k, v) => k -> sql(v) }
       }.flatten
@@ -395,7 +544,7 @@ object HclSchema {
       var q: JObject = ("name" -> name) ~ ("chain" -> chain)
       startTime.foreach(t => q = q ~ ("start_time" -> t))
       endTime.foreach(t => q = q ~ ("end_time" -> t))
-      qb.attrs.collectFirst { case ("block_interval", v) => v.trim.toLong }
+      qb.attrs.collectFirst { case ("block_interval", v) => toLongConst(v, "block_interval") }
         .foreach(bi => q = q ~ ("block_interval" -> bi))
       if (allEvents.nonEmpty) q = q ~ ("events" -> allEvents)
       if (contractJson.nonEmpty) q = q ~ ("contracts" -> JArray(contractJson.toList))

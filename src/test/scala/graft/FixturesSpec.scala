@@ -234,6 +234,93 @@ class FixturesSpec extends SparkSpec {
     assert(HclSchema.rewriteTernary("p + (q ? r : s)") == "p + (IF(q, r, s))")
     assert(HclSchema.rewriteTernary("a ? b : x ? y : z") == "IF(a, b, IF(x, y, z))")
     assert(HclSchema.rewriteTernary("f(a, b) > 0 ? 'q:m' : c") == "IF(f(a, b) > 0, 'q:m', c)")
+    // an apostrophe INSIDE a double-quoted literal must not end string
+    // state (the ':' inside the literal is not the ternary colon)
+    assert(HclSchema.rewriteTernary("""x ? "it's: a" : "b"""") ==
+      """IF(x, "it's: a", "b")""")
+  }
+
+  test("HCL: literal re-quoting escapes embedded apostrophes") {
+    assert(HclSchema.requoteLiterals("""concat("it's", 'x')""") == """concat('it\'s', 'x')""")
+    assert(HclSchema.requoteLiterals("""a = "plain"""") == "a = 'plain'")
+    // end-to-end: a double-quoted save literal containing an apostrophe
+    // survives into a runnable Spark expression
+    graft.functions.GraftFunctions.register(spark)
+    val hcl =
+      """query apos {
+        |  chain = "ethereum"
+        |  event purchase { outputs = ["value"] }
+        |  save {
+        |    block = blocknumber
+        |    label = value > 0 ? "it's up" : "down"
+        |  }
+        |}""".stripMargin
+    val df = Compiler.compile(spark, sf, HclSchema.parse(hcl).queries.head)
+    assert(df.where(col("label") === "it's up").count() > 0)
+  }
+
+  test("HCL: variable and time-attr expressions fold at load (arithmetic + nesting)") {
+    assert(HclSchema.evalConst("60 * 60 * 24") == Some(HclSchema.FNum(BigDecimal(86400))))
+    assert(HclSchema.evalConst("(3 + 4) * 2 - 1") == Some(HclSchema.FNum(BigDecimal(13))))
+    assert(HclSchema.evalConst("""upper(lower("AbC"))""") == Some(HclSchema.FStr("ABC")))
+    assert(HclSchema.evalConst(
+      """format_date("02-01-2006", upper("25-05-2022"))""") ==
+      Some(HclSchema.FStr("2022-05-25 00:00:00")))
+    assert(HclSchema.evalConst("not_a_const") == None)
+    assert(HclSchema.evalConst("value + 1") == None)
+    // end-to-end: numeric variable expression + block_interval arithmetic +
+    // folded start/end times drive the S5 grid
+    graft.functions.GraftFunctions.register(spark)
+    val hcl =
+      """start_time = format_date("02-01-2006", "01-01-2024")
+        |end_time = format_date("02-01-2006", "30-01-2024")
+        |variables = {
+        |  min_block = 10 * 2
+        |}
+        |query folded_grid {
+        |  chain = "ethereum"
+        |  block_interval = 60 * 60 * 24
+        |  contract {
+        |    address = 1
+        |    method purchase { outputs = ["value"] }
+        |  }
+        |  filter = [ sample_ts IS NOT NULL ]
+        |  save {
+        |    sample_ts = sample_ts
+        |    contract = user_id
+        |    last_value = purchase_value
+        |    floor_block = min_block
+        |  }
+        |}""".stripMargin
+    val q = HclSchema.parse(hcl).queries.head
+    assert(q.blockInterval.contains(86400L))
+    assert(q.startTime.contains("2024-01-01 00:00:00"))
+    val df = Compiler.compile(spark, sf, q)
+    assert(df.count() == 30) // 30 daily ticks × 1 contract
+    // the numeric variable substituted as a bare number, not a string
+    assert(df.select("floor_block").head().get(0) == 20)
+  }
+
+  test("HCL: colliding folded contract addresses fail loud") {
+    // two distinct 0x addresses equal modulo 2^62: differ only in bit 63
+    val a = "0x4000000000000000"
+    val b = "0x8000000000000000"
+    assert(HclSchema.addressToLong(a) != HclSchema.addressToLong("0x1"))
+    val hcl =
+      s"""query collide {
+         |  chain = "ethereum"
+         |  contract {
+         |    address = "$a"
+         |    event purchase { outputs = ["value"] }
+         |  }
+         |  contract {
+         |    address = "$b"
+         |    event click { outputs = ["value"] }
+         |  }
+         |  save { block = blocknumber }
+         |}""".stripMargin
+    val e = intercept[IllegalArgumentException](HclSchema.parse(hcl))
+    assert(e.getMessage.contains("colliding testbed keys"))
   }
 
   test("typed Dataset surface works over the event store (Dataset[Event])") {
