@@ -221,10 +221,13 @@ object Enrich {
       .drop("__pk_f", "__pk_t", "__price_from", "__price_to")
   }
 
-  /** `balance(addr)`-style lookup (reference dsl/functions.go:71-85,
-    * chainservice.go:244-259): native balance at the row's block, scaled by
-    * 1e18 → double. Testbed: balances live in a keyed state table; the
-    * lookup is a broadcast join + scale, not an I/O UDF.
+  /** STATIC balance lookup (broadcast dim + scale) — correct only when the
+    * balance cannot change inside the queried range (a genesis/snapshot
+    * table). The reference's `balance(addr)` closes over the row's block
+    * (dsl/schema.go:186-188; chainservice.go:244-259 calls
+    * `BalanceAt(block)`) — for that per-block fidelity compose [[asOfJoin]]
+    * over a balance-update state table, as
+    * [[graft.queries.ApolloQueries.balanceLookup]] does.
     */
   def balanceLookup(
       fact: DataFrame,

@@ -229,11 +229,141 @@ object SimilarityOps {
        |  GROUP BY b.q_id)
        |SELECT method, q_id, recall_at_5 FROM r ORDER BY method, q_id""".stripMargin
 
+  private val ClusterC = 8
+  private val ClusterNProbe = 2
+
+  /** CLUSTERED synthetic embedding fixture: the testbed's real embeddings
+    * are near-isotropic, which bounds ANY bucketing index's recall at its
+    * scan fraction (SCALING.md §ANN) — the knobs can't show their value on
+    * noise. This fixture derives, deterministically from `vec_id` alone
+    * (identically in Spark and DuckDB — integer hashing + one
+    * correctly-rounded division, no transcendentals), points tightly
+    * packed around [[ClusterC]] ±1 sign-pattern centroids: centroid
+    * cos-similarity ≈ 0 across clusters, ≈ 1 within. The shape real
+    * embedding corpora have, so an IVF cell routing can beat its scan
+    * fraction. */
+  // centroid sign bit: NONLINEAR hash of (cluster, dim) — squaring before
+  // the multiply decorrelates the 8 centroid patterns (a linear hash mod m
+  // makes them cyclic shifts of one sequence, which correlate up to 0.97);
+  // measured max inter-centroid |cos| = 0.19, within-cluster ≈ 0.99
+  private val signHash =
+    "(((vec_id % 8) * 64 + k) * ((vec_id % 8) * 64 + k) * 2654435761 " +
+      "+ ((vec_id % 8) * 64 + k) * 40503) % 1000"
+
+  private val clusteredEmbExpr =
+    s"""transform(sequence(1, 64), k -> CAST(
+       |  (CASE WHEN $signHash < 500 THEN 1.0 ELSE -1.0 END)
+       |  + (CAST((vec_id * 2654435761 + k * 40503) % 1000 AS DOUBLE) / 1000.0 - 0.5) * 0.4
+       |AS DOUBLE))""".stripMargin
+
+  private val clusteredEmbSql =
+    s"""list_transform(range(1, 65), k -> CAST(
+       |  (CASE WHEN $signHash < 500 THEN 1.0 ELSE -1.0 END)
+       |  + (CAST((vec_id * 2654435761 + k * 40503) % 1000 AS DOUBLE) / 1000.0 - 0.5) * 0.4
+       |AS DOUBLE))""".stripMargin
+
+  def clusteredEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select("vec_id")
+      .withColumn("cl", col("vec_id") % ClusterC)
+      .withColumn("embedding", expr(clusteredEmbExpr))
+
+  /** recall@5 AND scanned fraction of IVF multi-probe routing on the
+    * clustered fixture — the oracle-pinned proof that the index mechanics
+    * separate signal when the data has cluster structure: with
+    * [[ClusterNProbe]] = 2 of [[ClusterC]] = 8 cells probed (25% of the
+    * corpus scanned), recall must be ≫ 0.25 (the spec asserts ≥ 0.8;
+    * measured 1.0 — see SCALING.md §ANN). Cells are the quantizer's fit
+    * (here the generator's own clusters, i.e. a converged k-means);
+    * representatives and routing run exactly like [[ivfAnn]]. */
+  def clusteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = clusteredEmbeddings(spark, sfDir).withColumn("norm", Vec.norm(col("embedding")))
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
+    val c = e.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("cl"), col("embedding").as("ce"), col("norm").as("cn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    // exact ground truth on the clustered fixture
+    val brute = c.join(broadcast(q))
+      .withColumn("cos_sim", Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select("q_id", "c_id")
+    val reps = e.groupBy("cl")
+      .agg(min_by(col("embedding"), col("vec_id")).as("rvec"))
+      .withColumn("rnorm", Vec.norm(col("rvec")))
+    val wr = Window.partitionBy("q_id").orderBy(col("rcos").desc, col("cl"))
+    val routed = q.join(broadcast(reps))
+      .withColumn("rcos", Vec.dot(col("qe"), col("rvec")) / (col("qn") * col("rnorm")))
+      .withColumn("rrank", row_number().over(wr))
+      .where(col("rrank") <= ClusterNProbe)
+      .select(col("q_id"), col("qe"), col("qn"), col("cl"))
+    val scored = c.join(broadcast(routed), Seq("cl"))
+      .withColumn("cos_sim", Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val approx = scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select("q_id", "c_id")
+    val scans = scored.groupBy("q_id").agg(count(lit(1)).as("n_scanned"))
+    val total = c.agg(count(lit(1)).as("n_cand"))
+    brute
+      .join(approx.withColumn("__hit", lit(1)), Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg((count(col("__hit")).cast("double") / count(lit(1)).cast("double"))
+        .as("recall_at_5"))
+      .join(scans, Seq("q_id"))
+      .join(broadcast(total))
+      .withColumn("scanned_fraction",
+        col("n_scanned").cast("double") / col("n_cand").cast("double"))
+      .select("q_id", "recall_at_5", "scanned_fraction")
+      .orderBy("q_id")
+  }
+
+  private val clusteredRecallSql =
+    s"""WITH ce AS (
+       |  SELECT vec_id, vec_id % $ClusterC AS cl, $clusteredEmbSql AS embedding
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, cl, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM ce),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qn FROM e WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS c_id, cl, embedding AS ce, norm AS cn FROM e WHERE vec_id >= 8),
+       |brute AS (SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dotSql("qe", "ce")} / (qn * cn) DESC, c.c_id) AS rank
+       |    FROM q CROSS JOIN c) WHERE rank <= $TopK),
+       |reps AS (SELECT cl, arg_min(embedding, vec_id) AS rvec FROM e GROUP BY cl),
+       |repsn AS (SELECT cl, rvec, sqrt(${dotSql("rvec", "rvec")}) AS rnorm FROM reps),
+       |routed AS (SELECT q_id, cl FROM (
+       |    SELECT q.q_id, r.cl,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dotSql("qe", "r.rvec")} / (qn * r.rnorm) DESC, r.cl) AS rrank
+       |    FROM q CROSS JOIN repsn r) WHERE rrank <= $ClusterNProbe),
+       |scored AS (SELECT ro.q_id, c.c_id,
+       |    ${dotSql("qe", "ce")} / (qn * cn) AS cos_sim
+       |  FROM routed ro JOIN q ON q.q_id = ro.q_id JOIN c ON c.cl = ro.cl),
+       |approx AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+       |    FROM scored) WHERE rank <= $TopK),
+       |scans AS (SELECT q_id, count(*) AS n_scanned FROM scored GROUP BY q_id),
+       |tot AS (SELECT count(*) AS n_cand FROM c)
+       |SELECT b.q_id,
+       |  CAST(count(a.c_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_5,
+       |  CAST(s.n_scanned AS DOUBLE) / CAST(t.n_cand AS DOUBLE) AS scanned_fraction
+       |FROM brute b
+       |LEFT JOIN approx a ON b.q_id = a.q_id AND b.c_id = a.c_id
+       |JOIN scans s ON s.q_id = b.q_id
+       |CROSS JOIN tot t
+       |GROUP BY b.q_id, s.n_scanned, t.n_cand
+       |ORDER BY b.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> (bruteTopk _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (ivfAnn _),
     "sim_ann_recall" -> (annRecall _),
+    "sim_clustered_recall" -> (clusteredRecall _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -241,5 +371,6 @@ object SimilarityOps {
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_ann" -> ivfAnnSql,
     "sim_ann_recall" -> annRecallSql,
+    "sim_clustered_recall" -> clusteredRecallSql,
   )
 }

@@ -674,20 +674,51 @@ object ApolloQueries {
 
   /** `balance(addr)` (dsl/functions.go:71-85): I/O-per-row in the reference,
     * broadcast dim join + parse_decimals here. */
+  /** `balance(addr)` at the ROW'S block — the reference's balance closes
+    * over the row's block (dsl/schema.go:186-188) and the chain service
+    * calls `BalanceAt(block)` (chainservice.go:244-259), NOT a snapshot.
+    * Balance updates (signup events) fold forward per address via the
+    * scalable as-of join, so a purchase between two updates sees the
+    * earlier one; the customer dim is the genesis balance before an
+    * address's first update. A static snapshot join returns one balance
+    * per address and FAILS this oracle (balances change mid-range —
+    * [[graft.QueriesSpec]] asserts the divergence). */
   def balanceLookup(spark: SparkSession, sfDir: String): DataFrame = {
     val fact = Tables.events(spark, sfDir).where(col("event_type") === "purchase")
-    Enrich.balanceLookup(fact, Tables.customer(spark, sfDir),
-      factAddr = "user_id", balAddr = "c_custkey", balCol = "c_acctbal",
-      scaleDecimals = 2, as = "balance")
+    val updates = Tables.events(spark, sfDir).where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("value").as("bal_update"))
+    val asOf = Enrich.asOfJoin(fact, updates,
+      key = "user_id", leftTime = "event_id", rightTime = "event_id",
+      tieBreaker = "event_id", valueCols = Seq("bal_update"))
+    Enrich.withDim(asOf, Tables.customer(spark, sfDir), Seq("user_id" -> "c_custkey"))
+      .withColumn("balance",
+        coalesce(col("asof_bal_update"), col("c_acctbal").cast("double")) / 100.0)
       .select(col("event_id").as("blocknumber"), col("user_id"), col("value"), col("balance"))
       .orderBy("blocknumber")
   }
 
   private val balanceLookupSql =
-    """SELECT e.event_id AS blocknumber, e.user_id, e.value,
-      |  c.c_acctbal / 100.0 AS balance
-      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-      |WHERE e.event_type = 'purchase' ORDER BY blocknumber""".stripMargin
+    """WITH probe AS (
+      |  SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase'),
+      |st AS (
+      |  SELECT user_id, event_id, value AS bal_update FROM events WHERE event_type = 'signup'),
+      |un AS (
+      |  SELECT user_id, event_id AS t, 1 AS side, CAST(NULL AS BIGINT) AS tie,
+      |    event_id AS blocknumber, value, CAST(NULL AS DOUBLE) AS sv
+      |  FROM probe
+      |  UNION ALL
+      |  SELECT user_id, event_id AS t, 0 AS side, event_id AS tie,
+      |    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), bal_update
+      |  FROM st),
+      |w AS (
+      |  SELECT *, last_value(sv IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY t, side, tie
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+      |  FROM un)
+      |SELECT w.blocknumber, w.user_id, w.value,
+      |  COALESCE(w.bal, CAST(c.c_acctbal AS DOUBLE)) / 100.0 AS balance
+      |FROM w LEFT JOIN customer c ON w.user_id = c.c_custkey
+      |WHERE w.side = 1 ORDER BY blocknumber""".stripMargin
 
   /** `token_balance(addr, token)` (dsl/functions.go:87-103): two-key lookup
     * with on-chain `decimals()` scaling — here the decimals come from the

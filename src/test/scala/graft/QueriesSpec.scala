@@ -25,4 +25,36 @@ class QueriesSpec extends SparkSpec {
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
+
+  test("fn_balance_lookup is per-block: a static snapshot join would fail its oracle") {
+    import org.apache.spark.sql.functions._
+    val perBlock = graft.queries.ApolloQueries.balanceLookup(spark, sf)
+    // one address probed at two blocks between which its balance changed
+    val changed = perBlock.groupBy("user_id")
+      .agg(countDistinct("balance").as("n_bals"))
+      .where(col("n_bals") > 1)
+    assert(changed.count() > 0,
+      "fixture must contain mid-range balance changes or the oracle cannot " +
+        "distinguish per-block from snapshot")
+    // and the snapshot form (latest-only) actually disagrees
+    val snapshot = graft.engine.Enrich.balanceLookup(
+      Tables.events(spark, sf).where(col("event_type") === "purchase"),
+      Tables.customer(spark, sf),
+      factAddr = "user_id", balAddr = "c_custkey", balCol = "c_acctbal",
+      scaleDecimals = 2, as = "balance")
+      .select(col("event_id").as("blocknumber"), col("user_id"), col("value"), col("balance"))
+    assert(perBlock.exceptAll(snapshot).count() > 0)
+  }
+
+  test("clustered-fixture ANN: recall far exceeds the scan fraction (index earns its keep)") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ext.SimilarityOps.clusteredRecall(spark, sf)
+      .agg(avg("recall_at_5").as("recall"), max("scanned_fraction").as("scanned"))
+      .head()
+    val recall = r.getDouble(0)
+    val scanned = r.getDouble(1)
+    assert(scanned <= 0.26, s"scanned fraction $scanned exceeds the 2/8-cell budget")
+    assert(recall >= 0.8, s"recall@5 $recall on the clustered fixture — index not separating signal")
+    assert(recall > 2 * scanned, s"recall $recall must beat the $scanned scan fraction decisively")
+  }
 }
