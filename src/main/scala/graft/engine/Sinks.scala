@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Sinks (SURVEY §2.4 K1-K3 + parquet).
   *
@@ -56,4 +57,28 @@ object Sinks {
     */
   def demuxParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy("query_name").parquet(path)
+
+  /** R8 STREAMING — demuxed realtime sink: a compiled multi-query realtime
+    * schema ([[Compiler.demux]] over the streaming frames) lands one
+    * directory per query_name from ONE running query, checkpointed for
+    * exactly-once file output — the reference's per-query channels
+    * (chainservice.go:85-152) with restart semantics its realtime mode
+    * lacks. `bounded = true` drains the currently-available data and stops
+    * (Trigger.AvailableNow, the testbed harness); the default trigger runs
+    * live. Returns the started query — callers own its lifecycle. */
+  def demuxParquetStream(
+      df: DataFrame,
+      path: String,
+      checkpoint: String,
+      bounded: Boolean = false,
+  ): StreamingQuery = {
+    require(df.isStreaming, "demuxParquetStream needs a streaming frame; use demuxParquet")
+    val w = df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("query_name")
+      .outputMode("append")
+    (if (bounded) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
 }

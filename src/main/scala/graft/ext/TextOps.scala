@@ -237,27 +237,43 @@ object TextOps {
 
   /** Cross-corpus boilerplate detection (the C4-style "same span in many
     * documents" signal that feeds span removal): distinct 5-grams per doc,
-    * counted across the corpus, reported when shared by ≥ 2 docs
-    * (any cross-document 5-gram repeat — on this corpus these are exactly
-    * the near-dup families' shared spans). ONE
-    * shuffle keyed on the n-gram with map-side partial counts — at 100 TB
-    * this is the plan shape of every shared-span dedup; the report is tiny
-    * (only over-threshold n-grams survive the HAVING). */
+    * counted across the corpus, reported when shared by ≥ `minDocs` docs.
+    * ONE shuffle keyed on the n-gram with map-side partial counts — at
+    * 100 TB this is the plan shape of every shared-span dedup.
+    *
+    * Report size is BOUNDED by the caller: `minDocs` is the
+    * doc-frequency floor (at corpus scale, threshold 2 reports every
+    * pairwise repeat — raise it to the "appears in ≥ 0.01% of docs" floor a
+    * real boilerplate pass uses), and `topK` optionally keeps only the K
+    * most-shared n-grams (ties broken by n-gram text, so the cut is
+    * deterministic). The oracle entry pins the exhaustive threshold-2 form;
+    * [[graft.KernelsSpec]] locks the parameterized cuts against it. */
   def boilerplateNgrams(spark: SparkSession, sfDir: String): DataFrame =
     boilerplateNgramsOf(Tables.documents(spark, sfDir))
 
-  private[graft] def boilerplateNgramsOf(documents: DataFrame): DataFrame = {
+  private[graft] def boilerplateNgramsOf(
+      documents: DataFrame,
+      minDocs: Long = 2L,
+      topK: Option[Int] = None,
+  ): DataFrame = {
+    require(minDocs >= 2, s"boilerplateNgrams: minDocs $minDocs below 2 reports every n-gram")
+    topK.foreach(k => require(k > 0, s"boilerplateNgrams: topK must be positive, got $k"))
     // distinct word 5-grams = the compiled WordShingles kernel (same
     // tokenizer, KernelsSpec-proven ≡ the DuckDB form; its length guard also
     // handles <5-token docs, and the kernel beats an interpreted HOF by the
     // repo's measured 20×)
-    documents
+    val counted = documents
       .select(col("doc_id"),
         explode(graft.functions.TextFns.wordShingles(col("text"), 5)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_docs")) // distinct per doc ⇒ count = doc count
-      .where(col("n_docs") >= 2)
-      .orderBy("ngram")
+      .where(col("n_docs") >= minDocs)
+    topK match {
+      case None => counted.orderBy("ngram")
+      case Some(k) =>
+        // most-shared first; total order so the K-cut is value-deterministic
+        counted.orderBy(col("n_docs").desc, col("ngram")).limit(k)
+    }
   }
 
   private val boilerplateNgramsSql =

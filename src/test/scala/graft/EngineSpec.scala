@@ -133,6 +133,28 @@ class EngineSpec extends SparkSpec {
     assert(graft.ext.TextOps.boilerplateNgramsOf(docs.where(col("doc_id") <= 4)).count() == 0)
   }
 
+  test("boilerplate report is bounded: doc-frequency floor and deterministic top-K") {
+    import spark.implicits._
+    // shared 5-gram "a b c d e" in 3 docs; "p q r s t" in 2; unique tail rows
+    val docs = Seq(
+      (1L, "a b c d e xx"), (2L, "a b c d e yy"), (3L, "zz a b c d e"),
+      (4L, "p q r s t"), (5L, "p q r s t"), (6L, "u v w x y z")).toDF("doc_id", "text")
+    val all = graft.ext.TextOps.boilerplateNgramsOf(docs).collect()
+    // threshold 2 (the oracle form): both shared 5-grams + the doc-1/2/3
+    // side grams that appear twice... assert the two known full-span grams
+    val byGram = all.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGram("a b c d e") == 3 && byGram("p q r s t") == 2)
+    // raising the floor drops the pairwise tail
+    val floor3 = graft.ext.TextOps.boilerplateNgramsOf(docs, minDocs = 3).collect()
+    assert(floor3.map(_.getString(0)).toSet == Set("a b c d e"))
+    // top-K keeps the most-shared first, deterministically
+    val top1 = graft.ext.TextOps.boilerplateNgramsOf(docs, topK = Some(1)).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "a b c d e")
+    // a floor below 2 would report every n-gram in the corpus — rejected
+    intercept[IllegalArgumentException](
+      graft.ext.TextOps.boilerplateNgramsOf(docs, minDocs = 1).collect())
+  }
+
   test("sliced as-of: null state columns don't mask earlier values; state-only slices carry") {
     import spark.implicits._
     // slice boundary at t=5: state (t=1, v=5.0) then (t=2, v=null) in slice

@@ -75,6 +75,38 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/pq").count() == df.count())
   }
 
+  test("R8 streaming demux: two compiled realtime queries land one directory each") {
+    val out = tmp("sdemux")
+    def spec(name: String, sig: String) = graft.model.QuerySpec(
+      name = name, chain = "ethereum", mode = graft.model.Mode.Realtime,
+      globalEvents = Seq(graft.model.EventSpec(sig, Seq("value"))),
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "value" -> col("value")))
+    val compiled = Map(
+      "rt_purchases" -> Compiler.compile(spark, sf, spec("rt_purchases", "purchase")),
+      "rt_clicks" -> Compiler.compile(spark, sf, spec("rt_clicks", "click")))
+    assert(compiled.values.forall(_.isStreaming))
+    val q = Sinks.demuxParquetStream(
+      Compiler.demux(compiled), s"$out/multi", s"$out/ckpt", bounded = true)
+    q.awaitTermination()
+    val dirs = new java.io.File(s"$out/multi").listFiles()
+      .map(_.getName).filter(_.startsWith("query_name=")).toSet
+    assert(dirs == Set("query_name=rt_purchases", "query_name=rt_clicks"))
+    // each directory holds exactly its query's rows
+    val ev = Tables.events(spark, sf)
+    val back = spark.read.parquet(s"$out/multi")
+    assert(back.where(col("query_name") === "rt_purchases").count() ==
+      ev.where(col("event_type") === "purchase").count())
+    assert(back.where(col("query_name") === "rt_clicks").count() ==
+      ev.where(col("event_type") === "click").count())
+    // and the checkpoint pinned offsets (restartable)
+    assert(new java.io.File(s"$out/ckpt/offsets").listFiles().nonEmpty)
+    // batch frames are routed to the batch form loudly
+    intercept[IllegalArgumentException](
+      Sinks.demuxParquetStream(Tables.nation(spark, sf), s"$out/x", s"$out/y"))
+  }
+
   test("streaming foreachBatch sink is checkpointed (exactly-once beyond the reference)") {
     val out = tmp("stream")
     val target = s"$out/rows"
