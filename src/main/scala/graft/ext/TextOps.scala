@@ -287,7 +287,96 @@ object TextOps {
        |FROM g GROUP BY ngram HAVING count(*) >= 2
        |ORDER BY ngram""".stripMargin
 
+  /** Benchmark CONTAMINATION check — the eval-set leak detector every
+    * training corpus needs before a model trains on it: a document is
+    * contaminated when it shares an 8-gram with the benchmark set (the
+    * standard 8-13-gram overlap rule from published decontamination
+    * practice). Benchmark stand-in: every 100th document (a real run
+    * substitutes the actual eval suites — they are MBs, which is WHY the
+    * benchmark gram set broadcasts: the corpus side streams through one
+    * codegen'd kernel scan + broadcast-hash semi-match, no shuffle of the
+    * 100 TB side at any corpus size). Output: per contaminated doc, how
+    * many distinct 8-grams it shares. */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame =
+    contaminationOf(Tables.documents(spark, sfDir))
+
+  private[graft] def contaminationOf(documents: DataFrame): DataFrame = {
+    // wordShingles emits DISTINCT n-grams per doc (same kernel as
+    // boilerplate) — so count(*) after the join = distinct shared grams
+    val grams = documents.select(col("doc_id"),
+      explode(graft.functions.TextFns.wordShingles(col("text"), 8)).as("ngram"))
+    val bench = grams.where(col("doc_id") % 100 === 0).select("ngram").distinct()
+    grams.where(col("doc_id") % 100 =!= 0)
+      .join(broadcast(bench), Seq("ngram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  private val contaminationSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        range(1, greatest(len(toks) - 7, 0) + 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+       |             toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS ngram
+       |      FROM t),
+       |bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 100 = 0)
+       |SELECT g.doc_id, count(*) AS n_shared
+       |FROM g JOIN bench b ON g.ngram = b.ngram
+       |WHERE g.doc_id % 100 <> 0
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
+  /** TF-IDF keyword extraction (top-3 terms per document): the classic
+    * distributed shape — one shuffle for (doc, term) counts, one tiny
+    * aggregate for document frequencies joined back broadcast, a per-doc
+    * window for the top-k cut. IDF uses the RATIONAL form
+    * (N + 1) / (df + 1) instead of its logarithm: log is a libm call with
+    * no cross-engine bit guarantee, while the rational weight is pure
+    * IEEE division — same ranking, oracle-exact. Ties break by term. */
+  def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfTopkOf(Tables.documents(spark, sfDir))
+
+  private[graft] def tfidfTopkOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents.select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tfc"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val dfq = tok.distinct().groupBy("term").agg(count(lit(1)).as("dfc"))
+    val nd = documents.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dl, Seq("doc_id"))
+      .join(dfq, Seq("term"))
+      .join(broadcast(nd))
+      .withColumn("score",
+        col("tfc").cast("double") / col("len").cast("double") *
+          (col("nd") + 1).cast("double") / (col("dfc") + 1).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfTopkSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tfc FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+       |dfq AS (SELECT term, count(*) AS dfc FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+       |n AS (SELECT count(*) AS nd FROM documents),
+       |s AS (SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tfc AS DOUBLE) / CAST(dl.len AS DOUBLE) *
+       |      CAST(n.nd + 1 AS DOUBLE) / CAST(dfq.dfc + 1 AS DOUBLE) AS score
+       |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank FROM s)
+       |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_contamination" -> (contamination _),
+    "text_tfidf_topk" -> (tfidfTopk _),
     "text_repetition" -> (repetition _),
     "text_boilerplate_ngrams" -> (boilerplateNgrams _),
     "text_langid" -> (langId _),
@@ -298,6 +387,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_contamination" -> contaminationSql,
+    "text_tfidf_topk" -> tfidfTopkSql,
     "text_repetition" -> repetitionSql,
     "text_boilerplate_ngrams" -> boilerplateNgramsSql,
     "text_langid" -> langIdSql,

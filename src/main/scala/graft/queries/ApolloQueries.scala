@@ -720,25 +720,71 @@ object ApolloQueries {
       |FROM w LEFT JOIN customer c ON w.user_id = c.c_custkey
       |WHERE w.side = 1 ORDER BY blocknumber""".stripMargin
 
-  /** `token_balance(addr, token)` (dsl/functions.go:87-103): two-key lookup
-    * with on-chain `decimals()` scaling — here the decimals come from the
-    * dim row itself, matching the cached `decimals()` call
-    * (cached_client.go:59-70 immutable-key caching).
+  /** `token_balance(addr, token)` at the ROW'S block (dsl/functions.go:
+    * 87-103 — like `balance` it runs `BalanceAt` per row,
+    * chainservice.go:252-259): raw balance updates (view events keyed by
+    * token) fold forward per token, scaled by the token's on-chain
+    * `decimals()` from the dim (the cached immutable call,
+    * cached_client.go:59-70); the dim's s_acctbal is the genesis balance.
+    *
+    * Only 10 distinct tokens exist — at 100 TB every purchase lands on 10
+    * as-of reducer keys, so this query runs the SLICED as-of
+    * ([[Enrich.asOfJoinSliced]]) with equi-depth probe-quantile
+    * boundaries: the shuffle key is (token, slice), hash-identical to the
+    * plain form (skew_asof_sliced proves the equivalence under 90% skew).
     */
   def tokenBalance(spark: SparkSession, sfDir: String): DataFrame = {
     val fact = Tables.events(spark, sfDir).where(col("event_type") === "purchase")
       .withColumn("token", col("event_id") % 10 + 1)
-    Enrich.withDim(fact, Tables.supplier(spark, sfDir), Seq("token" -> "s_suppkey"))
-      .withColumn("token_balance", col("s_acctbal") / pow(lit(10.0), col("s_nationkey") % 4))
+    val updates = Tables.events(spark, sfDir).where(col("event_type") === "view")
+      .select((col("user_id") % 10 + 1).as("token"), col("event_id"),
+        col("value").as("tb_update"))
+    // slice boundaries: probe quartiles (plan-time literals; approximate is
+    // fine — correctness never depends on where the cuts land)
+    val bounds = fact.stat.approxQuantile("event_id", Array(0.25, 0.5, 0.75), 0.01)
+      .map(_.toLong).distinct.sorted.toSeq
+    val asOf =
+      if (bounds.nonEmpty)
+        Enrich.asOfJoinSliced(fact, updates,
+          key = "token", leftTime = "event_id", rightTime = "event_id",
+          tieBreaker = "event_id", valueCols = Seq("tb_update"),
+          boundaries = bounds)
+      else
+        Enrich.asOfJoin(fact, updates,
+          key = "token", leftTime = "event_id", rightTime = "event_id",
+          tieBreaker = "event_id", valueCols = Seq("tb_update"))
+    Enrich.withDim(asOf, Tables.supplier(spark, sfDir), Seq("token" -> "s_suppkey"))
+      .withColumn("token_balance",
+        coalesce(col("asof_tb_update"), col("s_acctbal").cast("double")) /
+          pow(lit(10.0), col("s_nationkey") % 4))
       .select(col("event_id").as("blocknumber"), col("token"), col("value"), col("token_balance"))
       .orderBy("blocknumber")
   }
 
   private val tokenBalanceSql =
-    """SELECT e.event_id AS blocknumber, e.event_id % 10 + 1 AS token, e.value,
-      |  s.s_acctbal / pow(10.0, s.s_nationkey % 4) AS token_balance
-      |FROM events e LEFT JOIN supplier s ON e.event_id % 10 + 1 = s.s_suppkey
-      |WHERE e.event_type = 'purchase' ORDER BY blocknumber""".stripMargin
+    """WITH probe AS (
+      |  SELECT event_id, event_id % 10 + 1 AS token, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |st AS (
+      |  SELECT user_id % 10 + 1 AS token, event_id, value AS tb_update FROM events
+      |  WHERE event_type = 'view'),
+      |un AS (
+      |  SELECT token, event_id AS t, 1 AS side, CAST(NULL AS BIGINT) AS tie,
+      |    event_id AS blocknumber, value, CAST(NULL AS DOUBLE) AS sv
+      |  FROM probe
+      |  UNION ALL
+      |  SELECT token, event_id AS t, 0 AS side, event_id AS tie,
+      |    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), tb_update
+      |  FROM st),
+      |w AS (
+      |  SELECT *, last_value(sv IGNORE NULLS) OVER (
+      |    PARTITION BY token ORDER BY t, side, tie
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tb
+      |  FROM un)
+      |SELECT w.blocknumber, w.token, w.value,
+      |  COALESCE(w.tb, CAST(s.s_acctbal AS DOUBLE)) / pow(10.0, s.s_nationkey % 4) AS token_balance
+      |FROM w LEFT JOIN supplier s ON w.token = s.s_suppkey
+      |WHERE w.side = 1 ORDER BY blocknumber""".stripMargin
 
   /** `is_contract(addr)` (ROADMAP v1.1): registry membership as a broadcast
     * left join + null-test; testbed registry = supplier keys. */

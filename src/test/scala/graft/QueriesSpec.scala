@@ -46,6 +46,19 @@ class QueriesSpec extends SparkSpec {
     assert(perBlock.exceptAll(snapshot).count() > 0)
   }
 
+  test("fn_token_balance is per-block and slice-partitioned (10-token hot keys)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.ApolloQueries.tokenBalance(spark, sf)
+    // per-block: some token's balance changes across the probed range
+    val changed = df.groupBy("token").agg(countDistinct("token_balance").as("n"))
+      .where(col("n") > 1)
+    assert(changed.count() > 0, "token balances must change mid-range")
+    // the as-of shuffle key must be (token, slice) — 10 tokens would
+    // otherwise bottleneck on 10 reducers at scale
+    val p = df.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(token#\\d+L?, __slice#".r.findFirstIn(p).isDefined, p)
+  }
+
   test("clustered-fixture ANN: recall far exceeds the scan fraction (index earns its keep)") {
     import org.apache.spark.sql.functions._
     val r = graft.ext.SimilarityOps.clusteredRecall(spark, sf)
