@@ -85,8 +85,15 @@ object Bench {
           if (!warm._2.isNaN && warm._2 < 1.0 / 3.0) {
             spark.catalog.clearCache()
             retried ::= name
-            val second = run()
-            if (second._1 < warm._1) warm = second
+            // the first warm sample is valid — a retry that throws must not
+            // turn a measured query into a failure
+            try {
+              val second = run()
+              if (second._1 < warm._1) warm = second
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] retry failed for $name (keeping first sample): $e")
+            }
           }
           spark.catalog.clearCache()
           Some((cold, warm))

@@ -298,23 +298,40 @@ object DedupOps {
     * sum(label) aggregate per iteration — the driver never sees rows.
     * Oracle: DuckDB recursive CTE computing min reachable id.
     */
-  def clusterCanonical(spark: SparkSession, sfDir: String): DataFrame =
-    clusterMap(spark, sfDir).orderBy("doc_id")
+  /** The clustering OPERATOR's own query: computes honestly on every call
+    * (its benchmark number must measure the iterative job, not a memo hit)
+    * and refreshes the reuse seam for downstream consumers. */
+  def clusterCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val fresh = computeClusterMap(spark, sfDir)
+    clusterMapCache.synchronized {
+      if (clusterMapCache.size >= 8) clusterMapCache.clear()
+      clusterMapCache.put((spark, sfDir), fresh)
+    }
+    fresh.orderBy("doc_id")
+  }
 
   /** Cluster-map REUSE seam: the canonical labels are the product of an
-    * iterative multi-job computation, and every curation consumer needs the
+    * iterative multi-job computation, and every curation CONSUMER needs the
     * same map — compute it once per (session, corpus) and share the
     * lineage-truncated result, exactly as a production pipeline persists
     * the cluster-map table once and joins it from every downstream query
     * (at 100 TB this memo IS a persisted table; here the final
-    * localCheckpoint plays that role). */
+    * localCheckpoint plays that role). Size-capped; the compute runs
+    * outside the lock (a racing duplicate compute is harmless — last one
+    * wins). */
   private val clusterMapCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  private def clusterMap(spark: SparkSession, sfDir: String): DataFrame =
-    clusterMapCache.synchronized {
-      clusterMapCache.getOrElseUpdate((spark, sfDir), computeClusterMap(spark, sfDir))
+  private def clusterMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val hit = clusterMapCache.synchronized(clusterMapCache.get((spark, sfDir)))
+    hit.getOrElse {
+      val fresh = computeClusterMap(spark, sfDir)
+      clusterMapCache.synchronized {
+        if (clusterMapCache.size >= 8) clusterMapCache.clear()
+        clusterMapCache.getOrElseUpdate((spark, sfDir), fresh)
+      }
     }
+  }
 
   private def computeClusterMap(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashLsh(spark, sfDir)

@@ -190,16 +190,26 @@ object HclSchema {
     out.toString
   }
 
-  /** Apply `f` to the non-string-literal segments of an expression. */
+  /** Apply `f` to the non-string-literal segments of an expression.
+    * Backslash-escape-aware INSIDE literals: [[requoteLiterals]] emits
+    * `\'` for embedded apostrophes, and a scanner that closed the string
+    * at the escaped quote would hand literal content to `f` (which then
+    * rewrites tokens inside it). */
   private def mapOutsideStrings(s: String)(f: String => String): String = {
     val out = new StringBuilder
     val seg = new StringBuilder
     var inStr = false
     var quote = ' '
-    s.foreach { c =>
-      if (inStr) { out.append(c); if (c == quote) inStr = false }
-      else if (c == '"' || c == '\'') { out.append(f(seg.toString)); seg.clear(); out.append(c); inStr = true; quote = c }
-      else seg.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < s.length) { out.append(c).append(s.charAt(i + 1)); i += 1 }
+        else { out.append(c); if (c == quote) inStr = false }
+      } else if (c == '"' || c == '\'') {
+        out.append(f(seg.toString)); seg.clear(); out.append(c); inStr = true; quote = c
+      } else seg.append(c)
+      i += 1
     }
     out.append(f(seg.toString))
     out.toString
@@ -367,6 +377,11 @@ object HclSchema {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** A bare date/timestamp token (`2024-01-01`, `2024-01-01 12:00`): must
+    * NOT be handed to [[evalConst]], which would read its dashes as
+    * subtraction and silently fold `2024-01-01` to `2022`. */
+  private val BareDateRe = """^\d{4}-\d{2}(-\d{2})?([ T]\d{2}:\d{2}(:\d{2})?)?$""".r
+
   /** Fold a variable/time value to a plain string at schema-load time.
     * Returns None for `now` (callers treat it as "unbounded"); expressions
     * that are not load-time constants pass through verbatim (old behavior —
@@ -374,17 +389,22 @@ object HclSchema {
   private[graft] def foldLiteral(raw: String): Option[String] = raw.trim match {
     case "now" => None
     case QuotedRe(s) if !s.contains("\"") => Some(s)
+    case d if BareDateRe.matches(d) => Some(d)
     case other => Some(evalConst(other).map(renderFolded).getOrElse(other))
+  }
+
+  /** Canonical numeric value of a declared address — `"0x1"`, `"0x01"` and
+    * `1` all canonicalize to the same BigInt, so the collision guard
+    * compares ADDRESSES, not spellings. */
+  private[graft] def addressValue(a: String): BigInt = {
+    val t = a.trim.stripPrefix("\"").stripSuffix("\"")
+    if (t.startsWith("0x") || t.startsWith("0X")) BigInt(t.drop(2), 16) else BigInt(t)
   }
 
   /** 0x-hex contract address → the testbed store's int64 key space (low 62
     * bits — deterministic; a live DSv2 source keys by the raw string). */
-  private[graft] def addressToLong(a: String): Long = {
-    val t = a.trim.stripPrefix("\"").stripSuffix("\"")
-    if (t.startsWith("0x") || t.startsWith("0X"))
-      (BigInt(t.drop(2), 16) & BigInt("3fffffffffffffff", 16)).toLong
-    else t.toLong
-  }
+  private[graft] def addressToLong(a: String): Long =
+    (addressValue(a) & BigInt("3fffffffffffffff", 16)).toLong
 
   // ---------- assembly ----------
 
@@ -421,8 +441,10 @@ object HclSchema {
         require(raw.trim != "now", s"hcl: variable $k cannot be `now`")
         // numbers substitute as bare SQL literals (a quoted number would
         // force string coercion in comparisons); strings as quoted literals
-        // with embedded single quotes escaped
-        k -> (evalConst(raw) match {
+        // with embedded single quotes escaped; bare date tokens stay
+        // verbatim (their dashes are not subtraction)
+        k -> (if (BareDateRe.matches(raw.trim)) s"'${raw.trim}'"
+        else evalConst(raw) match {
           case Some(n: FNum) => renderFolded(n)
           case Some(FStr(s)) => "'" + s.replace("'", "\\'") + "'"
           case None => "'" + raw.replace("'", "\\'") + "'"
@@ -501,12 +523,14 @@ object HclSchema {
         (raw, addressToLong(raw), cb, eventsOf(cb, declaredOutputs), methodsOf(cb))
       }
       // the 62-bit fold must keep declared addresses distinct — a collision
-      // would silently merge two contracts' event/transform scopes
-      val declDistinct = contracts.map(_._1.toLowerCase).distinct
+      // would silently merge two contracts' event/transform scopes.
+      // Distinctness is judged on the CANONICAL address value ("0x1" and
+      // "0x01" are the same contract, not a collision).
+      val declDistinct = contracts.map(c => addressValue(c._1)).distinct
       val foldDistinct = contracts.map(_._2).distinct
       require(foldDistinct.size == declDistinct.size,
-        s"hcl: query $name: declared contract addresses ${declDistinct.mkString(", ")} fold " +
-          s"to ${foldDistinct.size} colliding testbed keys — rename one address or widen the key space")
+        s"hcl: query $name: ${declDistinct.size} distinct contract addresses fold to " +
+          s"${foldDistinct.size} colliding testbed keys — rename one address or widen the key space")
       val outputs = declaredOutputs.toSet -- native
       def sql(e: String): String = toSql(e, outputs, varNames)
 

@@ -739,10 +739,16 @@ object ApolloQueries {
     val updates = Tables.events(spark, sfDir).where(col("event_type") === "view")
       .select((col("user_id") % 10 + 1).as("token"), col("event_id"),
         col("value").as("tb_update"))
-    // slice boundaries: probe quartiles (plan-time literals; approximate is
-    // fine — correctness never depends on where the cuts land)
-    val bounds = fact.stat.approxQuantile("event_id", Array(0.25, 0.5, 0.75), 0.01)
-      .map(_.toLong).distinct.sorted.toSeq
+    // slice boundaries: even cuts of the probe id range — one cheap min/max
+    // aggregate (event_ids are dense, so range cuts ≈ equi-depth; and
+    // correctness never depends on where the cuts land, only balance does)
+    val mm = fact.agg(min("event_id"), max("event_id")).head()
+    val bounds =
+      if (mm.isNullAt(0)) Seq.empty[Any]
+      else {
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        (1 to 3).map(i => (lo + (hi - lo) * i / 4): Any).distinct.filter(_ != hi)
+      }
     val asOf =
       if (bounds.nonEmpty)
         Enrich.asOfJoinSliced(fact, updates,

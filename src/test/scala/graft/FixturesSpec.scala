@@ -301,6 +301,62 @@ class FixturesSpec extends SparkSpec {
     assert(df.select("floor_block").head().get(0) == 20)
   }
 
+  test("HCL: tokens after an apostrophe literal still rewrite (escape-aware scanner)") {
+    graft.functions.GraftFunctions.register(spark)
+    // the declared output `score` appears AFTER the literal "it's up" — a
+    // scanner that closes string state at the escaped quote would rewrite
+    // the literal's content and hand the trailing token through raw
+    val hcl =
+      """query apos_after {
+        |  chain = "ethereum"
+        |  event purchase { outputs = ["score"] }
+        |  save {
+        |    block = blocknumber
+        |    label = value > 0 ? "it's up" : "down"
+        |    s = score
+        |  }
+        |}""".stripMargin
+    val q = HclSchema.parse(hcl).queries.head
+    val df = Compiler.compile(spark, sf, q)
+    // score is not a testbed column → payload lookup → null, never a crash
+    assert(df.where(col("label") === "it's up").count() > 0)
+    assert(df.where(col("s").isNotNull).count() == 0)
+  }
+
+  test("HCL: bare date tokens are dates, not subtraction") {
+    assert(HclSchema.foldLiteral("2024-01-01") == Some("2024-01-01"))
+    assert(HclSchema.foldLiteral("2024-01-01 12:30") == Some("2024-01-01 12:30"))
+    assert(HclSchema.foldLiteral("2024 - 1 - 1") == Some("2022")) // real arithmetic still folds
+    val hcl =
+      """start_time = 2024-01-05
+        |end_time = 2024-01-25
+        |query bare_dates {
+        |  chain = "ethereum"
+        |  event purchase { outputs = ["value"] }
+        |  save { block = blocknumber }
+        |}""".stripMargin
+    val q = HclSchema.parse(hcl).queries.head
+    assert(q.startTime.contains("2024-01-05") && q.endTime.contains("2024-01-25"))
+  }
+
+  test("HCL: one address in two spellings is the same contract, not a collision") {
+    val hcl =
+      """query respell {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = "0x1"
+        |    event purchase { outputs = ["value"] }
+        |  }
+        |  contract {
+        |    address = "0x01"
+        |    event click { outputs = ["value"] }
+        |  }
+        |  save { block = blocknumber }
+        |}""".stripMargin
+    val q = HclSchema.parse(hcl).queries.head // must not throw
+    assert(q.contracts.map(_.address).distinct == Seq(1L))
+  }
+
   test("HCL: colliding folded contract addresses fail loud") {
     // two distinct 0x addresses equal modulo 2^62: differ only in bit 63
     val a = "0x4000000000000000"
