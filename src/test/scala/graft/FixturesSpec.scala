@@ -379,6 +379,35 @@ class FixturesSpec extends SparkSpec {
     assert(e.getMessage.contains("colliding testbed keys"))
   }
 
+  test("config.yml surface: the reference's own example config drives the chain registry") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/config.example.yml"))
+    val conf = ConfigFile.parse(text)
+    assert(conf.rpc.keySet ==
+      Set("ethereum", "avax", "arbitrum", "optimism", "polygon", "fantom"))
+    assert(conf.rpc("ethereum") == "http://cloudflare-eth.com/v1/mainnet")
+    assert(conf.rpc("avax").startsWith("wss://")) // ws endpoints survive the ':' split
+    // testbed resolution: each chain's endpoint maps to a store directory;
+    // unknown chains fall back to the default store
+    val reg = conf.registry((chain, _) => s"/stores/$chain", default = sf)
+    assert(reg.resolve("ethereum") == "/stores/ethereum")
+    assert(reg.resolve("base") == sf)
+    // and the compiled query actually reads the resolved store
+    val q = QuerySpec(
+      name = "cfg_routed", chain = "base",
+      globalEvents = Seq(EventSpec("signup", Seq("value"))),
+      saves = Seq("block" -> col("blocknumber")))
+    assert(Compiler.compile(spark, reg, q).count() ==
+      Tables.events(spark, sf).where(col("event_type") === "signup").count())
+    // postgres section → the Sinks.jdbc target shape
+    val (url, props) = conf.jdbcTarget
+    assert(url == "jdbc:postgresql://172.17.0.2/postgres")
+    assert(props.getProperty("user") == "chainreader")
+    // malformed structure fails loud, not silently dropped
+    intercept[IllegalArgumentException](ConfigFile.parse("rpc: inline-scalar"))
+    intercept[RuntimeException](ConfigFile.parse("  orphan: value"))
+  }
+
   test("typed Dataset surface works over the event store (Dataset[Event])") {
     import spark.implicits._
     val ds = Tables.events(spark, sf)

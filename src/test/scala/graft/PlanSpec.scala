@@ -74,6 +74,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("clustered-fixture recall: broadcast routing, no cartesian (r5)") {
+    val p = plan("sim_clustered_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("contamination: benchmark gram set broadcasts — the corpus side never shuffles for membership") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("per-block balance: one as-of window shuffle + broadcast genesis dim, no merge join") {
+    val p = plan("fn_balance_lookup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("registry/price lookups broadcast the dim — the fact side never shuffles for them") {
     val pIs = plan("fn_is_contract")
     assert(pIs.contains("BroadcastHashJoin"), pIs)
