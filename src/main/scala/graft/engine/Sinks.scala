@@ -81,4 +81,40 @@ object Sinks {
       .outputMode("append")
     (if (bounded) w.trigger(Trigger.AvailableNow()) else w).start()
   }
+
+  /** R8 STREAMING → per-query SQL TABLES: the reference's DB output creates
+    * one table per query and appends each result row as it arrives — in
+    * realtime mode too (output/output.go:82-104: `HandleResult(name, …)` +
+    * `CreateTable` on first write, keyed by query name). Streaming form:
+    * a checkpointed `foreachBatch` splits each micro-batch by query_name
+    * and appends to that query's table. Source progress is exactly-once
+    * via the checkpoint; the JDBC appends themselves are at-least-once on
+    * a mid-batch crash (add a batch-id column and dedup downstream for
+    * exactly-once into SQL) — the reference has no restart story at all.
+    * The per-batch name list is tiny (≤ #queries), so the driver-side
+    * routing loop is not a data path. */
+  def demuxJdbcStream(
+      df: DataFrame,
+      url: String,
+      props: java.util.Properties,
+      checkpoint: String,
+      bounded: Boolean = false,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(df.isStreaming, "demuxJdbcStream needs a streaming frame; use Sinks.jdbc")
+    import org.apache.spark.sql.functions.col
+    val w = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.cache()
+        try {
+          val names = cached.select("query_name").distinct()
+            .collect().map(_.getString(0)).sorted
+          names.foreach { n =>
+            cached.where(col("query_name") === n).drop("query_name")
+              .write.mode(SaveMode.Append).jdbc(url, n, props)
+          }
+        } finally cached.unpersist()
+      }
+    (if (bounded) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
 }

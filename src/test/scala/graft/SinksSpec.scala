@@ -107,6 +107,32 @@ class SinksSpec extends SparkSpec {
       Sinks.demuxParquetStream(Tables.nation(spark, sf), s"$out/x", s"$out/y"))
   }
 
+  test("R8 streaming demux to SQL: one table per realtime query (output.go:82-104 contract)") {
+    val out = tmp("sjdbc")
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    def spec(name: String, sig: String) = graft.model.QuerySpec(
+      name = name, chain = "ethereum", mode = graft.model.Mode.Realtime,
+      globalEvents = Seq(graft.model.EventSpec(sig, Seq("value"))),
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "value" -> col("value")))
+    val compiled = Map(
+      "rt_tbl_purchases" -> Compiler.compile(spark, sf, spec("rt_tbl_purchases", "purchase")),
+      "rt_tbl_clicks" -> Compiler.compile(spark, sf, spec("rt_tbl_clicks", "click")))
+    val q = Sinks.demuxJdbcStream(
+      Compiler.demux(compiled), url, props, s"$out/ckpt", bounded = true)
+    q.awaitTermination()
+    val ev = Tables.events(spark, sf)
+    assert(spark.read.jdbc(url, "rt_tbl_purchases", props).count() ==
+      ev.where(col("event_type") === "purchase").count())
+    assert(spark.read.jdbc(url, "rt_tbl_clicks", props).count() ==
+      ev.where(col("event_type") === "click").count())
+    // the demux column does not leak into the tables
+    assert(!spark.read.jdbc(url, "rt_tbl_clicks", props).columns.contains("query_name"))
+  }
+
   test("streaming foreachBatch sink is checkpointed (exactly-once beyond the reference)") {
     val out = tmp("stream")
     val target = s"$out/rows"
