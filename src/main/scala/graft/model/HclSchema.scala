@@ -44,23 +44,40 @@ object HclSchema {
       attrs: Seq[(String, String)], // name -> raw value text (may be [..] or {..})
       blocks: Seq[(String, Option[String], Body)]) // kind, label, body
 
-  private def stripComments(s: String): String =
+  private val HeredocOpenRe = """.*=\s*<<-?\s*(\w+)\s*$""".r
+
+  private def stripComments(s: String): String = {
+    // heredoc bodies pass through VERBATIM — a '#' or '//' inside one is
+    // content, not a comment
+    var heredoc: Option[String] = None
     s.linesIterator.map { line =>
-      // cut // and # outside string literals
-      var inStr = false
-      val sb = new StringBuilder
-      var i = 0
-      var done = false
-      while (i < line.length && !done) {
-        val c = line.charAt(i)
-        if (inStr) { if (c == '"') inStr = false; sb.append(c) }
-        else if (c == '"') { inStr = true; sb.append(c) }
-        else if (c == '#' || (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')) done = true
-        else sb.append(c)
-        i += 1
+      heredoc match {
+        case Some(m) =>
+          if (line.trim == m) heredoc = None
+          line
+        case None =>
+          // cut // and # outside string literals
+          var inStr = false
+          val sb = new StringBuilder
+          var i = 0
+          var done = false
+          while (i < line.length && !done) {
+            val c = line.charAt(i)
+            if (inStr) { if (c == '"') inStr = false; sb.append(c) }
+            else if (c == '"') { inStr = true; sb.append(c) }
+            else if (c == '#' || (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')) done = true
+            else sb.append(c)
+            i += 1
+          }
+          val out = sb.toString
+          out match {
+            case HeredocOpenRe(m) => heredoc = Some(m)
+            case _ => ()
+          }
+          out
       }
-      sb.toString
     }.mkString("\n")
+  }
 
   /** Parse a block body from `s` starting at `from`; returns (body, next). */
   private def parseBody(s: String, from: Int, topLevel: Boolean): (Body, Int) = {
@@ -77,10 +94,47 @@ object HclSchema {
       skipWs()
       if (i < s.length && s.charAt(i) == '=') {
         i += 1
+        skipWs()
+        // heredoc value: `<<MARKER` / `<<-MARKER` (indented close + common
+        // indent stripping, HCL2 semantics) — collected into a standard
+        // double-quoted string token so every downstream consumer
+        // (foldLiteral/evalConst/toSql) sees an ordinary literal
+        if (i + 1 < s.length && s.charAt(i) == '<' && s.charAt(i + 1) == '<') {
+          i += 2
+          val indented = i < s.length && s.charAt(i) == '-'
+          if (indented) i += 1
+          val mStart = i
+          while (i < s.length && s.charAt(i) != '\n') i += 1
+          val marker = s.substring(mStart, i).trim
+          require(marker.nonEmpty, s"hcl: heredoc for $ident lacks a marker")
+          if (i < s.length) i += 1 // consume the newline
+          val lines = Seq.newBuilder[String]
+          var closed = false
+          while (!closed) {
+            require(i < s.length, s"hcl: heredoc for $ident not closed by $marker")
+            val lStart = i
+            while (i < s.length && s.charAt(i) != '\n') i += 1
+            val line = s.substring(lStart, i)
+            if (i < s.length) i += 1
+            if ((if (indented) line.trim else line) == marker) closed = true
+            else lines += line
+          }
+          var content = lines.result()
+          if (indented && content.nonEmpty) {
+            val indents = content.filter(_.trim.nonEmpty)
+              .map(_.takeWhile(c => c == ' ' || c == '\t').length)
+            val cut = if (indents.isEmpty) 0 else indents.min
+            content = content.map(l => l.drop(math.min(cut, l.takeWhile(c => c == ' ' || c == '\t').length)))
+          }
+          val text = content.mkString("\n")
+          attrs += ident -> ("\"" + text.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+          skipWs()
+          // done with this attr — jump back to the loop head
+        } else {
         // value: scan to end of line, but balance []/{} across lines
         var depth = 0
         var inStr = false
-        val vStart = { skipWs(); i }
+        val vStart = i
         var done = false
         while (i < s.length && !done) {
           val c = s.charAt(i)
@@ -98,6 +152,7 @@ object HclSchema {
           if (!done) i += 1
         }
         attrs += ident -> s.substring(vStart, i).trim
+        }
       } else {
         // block: optional label identifier, then '{'
         val label =

@@ -123,6 +123,44 @@ object ApolloQueries {
       |  AND value / CASE WHEN user_id = 1 THEN 100.0 ELSE 1000.0 END <> 0
       |ORDER BY block""".stripMargin
 
+  /** The config.yml + multi-chain surface under the DRIVER's gate: a
+    * reference-shaped config (config.go:13-16 `rpc` map) parses through
+    * [[graft.model.ConfigFile]], its registry routes each chain's queries
+    * to that chain's store ([[graft.model.ChainRegistry]] ≙
+    * chainservice.go:127-131 one service per chain), a loop-expanded
+    * two-chain schema compiles against it, and the demuxed union must
+    * hash-match a plain-SQL oracle — the whole config → registry →
+    * compile → demux chain end-to-end. On the single-store testbed both
+    * chains resolve to the same store; the routing itself is
+    * spec-asserted against distinct stores in FixturesSpec. */
+  def configRoutedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val conf = graft.model.ConfigFile.parse(
+      """rpc:
+        |  ethereum: wss://test-eth.invalid/ws
+        |  arbitrum: wss://test-arb.invalid/ws
+        |""".stripMargin)
+    assert(conf.rpc.size == 2)
+    // testbed resolution: every declared chain's endpoint → this SF's store
+    val registry = conf.registry((_, _) => sfDir, default = sfDir)
+    val specs = Loop.expand(Seq("ethereum", "arbitrum")) { (chain, _) =>
+      QuerySpec(
+        name = "signups", chain = chain,
+        globalEvents = Seq(EventSpec("signup", Seq("value"))),
+        saves = Seq(
+          "chain" -> col("chain"),
+          "block" -> col("blocknumber"),
+          "value" -> col("value")))
+    }
+    val compiled = specs.map(q => q.name -> Compiler.compile(spark, registry, q)).toMap
+    Compiler.demux(compiled).orderBy("query_name", "block")
+  }
+
+  private val configRoutedScanSql =
+    """SELECT q || '-signups' AS query_name, c AS chain, event_id AS block, value
+      |FROM events, (VALUES ('0', 'ethereum'), ('1', 'arbitrum')) AS chains(q, c)
+      |WHERE event_type = 'signup'
+      |ORDER BY query_name, block""".stripMargin
+
   /** S2 — global event scan: signature-only predicate, no address filter. */
   def globalScan(spark: SparkSession, sfDir: String): DataFrame =
     Sources.globalEvents(spark, sfDir, "signup")
@@ -835,6 +873,7 @@ object ApolloQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "apollo_flagship_swaps" -> (flagship _),
     "hcl_scoped_swaps" -> (hclScopedSwaps _),
+    "config_routed_scan" -> (configRoutedScan _),
     "s3_compiled_stream_parity" -> (compiledStreamParity _),
     "s6_method_poller" -> (methodPollerRealtime _),
     "s2_global_event_scan" -> (globalScan _),
@@ -861,6 +900,7 @@ object ApolloQueries {
   val oracles: Map[String, String] = Map(
     "apollo_flagship_swaps" -> flagshipSql,
     "hcl_scoped_swaps" -> hclScopedSwapsSql,
+    "config_routed_scan" -> configRoutedScanSql,
     "s3_compiled_stream_parity" -> flagshipSql,
     "s6_method_poller" -> methodGridCompiledSql,
     "s2_global_event_scan" -> globalScanSql,

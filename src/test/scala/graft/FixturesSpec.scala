@@ -379,6 +379,34 @@ class FixturesSpec extends SparkSpec {
     assert(e.getMessage.contains("colliding testbed keys"))
   }
 
+  test("HCL: heredoc values parse, survive comments-in-content, and execute") {
+    graft.functions.GraftFunctions.register(spark)
+    val hcl =
+      """variables = {
+        |  note = <<EOT
+        |line one "quoted" # not a comment
+        |line two
+        |EOT
+        |}
+        |query heredocs {
+        |  chain = "ethereum"
+        |  event purchase { outputs = ["value"] }
+        |  save {
+        |    block = blocknumber
+        |    note = note
+        |    tag = <<-TAG
+        |      indented body
+        |      TAG
+        |  }
+        |}""".stripMargin
+    val q = HclSchema.parse(hcl).queries.head
+    val df = Compiler.compile(spark, sf, q)
+    val row = df.orderBy("block").head()
+    assert(row.getString(row.fieldIndex("note")) ==
+      "line one \"quoted\" # not a comment\nline two")
+    assert(row.getString(row.fieldIndex("tag")) == "indented body")
+  }
+
   test("config.yml surface: the reference's own example config drives the chain registry") {
     val text = java.nio.file.Files.readString(
       java.nio.file.Paths.get("/root/reference/config.example.yml"))
