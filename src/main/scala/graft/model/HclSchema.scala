@@ -116,7 +116,11 @@ object HclSchema {
             while (i < s.length && s.charAt(i) != '\n') i += 1
             val line = s.substring(lStart, i)
             if (i < s.length) i += 1
-            if ((if (indented) line.trim else line) == marker) closed = true
+            // closing marker may be indented in BOTH forms (HCL2 — the '-'
+            // only controls content indent stripping), and stripComments
+            // uses the same trim rule: the two scanners must agree or
+            // comment stripping resumes mid-body
+            if (line.trim == marker) closed = true
             else lines += line
           }
           var content = lines.result()
@@ -131,16 +135,38 @@ object HclSchema {
           skipWs()
           // done with this attr — jump back to the loop head
         } else {
-        // value: scan to end of line, but balance []/{} across lines
+        // value: scan to end of line, but balance []/{} across lines.
+        // Escape- and heredoc-aware: a \" inside a literal must not close
+        // string state, and a heredoc inside a map/list value (e.g. under
+        // `variables = {...}`) is raw text — its quotes/braces must not
+        // perturb the balance (the inner parseBody re-parses it properly).
         var depth = 0
         var inStr = false
         val vStart = i
         var done = false
         while (i < s.length && !done) {
           val c = s.charAt(i)
-          if (inStr) { if (c == '"') inStr = false }
-          else c match {
+          if (inStr) {
+            if (c == '\\' && i + 1 < s.length) i += 1
+            else if (c == '"') inStr = false
+          } else c match {
             case '"' => inStr = true
+            case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' =>
+              i += 2
+              if (i < s.length && s.charAt(i) == '-') i += 1
+              val mStart = i
+              while (i < s.length && s.charAt(i) != '\n') i += 1
+              val m = s.substring(mStart, i).trim
+              require(m.nonEmpty, s"hcl: heredoc in value of $ident lacks a marker")
+              var hClosed = false
+              while (!hClosed) {
+                require(i < s.length, s"hcl: heredoc in value of $ident not closed by $m")
+                i += 1 // consume the newline
+                val lStart = i
+                while (i < s.length && s.charAt(i) != '\n') i += 1
+                if (s.substring(lStart, i).trim == m) hClosed = true
+              }
+              i -= 1 // balance the shared increment below
             case '[' | '{' => depth += 1
             // an UNMATCHED '}' closes the enclosing block (one-line blocks:
             // `event e { outputs = [...] }`) — terminate without consuming
@@ -178,15 +204,19 @@ object HclSchema {
   // ---------- expression translation ----------
 
   /** HCL ternary `c ? a : b` → `IF(c, a, b)`, nesting- and string-aware.
-    * String state tracks WHICH quote char opened the literal, so an
-    * apostrophe inside a double-quoted string (`x ? "it's: a" : b`) neither
-    * ends the literal early nor hides the real `:`. */
+    * String state tracks WHICH quote char opened the literal (so an
+    * apostrophe inside a double-quoted string neither ends the literal
+    * early nor hides the real `:`) and skips backslash escapes (so `\"`
+    * inside a literal does not flip string state — the same defect class
+    * [[mapOutsideStrings]] guards against). */
   private[graft] def rewriteTernary(s: String): String = {
     var depth = 0; var i = 0; var q = -1; var inStr = false; var qc = ' '
     while (i < s.length && q < 0) {
       val c = s.charAt(i)
-      if (inStr) { if (c == qc) inStr = false }
-      else c match {
+      if (inStr) {
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == qc) inStr = false
+      } else c match {
         case '"' | '\'' => inStr = true; qc = c
         case '(' | '[' => depth += 1
         case ')' | ']' => depth -= 1
@@ -200,8 +230,10 @@ object HclSchema {
     depth = 0; inStr = false; i = q + 1
     while (i < s.length && colon < 0) {
       val c = s.charAt(i)
-      if (inStr) { if (c == qc) inStr = false }
-      else c match {
+      if (inStr) {
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == qc) inStr = false
+      } else c match {
         case '"' | '\'' => inStr = true; qc = c
         case '(' | '[' => depth += 1
         case ')' | ']' => depth -= 1
@@ -225,13 +257,19 @@ object HclSchema {
     var i = 0; var inStr = false; var quote = ' '
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { out.append(c); if (c == quote) inStr = false; i += 1 }
+      if (inStr) {
+        if (c == '\\' && i + 1 < s.length) { out.append(c).append(s.charAt(i + 1)); i += 2 }
+        else { out.append(c); if (c == quote) inStr = false; i += 1 }
+      }
       else if (c == '"' || c == '\'') { out.append(c); inStr = true; quote = c; i += 1 }
       else if (c == '(') {
         var depth = 1; var j = i + 1; var ins = false; var qt = ' '
         while (j < s.length && depth > 0) {
           val d = s.charAt(j)
-          if (ins) { if (d == qt) ins = false }
+          if (ins) {
+            if (d == '\\' && j + 1 < s.length) j += 1
+            else if (d == qt) ins = false
+          }
           else if (d == '"' || d == '\'') { ins = true; qt = d }
           else if (d == '(') depth += 1
           else if (d == ')') depth -= 1
