@@ -109,9 +109,16 @@ object Sinks {
         try {
           val names = cached.select("query_name").distinct()
             .collect().map(_.getString(0)).sorted
+          // loop-expanded names ("0-signups") are not bare SQL identifiers —
+          // quote those per the target's dialect or CREATE TABLE parses the
+          // dash. Bare identifiers stay unquoted (quoting flips them to
+          // case-sensitive resolution, breaking plain reads).
+          val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
           names.foreach { n =>
+            val table = if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n
+                        else dialect.quoteIdentifier(n)
             cached.where(col("query_name") === n).drop("query_name")
-              .write.mode(SaveMode.Append).jdbc(url, n, props)
+              .write.mode(SaveMode.Append).jdbc(url, table, props)
           }
         } finally cached.unpersist()
       }

@@ -55,13 +55,19 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
     def getter(e: Expression, arr: String, i: String) =
       if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT fixed names: two ArrayDots in one codegen'd stage
+      // (dot(a,b) + norm's dot(v,v)) otherwise redeclare the same Java
+      // locals and the whole stage falls back to interpreted eval
+      val n = ctx.freshName("adN")
+      val acc = ctx.freshName("adAcc")
+      val i = ctx.freshName("adI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += ${getter(left, a, "i")} * ${getter(right, b, "i")};
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -52,7 +52,11 @@ object ConfigFile {
         val colon = line.indexOf(':')
         require(colon > 0, s"config: line ${i + 1} has no 'key: value' shape: $raw")
         val key = line.substring(0, colon).trim
-        val value = line.substring(colon + 1).trim
+        // YAML: '#' starts a trailing comment only when preceded by
+        // whitespace — 'a#b' (URL fragments) is content
+        val v0 = line.substring(colon + 1)
+        val cut = v0.indices.find(j => v0(j) == '#' && j > 0 && v0(j - 1).isWhitespace)
+        val value = cut.fold(v0)(v0.substring(0, _)).trim
         if (!indented) {
           require(value.isEmpty, s"config: top-level scalar '$key' unsupported (line ${i + 1})")
           current = Some(key)

@@ -382,7 +382,7 @@ object HclSchema {
       val s = input.trim
       var i = 0
       def skip(): Unit = { while (i < s.length && s.charAt(i).isWhitespace) i += 1 }
-      def peek: Char = if (i < s.length) s.charAt(i) else ' '
+      def peek: Char = if (i < s.length) s.charAt(i) else '\u0000'
       def parseString(): String = {
         val q = s.charAt(i); i += 1
         val sb = new StringBuilder
@@ -562,9 +562,14 @@ object HclSchema {
       val inner = v.substring(1, v.length - 1)
       // split top-level commas
       val items = Seq.newBuilder[String]
-      var depth = 0; var inStr = false; val cur = new StringBuilder
+      var depth = 0; var inStr = false; var esc = false; val cur = new StringBuilder
       inner.foreach { c =>
-        if (inStr) { cur.append(c); if (c == '"') inStr = false }
+        if (inStr) {
+          cur.append(c)
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        }
         else c match {
           case '"' => inStr = true; cur.append(c)
           case '(' | '[' | '{' => depth += 1; cur.append(c)

@@ -431,6 +431,10 @@ class FixturesSpec extends SparkSpec {
     val (url, props) = conf.jdbcTarget
     assert(url == "jdbc:postgresql://172.17.0.2/postgres")
     assert(props.getProperty("user") == "chainreader")
+    // inline comments strip (whitespace-preceded '#'), URL fragments survive
+    val inline = ConfigFile.parse(
+      "rpc: # endpoints\n  eth: http://host/a#frag # prod\n")
+    assert(inline.rpc("eth") == "http://host/a#frag")
     // malformed structure fails loud, not silently dropped
     intercept[IllegalArgumentException](ConfigFile.parse("rpc: inline-scalar"))
     intercept[RuntimeException](ConfigFile.parse("  orphan: value"))

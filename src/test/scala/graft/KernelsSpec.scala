@@ -117,6 +117,30 @@ class KernelsSpec extends SparkSpec {
     assert(pairs.where(col("hof") =!= col("kernel")).count() == 0)
   }
 
+  test("ArrayDot codegen COMPILES with several dots in one stage (no silent fallback)") {
+    // dot(a,b) + norm(a) + norm(b) in one projection is the ANN hot path;
+    // fixed Java local names would redeclare across the three inlined
+    // kernels and the whole stage would silently run interpreted. Forcing
+    // fallback OFF turns that silent regression into a test failure.
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+        .select(
+          Vec.dot(col("a"), col("b")).as("d"),
+          Vec.norm(col("a")).as("na"),
+          Vec.norm(col("b")).as("nb"))
+        .head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getDouble(1) == math.sqrt(5.0))
+      assert(r.getDouble(2) == math.sqrt(25.0))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("ArrayDot handles length mismatch (min length) and empty arrays") {
     import spark.implicits._
     val got = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f)))

@@ -118,14 +118,17 @@ class SinksSpec extends SparkSpec {
       saves = Seq(
         "blocknumber" -> col("blocknumber"),
         "value" -> col("value")))
+    // "0-rt_purchases" is the loop-expansion naming shape (item-name) — not
+    // a bare SQL identifier; the sink must quote it per the target dialect
     val compiled = Map(
-      "rt_tbl_purchases" -> Compiler.compile(spark, sf, spec("rt_tbl_purchases", "purchase")),
+      "0-rt_purchases" -> Compiler.compile(spark, sf, spec("0-rt_purchases", "purchase")),
       "rt_tbl_clicks" -> Compiler.compile(spark, sf, spec("rt_tbl_clicks", "click")))
     val q = Sinks.demuxJdbcStream(
       Compiler.demux(compiled), url, props, s"$out/ckpt", bounded = true)
     q.awaitTermination()
     val ev = Tables.events(spark, sf)
-    assert(spark.read.jdbc(url, "rt_tbl_purchases", props).count() ==
+    val quoted = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier("0-rt_purchases")
+    assert(spark.read.jdbc(url, quoted, props).count() ==
       ev.where(col("event_type") === "purchase").count())
     assert(spark.read.jdbc(url, "rt_tbl_clicks", props).count() ==
       ev.where(col("event_type") === "click").count())
