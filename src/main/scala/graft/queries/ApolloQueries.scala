@@ -347,6 +347,58 @@ object ApolloQueries {
        |  user_id AS contract, value, click_value
        |FROM w WHERE side = 1 ORDER BY blocknumber""".stripMargin
 
+  /** Realtime S7 with a POSITIVE block offset: a look-AHEAD. The stream
+    * buffers each probe until the key's seen-block high-water mark strictly
+    * passes `block + offset` (the live "wait for block b + k, then call"),
+    * then answers with the exact batch as-of. Probes whose target the data
+    * never reaches are still waiting at shutdown, so the oracle is the
+    * batch as-of RESTRICTED to probes with a later same-key event — the
+    * resolution rule stated in SQL, like the LSH bucket cap. */
+  def realtimePositiveOffset(spark: SparkSession, sfDir: String): DataFrame = {
+    val spec = QuerySpec(
+      name = "purchases_with_next_click_rt",
+      chain = "ethereum",
+      contracts = FibAddrs.map(a => ContractSpec(a, events = Seq(EventSpec(
+        "purchase", Seq("value"),
+        methods = Seq(MethodSpec("click", Seq("value"), blockOffset = 1L)))))),
+      mode = Mode.Realtime,
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "timestamp" -> col("timestamp"),
+        "contract" -> col("user_id"),
+        "value" -> col("value"),
+        "click_value" -> col("click_value")),
+    )
+    val stream = Compiler.compile(spark, sfDir, spec)
+    assert(stream.isStreaming, "realtime event-method compile must produce a streaming plan")
+    graft.streaming.Streams.runToTable(stream, "s7_rt_pos_sink").orderBy("blocknumber")
+  }
+
+  private val realtimePositiveOffsetSql =
+    s"""WITH probe AS (
+       |  SELECT user_id, event_id, ts, value FROM events
+       |  WHERE event_type = 'purchase' AND user_id IN (${FibAddrs.mkString(",")})),
+       |st AS (
+       |  SELECT user_id, event_id, value FROM events
+       |  WHERE event_type = 'click' AND user_id IN (${FibAddrs.mkString(",")})),
+       |un AS (
+       |  SELECT user_id, event_id + 1 AS t, 1 AS side, CAST(NULL AS BIGINT) AS tie,
+       |    event_id AS blocknumber, ts, value, CAST(NULL AS DOUBLE) AS sv, event_id AS ev
+       |  FROM probe
+       |  UNION ALL
+       |  SELECT user_id, event_id AS t, 0 AS side, event_id AS tie,
+       |    CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE), value, event_id
+       |  FROM st),
+       |w AS (
+       |  SELECT *, last_value(sv IGNORE NULLS) OVER (
+       |    PARTITION BY user_id ORDER BY t, side, tie
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_value,
+       |  max(ev) OVER (PARTITION BY user_id) AS key_max
+       |  FROM un)
+       |SELECT blocknumber, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
+       |  user_id AS contract, value, click_value
+       |FROM w WHERE side = 1 AND key_max > blocknumber + 1 ORDER BY blocknumber""".stripMargin
+
   private val methodOffsetSql =
     s"""WITH probe AS (
        |  SELECT user_id, event_id, ts, value FROM events
@@ -883,6 +935,7 @@ object ApolloQueries {
     "s7_method_offset" -> (methodOffset _),
     "s7_realtime_event_methods" -> (realtimeEventMethods _),
     "s7_realtime_negative_offset" -> (realtimeNegativeOffset _),
+    "s7_realtime_positive_offset" -> (realtimePositiveOffset _),
     "s8_block_metadata_join" -> (blockMetadataJoin _),
     "s9_block_dater" -> (blockDater _),
     "r1_abi_decode" -> (abiDecode _),
@@ -910,6 +963,7 @@ object ApolloQueries {
     "s7_method_offset" -> methodOffsetSql,
     "s7_realtime_event_methods" -> realtimeEventMethodsSql,
     "s7_realtime_negative_offset" -> methodOffsetSql,
+    "s7_realtime_positive_offset" -> realtimePositiveOffsetSql,
     "s8_block_metadata_join" -> blockMetadataJoinSql,
     "s9_block_dater" -> blockDaterSql,
     "r1_abi_decode" -> abiDecodeSql,

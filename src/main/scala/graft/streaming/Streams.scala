@@ -29,6 +29,25 @@ object Streams {
       carryValue: java.lang.Double,
       carryProps: String)
 
+  /** A probe whose positive-offset target block has not arrived yet —
+    * buffered until the key's seen-block high-water mark passes every
+    * active positive target (the streaming form of "wait for block
+    * b + offset, then call"). */
+  private[streaming] final case class PendingProbe(
+      block: Long,
+      ts: java.sql.Timestamp,
+      sig: String,
+      value: java.lang.Double,
+      props: String)
+
+  /** Whole per-key state for [[eventMethodsStream]]: one [[MethodState]]
+    * per declared method, the deferred positive-offset probes, and the
+    * monotone seen-block high-water mark that resolves them. */
+  private[streaming] final case class EventMethodsState(
+      methods: Array[MethodState],
+      pending: List[PendingProbe],
+      maxSeen: Long)
+
   /** events.ts is parquet TIMESTAMP(NANOS) → read as long nanos (see
     * [[graft.Tables.events]]) and truncate to µs timestamps. */
   val eventSchema: StructType = StructType(Seq(
@@ -317,11 +336,16 @@ object Streams {
     * Semantics = the reference's subscription mode: decode each matching log
     * and call the declared methods at `log.BlockNumber + method.BlockOffset`
     * (/root/reference/chainservice/events.go:285-296 — ListenForEvents
-    * applies the offset in subscription mode too). Offsets ≤ 0 are
-    * supported live: a LOOK-BACK needs only recent history, which a bounded
-    * per-key ring of past states provides. Positive offsets stay rejected
-    * loudly — a stream cannot see future blocks (use Mode.Historical, which
-    * reads the archive).
+    * applies the offset in subscription mode too). Offsets ≤ 0 run live:
+    * a LOOK-BACK needs only recent history, which a bounded per-key ring
+    * of past states provides. A POSITIVE offset is a look-AHEAD — the
+    * stream cannot see future blocks, so the probe is buffered in state
+    * and emitted once the key's seen-block high-water mark passes every
+    * active target strictly (under monotone block arrival the as-of at
+    * `block + offset` is then final). A probe whose target the stream
+    * never reaches is still waiting at shutdown — exactly the live
+    * system's "waiting for block b + k"; bound probes by `end_time` with
+    * state events continuing past it when batch parity is required.
     *
     * Per contract key, each method keeps (a) a RING of its recent state
     * rows — enough history to answer "latest state as-of block b + offset"
@@ -367,10 +391,6 @@ object Streams {
       }
       .toSeq.sortBy(_._1.name)
     require(byMethod.nonEmpty, s"query ${q.name}: no event-triggered methods declared")
-    require(byMethod.forall(_._1.blockOffset <= 0L),
-      s"query ${q.name}: realtime event-triggered methods look back from the log's block " +
-        "(blockOffset <= 0, events.go:287-288) — a stream cannot see future blocks; " +
-        "positive offsets need Mode.Historical")
     val supported = Set("event_id", "value", "props")
     byMethod.foreach { case (m, _, _) =>
       val bad = m.outputs.filterNot(supported)
@@ -426,16 +446,17 @@ object Streams {
         m.outputs.map(o => StructField(s"${m.name}_$o", outType(o)))
       })
     implicit val outEnc = RowEncoder.encoderFor(outSchema)
-    implicit val stateEnc = Encoders.kryo[Array[MethodState]]
+    implicit val stateEnc = Encoders.kryo[EventMethodsState]
 
     val methods = byMethod.toArray
     val offsets = methods.map(_._1.blockOffset)
+    val anyPositive = offsets.exists(_ > 0L)
     base
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
         col("value"), col("props"), col("__role"))
       .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[Row], state: GroupState[Array[MethodState]]) => {
+        (user: Long, rows: Iterator[Row], state: GroupState[EventMethodsState]) => {
           val buf = new scala.collection.mutable.ArrayBuffer[
             (java.sql.Timestamp, Long, Int, String, java.lang.Double, String)]()
           rows.foreach { r =>
@@ -452,8 +473,10 @@ object Streams {
           // state event at block b is visible to a probe at the same block
           // (the batch tie-break, side=0 sorts first)
           val ordered = buf.sortInPlaceBy(t => (t._1.getTime, t._2, t._3))
-          val st = state.getOption.getOrElse(Array.fill(methods.length)(
-            MethodState(Nil, null, null, null)))
+          val prev = state.getOption.getOrElse(EventMethodsState(
+            Array.fill(methods.length)(MethodState(Nil, null, null, null)),
+            Nil, Long.MinValue))
+          val st = prev.methods
           // rings are appended at the tail; keep them as reversed lists
           // (newest first) while processing, restore ascending at save
           val rings = st.map(_.ring.reverse.to(scala.collection.mutable.ListBuffer))
@@ -471,8 +494,23 @@ object Streams {
                 it.map(_._3).find(_ != null).getOrElse(ms.carryProps)
             }
           }
+          def activeFor(sig: String, idx: Int): Boolean = {
+            val (_, scope, sigs) = methods(idx)
+            sigs.contains(sig) && scope.forall(_.contains(user))
+          }
+          def emitProbe(block: Long, ts: java.sql.Timestamp, sig: String,
+              v: java.lang.Double, props: String): Row = {
+            val extra = methods.zipWithIndex.flatMap { case ((m, _, _), idx) =>
+              val active = activeFor(sig, idx)
+              m.outputs.map { o =>
+                if (active) lookup(idx, block + m.blockOffset, o) else null
+              }
+            }
+            Row.fromSeq(Seq(block, ts, user, sig, v, props) ++ extra)
+          }
           val out = Seq.newBuilder[Row]
-          var maxBlock = Long.MinValue
+          val deferred = List.newBuilder[PendingProbe]
+          var maxBlock = prev.maxSeen
           ordered.foreach { case (ts, block, role, sig, v, props) =>
             maxBlock = math.max(maxBlock, block)
             if (role == 0) {
@@ -487,25 +525,41 @@ object Streams {
                 }
                 i += 1
               }
+            } else if (anyPositive && methods.indices.exists(i =>
+                offsets(i) > 0L && activeFor(sig, i))) {
+              // look-AHEAD probe: the as-of at block + offset is not final
+              // until the seen-block high-water mark passes the target
+              deferred += PendingProbe(block, ts, sig, v, props)
             } else {
-              val extra = methods.zipWithIndex.flatMap { case ((m, scope, sigs), idx) =>
-                val active = sigs.contains(sig) && scope.forall(_.contains(user))
-                m.outputs.map { o =>
-                  if (active) lookup(idx, block + m.blockOffset, o) else null
-                }
-              }
-              out += Row.fromSeq(Seq(block, ts, user, sig, v, props) ++ extra)
+              // pure look-back probe answers at its position in the order
+              out += emitProbe(block, ts, sig, v, props)
             }
           }
-          // Evict ring entries no future probe can need: under monotone
-          // blocks, every future target is >= maxBlock + offset, so while
-          // the SECOND-newest..oldest tail contains an entry whose successor
-          // is already <= that bound, the oldest entry can only ever serve
-          // as a per-column fallback — fold its non-null columns into carry.
+          // Resolve deferred probes whose every positive target the stream
+          // has strictly passed (monotone arrival => no state <= target can
+          // still arrive; a tie AT the target could). Look-backs on the same
+          // probe read the rings now — retention below keeps what they need.
+          val (ready, stillPending) = (prev.pending ++ deferred.result()).partition(p =>
+            methods.indices.forall(i =>
+              offsets(i) <= 0L || !activeFor(p.sig, i) || p.block + offsets(i) < maxBlock))
+          ready.foreach(p => out += emitProbe(p.block, p.ts, p.sig, p.value, p.props))
+          // Evict ring entries no probe can need again: a FUTURE probe's
+          // target is >= maxBlock + offset (monotone blocks) and a PENDING
+          // probe's target is block + offset — the retention bound is the
+          // minimum of both. While the SECOND-newest..oldest tail contains
+          // an entry whose successor is already <= that bound, the oldest
+          // entry can only ever serve as a per-column fallback — fold its
+          // non-null columns into carry.
           val newSt = st.indices.map { i =>
             var ring = rings(i).toList.reverse // ascending blocks
             var (cb, cv, cp) = (st(i).carryBlock, st(i).carryValue, st(i).carryProps)
-            val bound = if (maxBlock == Long.MinValue) Long.MinValue else maxBlock + offsets(i)
+            val pendingMin = stillPending.iterator
+              .filter(p => activeFor(p.sig, i))
+              .map(_.block + offsets(i))
+              .minOption.getOrElse(Long.MaxValue)
+            val bound =
+              if (maxBlock == Long.MinValue) Long.MinValue
+              else math.min(maxBlock + offsets(i), pendingMin)
             while (ring.lengthCompare(2) >= 0 && ring.tail.head._1 <= bound) {
               val h = ring.head
               cb = Long.box(h._1)
@@ -515,7 +569,7 @@ object Streams {
             }
             MethodState(ring, cb, cv, cp)
           }.toArray
-          state.update(newSt)
+          state.update(EventMethodsState(newSt, stillPending, maxBlock))
           out.result().iterator
         })
   }

@@ -336,18 +336,103 @@ class StreamingSpec extends SparkSpec {
     assert(c6.getString(c6.fieldIndex("click_props")) == "c")
   }
 
-  test("realtime POSITIVE block offset still fails loud") {
-    val spec = graft.model.QuerySpec(
-      name = "pos_off", chain = "ethereum",
-      contracts = Seq(graft.model.ContractSpec(1L, events = Seq(graft.model.EventSpec(
+  test("realtime POSITIVE block offset: probes wait for the target block, then match batch") {
+    import java.nio.file.{Files, Paths}
+    // same hand-built fixture shape as the null-state test: user 7, blocks
+    // 1..6 alternate click/purchase; click 3 has a NULL value
+    val dir = Files.createTempDirectory("posoff").toString
+    val rows = Seq(
+      (1L, 1000000000000L, 7L, "click", Some(11.0), "a"),
+      (2L, 2000000000000L, 7L, "purchase", Some(100.0), "b"),
+      (3L, 3000000000000L, 7L, "click", None, "c"),
+      (4L, 4000000000000L, 7L, "purchase", Some(200.0), "d"),
+      (5L, 5000000000000L, 7L, "click", Some(55.0), "e"),
+      (6L, 6000000000000L, 7L, "purchase", Some(300.0), "f"))
+    val df = spark.createDataFrame(rows.map(r =>
+      (r._1, r._2, r._3, r._4, r._5.map(Double.box).orNull.asInstanceOf[java.lang.Double], r._6)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "CAST(ts AS BIGINT) AS ts", "user_id", "event_type",
+        "CAST(value AS DOUBLE) AS value", "props")
+    val tmp = s"$dir/stage"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(s"$dir/events.parquet"))
+    def spec(mode: graft.model.Mode) = graft.model.QuerySpec(
+      name = s"posoff_$mode", chain = "ethereum",
+      contracts = Seq(graft.model.ContractSpec(7L, events = Seq(graft.model.EventSpec(
         "purchase", Seq("value"),
-        methods = Seq(graft.model.MethodSpec("click", Seq("value"), blockOffset = 2L)))))),
-      mode = graft.model.Mode.Realtime,
-      saves = Seq("blocknumber" -> col("blocknumber")))
-    val e = intercept[IllegalArgumentException] {
-      graft.engine.Compiler.compile(spark, sf, spec)
+        methods = Seq(graft.model.MethodSpec("click", Seq("value"), blockOffset = 1L)))))),
+      mode = mode,
+      saves = Seq(
+        "blocknumber" -> col("blocknumber"),
+        "value" -> col("value"),
+        "click_value" -> col("click_value")))
+    val rt = Streams.runToTable(
+      graft.engine.Compiler.compile(spark, dir, spec(graft.model.Mode.Realtime)), "posoff_rt")
+      .orderBy("blocknumber")
+    val batch = graft.engine.Compiler.compile(spark, dir, spec(graft.model.Mode.Historical))
+      .orderBy("blocknumber")
+    // batch answers all three probes from the archive; the stream resolves a
+    // probe only once the chain strictly passes block + 1, so the LAST
+    // purchase (block 6, target 7 — never reached) is still waiting
+    assert(batch.count() == 3)
+    assert(rt.count() == 2)
+    assert(rt.exceptAll(batch.where(col("blocknumber") < 6)).count() == 0)
+    assert(batch.where(col("blocknumber") < 6).exceptAll(rt).count() == 0)
+    // probe 2 targets block 3, whose click value is NULL → per-column carry
+    // back to click 1 (11.0); probe 4 targets block 5 → 55.0
+    val r2 = rt.where(col("blocknumber") === 2).head()
+    assert(r2.getDouble(r2.fieldIndex("click_value")) == 11.0)
+    val r4 = rt.where(col("blocknumber") === 4).head()
+    assert(r4.getDouble(r4.fieldIndex("click_value")) == 55.0)
+  }
+
+  test("positive-offset pending probes survive micro-batch boundaries") {
+    import java.nio.file.{Files, Paths}
+    // split the fixture so the probe and its target land in DIFFERENT
+    // micro-batches: pending state must carry across batches
+    val dir = Files.createTempDirectory("posoff_mb").toString
+    def write(name: String, rows: Seq[(Long, Long, Long, String, java.lang.Double, String)],
+        mtime: Long): Unit = {
+      val df = spark.createDataFrame(rows)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .selectExpr("event_id", "CAST(ts AS BIGINT) AS ts", "user_id", "event_type",
+          "CAST(value AS DOUBLE) AS value", "props")
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(s"$dir/$name.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
     }
-    assert(e.getMessage.contains("positive offsets need Mode.Historical"))
+    write("b0", Seq(
+      (1L, 1000000000000L, 7L, "click", 11.0, "a"),
+      (2L, 2000000000000L, 7L, "purchase", 100.0, "b")), 1700000000000L)
+    write("b1", Seq(
+      (3L, 3000000000000L, 7L, "click", 33.0, "c"),
+      (4L, 4000000000000L, 7L, "click", 44.0, "d")), 1700000060000L)
+    val base = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val spec = graft.model.QuerySpec(
+      name = "posoff_mb", chain = "ethereum",
+      contracts = Seq(graft.model.ContractSpec(7L, events = Seq(graft.model.EventSpec(
+        "purchase", Seq("value"),
+        methods = Seq(graft.model.MethodSpec("click", Seq("value"), blockOffset = 1L)))))),
+      mode = graft.model.Mode.Realtime,
+      saves = Nil)
+    val streamed = runToMemory(
+      Streams.eventMethodsStream(spark, sf, spec, eventsOverride = Some(base))
+        .select(col("event_id").as("blocknumber"), col("value"), col("click_value")),
+      "posoff_mb_sink")
+    // the probe at block 2 (batch 0) targets block 3 (batch 1) and resolves
+    // when block 4 arrives: click_value = 33.0 (the click AT the target)
+    assert(streamed.count() == 1)
+    val r = streamed.head()
+    assert(r.getLong(r.fieldIndex("blocknumber")) == 2L)
+    assert(r.getDouble(r.fieldIndex("click_value")) == 33.0)
   }
 
   test("Mode.Realtime method query WITHOUT end_time compiles to the unbounded poller stream") {
