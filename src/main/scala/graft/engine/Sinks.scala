@@ -71,15 +71,27 @@ object Sinks {
       path: String,
       checkpoint: String,
       bounded: Boolean = false,
+  ): StreamingQuery = demuxFileStream(df, path, checkpoint, bounded = bounded)
+
+  /** [[demuxParquetStream]] for any Spark file-sink format — the realtime
+    * `--csv` CLI flag routes here (the reference appends one csv per query
+    * in realtime too, output/output.go:104-121). */
+  def demuxFileStream(
+      df: DataFrame,
+      path: String,
+      checkpoint: String,
+      format: String = "parquet",
+      bounded: Boolean = false,
   ): StreamingQuery = {
-    require(df.isStreaming, "demuxParquetStream needs a streaming frame; use demuxParquet")
+    require(df.isStreaming, "demuxFileStream needs a streaming frame; use demuxParquet")
     val w = df.writeStream
-      .format("parquet")
+      .format(format)
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .partitionBy("query_name")
       .outputMode("append")
-    (if (bounded) w.trigger(Trigger.AvailableNow()) else w).start()
+    val w2 = if (format == "csv") w.option("header", "true") else w
+    (if (bounded) w2.trigger(Trigger.AvailableNow()) else w2).start()
   }
 
   /** R8 STREAMING → per-query SQL TABLES: the reference's DB output creates

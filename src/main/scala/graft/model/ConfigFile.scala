@@ -27,14 +27,25 @@ object ConfigFile {
 
     /** JDBC url + properties from the postgres section — the shape
       * [[graft.engine.Sinks.jdbc]] consumes (the reference builds its DSN
-      * from the same four fields, db/db.go). */
+      * from the same four fields, db/db.go). An explicit `url` key wins
+      * over the host/name DSN and makes user/password optional, so a
+      * deployment can point the `--db` sink at any JDBC database (the
+      * specs use embedded Derby — no postgres server in the sandbox). */
     def jdbcTarget: (String, java.util.Properties) = {
-      def need(k: String) = postgres.getOrElse(k,
-        sys.error(s"config: postgres section lacks '$k'"))
       val props = new java.util.Properties()
-      props.setProperty("user", need("user"))
-      props.setProperty("password", need("password"))
-      (s"jdbc:postgresql://${need("host")}/${need("name")}", props)
+      postgres.get("url") match {
+        case Some(url) =>
+          postgres.get("user").foreach(props.setProperty("user", _))
+          postgres.get("password").foreach(props.setProperty("password", _))
+          postgres.get("driver").foreach(props.setProperty("driver", _))
+          (url, props)
+        case None =>
+          def need(k: String) = postgres.getOrElse(k,
+            sys.error(s"config: postgres section lacks '$k'"))
+          props.setProperty("user", need("user"))
+          props.setProperty("password", need("password"))
+          (s"jdbc:postgresql://${need("host")}/${need("name")}", props)
+      }
     }
   }
 

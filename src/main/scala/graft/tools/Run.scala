@@ -1,0 +1,266 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+import graft.engine.{Compiler, Metrics, Sinks}
+import graft.model.{ConfigFile, HclSchema, Mode, SchemaSpec}
+
+/** The reference's CLI surface (/root/reference/main.go + flags.go) as a
+  * Spark driver program: `init` materializes a runnable config + schema
+  * pair, and a plain invocation loads `config.yml` + `schema.hcl` from the
+  * config dir, compiles every query, and routes each query's result to the
+  * selected sinks — one distributed job per sink instead of the reference's
+  * row-at-a-time driver loop (output/output.go:82-121).
+  *
+  * Flags (reference flags.go names kept):
+  *   - `--realtime` / `-R`  compile every query as Mode.Realtime — in the
+  *     reference the schema file has no mode, the FLAG decides (main.go /
+  *     chainservice.go); same here.
+  *   - `--stdout` / `--csv` / `--db`  sinks, combinable. Historical: show /
+  *     one header'd csv directory per query under `--out` / one table per
+  *     query at the config's postgres target. Realtime: console sink /
+  *     demuxed csv file stream / per-query SQL tables via foreachBatch.
+  *   - `--rate-limit N` / `--log-parts N`  tuning for the LIVE source seam:
+  *     they bind to the DSv2 connector's rate limiting and `parts` block-
+  *     range chunking ([[graft.sources]] EvmLogsSource options; reference
+  *     SmartFilterLogs). A testbed store endpoint (a directory path) reads
+  *     parquet and doesn't consume them.
+  *   - `--log-level N`  zerolog-style int (≤0 debug, 1 info, ≥2 warn).
+  *   - `--once`  realtime only: drain everything currently available and
+  *     stop (Trigger.AvailableNow) — a checkpointed bounded backfill; the
+  *     default runs until terminated, like the reference's ctrl+c loop.
+  *   - `--data DIR`  stand-in store for chains whose config endpoint is a
+  *     live RPC url (`wss://…`): the sandbox has no egress, so live
+  *     endpoints resolve to this directory. Endpoints that are directory
+  *     paths resolve to themselves (per-chain testbed stores).
+  *
+  * Endpoint resolution is the CLI's analogue of the reference dialing one
+  * chainservice per configured chain (config.go:18-31 →
+  * chainservice.go:127-131): each chain's queries read that chain's OWN
+  * resolved store through [[graft.model.ChainRegistry]].
+  */
+object Run {
+
+  final case class Opts(
+      command: Option[String] = None,
+      configDir: Option[String] = None,
+      data: Option[String] = None,
+      out: Option[String] = None,
+      realtime: Boolean = false,
+      once: Boolean = false,
+      stdout: Boolean = false,
+      csv: Boolean = false,
+      db: Boolean = false,
+      rateLimit: Int = 100,
+      logParts: Int = 50,
+      logLevel: Int = 1)
+
+  private[graft] def parseArgs(args: Array[String]): Opts = {
+    var o = Opts()
+    var i = 0
+    def value(flag: String): String = {
+      i += 1
+      require(i < args.length, s"flag $flag needs a value")
+      args(i)
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "init" if o.command.isEmpty && i == 0 => o = o.copy(command = Some("init"))
+        case "--config-dir" => o = o.copy(configDir = Some(value("--config-dir")))
+        case "--data" => o = o.copy(data = Some(value("--data")))
+        case "--out" => o = o.copy(out = Some(value("--out")))
+        case "--realtime" | "-R" => o = o.copy(realtime = true)
+        case "--once" => o = o.copy(once = true)
+        case "--stdout" => o = o.copy(stdout = true)
+        case "--csv" => o = o.copy(csv = true)
+        case "--db" => o = o.copy(db = true)
+        case "--rate-limit" => o = o.copy(rateLimit = value("--rate-limit").toInt)
+        case "--log-parts" => o = o.copy(logParts = value("--log-parts").toInt)
+        case "--log-level" => o = o.copy(logLevel = value("--log-level").toInt)
+        case other => sys.error(s"unknown argument '$other' " +
+          "(init | --config-dir D | --data D | --out D | --realtime | --once | " +
+          "--stdout | --csv | --db | --rate-limit N | --log-parts N | --log-level N)")
+      }
+      i += 1
+    }
+    require(o.rateLimit > 0, "--rate-limit must be positive")
+    require(o.logParts > 0, "--log-parts must be positive")
+    o
+  }
+
+  /** `init` — the reference writes its embedded example config + schema
+    * into the user config dir (main.go Init). The emitted pair is runnable
+    * as-is against a testbed store. */
+  private[graft] def init(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "config.yml"),
+      """# apollo-style config (reference config.example.yml shape).
+        |# rpc maps each chain to the endpoint serving its queries: a
+        |# directory path reads that testbed store; a wss:// endpoint is a
+        |# live RPC node (resolved via --data in this build — no egress).
+        |rpc:
+        |  ethereum: /root/testdata/sf0.001
+        |# --db sink target. `url` may name any JDBC database directly;
+        |# without it the host/name/user/password DSN form is used.
+        |postgres:
+        |  host: localhost
+        |  name: apollo
+        |  user: apollo
+        |  password: apollo
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "schema.hcl"),
+      """# Example schema in the reference's HCL dialect, runnable on the
+        |# testbed store: two purchase-event contracts with per-contract
+        |# decimal scaling, a query-level filter, and a save projection.
+        |start_time = "2024-01-05"
+        |end_time = "2024-01-25"
+        |
+        |query testbed_swaps {
+        |  chain = "ethereum"
+        |
+        |  contract {
+        |    address = 1
+        |    event purchase { outputs = ["value"] }
+        |    transform { amount = parse_decimals(value, 2) }
+        |  }
+        |
+        |  contract {
+        |    address = 2
+        |    event purchase { outputs = ["value"] }
+        |    transform { amount = parse_decimals(value, 3) }
+        |  }
+        |
+        |  filter = [ amount != 0 ]
+        |
+        |  save {
+        |    block = blocknumber
+        |    contract = contract_address
+        |    amount = amount
+        |  }
+        |}
+        |""".stripMargin)
+    println(s"config written ${Paths.get(dir, "config.yml")}")
+    println(s"schema written ${Paths.get(dir, "schema.hcl")}")
+  }
+
+  /** Resolve one configured chain endpoint to an event-store location: a
+    * directory (or file: URI) is a testbed store; anything else is a live
+    * RPC endpoint, which this build stands in for with `--data`. */
+  private[graft] def resolveEndpoint(data: Option[String])(chain: String, ep: String): String = {
+    val path = if (ep.startsWith("file:")) ep.stripPrefix("file:") else ep
+    if (new java.io.File(path).isDirectory) path
+    else data.getOrElse(sys.error(
+      s"chain '$chain' endpoint '$ep' is a live RPC endpoint; this build's RPC connector is " +
+        "the stubbed DSv2 seam (graft.sources.EvmLogsSource) — pass --data <storeDir> as its " +
+        "stand-in (--rate-limit/--log-parts bind to that connector's rate limiting and " +
+        "`parts` chunking when it dials for real)"))
+  }
+
+  /** Run the loaded schema. Factored from [[main]] so specs can drive it
+    * with their own SparkSession and intercept failures. */
+  def run(args: Array[String], session: Option[SparkSession] = None): Unit = {
+    val opts = parseArgs(args)
+    val configDir = opts.configDir.getOrElse(
+      Paths.get(sys.props("user.dir"), "apollo").toString)
+
+    if (opts.command.contains("init")) { init(configDir); return }
+
+    require(opts.stdout || opts.csv || opts.db,
+      "no sink selected — pass at least one of --stdout / --csv / --db")
+    val confPath = Paths.get(configDir, "config.yml")
+    val schemaPath = Paths.get(configDir, "schema.hcl")
+    require(Files.exists(confPath) && Files.exists(schemaPath),
+      s"$configDir needs config.yml + schema.hcl (run `init --config-dir $configDir` first)")
+
+    val cfg = ConfigFile.parse(Files.readString(confPath))
+    require(cfg.rpc.nonEmpty, "config: rpc section declares no chains")
+    val registry = cfg.registry(
+      resolveEndpoint(opts.data),
+      default = opts.data.getOrElse(resolveEndpoint(opts.data)(
+        cfg.rpc.head._1, cfg.rpc.head._2)))
+
+    val parsed = HclSchema.parse(Files.readString(schemaPath))
+    require(parsed.queries.nonEmpty, s"$schemaPath declares no queries")
+    // the --realtime FLAG picks the mode for the whole schema, exactly the
+    // reference's opts.Realtime (the schema file itself carries no mode)
+    val schema =
+      if (opts.realtime) SchemaSpec(parsed.variables,
+        parsed.queries.map(_.copy(mode = Mode.Realtime)))
+      else parsed
+
+    val spark = session.getOrElse {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    }
+    spark.sparkContext.setLogLevel(
+      if (opts.logLevel <= 0) "DEBUG" else if (opts.logLevel == 1) "INFO" else "WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val metrics = Metrics.install(spark)
+
+    val outDir = opts.out.getOrElse(Paths.get(configDir, "out").toString)
+    // compileAll validates the schema against the selected mode first — the
+    // reference's pre-flight DynamicSchema.Validate(opts) (dsl/schema.go:213)
+    val compiled = Compiler.compileAll(spark, registry, schema)
+    println(s"graft: ${compiled.size} queries, mode=" +
+      s"${if (opts.realtime) "realtime" else "historical"}, " +
+      s"rate-limit=${opts.rateLimit}rps, log-parts=${opts.logParts}")
+
+    if (opts.realtime) {
+      val demuxed = Compiler.demux(compiled)
+      val started = Seq.newBuilder[org.apache.spark.sql.streaming.StreamingQuery]
+      if (opts.csv) started += Sinks.demuxFileStream(
+        demuxed, s"$outDir/csv", s"$outDir/_checkpoints/csv", format = "csv",
+        bounded = opts.once)
+      if (opts.db) {
+        val (url, props) = cfg.jdbcTarget
+        started += Sinks.demuxJdbcStream(
+          demuxed, url, props, s"$outDir/_checkpoints/db", bounded = opts.once)
+      }
+      if (opts.stdout) {
+        val w = demuxed.writeStream.format("console")
+          .option("truncate", "false")
+          .option("checkpointLocation", s"$outDir/_checkpoints/console")
+        started += (if (opts.once)
+          w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        else w.start())
+      }
+      val queries = started.result()
+      if (opts.once) queries.foreach(_.awaitTermination())
+      else spark.streams.awaitAnyTermination()
+    } else {
+      compiled.toSeq.sortBy(_._1).foreach { case (name, df) =>
+        val sinks = Seq.newBuilder[org.apache.spark.sql.DataFrame => Unit]
+        if (opts.stdout) sinks += (d => { println(s"== $name"); Sinks.stdout(d) })
+        if (opts.csv) sinks += (d => Sinks.csv(d, s"$outDir/$name.csv"))
+        if (opts.db) {
+          val (url, props) = cfg.jdbcTarget
+          // loop-stamped names ("0-testbed_swaps") are not bare SQL
+          // identifiers — quote per the target dialect (same rule as
+          // Sinks.demuxJdbcStream)
+          val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+          val table = if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
+                      else dialect.quoteIdentifier(name)
+          sinks += (d => Sinks.jdbc(d, url, table, props))
+        }
+        Sinks.multi(df, sinks.result())
+      }
+    }
+    // reference: service.DumpMetrics() on the way out
+    println(metrics.dump())
+  }
+
+  def main(args: Array[String]): Unit =
+    try run(args)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"graft run: ${e.getMessage}")
+        sys.exit(1)
+    }
+}

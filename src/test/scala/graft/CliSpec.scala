@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{ConfigFile, HclSchema}
+import graft.tools.Run
+
+/** The CLI surface (graft.tools.Run ≙ reference main.go/flags.go): init,
+  * flag parsing, endpoint resolution, and full historical + realtime runs
+  * landing the example schema in every sink. */
+class CliSpec extends SparkSpec {
+
+  private def writeConfigDir(postgresUrl: Option[String] = None): String = {
+    val dir = Files.createTempDirectory("cli").toString
+    Run.run(Array("init", "--config-dir", dir))
+    // retarget the example config at THIS suite's store + embedded Derby
+    Files.writeString(Paths.get(dir, "config.yml"),
+      s"""rpc:
+         |  ethereum: $sf
+         |postgres:
+         |${postgresUrl.fold("")(u => s"  url: $u\n  driver: org.apache.derby.jdbc.EmbeddedDriver\n")}  host: localhost
+         |  name: apollo
+         |  user: apollo
+         |  password: apollo
+         |""".stripMargin)
+    dir
+  }
+
+  private def exampleBatch() = {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = writeConfigDir()
+    val hcl = Files.readString(Paths.get(dir, "schema.hcl"))
+    graft.engine.Compiler.compile(spark, sf, HclSchema.parse(hcl).queries.head)
+  }
+
+  test("init writes a runnable config + schema pair") {
+    val dir = Files.createTempDirectory("cli_init").toString
+    Run.run(Array("init", "--config-dir", dir))
+    val cfg = ConfigFile.parse(Files.readString(Paths.get(dir, "config.yml")))
+    assert(cfg.rpc.keySet == Set("ethereum"))
+    assert(cfg.postgres.keySet == Set("host", "name", "user", "password"))
+    val schema = HclSchema.parse(Files.readString(Paths.get(dir, "schema.hcl")))
+    assert(schema.queries.map(_.name) == Seq("testbed_swaps"))
+    assert(schema.queries.head.contracts.size == 2)
+  }
+
+  test("flag parsing: reference flag set + loud unknowns") {
+    val o = Run.parseArgs(Array("--config-dir", "/x", "--realtime", "--csv",
+      "--rate-limit", "25", "--log-parts", "8", "--log-level", "2"))
+    assert(o.configDir.contains("/x") && o.realtime && o.csv)
+    assert(o.rateLimit == 25 && o.logParts == 8 && o.logLevel == 2)
+    assert(Run.parseArgs(Array("-R")).realtime)
+    val e = intercept[RuntimeException](Run.parseArgs(Array("--nope")))
+    assert(e.getMessage.contains("unknown argument"))
+    assert(intercept[IllegalArgumentException](
+      Run.parseArgs(Array("--rate-limit", "0"))).getMessage.contains("positive"))
+  }
+
+  test("endpoint resolution: directory stores pass through, live RPC needs --data") {
+    assert(Run.resolveEndpoint(None)("ethereum", sf) == sf)
+    assert(Run.resolveEndpoint(Some("/d"))("ethereum", "wss://node.example/ws") == "/d")
+    val e = intercept[RuntimeException](
+      Run.resolveEndpoint(None)("ethereum", "wss://node.example/ws"))
+    assert(e.getMessage.contains("--data"))
+  }
+
+  test("historical run lands csv + db + stdout for the example schema") {
+    val url = "jdbc:derby:memory:clidb;create=true"
+    val dir = writeConfigDir(postgresUrl = Some(url))
+    val out = Files.createTempDirectory("cli_out").toString
+    Run.run(Array("--config-dir", dir, "--stdout", "--csv", "--db", "--out", out),
+      Some(spark))
+
+    val want = exampleBatch()
+    val wantCount = want.count()
+    assert(wantCount > 0)
+
+    val gotCsv = spark.read.option("header", "true").csv(s"$out/testbed_swaps.csv")
+    assert(gotCsv.count() == wantCount)
+    assert(gotCsv.columns.toSeq == Seq("block", "contract", "amount"))
+    // values survive the csv round-trip (cast back and diff)
+    val csvTyped = gotCsv.select(
+      col("block").cast("long"), col("contract").cast("long"),
+      col("amount").cast("double"))
+    assert(csvTyped.exceptAll(want).count() == 0)
+
+    // read back with the SAME credentials the CLI wrote with — embedded
+    // Derby scopes unqualified tables to the user's schema (APOLLO)
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    props.setProperty("user", "apollo")
+    props.setProperty("password", "apollo")
+    val gotDb = spark.read.jdbc(url, "testbed_swaps", props)
+    assert(gotDb.count() == wantCount)
+  }
+
+  test("realtime --once run demuxes a csv stream per query and matches batch") {
+    val dir = writeConfigDir()
+    val out = Files.createTempDirectory("cli_rt").toString
+    Run.run(Array("--config-dir", dir, "--realtime", "--once", "--csv", "--out", out),
+      Some(spark))
+    val want = exampleBatch()
+    val got = spark.read.option("header", "true")
+      .csv(s"$out/csv/query_name=testbed_swaps")
+      .select(col("block").cast("long"), col("contract").cast("long"),
+        col("amount").cast("double"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+  }
+
+  test("failure modes are loud: no sink, missing config, empty rpc") {
+    val dir = writeConfigDir()
+    assert(intercept[IllegalArgumentException](
+      Run.run(Array("--config-dir", dir), Some(spark)))
+      .getMessage.contains("no sink selected"))
+    assert(intercept[IllegalArgumentException](
+      Run.run(Array("--config-dir", "/nonexistent-cli", "--stdout"), Some(spark)))
+      .getMessage.contains("config.yml"))
+    Files.writeString(Paths.get(dir, "config.yml"), "rpc:\npostgres:\n  url: x\n")
+    assert(intercept[RuntimeException](
+      Run.run(Array("--config-dir", dir, "--stdout"), Some(spark)))
+      .getMessage.contains("no chains"))
+  }
+
+  test("schema validation fires through the CLI: realtime method query needs an interval") {
+    val dir = writeConfigDir()
+    Files.writeString(Paths.get(dir, "schema.hcl"),
+      """query polls {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = 1
+        |    method click { outputs = ["value"] }
+        |  }
+        |  save { v = click_value }
+        |}
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      Run.run(Array("--config-dir", dir, "--realtime", "--once", "--stdout",
+        "--out", Files.createTempDirectory("cli_v").toString), Some(spark)))
+    assert(e.getMessage.contains("blockInterval"))
+  }
+}
