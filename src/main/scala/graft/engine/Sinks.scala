@@ -105,6 +105,16 @@ object Sinks {
     * exactly-once into SQL) — the reference has no restart story at all.
     * The per-batch name list is tiny (≤ #queries), so the driver-side
     * routing loop is not a data path. */
+  /** Query names as JDBC table names: loop-expanded names ("0-signups")
+    * are not bare SQL identifiers — quote those per the target's dialect
+    * or CREATE TABLE parses the dash. Bare identifiers stay unquoted
+    * (quoting flips them to case-sensitive resolution, breaking plain
+    * reads). Shared by the streaming demux and the CLI's batch --db path
+    * so the rule cannot drift. */
+  def quotedTable(url: String, name: String): String =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
+    else org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(name)
+
   def demuxJdbcStream(
       df: DataFrame,
       url: String,
@@ -121,16 +131,9 @@ object Sinks {
         try {
           val names = cached.select("query_name").distinct()
             .collect().map(_.getString(0)).sorted
-          // loop-expanded names ("0-signups") are not bare SQL identifiers —
-          // quote those per the target's dialect or CREATE TABLE parses the
-          // dash. Bare identifiers stay unquoted (quoting flips them to
-          // case-sensitive resolution, breaking plain reads).
-          val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
           names.foreach { n =>
-            val table = if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n
-                        else dialect.quoteIdentifier(n)
             cached.where(col("query_name") === n).drop("query_name")
-              .write.mode(SaveMode.Append).jdbc(url, table, props)
+              .write.mode(SaveMode.Append).jdbc(url, quotedTable(url, n), props)
           }
         } finally cached.unpersist()
       }

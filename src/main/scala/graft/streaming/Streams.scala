@@ -363,6 +363,11 @@ object Streams {
     * scope — the batch as-of + masking semantics
     * ([[graft.engine.Compiler]] withEventMethods). Rows buffer compactly
     * per key per batch under the same loud cap as [[asOfEnrichStream]].
+    *
+    * Upgrade note: the kryo state schema is [[EventMethodsState]] (rings +
+    * pending probes + high-water mark); checkpoints written by builds whose
+    * state was the bare ring array do not deserialize — restart those
+    * queries from a fresh checkpoint.
     */
   def eventMethodsStream(
       spark: SparkSession,
@@ -370,6 +375,7 @@ object Streams {
       q: QuerySpec,
       maxBufferedPerKey: Int = 1 << 20,
       maxRingPerKey: Int = 1 << 16,
+      maxPendingPerKey: Int = 1 << 16,
       eventsOverride: Option[DataFrame] = None, // test seam: custom source stream
   ): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -510,6 +516,7 @@ object Streams {
           }
           val out = Seq.newBuilder[Row]
           val deferred = List.newBuilder[PendingProbe]
+          var deferredCount = prev.pending.size
           var maxBlock = prev.maxSeen
           ordered.foreach { case (ts, block, role, sig, v, props) =>
             maxBlock = math.max(maxBlock, block)
@@ -528,7 +535,16 @@ object Streams {
             } else if (anyPositive && methods.indices.exists(i =>
                 offsets(i) > 0L && activeFor(sig, i))) {
               // look-AHEAD probe: the as-of at block + offset is not final
-              // until the seen-block high-water mark passes the target
+              // until the seen-block high-water mark passes the target.
+              // Bounded loud like the ring: a stalled chain (or an offset
+              // wider than the key's block density) must not grow state
+              // silently.
+              require(deferredCount < maxPendingPerKey,
+                s"eventMethodsStream: key $user holds $maxPendingPerKey unresolved look-ahead " +
+                  "probes — the chain stopped advancing past their targets, or the positive " +
+                  "blockOffset outruns this key's block density; raise maxPendingPerKey or " +
+                  "narrow the offset")
+              deferredCount += 1
               deferred += PendingProbe(block, ts, sig, v, props)
             } else {
               // pure look-back probe answers at its position in the order

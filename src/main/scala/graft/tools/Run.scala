@@ -175,13 +175,22 @@ object Run {
 
     val cfg = ConfigFile.parse(Files.readString(confPath))
     require(cfg.rpc.nonEmpty, "config: rpc section declares no chains")
-    val registry = cfg.registry(
-      resolveEndpoint(opts.data),
-      default = opts.data.getOrElse(resolveEndpoint(opts.data)(
-        cfg.rpc.head._1, cfg.rpc.head._2)))
 
     val parsed = HclSchema.parse(Files.readString(schemaPath))
     require(parsed.queries.nonEmpty, s"$schemaPath declares no queries")
+    // every declared chain must be configured (the reference dials one
+    // chainservice per CONFIGURED chain — an unconfigured chain cannot
+    // silently succeed there, so it must not silently read some other
+    // chain's store here); --data is the explicit opt-in default store
+    val unconfigured = parsed.queries.map(_.chain).distinct.filterNot(cfg.rpc.contains)
+    require(unconfigured.isEmpty || opts.data.isDefined,
+      s"schema declares chains missing from config.yml rpc: ${unconfigured.mkString(", ")} — " +
+        "add them to the config or pass --data as the default store")
+    val registry = cfg.registry(
+      resolveEndpoint(opts.data),
+      // only reachable when --data is set (the require above); the orElse
+      // keeps construction total without picking an arbitrary chain's store
+      default = opts.data.getOrElse(""))
     // the --realtime FLAG picks the mode for the whole schema, exactly the
     // reference's opts.Realtime (the schema file itself carries no mode)
     val schema =
@@ -212,14 +221,33 @@ object Run {
       s"${if (opts.realtime) "realtime" else "historical"}, " +
       s"rate-limit=${opts.rateLimit}rps, log-parts=${opts.logParts}")
 
-    if (opts.realtime) {
-      val demuxed = Compiler.demux(compiled)
+    lazy val jdbcTarget = cfg.jdbcTarget
+
+    // One finished frame → every selected batch sink. Serves historical
+    // queries AND the bounded-realtime method grids, whose compile runs
+    // the stream eagerly (Streams.methodGridRealtime drains AvailableNow
+    // inside the Compiler) and hands back a finished batch frame.
+    def landBatch(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val sinks = Seq.newBuilder[org.apache.spark.sql.DataFrame => Unit]
+      if (opts.stdout) sinks += (d => { println(s"== $name"); Sinks.stdout(d) })
+      if (opts.csv) sinks += (d => Sinks.csv(d, s"$outDir/$name.csv"))
+      if (opts.db) {
+        val (url, props) = jdbcTarget
+        sinks += (d => Sinks.jdbc(d, url, Sinks.quotedTable(url, name), props))
+      }
+      Sinks.multi(df, sinks.result())
+    }
+
+    val (live, drained) = compiled.partition(_._2.isStreaming)
+    drained.toSeq.sortBy(_._1).foreach { case (name, df) => landBatch(name, df) }
+    if (live.nonEmpty) {
+      val demuxed = Compiler.demux(live)
       val started = Seq.newBuilder[org.apache.spark.sql.streaming.StreamingQuery]
       if (opts.csv) started += Sinks.demuxFileStream(
         demuxed, s"$outDir/csv", s"$outDir/_checkpoints/csv", format = "csv",
         bounded = opts.once)
       if (opts.db) {
-        val (url, props) = cfg.jdbcTarget
+        val (url, props) = jdbcTarget
         started += Sinks.demuxJdbcStream(
           demuxed, url, props, s"$outDir/_checkpoints/db", bounded = opts.once)
       }
@@ -234,23 +262,6 @@ object Run {
       val queries = started.result()
       if (opts.once) queries.foreach(_.awaitTermination())
       else spark.streams.awaitAnyTermination()
-    } else {
-      compiled.toSeq.sortBy(_._1).foreach { case (name, df) =>
-        val sinks = Seq.newBuilder[org.apache.spark.sql.DataFrame => Unit]
-        if (opts.stdout) sinks += (d => { println(s"== $name"); Sinks.stdout(d) })
-        if (opts.csv) sinks += (d => Sinks.csv(d, s"$outDir/$name.csv"))
-        if (opts.db) {
-          val (url, props) = cfg.jdbcTarget
-          // loop-stamped names ("0-testbed_swaps") are not bare SQL
-          // identifiers — quote per the target dialect (same rule as
-          // Sinks.demuxJdbcStream)
-          val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
-          val table = if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
-                      else dialect.quoteIdentifier(name)
-          sinks += (d => Sinks.jdbc(d, url, table, props))
-        }
-        Sinks.multi(df, sinks.result())
-      }
     }
     // reference: service.DumpMetrics() on the way out
     println(metrics.dump())

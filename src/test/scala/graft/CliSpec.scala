@@ -124,6 +124,49 @@ class CliSpec extends SparkSpec {
       .getMessage.contains("no chains"))
   }
 
+  test("realtime --once handles a bounded method grid (S6 compiles to a DRAINED batch frame)") {
+    val dir = writeConfigDir()
+    Files.writeString(Paths.get(dir, "schema.hcl"),
+      """start_time = "2024-01-01"
+        |end_time = "2024-01-30"
+        |query daily_state {
+        |  chain = "ethereum"
+        |  block_interval = 86400
+        |  contract {
+        |    address = 1
+        |    method purchase { outputs = ["value"] }
+        |  }
+        |  save {
+        |    sample_ts = sample_ts
+        |    contract = user_id
+        |    last_value = purchase_value
+        |  }
+        |}
+        |""".stripMargin)
+    val out = Files.createTempDirectory("cli_s6").toString
+    // the bounded realtime method grid runs AvailableNow inside the
+    // Compiler and hands back a finished batch frame — the CLI must land
+    // it through the batch sinks, not crash calling writeStream on it
+    Run.run(Array("--config-dir", dir, "--realtime", "--once", "--csv", "--out", out),
+      Some(spark))
+    val got = spark.read.option("header", "true").csv(s"$out/daily_state.csv")
+    assert(got.count() == 30) // 30 daily samples x 1 contract
+    assert(got.columns.toSeq == Seq("sample_ts", "contract", "last_value"))
+  }
+
+  test("a schema chain missing from config rpc fails loud instead of reading another store") {
+    val dir = writeConfigDir()
+    val hcl = Files.readString(Paths.get(dir, "schema.hcl"))
+    Files.writeString(Paths.get(dir, "schema.hcl"),
+      hcl.replace("chain = \"ethereum\"", "chain = \"gnosis\""))
+    val e = intercept[IllegalArgumentException](
+      Run.run(Array("--config-dir", dir, "--stdout"), Some(spark)))
+    assert(e.getMessage.contains("gnosis"))
+    // --data is the explicit opt-in default store for unconfigured chains
+    Run.run(Array("--config-dir", dir, "--stdout", "--data", sf,
+      "--out", Files.createTempDirectory("cli_data").toString), Some(spark))
+  }
+
   test("schema validation fires through the CLI: realtime method query needs an interval") {
     val dir = writeConfigDir()
     Files.writeString(Paths.get(dir, "schema.hcl"),
