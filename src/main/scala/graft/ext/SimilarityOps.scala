@@ -358,12 +358,72 @@ object SimilarityOps {
        |GROUP BY b.q_id, s.n_scanned, t.n_cand
        |ORDER BY b.q_id""".stripMargin
 
+  /** Int8 embedding quantization — the storage/bandwidth lever for ANN at
+    * corpus scale: a 64-dim float32 vector becomes 64 int8 lanes + one
+    * double scale (~4x smaller on disk and over the shuffle, and integer
+    * dot products vectorize). Per-vector SYMMETRIC quantization:
+    * scale = max|x|/127 and q_i = round(x_i/scale) ∈ [-127, 127] — the max
+    * lane maps to ±127 exactly, so no clamp branch exists to disagree on.
+    * A zero vector quantizes to zeros with scale 0. Pure per-row
+    * projection, no shuffle. HOF lambdas are fine HERE (one linear pass
+    * per vector); they are not in the O(pairs × dims) kernel regime where
+    * interpreted evaluation dominates (BUILDLOG r1 finding 1 / ArrayDot).
+    */
+  def quantizeInt8(em: DataFrame, vec: String = "embedding"): DataFrame =
+    em.withColumn("q_scale",
+        expr(s"array_max(transform($vec, x -> abs(CAST(x AS DOUBLE)))) / 127.0D"))
+      .withColumn("q_vec", expr(
+        s"""CASE WHEN q_scale = 0.0D THEN transform($vec, x -> CAST(0 AS TINYINT))
+           |ELSE transform($vec, x -> CAST(round(CAST(x AS DOUBLE) / q_scale, 0) AS TINYINT))
+           |END""".stripMargin))
+
+  /** Oracle reduction of [[quantizeInt8]]: the int8 lanes are exact in both
+    * engines (sum + L1 as BIGINT), and the reconstruction SSE folds in
+    * array order like every vector oracle here. Spark round(x, 0) and
+    * DuckDB round(x) are both half-away-from-zero on doubles (BUILDLOG r2
+    * finding: DuckDB round ≙ Spark's HALF_UP), so the lanes hash-match. */
+  def quantizeStats(spark: SparkSession, sfDir: String): DataFrame =
+    quantizeInt8(Tables.embeddings(spark, sfDir))
+      .select(
+        col("vec_id"),
+        col("q_scale").as("scale"),
+        expr("aggregate(q_vec, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("aggregate(q_vec, 0L, (a, x) -> a + abs(CAST(x AS BIGINT)))").as("q_l1"),
+        expr(
+          """aggregate(zip_with(embedding, q_vec, (x, q) ->
+            |  (CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * q_scale)
+            |  * (CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * q_scale)),
+            |CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin).as("sse"))
+      .orderBy("vec_id")
+
+  private val quantizeStatsSql =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, embedding, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(embedding,
+      |                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) END AS qv
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, 65), k ->
+      |      (CAST(embedding[k] AS DOUBLE) - CAST(qv[k] AS DOUBLE) * scale)
+      |      * (CAST(embedding[k] AS DOUBLE) - CAST(qv[k] AS DOUBLE) * scale))),
+      |    (a, v) -> a + v) AS sse
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> (bruteTopk _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (ivfAnn _),
     "sim_ann_recall" -> (annRecall _),
     "sim_clustered_recall" -> (clusteredRecall _),
+    "sim_quantize_int8" -> (quantizeStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,5 +432,6 @@ object SimilarityOps {
     "sim_ivf_ann" -> ivfAnnSql,
     "sim_ann_recall" -> annRecallSql,
     "sim_clustered_recall" -> clusteredRecallSql,
+    "sim_quantize_int8" -> quantizeStatsSql,
   )
 }

@@ -59,6 +59,34 @@ class QueriesSpec extends SparkSpec {
     assert("hashpartitioning\\(token#\\d+L?, __slice#".r.findFirstIn(p).isDefined, p)
   }
 
+  test("int8 quantization: max lane hits ±127 exactly, error bounded by scale/2 per lane") {
+    import org.apache.spark.sql.functions._
+    val q = graft.ext.SimilarityOps.quantizeInt8(Tables.embeddings(spark, sf))
+    val checked = q.select(
+      col("vec_id"), col("q_scale"),
+      expr("array_max(transform(q_vec, x -> abs(CAST(x AS INT))))").as("q_max"),
+      expr("size(q_vec)").as("n"),
+      expr(
+        """aggregate(zip_with(embedding, q_vec, (x, q) ->
+          |  abs(CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * q_scale)),
+          |CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, v))""".stripMargin).as("max_err"))
+    val rows = checked.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(r.fieldIndex("q_scale"))
+      if (scale > 0) {
+        // symmetric quantization: the max-|x| lane maps to exactly ±127
+        assert(r.getInt(r.fieldIndex("q_max")) == 127, r.toString)
+        // round() puts every lane within half a step of its float value
+        assert(r.getDouble(r.fieldIndex("max_err")) <= scale / 2 + 1e-12, r.toString)
+      }
+      assert(r.getInt(r.fieldIndex("n")) == 64)
+    }
+    // storage story: the quantized column is int8 lanes, not floats
+    assert(q.schema("q_vec").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
+  }
+
   test("clustered-fixture ANN: recall far exceeds the scan fraction (index earns its keep)") {
     import org.apache.spark.sql.functions._
     val r = graft.ext.SimilarityOps.clusteredRecall(spark, sf)
