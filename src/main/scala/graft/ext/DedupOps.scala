@@ -443,6 +443,106 @@ object DedupOps {
        |WHERE (c.canonical IS NULL OR c.canonical = d.doc_id) AND d.n_toks >= 30
        |ORDER BY d.doc_id""".stripMargin
 
+  /** INCREMENTAL dedup — the shape a production corpus actually runs: a new
+    * ingest batch is checked against the EXISTING corpus (not all-pairs over
+    * everything). Testbed split: a seeded md5 bucket of the doc id marks
+    * ~19% of documents as the "new batch" (deterministic in both engines,
+    * stable under corpus growth — same discipline as
+    * [[SamplingOps.trainValTestSplit]]). Each new doc reports whether it
+    * near-duplicates any corpus doc (exact shingle Jaccard ≥ 0.5 on LSH
+    * candidates), and the best-matching corpus doc.
+    *
+    * Scale design (100 TB corpus, daily increment): the corpus band index
+    * (doc_id, band_idx, bk) is computed ONCE at ingest and stored bucketed
+    * by (band_idx, bk); a daily batch only shuffles ITS OWN band rows to
+    * those buckets — the corpus is neither re-signed nor self-joined, and
+    * the exact-Jaccard stage fetches shingle arrays for candidates only.
+    * Here both sides derive from one `documents` table, so the plan shows
+    * the same one candidate equi-join keyed on (band_idx, bk), reusing the
+    * capped-bucket stack of [[candidatePairs]] (cap + observe metric
+    * semantics identical; the cap is mirrored in the oracle).
+    */
+  private val IncrSeed = "graft-incr-1"
+
+  private[graft] def isNewCol: Column =
+    substring(md5(concat(lit(IncrSeed + "|"), col("doc_id").cast("string"))), 1, 1)
+      .isin("0", "1", "2")
+
+  private val isNewSql =
+    s"substr(md5('$IncrSeed|' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')"
+
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val band = banded(signatures(spark, sfDir)).cache()
+    // same capped stack as candidatePairs: bucket sizes counted over the
+    // whole (band_idx, bk) key the join shuffles on
+    val sized = band.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)).as(Seq("band_idx", "bk")))
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy("band_idx", "bk")))
+    val kept = sized.where(col("__bsz") <= MaxBucketSize)
+      .withColumn("is_new", isNewCol)
+    val cand = kept.where(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("bk"))
+      .join(kept.where(!col("is_new"))
+        .select(col("doc_id").as("corpus_id"), col("band_idx"), col("bk")),
+        Seq("band_idx", "bk"))
+      .select("new_id", "corpus_id").distinct()
+    val docs = docShingles(spark, sfDir)
+    val matches = cand
+      .join(docs.select(col("doc_id").as("new_id"), col("shs").as("s1")), Seq("new_id"))
+      .join(docs.select(col("doc_id").as("corpus_id"), col("shs").as("s2")), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("n1", size(col("s1")).cast("long"))
+      .withColumn("n2", size(col("s2")).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .where(col("jaccard") >= 0.5)
+    // best corpus match per new doc; jaccard is a ratio of small longs so
+    // the double is identical in both engines, ties broken by corpus id
+    val w = Window.partitionBy("new_id").orderBy(col("jaccard").desc, col("corpus_id"))
+    val best = matches.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("new_id"), col("corpus_id").as("dup_of"), col("jaccard").as("dup_jaccard"))
+    Tables.documents(spark, sfDir).where(isNewCol)
+      .select(col("doc_id"))
+      .join(best.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("dup_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH $shinglesCte,
+       |$signaturesCte,
+       |$bandedCte,
+       |stk AS (SELECT doc_id, band_idx, bk,
+       |          count(*) OVER (PARTITION BY band_idx, bk) AS bsz
+       |        FROM (${(0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band_idx, b$b AS bk FROM band")
+      .mkString(" UNION ALL ")})),
+       |kept AS (SELECT doc_id, band_idx, bk, $isNewSql AS is_new
+       |         FROM stk WHERE bsz <= $MaxBucketSize),
+       |cand AS (SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS corpus_id
+       |         FROM kept a JOIN kept c
+       |         ON a.band_idx = c.band_idx AND a.bk = c.bk
+       |         WHERE a.is_new AND NOT c.is_new),
+       |m AS (SELECT cand.new_id, cand.corpus_id,
+       |        CAST(len(d1.shs) AS BIGINT) AS n1, CAST(len(d2.shs) AS BIGINT) AS n2,
+       |        CAST(len(list_intersect(d1.shs, d2.shs)) AS BIGINT) AS inter
+       |      FROM cand
+       |      JOIN docsh d1 ON d1.doc_id = cand.new_id
+       |      JOIN docsh d2 ON d2.doc_id = cand.corpus_id),
+       |j AS (SELECT new_id, corpus_id,
+       |        CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+       |      FROM m WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5),
+       |best AS (SELECT new_id, corpus_id AS dup_of, jaccard AS dup_jaccard
+       |         FROM (SELECT *, row_number() OVER (
+       |                 PARTITION BY new_id ORDER BY jaccard DESC, corpus_id) AS rk
+       |               FROM j)
+       |         WHERE rk = 1)
+       |SELECT d.doc_id, b.dup_of IS NOT NULL AS is_dup, b.dup_of, b.dup_jaccard
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
+       |WHERE $isNewSql
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -450,6 +550,7 @@ object DedupOps {
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_cluster_canonical" -> (clusterCanonical _),
     "curation_pipeline" -> (curationPipeline _),
+    "dedup_incremental" -> (incrementalDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -459,5 +560,6 @@ object DedupOps {
     "dedup_embedding_cosine" -> embeddingCosineSql,
     "dedup_cluster_canonical" -> clusterCanonicalSql,
     "curation_pipeline" -> curationPipelineSql,
+    "dedup_incremental" -> incrementalDedupSql,
   )
 }

@@ -374,7 +374,69 @@ object TextOps {
        |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Duplicated-SUBSTRING span detection (the Lee et al. "Deduplicating
+    * Training Data" signal, windowed form): every positional 8-token window
+    * is hashed; windows whose hash appears in ≥2 DISTINCT documents are
+    * duplicated; per document, runs of consecutive duplicated window starts
+    * merge (gaps-and-islands) into maximal spans `[span_start, span_end]`
+    * (1-based token indices) — the spans a span-removal pass would cut,
+    * where whole-doc dedup (MinHash) sees nothing because the documents
+    * differ outside the shared span.
+    *
+    * Scale shape: ONE shuffle keyed on the window hash (map-side partial
+    * counts; rows shrink to (doc, pos, hash) BEFORE the shuffle — the gram
+    * text never moves), one hash-keyed join back, one per-doc window for the
+    * island merge. O(corpus tokens) exploded rows is inherent to substring
+    * dedup; md5 is the cross-engine-stable hash the oracle can mirror (a
+    * production run swaps in xxhash64 for 4× narrower shuffle rows). */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpansOf(Tables.documents(spark, sfDir))
+
+  private[graft] def dupSpansOf(documents: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gram = (0 until w).map(k => s"element_at(toks, i + $k)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val winExpr = s"IF(size(toks) >= $w, " +
+      s"transform(sequence(1, size(toks) - ${w - 1}), i -> $gram), " +
+      "CAST(array() AS ARRAY<STRING>))"
+    val wins = documents
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), md5(col("g")).as("h"))
+    val dup = wins.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
+      .where(col("ndocs") >= 2).select("h")
+    val pos = wins.join(dup, Seq("h")).select("doc_id", "pos")
+    val wk = Window.partitionBy("doc_id").orderBy("pos")
+    pos.withColumn("isl", col("pos") - row_number().over(wk).cast("long"))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(w - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val dupSpansSql = {
+    val g8 = (0 until 8).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |u AS (SELECT doc_id, unnest(list_transform(
+       |        range(1, greatest(len(toks) - 7, 0) + 1),
+       |        i -> struct_pack(pos := i, g := $g8))) AS s
+       |      FROM t),
+       |w AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, md5(s.g) AS h FROM u),
+       |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |p AS (SELECT w.doc_id, w.pos FROM w JOIN dup d ON w.h = d.h),
+       |i AS (SELECT doc_id, pos,
+       |        pos - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS isl
+       |      FROM p)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+       |  CAST(count(*) AS BIGINT) AS n_windows
+       |FROM i GROUP BY doc_id, isl
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dup_spans" -> (dupSpans _),
     "text_contamination" -> (contamination _),
     "text_tfidf_topk" -> (tfidfTopk _),
     "text_repetition" -> (repetition _),
@@ -387,6 +449,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_dup_spans" -> dupSpansSql,
     "text_contamination" -> contaminationSql,
     "text_tfidf_topk" -> tfidfTopkSql,
     "text_repetition" -> repetitionSql,

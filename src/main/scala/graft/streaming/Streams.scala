@@ -256,9 +256,28 @@ object Streams {
     runToTable(agg, "s3_parity_sink", "complete").orderBy("day", "event_type")
   }
 
+  /** Stream-stream join under the driver's oracle gate: the REAL streaming
+    * engine runs [[streamStreamJoin]] (purchase ↔ click of the same user
+    * within the hour before the purchase, watermarked on both sides) to
+    * completion on the bounded events table, and the result must equal the
+    * batch interval join — an INNER stream-stream join emits each match as
+    * soon as both sides have arrived (watermarks only bound retained state),
+    * so the bounded run is exactly the batch result. The reference has no
+    * cross-stream correlation at all (joins are a roadmap item); this is
+    * the unified-model form of it. */
+  def streamJoinParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventStream(spark, sfDir)
+    val joined = streamStreamJoin(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "click"))
+    runToTable(joined, "stream_join_sink")
+      .orderBy("user_id", "p_block", "c_block")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s3_stream_batch_parity" -> (streamBatchParity _),
-    "stream_neardup_dedup" -> (nearDupDedupStream _))
+    "stream_neardup_dedup" -> (nearDupDedupStream _),
+    "stream_join_parity" -> (streamJoinParity _))
 
   val oracles: Map[String, String] = Map(
     "s3_stream_batch_parity" ->
@@ -266,7 +285,16 @@ object Streams {
         |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "stream_neardup_dedup" ->
-      s"SELECT DISTINCT simhash FROM (${graft.ext.DedupOps.simhashSql}) ORDER BY simhash")
+      s"SELECT DISTINCT simhash FROM (${graft.ext.DedupOps.simhashSql}) ORDER BY simhash",
+    "stream_join_parity" ->
+      """WITH p AS (SELECT user_id, event_id AS p_block, CAST(ts AS TIMESTAMP) AS p_ts,
+        |            value AS p_value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, event_id AS c_block, CAST(ts AS TIMESTAMP) AS c_ts,
+        |            value AS c_value FROM events WHERE event_type = 'click')
+        |SELECT user_id, p_block, p_ts, p_value, c_block, c_value
+        |FROM p JOIN c ON user_id = c_user
+        |  AND c_ts >= p_ts - INTERVAL 3600 SECONDS AND c_ts <= p_ts
+        |ORDER BY user_id, p_block, c_block""".stripMargin)
 
   /** S6 — realtime method poller: rate source ticks every `intervalSeconds`
     * (the reference's ticker loop, chainservice.go:173-179), each tick

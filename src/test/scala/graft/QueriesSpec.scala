@@ -98,4 +98,34 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@5 $recall on the clustered fixture — index not separating signal")
     assert(recall > 2 * scanned, s"recall $recall must beat the $scanned scan fraction decisively")
   }
+
+  test("incremental dedup: one row per new-batch doc, matches only from the corpus side") {
+    import org.apache.spark.sql.functions._
+    val out = ext.DedupOps.incrementalDedup(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    // output = EXACTLY the new batch (seeded-md5 split), one row each
+    assert(out.count() == docs.where(ext.DedupOps.isNewCol).count())
+    assert(out.where(!ext.DedupOps.isNewCol).isEmpty, "a corpus doc leaked into the new batch")
+    // a match must point INTO the corpus, never at another new doc, and
+    // carry the exact-Jaccard floor; non-matches carry nulls
+    val dupOf = out.where(col("is_dup")).select(col("dup_of").as("doc_id"))
+    assert(dupOf.join(docs.where(ext.DedupOps.isNewCol), Seq("doc_id")).isEmpty,
+      "dup_of points at a new-batch doc — incremental dedup must check against the corpus only")
+    assert(out.where(col("is_dup") && col("dup_jaccard") < 0.5).isEmpty)
+    assert(out.where(!col("is_dup") && (col("dup_of").isNotNull || col("dup_jaccard").isNotNull)).isEmpty)
+  }
+
+  test("dup spans: cross-doc shared substrings merge into maximal spans; within-doc repeats don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // shares a 10-token substring with doc 2
+      (2L, "x y a b c d e f g h i j z"),
+      (3L, "p q r s t u v w p q r s t u v w") // repeated 8-gram, but only inside doc 3
+    ).toDF("doc_id", "text")
+    val out = ext.TextOps.dupSpansOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc 1: window starts 1..3 all duplicated → one span covering tokens 1-10
+    // doc 2: window starts 3..5 → tokens 3-12; doc 3: nothing (not cross-doc)
+    assert(out == Seq((1L, 1L, 10L, 3L), (2L, 3L, 12L, 3L)), out.toString)
+  }
 }
