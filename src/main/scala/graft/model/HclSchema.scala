@@ -13,7 +13,10 @@ package graft.model
   * with `item` binding, `query` blocks with `chain`, `contract` blocks
   * (`address`, `event NAME { outputs }`, `transform`, `method NAME`),
   * query-level (global) `event` blocks, `filter = [...]`, `save {...}`,
-  * `block_interval`, `method` blocks with `block_offset`.
+  * `block_interval`, `method` blocks with `block_offset`, and top-level
+  * `function "name" { params = [..] body = .. }` definitions (ROADMAP v1.1
+  * #DEFINE — macro-expanded into every expression, see [[expandMacros]]).
+  * Block labels may be bare or quoted.
   *
   * Expression translation (HCL → Spark SQL): `c ? a : b` → `IF(c, a, b)`
   * (nesting-aware), `&&`/`||` → `AND`/`OR`, variable references → `${var}`
@@ -180,9 +183,19 @@ object HclSchema {
         attrs += ident -> s.substring(vStart, i).trim
         }
       } else {
-        // block: optional label identifier, then '{'
+        // block: optional label identifier (bare or "quoted" — HCL2 quotes
+        // labels; the reference's examples leave them bare), then '{'
         val label =
-          if (i < s.length && s.charAt(i) != '{') {
+          if (i < s.length && s.charAt(i) == '"') {
+            i += 1
+            val lStart = i
+            while (i < s.length && s.charAt(i) != '"') i += 1
+            require(i < s.length, s"hcl: unterminated quoted label after $ident")
+            val l = s.substring(lStart, i)
+            i += 1
+            skipWs()
+            Some(l)
+          } else if (i < s.length && s.charAt(i) != '{') {
             val lStart = i
             while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
             val l = s.substring(lStart, i)
@@ -311,6 +324,106 @@ object HclSchema {
   private def replaceToken(s: String, token: String, replacement: String): String =
     mapOutsideStrings(s)(_.replaceAll("\\b" + java.util.regex.Pattern.quote(token) + "\\b",
       java.util.regex.Matcher.quoteReplacement(replacement)))
+
+  /** Custom function definitions — the reference's top ROADMAP v1.1 item
+    * ("#DEFINE-like custom function definitions usable elsewhere",
+    * /root/reference/ROADMAP.md:58-61). Declared as top-level blocks:
+    *
+    * {{{
+    * function "usd" {
+    *   params = [x]
+    *   body   = parse_decimals(x, 2)
+    * }
+    * }}}
+    *
+    * and callable from any transform/filter/save expression. Semantics are
+    * MACRO EXPANSION at schema load ("executed at the block it gets called
+    * at" — the expanded expression evaluates in the row's own context, so a
+    * body referencing `balance(...)`-style context behaves exactly as if
+    * written inline). Arguments are arbitrary expressions; each expansion
+    * parenthesizes both arguments and body to preserve precedence. Nested
+    * and chained definitions expand to fixpoint; recursion (direct or
+    * mutual) cannot terminate and fails loud via a depth cap. */
+  private[graft] def expandMacros(
+      expr: String,
+      fns: Map[String, (Seq[String], String)]): String = {
+    if (fns.isEmpty) return expr
+    var e = expr
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      changed = false
+      rounds += 1
+      require(rounds <= 16,
+        s"hcl: function expansion exceeded depth 16 — recursive function definition? in: $expr")
+      var i = 0
+      var inStr = false
+      var quote = ' '
+      while (i < e.length && !changed) {
+        val c = e.charAt(i)
+        if (inStr) {
+          if (c == '\\' && i + 1 < e.length) i += 1
+          else if (c == quote) inStr = false
+          i += 1
+        } else if (c == '"' || c == '\'') { inStr = true; quote = c; i += 1 }
+        else if (c.isLetter || c == '_') {
+          val start = i
+          while (i < e.length && (e.charAt(i).isLetterOrDigit || e.charAt(i) == '_')) i += 1
+          val ident = e.substring(start, i)
+          val leftBoundary = start == 0 || {
+            val p = e.charAt(start - 1); !(p.isLetterOrDigit || p == '_' || p == '.')
+          }
+          var j = i
+          while (j < e.length && e.charAt(j).isWhitespace) j += 1
+          if (leftBoundary && fns.contains(ident) && j < e.length && e.charAt(j) == '(') {
+            val (args, end) = scanCallArgs(e, j, ident)
+            val (params, body) = fns(ident)
+            require(args.size == params.size,
+              s"hcl: function $ident expects ${params.size} argument(s), got ${args.size}")
+            var expanded = body.trim
+            for ((p, a) <- params.zip(args))
+              expanded = replaceToken(expanded, p, s"(${a.trim})")
+            e = e.substring(0, start) + "(" + expanded + ")" + e.substring(end)
+            changed = true
+          }
+        } else i += 1
+      }
+    }
+    e
+  }
+
+  /** Scan a call's argument list from the '(' at `open`: balanced-paren +
+    * string-aware top-level comma split. Returns (args, index after ')'). */
+  private def scanCallArgs(s: String, open: Int, ident: String): (Seq[String], Int) = {
+    val args = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 1
+    var i = open + 1
+    var inStr = false
+    var quote = ' '
+    while (depth > 0) {
+      require(i < s.length, s"hcl: unterminated call of function $ident")
+      val c = s.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\\' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
+        else if (c == quote) inStr = false
+      } else c match {
+        case '"' | '\'' => inStr = true; quote = c; cur.append(c)
+        case '(' | '[' | '{' => depth += 1; cur.append(c)
+        case ')' | ']' | '}' =>
+          depth -= 1; if (depth > 0) cur.append(c)
+        case ',' if depth == 1 => args += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    val last = cur.toString
+    if (last.trim.nonEmpty) args += last
+    val out = args.result()
+    require(out.forall(_.trim.nonEmpty), s"hcl: empty argument in call of function $ident")
+    (out, i)
+  }
 
   /** Re-quote string literals for Spark SQL: HCL's double-quoted literals
     * become single-quoted, with embedded single quotes backslash-escaped —
@@ -587,6 +700,30 @@ object HclSchema {
       case x => x
     }
 
+    // function definitions (ROADMAP v1.1 #DEFINE) — parsed before queries so
+    // every expression can call them; see [[expandMacros]]
+    val reservedFnNames = Set("parse_decimals", "format_date", "upper", "lower", "abs",
+      "now", "balance", "token_balance", "is_contract", "get_price", "if", "cast")
+    val fnDefs: Map[String, (Seq[String], String)] = {
+      val defs = top.blocks.collect { case ("function", label, fb) =>
+        val name = label.getOrElse(sys.error("hcl: function block requires a name label"))
+        require(!reservedFnNames.contains(name),
+          s"hcl: function $name shadows a built-in function — pick another name")
+        val params = fb.attrs.collectFirst { case ("params", v) => parseArr(v).map(unquote) }
+          .getOrElse(Seq.empty)
+        params.foreach(p => require(p.matches("[A-Za-z_]\\w*"),
+          s"hcl: function $name: parameter '$p' must be a bare identifier"))
+        require(params.distinct.size == params.size,
+          s"hcl: function $name declares duplicate parameters")
+        val body = fb.attrs.collectFirst { case ("body", v) => v }
+          .getOrElse(sys.error(s"hcl: function $name lacks a body attribute"))
+        name -> (params, body)
+      }
+      require(defs.map(_._1).distinct.size == defs.size,
+        s"hcl: duplicate function definitions: ${defs.map(_._1).diff(defs.map(_._1).distinct).distinct.mkString(", ")}")
+      defs.toMap
+    }
+
     def methodsOf(body: Body): Seq[JObject] = body.blocks.collect {
       case ("method", Some(name), mb) =>
         val base: JObject =
@@ -630,7 +767,9 @@ object HclSchema {
         s"hcl: query $name: ${declDistinct.size} distinct contract addresses fold to " +
           s"${foldDistinct.size} colliding testbed keys — rename one address or widen the key space")
       val outputs = declaredOutputs.toSet -- native
-      def sql(e: String): String = toSql(e, outputs, varNames)
+      // user-defined functions expand FIRST (their bodies then flow through
+      // the ordinary ternary/requote/output/variable pipeline like inline text)
+      def sql(e: String): String = toSql(expandMacros(e, fnDefs), outputs, varNames)
 
       val contractJson: Seq[JObject] = contracts.map { case (_, addr, cb, ownEvents, _) =>
         val transforms: Seq[(String, String)] = cb.blocks.collect {

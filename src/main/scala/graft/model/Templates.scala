@@ -1,0 +1,60 @@
+package graft.model
+
+import graft.engine.Functions
+import org.apache.spark.sql.functions._
+
+/** Packaged query templates — the reference's ROADMAP v1.1 "Custom
+  * templates: uniswapv2 / uniswapv3 / compound / aave / makerdao"
+  * (/root/reference/ROADMAP.md:82-87): instead of hand-writing the swap
+  * schema (/root/reference/schema.example.hcl), declare the pair contracts
+  * and get the standard QuerySpec. Only the v2 template is built out — the
+  * others differ in ABI surface, not engine capability; they would be
+  * further constructors here.
+  */
+object Templates {
+
+  /** One Uniswap-v2-style pair: contract address + the two tokens'
+    * decimals (USDC=6, WETH=18 on a live chain; small values on the
+    * testbed fixture). */
+  final case class UniV2Pair(address: Long, decimals0: Int, decimals1: Int)
+
+  /** The standard v2 swaps query over the declared pairs: per-pair decimal
+    * scaling as CONTRACT-scoped transforms (exactly where
+    * schema.example.hcl:23-33 puts them), zero-guarded swap price and
+    * direction via the ternary (schema.example.hcl:48-51), standard save
+    * projection. Testbed column mapping: `value` carries the token0 flow
+    * and props `$.k` the token1 flow (a live source decodes
+    * amount0In/amount1Out/... from the Swap event ABI). */
+  def uniswapv2(
+      pairs: Seq[UniV2Pair],
+      name: String = "uniswapv2_swaps",
+      chain: String = "ethereum",
+      startTime: Option[String] = None,
+      endTime: Option[String] = None,
+  ): QuerySpec = {
+    require(pairs.nonEmpty, "uniswapv2 template: declare at least one pair")
+    val k = get_json_object(col("props"), "$.k")
+    QuerySpec(
+      name = name,
+      chain = chain,
+      contracts = pairs.map(p => ContractSpec(p.address,
+        events = Seq(EventSpec("purchase", Seq("value", "props"))),
+        transforms = Seq(
+          "amount0" -> Functions.parseDecimals(col("value"), p.decimals0),
+          "amount1" -> Functions.parseDecimals(k, p.decimals1)))),
+      startTime = startTime,
+      endTime = endTime,
+      transforms = Seq("buy" -> (k.cast("long") % 2 === 0)),
+      filters = Seq(k.isNotNull),
+      saves = Seq(
+        "timestamp" -> col("timestamp"),
+        "block" -> col("blocknumber"),
+        "contract" -> col("contract_address"),
+        "swap_price" -> Functions.ternary(col("amount0") =!= 0,
+          col("amount1") / col("amount0"), lit(null).cast("double")),
+        "direction" -> Functions.ternary(col("buy"), lit("buy"), lit("sell")),
+        "size_token1" -> col("amount1"),
+      ),
+    )
+  }
+}

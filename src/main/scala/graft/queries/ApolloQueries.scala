@@ -123,6 +123,119 @@ object ApolloQueries {
       |  AND value / CASE WHEN user_id = 1 THEN 100.0 ELSE 1000.0 END <> 0
       |ORDER BY block""".stripMargin
 
+  /** ROADMAP v1.1 custom function definitions (#DEFINE,
+    * /root/reference/ROADMAP.md:58-61) under the DRIVER's gate: top-level
+    * `function` blocks are declared once and called from transform/filter/
+    * save expressions — including a function calling another function —
+    * macro-expanded at schema load by [[graft.model.HclSchema.expandMacros]]
+    * and compiled through the ordinary pipeline. */
+  def hclCustomFn(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val hcl =
+      """function "usd" {
+        |  params = [x, d]
+        |  body   = parse_decimals(x, d)
+        |}
+        |function "side" {
+        |  params = [n]
+        |  body   = n % 2 == 0 ? "buy" : "sell"
+        |}
+        |function "big_usd" {
+        |  params = [x]
+        |  body   = usd(x, 2) > 5   # nested user-function call
+        |}
+        |query "fn_swaps" {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = 3
+        |    event purchase { outputs = ["value", "k"] }
+        |  }
+        |  filter = [ usd(value, 2) != 0 ]
+        |  save {
+        |    block = blocknumber
+        |    amount = usd(value, 2)
+        |    direction = side(k)
+        |    is_big = big_usd(value)
+        |  }
+        |}""".stripMargin
+    Compiler.compile(spark, sfDir, HclSchema.parse(hcl).queries.head).orderBy("block")
+  }
+
+  private val hclCustomFnSql =
+    """SELECT event_id AS block, value / 100.0 AS amount,
+      |  CASE WHEN CAST(json_extract_string(props, '$.k') AS DOUBLE) % 2 = 0
+      |       THEN 'buy' ELSE 'sell' END AS direction,
+      |  value / 100.0 > 5 AS is_big
+      |FROM events
+      |WHERE event_type = 'purchase' AND user_id = 3 AND value / 100.0 <> 0
+      |ORDER BY block""".stripMargin
+
+  /** ROADMAP v1.1 custom templates ('uniswapv2',
+    * /root/reference/ROADMAP.md:82-87) — a PACKAGED schema: declare the pair
+    * contracts (+ per-token decimals) and get the standard v2 swaps query
+    * (per-pair decimal scaling as contract-scoped transforms, zero-guarded
+    * swap price, direction, standard save projection) without writing it.
+    * Testbed analog of the two flows: `value` = token0 amount, props `k` =
+    * token1 amount (a live source decodes amount0In/amount1In from the Swap
+    * ABI — schema.example.hcl:18-33). */
+  def templateUniswapV2(spark: SparkSession, sfDir: String): DataFrame =
+    Compiler.compile(spark, sfDir, graft.model.Templates.uniswapv2(
+      pairs = Seq(
+        graft.model.Templates.UniV2Pair(address = 11L, decimals0 = 2, decimals1 = 0),
+        graft.model.Templates.UniV2Pair(address = 12L, decimals0 = 3, decimals1 = 1)),
+    )).orderBy("block")
+
+  private val templateUniswapV2Sql =
+    """SELECT CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp", event_id AS block,
+      |  user_id AS contract,
+      |  CASE WHEN value / CASE WHEN user_id = 11 THEN 100.0 ELSE 1000.0 END <> 0
+      |       THEN (CAST(json_extract_string(props, '$.k') AS DOUBLE)
+      |               / CASE WHEN user_id = 11 THEN 1.0 ELSE 10.0 END)
+      |            / (value / CASE WHEN user_id = 11 THEN 100.0 ELSE 1000.0 END)
+      |       ELSE NULL END AS swap_price,
+      |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+      |       THEN 'buy' ELSE 'sell' END AS direction,
+      |  CAST(json_extract_string(props, '$.k') AS DOUBLE)
+      |    / CASE WHEN user_id = 11 THEN 1.0 ELSE 10.0 END AS size_token1
+      |FROM events
+      |WHERE event_type = 'purchase' AND user_id IN (11, 12)
+      |  AND json_extract_string(props, '$.k') IS NOT NULL
+      |ORDER BY block""".stripMargin
+
+  /** ROADMAP v1.1 cross-chain address monitoring
+    * (/root/reference/ROADMAP.md:80): ONE address watched on every
+    * configured chain — the monitor stamps the same contract-scoped spec per
+    * chain, compiles each against that chain's registry store
+    * (chainservice.go:127-131 one service per chain), and unions with the
+    * chain column distinguishing origin. Single-store testbed: both chains
+    * resolve to the same store (distinct-store routing is spec-asserted in
+    * FixturesSpec); multiple event signatures on one contract exercise the
+    * per-signature batched scans. */
+  def crossChainMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val registry = graft.model.ChainRegistry(
+      Map("ethereum" -> sfDir, "arbitrum" -> sfDir), default = sfDir)
+    val monitored = 7L
+    val frames = Seq("ethereum", "arbitrum").map { chain =>
+      Compiler.compile(spark, registry, QuerySpec(
+        name = "addr_monitor", chain = chain,
+        contracts = Seq(ContractSpec(monitored, events = Seq(
+          EventSpec("purchase", Seq("value")),
+          EventSpec("error", Seq("value"))))),
+        saves = Seq(
+          "chain" -> col("chain"),
+          "block" -> col("blocknumber"),
+          "event" -> col("event_type"),
+          "value" -> col("value"))))
+    }
+    frames.reduce(_ unionByName _).orderBy("chain", "block", "event")
+  }
+
+  private val crossChainMonitorSql =
+    """SELECT c.chain, e.event_id AS block, e.event_type AS event, e.value
+      |FROM events e, (VALUES ('ethereum'), ('arbitrum')) AS c(chain)
+      |WHERE e.user_id = 7 AND e.event_type IN ('purchase', 'error')
+      |ORDER BY chain, block, event""".stripMargin
+
   /** The config.yml + multi-chain surface under the DRIVER's gate: a
     * reference-shaped config (config.go:13-16 `rpc` map) parses through
     * [[graft.model.ConfigFile]], its registry routes each chain's queries
@@ -925,6 +1038,9 @@ object ApolloQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "apollo_flagship_swaps" -> (flagship _),
     "hcl_scoped_swaps" -> (hclScopedSwaps _),
+    "hcl_custom_fn" -> (hclCustomFn _),
+    "template_uniswapv2" -> (templateUniswapV2 _),
+    "cross_chain_monitor" -> (crossChainMonitor _),
     "config_routed_scan" -> (configRoutedScan _),
     "s3_compiled_stream_parity" -> (compiledStreamParity _),
     "s6_method_poller" -> (methodPollerRealtime _),
@@ -953,6 +1069,9 @@ object ApolloQueries {
   val oracles: Map[String, String] = Map(
     "apollo_flagship_swaps" -> flagshipSql,
     "hcl_scoped_swaps" -> hclScopedSwapsSql,
+    "hcl_custom_fn" -> hclCustomFnSql,
+    "template_uniswapv2" -> templateUniswapV2Sql,
+    "cross_chain_monitor" -> crossChainMonitorSql,
     "config_routed_scan" -> configRoutedScanSql,
     "s3_compiled_stream_parity" -> flagshipSql,
     "s6_method_poller" -> methodGridCompiledSql,

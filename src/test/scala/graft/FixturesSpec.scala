@@ -440,6 +440,59 @@ class FixturesSpec extends SparkSpec {
     intercept[RuntimeException](ConfigFile.parse("  orphan: value"))
   }
 
+  test("HCL: custom function definitions expand (nested calls, precedence, strings)") {
+    import graft.model.HclSchema.expandMacros
+    val fns = Map(
+      "usd" -> (Seq("x", "d"), "parse_decimals(x, d)"),
+      "big" -> (Seq("x"), "usd(x, 2) > 5"))
+    // nested user-function call expands to fixpoint (inner args re-wrap)
+    assert(expandMacros("big(value)", fns) == "((parse_decimals(((value)), (2))) > 5)")
+    // arguments parenthesize: precedence of `a + b` survives `* d` in a body
+    val mul = Map("scale" -> (Seq("x", "d"), "x * d"))
+    assert(expandMacros("scale(a + b, 10)", mul) == "((a + b) * (10))")
+    // a call-looking token inside a string literal is content, not a call
+    assert(expandMacros("\"scale(1, 2)\"", mul) == "\"scale(1, 2)\"")
+    // a param token inside a string literal in the BODY is not substituted
+    val lab = Map("tag" -> (Seq("x"), "concat(\"x=\", x)"))
+    assert(expandMacros("tag(k)", lab) == "(concat(\"x=\", (k)))")
+    // wrong arity fails loud
+    val e = intercept[IllegalArgumentException](expandMacros("usd(value)", fns))
+    assert(e.getMessage.contains("expects 2 argument"))
+    // recursion cannot terminate — depth cap fails loud
+    val rec = Map("f" -> (Seq("x"), "f(x) + 1"))
+    val r = intercept[IllegalArgumentException](expandMacros("f(1)", rec))
+    assert(r.getMessage.contains("recursive"))
+  }
+
+  test("HCL: function definition blocks validate loud") {
+    import graft.model.HclSchema
+    def schema(fnBlocks: String) =
+      s"""$fnBlocks
+         |query q {
+         |  chain = "ethereum"
+         |  event signup { outputs = ["value"] }
+         |  save { v = value }
+         |}""".stripMargin
+    def fn(name: String, params: String, bodyLine: String) =
+      s"function \"$name\" {\n  params = [$params]\n$bodyLine\n}"
+    // shadowing a built-in
+    val s1 = intercept[IllegalArgumentException](HclSchema.parse(schema(
+      fn("parse_decimals", "x", "  body = x"))))
+    assert(s1.getMessage.contains("shadows a built-in"))
+    // duplicate definitions
+    val s2 = intercept[IllegalArgumentException](HclSchema.parse(schema(
+      fn("f", "x", "  body = x") + "\n" + fn("f", "y", "  body = y"))))
+    assert(s2.getMessage.contains("duplicate function definitions"))
+    // non-identifier parameter
+    val s3 = intercept[IllegalArgumentException](HclSchema.parse(schema(
+      fn("f", "\"a b\"", "  body = 1"))))
+    assert(s3.getMessage.contains("bare identifier"))
+    // missing body
+    val s4 = intercept[RuntimeException](HclSchema.parse(schema(
+      "function \"f\" {\n  params = [x]\n}")))
+    assert(s4.getMessage.contains("lacks a body"))
+  }
+
   test("typed Dataset surface works over the event store (Dataset[Event])") {
     import spark.implicits._
     val ds = Tables.events(spark, sf)
