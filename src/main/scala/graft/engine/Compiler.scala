@@ -86,9 +86,17 @@ object Compiler {
       .withColumn("timestamp", unix_timestamp(col("ts")))
       .withColumn("contract_address", col("user_id"))
 
-  /** The shared declarative tail: transforms → AND-folded filters → saves.
-    * Works identically on a batch or streaming source — this is the unified
-    * batch/stream claim made executable. */
+  /** The shared declarative tail: transforms → AND-folded filters → saves →
+    * optional aggregate. Works identically on a batch or streaming source —
+    * this is the unified batch/stream claim made executable.
+    *
+    * The aggregate block is the reference's explicitly-unimplemented roadmap
+    * item "Aggregation operations like group by, sum, avg"
+    * (/root/reference/ROADMAP.md:77) — here it is one `groupBy().agg()` over
+    * the saved rows (partial map-side aggregation + one shuffle on the group
+    * keys; a grouped batch plan is codegen'd HashAggregate, a grouped
+    * streaming plan runs under the state-store with update/complete output).
+    */
   private def pipeline(q: QuerySpec, sourced: DataFrame): DataFrame = {
     val standard = sourced.withColumn("chain", lit(q.chain))
     val scoped = contractTransforms(q, standard)
@@ -96,7 +104,14 @@ object Compiler {
       df.withColumn(name, e)
     }
     val filtered = transformed.where(Functions.allOf(q.filters))
-    filtered.select(q.saves.map { case (name, e) => e.as(name) }: _*)
+    val saved =
+      if (q.saves.isEmpty) filtered // aggregate-only query: aggs see source cols
+      else filtered.select(q.saves.map { case (name, e) => e.as(name) }: _*)
+    if (q.aggregates.isEmpty) saved
+    else {
+      val aggs = q.aggregates.map { case (name, e) => e.as(name) }
+      saved.groupBy(q.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
   }
 
   /** Contract-scoped transforms (dsl/schema.go:352-357): each name becomes

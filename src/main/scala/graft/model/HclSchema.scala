@@ -797,6 +797,18 @@ object HclSchema {
       val saves: Seq[(String, String)] = qb.blocks.collect {
         case ("save", _, sb) => sb.attrs.map { case (k, v) => k -> sql(v) }
       }.flatten
+      // aggregate block (reference roadmap "group by, sum, avg",
+      // ROADMAP.md:77): `group_by = [keys]` + one attr per aggregate output;
+      // aggregates run over the saved rows (save names are in scope).
+      val aggBlocks = qb.blocks.collect { case ("aggregate", _, ab) => ab }
+      require(aggBlocks.size <= 1,
+        s"hcl: query $name declares ${aggBlocks.size} aggregate blocks — at most one")
+      val aggGroupBy: Seq[String] = aggBlocks.headOption.toSeq.flatMap(ab =>
+        ab.attrs.collectFirst { case ("group_by", v) => parseArr(v).map(unquote) }.getOrElse(Nil))
+      val aggregates: Seq[(String, String)] = aggBlocks.headOption.toSeq.flatMap(ab =>
+        ab.attrs.filterNot(_._1 == "group_by").map { case (k, v) => k -> sql(v) })
+      require(aggBlocks.isEmpty || aggregates.nonEmpty,
+        s"hcl: query $name: aggregate block declares no aggregate expressions")
       val chain = qb.attrs.collectFirst { case ("chain", v) =>
         val c = unquote(v)
         if (c == "item") "${item}" else c
@@ -814,6 +826,9 @@ object HclSchema {
         q = q ~ ("transforms" -> JObject(queryTransforms.map { case (k, v) => k -> (JString(v): JValue) }.toList))
       if (filters.nonEmpty) q = q ~ ("filters" -> filters)
       q = q ~ ("saves" -> JObject(saves.map { case (k, v) => k -> (JString(v): JValue) }.toList))
+      if (aggGroupBy.nonEmpty) q = q ~ ("group_by" -> aggGroupBy)
+      if (aggregates.nonEmpty)
+        q = q ~ ("aggregates" -> JObject(aggregates.map { case (k, v) => k -> (JString(v): JValue) }.toList))
       q
     }
 

@@ -134,6 +134,17 @@ object JsonSchema {
         case JObject(fs) => fs.map { case (n, e) => n -> expr(substitute(jString(e), item)) }
         case _ => Nil
       }
+      // Aggregate surface (reference roadmap "group by, sum, avg",
+      // ROADMAP.md:77): "group_by" = key column names over the saved rows,
+      // "aggregates" = name → SQL aggregate expression.
+      val groupBy = q \ "group_by" match {
+        case JArray(xs) => xs.map(jString)
+        case _ => Nil
+      }
+      val aggregates = q \ "aggregates" match {
+        case JObject(fs) => fs.map { case (n, e) => n -> expr(substitute(jString(e), item)) }
+        case _ => Nil
+      }
       QuerySpec(
         name = jString(q \ "name"),
         chain = str("chain").getOrElse("unknown"),
@@ -149,7 +160,9 @@ object JsonSchema {
         blockInterval = blockInterval,
         transforms = transforms,
         filters = filters,
-        saves = saves)
+        saves = saves,
+        groupBy = groupBy,
+        aggregates = aggregates)
     }
 
     val queryAsts = ast \ "queries" match {

@@ -70,6 +70,8 @@ final case class QuerySpec(
     transforms: Seq[(String, Column)] = Nil,
     filters: Seq[Column] = Nil,
     saves: Seq[(String, Column)] = Nil,
+    groupBy: Seq[String] = Nil,             // aggregate-block group keys
+    aggregates: Seq[(String, Column)] = Nil, // aggregate block (ROADMAP.md:77)
 ) {
   def hasMethods: Boolean =
     contracts.exists(_.methods.nonEmpty)
@@ -98,7 +100,10 @@ final case class QuerySpec(
       require(blockInterval.isDefined, s"query $name: historical ranged method query requires blockInterval")
     if (hasEvents && !hasMethods && mode == Mode.Historical)
       require(blockInterval.isEmpty, s"query $name: historical event query must not set blockInterval")
-    require(saves.nonEmpty, s"query $name: save block required")
+    require(saves.nonEmpty || aggregates.nonEmpty,
+      s"query $name: save or aggregate block required")
+    require(groupBy.isEmpty || aggregates.nonEmpty,
+      s"query $name: group_by requires an aggregate block")
   }
 }
 

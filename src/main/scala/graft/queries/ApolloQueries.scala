@@ -170,6 +170,63 @@ object ApolloQueries {
       |WHERE event_type = 'purchase' AND user_id = 3 AND value / 100.0 <> 0
       |ORDER BY block""".stripMargin
 
+  /** The aggregate block (reference roadmap "Aggregation operations like
+    * group by, sum, avg", /root/reference/ROADMAP.md:77 — explicitly
+    * unimplemented there) under the DRIVER's gate: an HCL schema whose
+    * `aggregate { group_by = [...] ... }` block compiles to one
+    * `groupBy().agg()` over the saved rows (map-side partial aggregation +
+    * one shuffle on the group keys). Sum goes through exact decimals per the
+    * repo-wide output discipline (BUILDLOG round-2 finding 1). */
+  private def dslAggregateHcl: String =
+    """query "volume_by_side" {
+      |  chain = "ethereum"
+      |  event purchase { outputs = ["value", "k"] }
+      |  transform { amount = parse_decimals(value, 2) }
+      |  filter = [ k >= 0 ]
+      |  save {
+      |    side = k % 2 == 0 ? "buy" : "sell"
+      |    amount = amount
+      |  }
+      |  aggregate {
+      |    group_by = [side]
+      |    n = count(1)
+      |    total = cast(sum(cast(amount as decimal(12,4))) as double)
+      |    max_amount = max(amount)
+      |  }
+      |}""".stripMargin
+
+  def dslAggregate(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Compiler.compile(spark, sfDir, HclSchema.parse(dslAggregateHcl).queries.head)
+      .orderBy("side")
+  }
+
+  /** The SAME aggregate schema through the realtime engine: `mode = Realtime`
+    * compiles to a streaming grouped aggregation (state-store backed), runs
+    * to completion on the bounded events table (Trigger.AvailableNow,
+    * complete output), and must hash-match the batch oracle — the roadmap
+    * aggregation item delivered in BOTH of the reference's modes. */
+  def dslStreamAggregate(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val spec = HclSchema.parse(dslAggregateHcl).queries.head.copy(mode = Mode.Realtime)
+    val stream = Compiler.compile(spark, sfDir, spec)
+    assert(stream.isStreaming, "realtime aggregate must compile to a streaming plan")
+    graft.streaming.Streams.runToTable(stream, "dsl_agg_sink", "complete").orderBy("side")
+  }
+
+  private val dslAggregateSql =
+    """WITH s AS (
+      |  SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS DOUBLE) % 2 = 0
+      |              THEN 'buy' ELSE 'sell' END AS side,
+      |         value / 100.0 AS amount
+      |  FROM events
+      |  WHERE event_type = 'purchase'
+      |    AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 0)
+      |SELECT side, count(*) AS n,
+      |  CAST(CAST(sum(CAST(amount AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total,
+      |  max(amount) AS max_amount
+      |FROM s GROUP BY side ORDER BY side""".stripMargin
+
   /** ROADMAP v1.1 custom templates ('uniswapv2',
     * /root/reference/ROADMAP.md:82-87) — a PACKAGED schema: declare the pair
     * contracts (+ per-token decimals) and get the standard v2 swaps query
@@ -1039,6 +1096,8 @@ object ApolloQueries {
     "apollo_flagship_swaps" -> (flagship _),
     "hcl_scoped_swaps" -> (hclScopedSwaps _),
     "hcl_custom_fn" -> (hclCustomFn _),
+    "dsl_aggregate" -> (dslAggregate _),
+    "dsl_stream_aggregate" -> (dslStreamAggregate _),
     "template_uniswapv2" -> (templateUniswapV2 _),
     "cross_chain_monitor" -> (crossChainMonitor _),
     "config_routed_scan" -> (configRoutedScan _),
@@ -1070,6 +1129,8 @@ object ApolloQueries {
     "apollo_flagship_swaps" -> flagshipSql,
     "hcl_scoped_swaps" -> hclScopedSwapsSql,
     "hcl_custom_fn" -> hclCustomFnSql,
+    "dsl_aggregate" -> dslAggregateSql,
+    "dsl_stream_aggregate" -> dslAggregateSql,
     "template_uniswapv2" -> templateUniswapV2Sql,
     "cross_chain_monitor" -> crossChainMonitorSql,
     "config_routed_scan" -> configRoutedScanSql,

@@ -493,6 +493,58 @@ class FixturesSpec extends SparkSpec {
     assert(s4.getMessage.contains("lacks a body"))
   }
 
+  test("HCL: aggregate block compiles to groupBy().agg() over the saved rows") {
+    import graft.model.HclSchema
+    graft.functions.GraftFunctions.register(spark)
+    val spec = HclSchema.parse(
+      """query "by_type" {
+        |  chain = "ethereum"
+        |  event signup { outputs = ["value"] }
+        |  save {
+        |    contract = contract_address
+        |    v = value
+        |  }
+        |  aggregate {
+        |    group_by = [contract]
+        |    n = count(1)
+        |    biggest = max(v)
+        |  }
+        |}""".stripMargin).queries.head
+    assert(spec.groupBy == Seq("contract"))
+    assert(spec.aggregates.map(_._1) == Seq("n", "biggest"))
+    val df = Compiler.compile(spark, sf, spec)
+    assert(df.columns.toSeq == Seq("contract", "n", "biggest"))
+    // cross-check one group against a direct computation
+    val direct = Tables.events(spark, sf).where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"), max("value").as("biggest"))
+    assert(df.orderBy("contract").collect().toSeq ==
+      direct.orderBy("user_id").collect().toSeq)
+  }
+
+  test("aggregate-only query (no save) aggregates the source; validation loud") {
+    // aggregate without save: aggs see the transformed source columns
+    val spec = QuerySpec(
+      name = "tot", chain = "ethereum",
+      globalEvents = Seq(EventSpec("signup", Seq("value"))),
+      aggregates = Seq("n" -> count(lit(1))))
+    val n = Compiler.compile(spark, sf, spec).collect().head.getLong(0)
+    assert(n == Tables.events(spark, sf).where(col("event_type") === "signup").count())
+    // group_by without aggregate fails loud
+    val bad = spec.copy(saves = Seq("v" -> col("value")),
+      groupBy = Seq("chain"), aggregates = Nil)
+    val e = intercept[IllegalArgumentException](bad.validate())
+    assert(e.getMessage.contains("group_by requires an aggregate block"))
+    // two aggregate blocks fail loud
+    val two = intercept[IllegalArgumentException](graft.model.HclSchema.parse(
+      """query q {
+        |  chain = "ethereum"
+        |  event signup { outputs = ["value"] }
+        |  aggregate { n = count(1) }
+        |  aggregate { m = count(1) }
+        |}""".stripMargin))
+    assert(two.getMessage.contains("at most one"))
+  }
+
   test("typed Dataset surface works over the event store (Dataset[Event])") {
     import spark.implicits._
     val ds = Tables.events(spark, sf)
