@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * templates: uniswapv2 / uniswapv3 / compound / aave / makerdao"
   * (/root/reference/ROADMAP.md:82-87): instead of hand-writing the swap
   * schema (/root/reference/schema.example.hcl), declare the pair contracts
-  * and get the standard QuerySpec. Only the v2 template is built out — the
-  * others differ in ABI surface, not engine capability; they would be
-  * further constructors here.
+  * and get the standard QuerySpec. v2 and v3 are built out (v3 adds the
+  * sqrtPriceX96 fixed-point price math); compound/aave/makerdao differ in
+  * ABI surface, not engine capability — they would be further constructors
+  * here.
   */
 object Templates {
 
@@ -54,6 +55,56 @@ object Templates {
           col("amount1") / col("amount0"), lit(null).cast("double")),
         "direction" -> Functions.ternary(col("buy"), lit("buy"), lit("sell")),
         "size_token1" -> col("amount1"),
+      ),
+    )
+  }
+
+  /** One Uniswap-v3-style pool: contract address + token decimals. */
+  final case class UniV3Pool(address: Long, decimals0: Int, decimals1: Int)
+
+  /** The standard v3 swaps query: price comes from the pool's Q64.96
+    * fixed-point sqrt price — `price = (sqrtPriceX96 / 2^96)^2 ×
+    * 10^(decimals0 − decimals1)` — instead of v2's reserve ratio. Testbed
+    * mapping: props `$.k` carries the sqrt-price mantissa (a live source
+    * decodes the uint160 from the Swap ABI), so sqrtPriceX96 = k · 2^96;
+    * `value` carries the token0 amount. 2^96 and the squaring are exact in
+    * IEEE doubles for testbed magnitudes, so the oracle reproduces the same
+    * arithmetic bit-for-bit; the per-pool decimal multiplier is a
+    * plan-time-folded CASE like v2's scaling. */
+  def uniswapv3(
+      pools: Seq[UniV3Pool],
+      name: String = "uniswapv3_swaps",
+      chain: String = "ethereum",
+      startTime: Option[String] = None,
+      endTime: Option[String] = None,
+  ): QuerySpec = {
+    require(pools.nonEmpty, "uniswapv3 template: declare at least one pool")
+    val q96 = pow(lit(2.0), lit(96))
+    val k = get_json_object(col("props"), "$.k").cast("double")
+    QuerySpec(
+      name = name,
+      chain = chain,
+      contracts = pools.map(p => ContractSpec(p.address,
+        events = Seq(EventSpec("purchase", Seq("value", "props"))),
+        transforms = Seq(
+          "amount0" -> Functions.parseDecimals(col("value"), p.decimals0),
+          "px_mult" -> lit(math.pow(10.0, (p.decimals0 - p.decimals1).toDouble))))),
+      startTime = startTime,
+      endTime = endTime,
+      transforms = Seq(
+        "sqrt_price_x96" -> (k * q96),
+        "price_ratio" -> {
+          val s = col("sqrt_price_x96") / q96
+          s * s
+        }),
+      filters = Seq(k.isNotNull),
+      saves = Seq(
+        "timestamp" -> col("timestamp"),
+        "block" -> col("blocknumber"),
+        "pool" -> col("contract_address"),
+        "sqrt_price_x96" -> col("sqrt_price_x96"),
+        "price" -> col("price_ratio") * col("px_mult"),
+        "amount0" -> col("amount0"),
       ),
     )
   }

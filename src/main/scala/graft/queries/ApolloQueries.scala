@@ -227,6 +227,82 @@ object ApolloQueries {
       |  max(amount) AS max_amount
       |FROM s GROUP BY side ORDER BY side""".stripMargin
 
+  /** Transaction monitoring (/root/reference/ROADMAP.md:67-69, unimplemented
+    * there): every roadmap predicate class at once — value bounds, sender
+    * set, receiver set, method selectors, and an input predicate — AND-folded
+    * into one filtered scan ([[graft.engine.TxMonitor]]). */
+  private def txMonitorSpec = graft.engine.TxFilterSpec(
+    minValue = Some(20.0),
+    maxValue = Some(180.0),
+    senders = FibAddrs,
+    receivers = (0L to 60L by 2).toSeq,
+    methods = Seq("purchase", "error"),
+    inputPredicates = Seq(get_json_object(col("props"), "$.k").cast("long") % 3 === 0))
+
+  def txMonitor(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.TxMonitor.monitor(spark, sfDir, txMonitorSpec)
+      .select("block", "sender", "receiver", "method", "value")
+      .orderBy("block")
+
+  /** Mempool monitoring (/root/reference/ROADMAP.md:69-70): the SAME
+    * TxFilterSpec over the streaming source — the pending-tx feed is a
+    * stream, the monitor is a per-row predicate, so the bounded run must
+    * hash-match the batch monitor's oracle. */
+  def mempoolMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = graft.engine.TxMonitor.monitorStream(spark, sfDir, txMonitorSpec)
+      .select("block", "sender", "receiver", "method", "value")
+    assert(stream.isStreaming, "mempool monitor must run the streaming engine")
+    graft.streaming.Streams.runToTable(stream, "mempool_sink").orderBy("block")
+  }
+
+  private val txMonitorSql =
+    s"""SELECT event_id AS block, user_id AS sender,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS receiver,
+       |  event_type AS method, value
+       |FROM events
+       |WHERE value >= 20.0 AND value < 180.0
+       |  AND user_id IN (${FibAddrs.mkString(",")})
+       |  AND CAST(json_extract_string(props, '$$.k') AS BIGINT) IN (${(0L to 60L by 2).mkString(",")})
+       |  AND event_type IN ('purchase', 'error')
+       |  AND CAST(json_extract_string(props, '$$.k') AS BIGINT) % 3 = 0
+       |ORDER BY block""".stripMargin
+
+  /** Unverified events (/root/reference/ROADMAP.md:79 "Unverified methods
+    * and events", unimplemented there): an event block with NO declared ABI
+    * outputs — the contract's ABI is unknown/unverified — captures the raw
+    * payload instead of decoded columns. The save block references the
+    * native raw columns (`props`, `value`) directly; nothing is rewritten to
+    * payload lookups because nothing was declared. A live source would land
+    * raw topics/data hex the same way (decode-free passthrough is exactly
+    * what "let the application take care of decoding", ROADMAP.md:74,
+    * asks for). */
+  def unverifiedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val hcl =
+      """query "unverified" {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = 4
+        |    event click {}
+        |    event signup {}
+        |  }
+        |  save {
+        |    block = blocknumber
+        |    signature = event_type
+        |    raw_data = props
+        |    raw_value = value
+        |  }
+        |}""".stripMargin
+    Compiler.compile(spark, sfDir, HclSchema.parse(hcl).queries.head).orderBy("block")
+  }
+
+  private val unverifiedEventsSql =
+    """SELECT event_id AS block, event_type AS signature, props AS raw_data,
+      |  value AS raw_value
+      |FROM events
+      |WHERE user_id = 4 AND event_type IN ('click', 'signup')
+      |ORDER BY block""".stripMargin
+
   /** ROADMAP v1.1 custom templates ('uniswapv2',
     * /root/reference/ROADMAP.md:82-87) — a PACKAGED schema: declare the pair
     * contracts (+ per-token decimals) and get the standard v2 swaps query
@@ -258,6 +334,34 @@ object ApolloQueries {
       |WHERE event_type = 'purchase' AND user_id IN (11, 12)
       |  AND json_extract_string(props, '$.k') IS NOT NULL
       |ORDER BY block""".stripMargin
+
+  /** ROADMAP v1.1 'uniswapv3' template: the v3 Swap surface, where price is
+    * the pool's Q64.96 fixed-point sqrt price squared
+    * (`(sqrtPriceX96/2^96)^2 × 10^(d0−d1)`) rather than v2's reserve ratio.
+    * Same packaged-QuerySpec shape as the v2 template; the X96 arithmetic is
+    * exact in doubles at testbed magnitudes so the oracle mirrors it
+    * bit-for-bit. */
+  def templateUniswapV3(spark: SparkSession, sfDir: String): DataFrame =
+    Compiler.compile(spark, sfDir, graft.model.Templates.uniswapv3(
+      pools = Seq(
+        graft.model.Templates.UniV3Pool(address = 13L, decimals0 = 2, decimals1 = 0),
+        graft.model.Templates.UniV3Pool(address = 21L, decimals0 = 1, decimals1 = 2)),
+    )).orderBy("block")
+
+  private val templateUniswapV3Sql =
+    """WITH sw AS (
+      |  SELECT ts, event_id, user_id, value,
+      |    CAST(json_extract_string(props, '$.k') AS DOUBLE) * pow(2.0, 96) AS spx,
+      |    CASE WHEN user_id = 13 THEN 100.0 ELSE 0.1 END AS mult,
+      |    CASE WHEN user_id = 13 THEN 100.0 ELSE 10.0 END AS scale0
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND user_id IN (13, 21)
+      |    AND json_extract_string(props, '$.k') IS NOT NULL)
+      |SELECT CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp", event_id AS block,
+      |  user_id AS pool, spx AS sqrt_price_x96,
+      |  ((spx / pow(2.0, 96)) * (spx / pow(2.0, 96))) * mult AS price,
+      |  value / scale0 AS amount0
+      |FROM sw ORDER BY block""".stripMargin
 
   /** ROADMAP v1.1 cross-chain address monitoring
     * (/root/reference/ROADMAP.md:80): ONE address watched on every
@@ -1098,7 +1202,11 @@ object ApolloQueries {
     "hcl_custom_fn" -> (hclCustomFn _),
     "dsl_aggregate" -> (dslAggregate _),
     "dsl_stream_aggregate" -> (dslStreamAggregate _),
+    "tx_monitor" -> (txMonitor _),
+    "mempool_monitor" -> (mempoolMonitor _),
+    "unverified_events" -> (unverifiedEvents _),
     "template_uniswapv2" -> (templateUniswapV2 _),
+    "template_uniswapv3" -> (templateUniswapV3 _),
     "cross_chain_monitor" -> (crossChainMonitor _),
     "config_routed_scan" -> (configRoutedScan _),
     "s3_compiled_stream_parity" -> (compiledStreamParity _),
@@ -1131,7 +1239,11 @@ object ApolloQueries {
     "hcl_custom_fn" -> hclCustomFnSql,
     "dsl_aggregate" -> dslAggregateSql,
     "dsl_stream_aggregate" -> dslAggregateSql,
+    "tx_monitor" -> txMonitorSql,
+    "mempool_monitor" -> txMonitorSql,
+    "unverified_events" -> unverifiedEventsSql,
     "template_uniswapv2" -> templateUniswapV2Sql,
+    "template_uniswapv3" -> templateUniswapV3Sql,
     "cross_chain_monitor" -> crossChainMonitorSql,
     "config_routed_scan" -> configRoutedScanSql,
     "s3_compiled_stream_parity" -> flagshipSql,

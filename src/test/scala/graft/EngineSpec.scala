@@ -198,6 +198,24 @@ class EngineSpec extends SparkSpec {
     assert(reg.resolve("base") == sf)
   }
 
+  test("tx monitor: predicate classes AND-fold; empty spec is a passthrough") {
+    import graft.engine.{TxFilterSpec, TxMonitor}
+    import org.apache.spark.sql.functions._
+    val all = TxMonitor.monitor(spark, sf, TxFilterSpec())
+    assert(all.count() == Tables.events(spark, sf).count())
+    // each predicate class alone narrows; together they intersect
+    val v = TxMonitor.monitor(spark, sf, TxFilterSpec(minValue = Some(100.0)))
+    val s = TxMonitor.monitor(spark, sf, TxFilterSpec(senders = Seq(1L, 2L)))
+    val both = TxMonitor.monitor(spark, sf,
+      TxFilterSpec(minValue = Some(100.0), senders = Seq(1L, 2L)))
+    assert(v.count() < all.count() && s.count() < all.count())
+    assert(both.count() ==
+      v.where(col("sender").isin(1L, 2L)).count())
+    // receiver predicate works on the derived payload column
+    val r = TxMonitor.monitor(spark, sf, TxFilterSpec(receivers = Seq(0L)))
+    assert(r.select("receiver").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("LSH band-bucket cap: an all-identical corpus cannot create a giant bucket join") {
     import spark.implicits._
     // 100 docs with IDENTICAL band hashes — the degenerate mass-duplicate

@@ -28,6 +28,26 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("tx_monitor: declarative predicates reach the scan as pushed filters") {
+    val p = plan("tx_monitor")
+    // value bounds, sender set, and method set must survive the txView
+    // aliasing and land in the parquet reader; the receiver/input predicates
+    // (JSON payload lookups) evaluate post-scan by design
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(value,20.0"), p)
+    assert(p.contains("In(user_id"), p)
+    // the display string truncates the pushed list; the method-set predicate
+    // is visible in the post-scan Filter either way
+    assert(p.contains("event_type#") && p.contains("IN (purchase,error)"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("dsl_aggregate: grouped aggregation is hash-based with a partial stage") {
+    val p = plan("dsl_aggregate")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("s8 block dim join broadcasts the header dimension") {
     val p = plan("s8_block_metadata_join")
     assert(p.contains("BroadcastHashJoin"), p)
