@@ -543,7 +543,55 @@ object DedupOps {
        |WHERE $isNewSql
        |ORDER BY d.doc_id""".stripMargin
 
+  private val SemDedupTau = 0.98
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with a coarse quantizer, then compare pairs
+    * ONLY within a cluster — a doc is dropped when a lower-id doc in its
+    * cluster has cosine ≥ τ. This is the scale contract of the paper: the
+    * quadratic term is bounded per cell (cells are the shuffle key, cell
+    * populations are quantizer-balanced), so no all-pairs join ever forms
+    * across the corpus. Distinct from [[embeddingCosine]] (sign-bit LSH
+    * candidates, near-exact dup detection): SemDeDup targets SEMANTIC
+    * redundancy at a lower τ, where LSH bucket collisions would miss
+    * paraphrase-distance pairs that share a cell.
+    *
+    * Runs on the clustered fixture ([[SimilarityOps.clusteredEmbeddings]] —
+    * the corpus shape where semantic duplicates exist; the real testbed
+    * embeddings are isotropic noise, SCALING.md §ANN). Cells = the
+    * quantizer's fit, as in [[SimilarityOps.clusteredRecall]]. */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = SimilarityOps.clusteredEmbeddings(spark, sfDir)
+      .withColumn("norm", Vec.norm(col("embedding")))
+    val a = e.select(col("cl"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("norm").as("an"))
+    val b = e.select(col("cl"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), col("norm").as("bn"))
+    val dropped = a.join(b, Seq("cl"))
+      .where(col("a_id") < col("b_id"))
+      .where(Vec.dot(col("ae"), col("be")) / (col("an") * col("bn")) >= SemDedupTau)
+      .select(col("b_id").as("vec_id")).distinct()
+    e.join(dropped.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cl"), col("__dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val semDedupSql =
+    s"""WITH ce AS (
+       |  SELECT vec_id, vec_id % 8 AS cl, ${SimilarityOps.clusteredEmbSql} AS embedding
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, cl, embedding,
+       |    sqrt(${SimilarityOps.dotSql("embedding", "embedding")}) AS norm FROM ce),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM e a JOIN e b ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |  WHERE ${SimilarityOps.dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+       |        >= $SemDedupTau)
+       |SELECT e.vec_id, e.cl, d.vec_id IS NULL AS keep
+       |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> (semDedup _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_simhash" -> (simhash _),
@@ -554,6 +602,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_semantic" -> semDedupSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,

@@ -77,13 +77,59 @@ object SamplingOps {
        |FROM s GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  private val CtxTokens = 512L
+
+  /** Sequence packing (concat-and-chunk) — the assembly step between a
+    * curated corpus and a pretraining run: documents are concatenated in a
+    * deterministic order and cut into fixed-size context windows, and each
+    * doc needs to know which window it starts in and at what offset.
+    *
+    * Packing is per-source (each source shard packs independently) so the
+    * cumulative-token window parallelizes across sources — ONE shuffle by
+    * source, never a global single-reducer prefix sum. At 100 TB a single
+    * giant source would bottleneck its window; production splits such a
+    * source into dated sub-shards first (same op, finer stratum key). Token
+    * counts here are the ceil(n_chars/4) estimator in exact integer math
+    * (the tokenizer-true count is [[TextOps]]' token op; packing only needs
+    * a deterministic per-doc length). */
+  def packSequences(docs: DataFrame, ctxTokens: Long = CtxTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs
+      .withColumn("est_tokens", expr("(n_chars + 3) div 4").cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("est_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before div $ctxTokens"))
+      .withColumn("bin_offset", col("cum_before") % ctxTokens)
+      .select("source", "doc_id", "est_tokens", "bin_id", "bin_offset")
+  }
+
+  def packSequencesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    packSequences(Tables.documents(spark, sfDir)).orderBy("source", "doc_id")
+
+  private val packSequencesSql =
+    s"""WITH t AS (
+       |  SELECT source, doc_id, (n_chars + 3) // 4 AS est_tokens FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, est_tokens,
+       |    CAST(COALESCE(sum(est_tokens) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT source, doc_id, est_tokens,
+       |  cum_before // $CtxTokens AS bin_id,
+       |  cum_before % $CtxTokens AS bin_offset
+       |FROM c ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (stratifiedSample _),
     "split_train_val_test" -> (trainValTestSplit _),
+    "pack_sequences" -> (packSequencesQuery _),
   )
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> stratifiedSampleSql,
     "split_train_val_test" -> trainValTestSplitSql,
+    "pack_sequences" -> packSequencesSql,
   )
 }

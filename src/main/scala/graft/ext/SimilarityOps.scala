@@ -25,7 +25,7 @@ object SimilarityOps {
   private val TopK = 5
 
 
-  private def dotSql(x: String, y: String) =
+  private[ext] def dotSql(x: String, y: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
       s"k -> CAST($x[k] AS DOUBLE) * CAST($y[k] AS DOUBLE))), (acc, v) -> acc + v)"
 
@@ -256,7 +256,7 @@ object SimilarityOps {
        |  + (CAST((vec_id * 2654435761 + k * 40503) % 1000 AS DOUBLE) / 1000.0 - 0.5) * 0.4
        |AS DOUBLE))""".stripMargin
 
-  private val clusteredEmbSql =
+  private[ext] val clusteredEmbSql =
     s"""list_transform(range(1, 65), k -> CAST(
        |  (CASE WHEN $signHash < 500 THEN 1.0 ELSE -1.0 END)
        |  + (CAST((vec_id * 2654435761 + k * 40503) % 1000 AS DOUBLE) / 1000.0 - 0.5) * 0.4

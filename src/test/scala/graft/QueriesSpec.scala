@@ -99,6 +99,44 @@ class QueriesSpec extends SparkSpec {
     assert(recall > 2 * scanned, s"recall $recall must beat the $scanned scan fraction decisively")
   }
 
+  test("semantic dedup: tight clusters collapse, min-id per cluster survives") {
+    import org.apache.spark.sql.functions._
+    val out = ext.DedupOps.semDedup(spark, sf).cache()
+    val total = out.count()
+    val kept = out.where(col("keep")).cache()
+    // the clustered fixture is 8 tight clusters — semantic dedup must
+    // collapse most of the corpus...
+    assert(kept.count() < total / 2, s"kept ${kept.count()} of $total — nothing deduped")
+    // ...but every cluster keeps at least one survivor, and the cluster's
+    // min-id member (which no lower id can drop) is always among them
+    assert(kept.select("cl").distinct().count() == 8)
+    val minIds = out.groupBy("cl").agg(min("vec_id").as("vec_id"))
+    assert(kept.join(minIds, Seq("cl", "vec_id")).count() == 8,
+      "a cluster's min-id member was dropped — impossible under u<v dedup")
+  }
+
+  test("pack_sequences: bins tile each source contiguously in exact token units") {
+    import org.apache.spark.sql.functions._
+    val out = ext.SamplingOps.packSequences(Tables.documents(spark, sf)).cache()
+    // offsets live inside the context window; reconstruction identity holds
+    assert(out.where(col("bin_offset") < 0 || col("bin_offset") >= 512).isEmpty)
+    assert(out.where(col("bin_id") < 0).isEmpty)
+    // per source: bin_id*ctx + offset must equal the running token count
+    // (recompute independently and diff)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val recomputed = out
+      .withColumn("expect_cum", coalesce(sum("est_tokens").over(w), lit(0L)))
+    assert(recomputed.where(col("bin_id") * 512 + col("bin_offset") =!= col("expect_cum")).isEmpty)
+    // packing is per-source: each source starts at bin 0 offset 0
+    val firsts = out.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")))
+      .where(col("rk") === 1)
+    assert(firsts.where(col("bin_id") =!= 0 || col("bin_offset") =!= 0).isEmpty)
+  }
+
   test("incremental dedup: one row per new-batch doc, matches only from the corpus side") {
     import org.apache.spark.sql.functions._
     val out = ext.DedupOps.incrementalDedup(spark, sf).cache()
