@@ -79,12 +79,23 @@ object Compiler {
   }
 
   /** Reference save-block context variables (schema.example.hcl:45) on an
-    * event source — identical for the batch scan and the stream. */
+    * event source — identical for the batch scan and the stream. Full
+    * transaction context (`tx_sender`/`tx_receiver`, ROADMAP.md:75,
+    * unimplemented there): the receiver of a log-emitting transaction is
+    * the contract; the sender is an EOA the testbed store does not carry,
+    * so it is a deterministic synthetic address (like the synthetic
+    * tx_hash) — a live source supplies the real `from`. Unused context
+    * columns are pruned by Catalyst, so queries not saving them pay
+    * nothing. */
   private def standardColumns(events: DataFrame): DataFrame =
     events
       .withColumn("blocknumber", col("event_id"))
       .withColumn("timestamp", unix_timestamp(col("ts")))
       .withColumn("contract_address", col("user_id"))
+      .withColumn("tx_receiver", col("user_id"))
+      .withColumn("tx_sender", concat(lit("0x"), substring(
+        md5(concat(col("event_id").cast("string"), lit("-"),
+          col("user_id").cast("string"), lit("-from"))), 1, 40)))
 
   /** The shared declarative tail: transforms → AND-folded filters → saves →
     * optional aggregate. Works identically on a batch or streaming source —
@@ -105,7 +116,7 @@ object Compiler {
     }
     val filtered = transformed.where(Functions.allOf(q.filters))
     val saved =
-      if (q.saves.isEmpty) filtered // aggregate-only query: aggs see source cols
+      if (q.saves.isEmpty) filtered // raw passthrough / aggregate-only query
       else filtered.select(q.saves.map { case (name, e) => e.as(name) }: _*)
     if (q.aggregates.isEmpty) saved
     else {

@@ -94,6 +94,45 @@ object Sinks {
     (if (bounded) w2.trigger(Trigger.AvailableNow()) else w2).start()
   }
 
+  /** Latency-sensitive stream output (ROADMAP.md:72-74: "Different stream
+    * output option for latency-sensitive operations (like mempool
+    * monitoring): i.e. Websocket, SSE"): every result row is pushed as a
+    * Server-Sent-Events frame (`data: <json>\n\n`) over a TCP connection as
+    * its micro-batch completes — no file/table materialization on the hot
+    * path. One connection per partition per epoch (the executors write
+    * directly; rows never route through the driver). Pair with the
+    * no-save-block raw passthrough for the reference's "stream everything
+    * as-is, let the application take care of decoding" mode. */
+  def sseStream(
+      df: DataFrame,
+      host: String,
+      port: Int,
+      checkpoint: String,
+      bounded: Boolean = false,
+  ): StreamingQuery = {
+    require(df.isStreaming, "sseStream needs a streaming frame")
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val payload = df.select(to_json(struct(df.columns.map(col): _*)).as("payload"))
+    val writer = new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+      @transient private var sock: java.net.Socket = _
+      @transient private var out: java.io.Writer = _
+      def open(partitionId: Long, epochId: Long): Boolean = {
+        sock = new java.net.Socket(host, port)
+        out = new java.io.OutputStreamWriter(sock.getOutputStream,
+          java.nio.charset.StandardCharsets.UTF_8)
+        true
+      }
+      def process(r: org.apache.spark.sql.Row): Unit =
+        out.write("data: " + r.getString(0) + "\n\n")
+      def close(errorOrNull: Throwable): Unit = {
+        if (out != null) out.flush()
+        if (sock != null) sock.close()
+      }
+    }
+    val w = payload.writeStream.option("checkpointLocation", checkpoint).foreach(writer)
+    (if (bounded) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** R8 STREAMING → per-query SQL TABLES: the reference's DB output creates
     * one table per query and appends each result row as it arrives — in
     * realtime mode too (output/output.go:82-104: `HandleResult(name, …)` +

@@ -748,7 +748,7 @@ object HclSchema {
       // testbed columns that must never be rewritten to payload lookups
       val native = Set("value", "props", "event_id", "ts", "user_id", "event_type",
         "chain", "blocknumber", "timestamp", "contract_address", "tx_hash",
-        "sample_ts", "item")
+        "tx_sender", "tx_receiver", "sample_ts", "item")
       val declaredOutputs = scala.collection.mutable.Set.empty[String]
       val globalEvents = eventsOf(qb, declaredOutputs)
       val contracts = qb.blocks.collect { case ("contract", _, cb) =>

@@ -100,7 +100,11 @@ final case class QuerySpec(
       require(blockInterval.isDefined, s"query $name: historical ranged method query requires blockInterval")
     if (hasEvents && !hasMethods && mode == Mode.Historical)
       require(blockInterval.isEmpty, s"query $name: historical event query must not set blockInterval")
-    require(saves.nonEmpty || aggregates.nonEmpty,
+    // A realtime EVENT query may omit both: the reference's latency-sensitive
+    // raw-stream option — "just not have a save block and stream everything
+    // as-is, let the application take care of decoding" (ROADMAP.md:72-74).
+    val rawRealtime = mode == Mode.Realtime && hasEvents && !hasMethods
+    require(saves.nonEmpty || aggregates.nonEmpty || rawRealtime,
       s"query $name: save or aggregate block required")
     require(groupBy.isEmpty || aggregates.nonEmpty,
       s"query $name: group_by requires an aggregate block")

@@ -59,6 +59,50 @@ object Templates {
     )
   }
 
+  /** Aave-style lending-health template (the schema-ideas.hcl sketch,
+    * /root/reference/schema-ideas.hcl:30-41: `template = "aave"` provides
+    * `collateral_ratio` / `borrowed` / `collateral_value` over declared
+    * accounts): a METHOD-grid template — unlike v2/v3 (event queries), this
+    * packages the S5 sampling-grid shape: two state methods polled on the
+    * declared cadence per account, plus the derived health ratio. Testbed
+    * mapping: `view` state ≙ getCollateralValue, `click` state ≙
+    * getBorrowed (a live source calls the pool contract's ABI). The ratio
+    * is null until both sides have state, and null on zero debt — the
+    * zero-guard discipline every template here uses. */
+  def aave(
+      accounts: Seq[Long],
+      name: String = "aave_loan_healths",
+      chain: String = "polygon",
+      startTime: String,
+      endTime: String,
+      intervalSeconds: Long = 86400L,
+  ): QuerySpec = {
+    require(accounts.nonEmpty, "aave template: declare at least one account")
+    QuerySpec(
+      name = name,
+      chain = chain,
+      contracts = accounts.map(a => ContractSpec(a, methods = Seq(
+        MethodSpec("view", Seq("value")),   // ≙ getCollateralValue(account)
+        MethodSpec("click", Seq("value"))))), // ≙ getBorrowed(account)
+      startTime = Some(startTime),
+      endTime = Some(endTime),
+      blockInterval = Some(intervalSeconds),
+      transforms = Seq(
+        "collateral_value" -> col("view_value"),
+        "borrowed" -> col("click_value"),
+        "collateral_ratio" -> Functions.ternary(col("click_value") =!= 0,
+          col("view_value") / col("click_value"), lit(null).cast("double"))),
+      saves = Seq(
+        "sample_ts" -> col("sample_ts"),
+        "timestamp" -> col("timestamp"),
+        "account" -> col("user_id"),
+        "collateral_value" -> col("collateral_value"),
+        "borrowed" -> col("borrowed"),
+        "collateral_ratio" -> col("collateral_ratio"),
+      ),
+    )
+  }
+
   /** One Uniswap-v3-style pool: contract address + token decimals. */
   final case class UniV3Pool(address: Long, decimals0: Int, decimals1: Int)
 

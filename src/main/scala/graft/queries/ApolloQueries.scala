@@ -363,6 +363,101 @@ object ApolloQueries {
       |  value / scale0 AS amount0
       |FROM sw ORDER BY block""".stripMargin
 
+  /** The raw-stream output option (ROADMAP.md:72-74: for latency-sensitive
+    * operations, "just not have a save block and stream everything as-is,
+    * let the application take care of decoding"): a Realtime event query
+    * with NO save block streams every source + context column unprojected.
+    * The bounded run must match a bare SELECT of the same columns. */
+  def rawStreamPassthrough(spark: SparkSession, sfDir: String): DataFrame = {
+    val spec = QuerySpec(
+      name = "raw_stream", chain = "ethereum", mode = Mode.Realtime,
+      globalEvents = Seq(EventSpec("signup", Nil)))
+    val stream = Compiler.compile(spark, sfDir, spec)
+    assert(stream.isStreaming, "raw passthrough must run the streaming engine")
+    graft.streaming.Streams.runToTable(stream, "raw_stream_sink").orderBy("event_id")
+  }
+
+  private val rawStreamPassthroughSql =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props,
+      |  event_id AS blocknumber, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
+      |  user_id AS contract_address, user_id AS tx_receiver,
+      |  '0x' || substr(md5(CAST(event_id AS VARCHAR) || '-' || CAST(user_id AS VARCHAR) || '-from'), 1, 40) AS tx_sender,
+      |  'ethereum' AS chain
+      |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin
+
+  /** Full transaction context (ROADMAP.md:75 "Events: full transaction
+    * context (tx_sender, tx_receiver)", unimplemented there): both are
+    * save-block context variables on every event query — receiver = the
+    * contract, sender = the deterministic synthetic EOA (testbed stand-in,
+    * like tx_hash; a live source supplies the real `from`). Exercised
+    * through the HCL surface so the native-column wiring is proven
+    * end-to-end. */
+  def txContextEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val hcl =
+      """query "tx_ctx" {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = 9
+        |    event error { outputs = ["value"] }
+        |  }
+        |  save {
+        |    block = blocknumber
+        |    from_addr = tx_sender
+        |    to_addr = tx_receiver
+        |    hash = tx_hash
+        |    value = value
+        |  }
+        |}""".stripMargin
+    Compiler.compile(spark, sfDir, HclSchema.parse(hcl).queries.head).orderBy("block")
+  }
+
+  private val txContextEventsSql =
+    """SELECT event_id AS block,
+      |  '0x' || substr(md5(CAST(event_id AS VARCHAR) || '-' || CAST(user_id AS VARCHAR) || '-from'), 1, 40) AS from_addr,
+      |  user_id AS to_addr,
+      |  md5(CAST(event_id AS VARCHAR) || '-' || CAST(user_id AS VARCHAR)) AS hash,
+      |  value
+      |FROM events
+      |WHERE user_id = 9 AND event_type = 'error'
+      |ORDER BY block""".stripMargin
+
+  /** ROADMAP v1.1 'aave' template (schema-ideas.hcl:30-41): the
+    * lending-health method-grid template — two polled state methods per
+    * declared account plus the derived collateral ratio, compiled through
+    * the SAME S5 grid path as any hand-written method query. The oracle
+    * nests both methods' as-of windows in one pass. */
+  def templateAave(spark: SparkSession, sfDir: String): DataFrame =
+    Compiler.compile(spark, sfDir, graft.model.Templates.aave(
+      accounts = Seq(1L, 3L, 5L, 7L),
+      startTime = "2024-01-02", endTime = "2024-01-28",
+      intervalSeconds = 172800L,
+    )).orderBy("sample_ts", "account")
+
+  private val templateAaveSql =
+    """WITH grid AS (
+      |  SELECT g.t, u.user_id
+      |  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-02', TIMESTAMP '2024-01-28', INTERVAL 2 DAY)) AS t) g
+      |  CROSS JOIN (SELECT unnest(CAST([1, 3, 5, 7] AS BIGINT[])) AS user_id) u),
+      |ev AS (SELECT user_id, ts AS t, event_id, value, event_type FROM events
+      |       WHERE user_id IN (1, 3, 5, 7) AND event_type IN ('view', 'click')),
+      |un AS (
+      |  SELECT user_id, t, CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value,
+      |    CAST(NULL AS VARCHAR) AS event_type, 1 AS side FROM grid
+      |  UNION ALL
+      |  SELECT user_id, t, event_id, value, event_type, 0 AS side FROM ev),
+      |w AS (
+      |  SELECT user_id, t, side,
+      |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER win AS cv,
+      |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER win AS bv
+      |  FROM un
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT t AS sample_ts, CAST(floor(epoch(t)) AS BIGINT) AS "timestamp",
+      |  user_id AS account, cv AS collateral_value, bv AS borrowed,
+      |  CASE WHEN bv <> 0 THEN cv / bv END AS collateral_ratio
+      |FROM w WHERE side = 1 ORDER BY sample_ts, account""".stripMargin
+
   /** ROADMAP v1.1 cross-chain address monitoring
     * (/root/reference/ROADMAP.md:80): ONE address watched on every
     * configured chain — the monitor stamps the same contract-scoped spec per
@@ -1207,6 +1302,9 @@ object ApolloQueries {
     "unverified_events" -> (unverifiedEvents _),
     "template_uniswapv2" -> (templateUniswapV2 _),
     "template_uniswapv3" -> (templateUniswapV3 _),
+    "template_aave" -> (templateAave _),
+    "tx_context_events" -> (txContextEvents _),
+    "raw_stream_passthrough" -> (rawStreamPassthrough _),
     "cross_chain_monitor" -> (crossChainMonitor _),
     "config_routed_scan" -> (configRoutedScan _),
     "s3_compiled_stream_parity" -> (compiledStreamParity _),
@@ -1244,6 +1342,9 @@ object ApolloQueries {
     "unverified_events" -> unverifiedEventsSql,
     "template_uniswapv2" -> templateUniswapV2Sql,
     "template_uniswapv3" -> templateUniswapV3Sql,
+    "template_aave" -> templateAaveSql,
+    "tx_context_events" -> txContextEventsSql,
+    "raw_stream_passthrough" -> rawStreamPassthroughSql,
     "cross_chain_monitor" -> crossChainMonitorSql,
     "config_routed_scan" -> configRoutedScanSql,
     "s3_compiled_stream_parity" -> flagshipSql,
