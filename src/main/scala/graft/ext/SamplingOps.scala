@@ -121,15 +121,50 @@ object SamplingOps {
        |  cum_before % $CtxTokens AS bin_offset
        |FROM c ORDER BY source, doc_id""".stripMargin
 
+  /** Quality-weighted subsampling (importance thinning — the accept/reject
+    * form of importance resampling over a quality signal): doc kept iff
+    * u(doc) < quality(doc), where u is a seeded-md5 uniform in [0,1) and
+    * quality is [[TextOps.qualityScore]]'s composite. High-quality docs are
+    * kept with proportionally higher probability, the expected kept
+    * fraction is the corpus mean quality, and — unlike rand()-based
+    * thinning — the decision is a pure function of doc_id, so it is
+    * reproducible across runs, engines, AND corpus growth (adding docs
+    * never flips an existing doc's decision; same property the split op
+    * guarantees). Shuffle-free: one projection over the quality scan. */
+  def importanceSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = conv(substring(
+      md5(concat(lit(Seed + "|imp|"), col("doc_id").cast("string"))), 1, 6),
+      16, 10).cast("double") / lit(16777216.0)
+    TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality")
+      .withColumn("u", u)
+      .withColumn("keep", col("u") < col("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val importanceSampleSql = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u24 = (1 to 6).map(i => s"${math.pow(16, 6 - i).toLong} * ${nib(i)}").mkString(" + ")
+    s"""WITH q AS (SELECT doc_id, quality FROM (${TextOps.qualityScoreSqlText})),
+       |h AS (SELECT doc_id, quality,
+       |        md5('$Seed|imp|' || CAST(doc_id AS VARCHAR)) AS h FROM q)
+       |SELECT doc_id, quality,
+       |  CAST($u24 AS DOUBLE) / 16777216.0 AS u,
+       |  CAST($u24 AS DOUBLE) / 16777216.0 < quality AS keep
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (stratifiedSample _),
     "split_train_val_test" -> (trainValTestSplit _),
     "pack_sequences" -> (packSequencesQuery _),
+    "sample_importance" -> (importanceSample _),
   )
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> stratifiedSampleSql,
     "split_train_val_test" -> trainValTestSplitSql,
     "pack_sequences" -> packSequencesSql,
+    "sample_importance" -> importanceSampleSql,
   )
 }

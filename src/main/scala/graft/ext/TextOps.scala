@@ -89,6 +89,10 @@ object TextOps {
         "punct_ratio", "stop_ratio", "quality")
       .orderBy("doc_id")
 
+  /** [[qualityScoreSql]] for composition into other ops' oracles
+    * (importance sampling weights by this exact quality). */
+  private[ext] def qualityScoreSqlText: String = qualityScoreSql
+
   private val qualityScoreSql =
     s"""WITH t AS (
        |  SELECT doc_id, text, $toksSql AS toks FROM documents),

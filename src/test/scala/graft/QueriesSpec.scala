@@ -137,6 +137,21 @@ class QueriesSpec extends SparkSpec {
     assert(firsts.where(col("bin_id") =!= 0 || col("bin_offset") =!= 0).isEmpty)
   }
 
+  test("importance sampling: keep rate tracks mean quality; decisions are per-doc stable") {
+    import org.apache.spark.sql.functions._
+    val out = ext.SamplingOps.importanceSample(spark, sf).cache()
+    val r = out.agg(
+      avg(col("keep").cast("double")).as("kept_frac"),
+      avg("quality").as("mean_q")).head()
+    // E[kept] = mean quality; 500-doc binomial noise is ~0.02, allow 0.1
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.1,
+      s"kept ${r.getDouble(0)} vs mean quality ${r.getDouble(1)}")
+    // the decision is u(doc_id) < quality exactly — recompute and diff
+    assert(out.where((col("u") < col("quality")) =!= col("keep")).isEmpty)
+    // u is a real uniform draw, not constant
+    assert(out.select("u").distinct().count() > 400)
+  }
+
   test("incremental dedup: one row per new-batch doc, matches only from the corpus side") {
     import org.apache.spark.sql.functions._
     val out = ext.DedupOps.incrementalDedup(spark, sf).cache()
