@@ -82,7 +82,11 @@ object Bench {
           // on the machine, not executing the plan — re-run once and keep
           // the better sample. Streaming queries idle on trigger waits and
           // may retry benignly; the retry list names every case.
-          if (!warm._2.isNaN && warm._2 < 1.0 / 3.0) {
+          // Second trigger (round-5): a warm run slower than its OWN cold
+          // run is self-evidently polluted (the identical plan minus codegen
+          // cannot be slower) — catches serial-plan pollution the cpu-util
+          // test misses (a 1-core query at full util still shows util ≈ 1).
+          if ((!warm._2.isNaN && warm._2 < 1.0 / 3.0) || warm._1 > 1.5 * cold) {
             spark.catalog.clearCache()
             retried ::= name
             // the first warm sample is valid — a retry that throws must not

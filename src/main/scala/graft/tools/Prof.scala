@@ -25,8 +25,14 @@ object Prof {
     val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      t(s"$n#1")(fn(spark, sfDir).count())
-      t(s"$n#2")(fn(spark, sfDir).count())
+      // noop sink, not count(): count() lets Catalyst prune whole
+      // projections and under-measures projection-heavy queries ~5×
+      // (BUILDLOG round-2 finding 2) — match Bench's materialization.
+      def once(): Unit =
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      t(s"$n#1")(once())
+      t(s"$n#2")(once())
+      t(s"$n#3")(once())
     }
     spark.stop()
   }
