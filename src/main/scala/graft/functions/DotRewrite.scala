@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: rewrite the interpreted higher-order-function dot-product
+  * idiom into the codegen'd [[ArrayDot]] kernel.
+  *
+  * A plain-SQL user writes the natural form
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) }}}
+  *
+  * which Spark evaluates as interpreted lambda trees per element — 20×+
+  * slower than a compiled loop on O(pairs × dims) similarity kernels
+  * (BUILDLOG round-1 finding 1; the reason [[ArrayDot]] exists). With this
+  * rule injected, that SQL silently becomes the compiled kernel: same
+  * index-order double fold, bit-identical result.
+  *
+  * Semantics preserved:
+  *  - the multiply must be the bare `x * y` over the two lambda variables
+  *    (modulo widening casts to double, either operand order), the merge the
+  *    bare `acc + v`, the zero literal 0.0D, the finish the identity — any
+  *    other shape (weights, squares, filters) is left alone;
+  *  - `zip_with` on different-length arrays pads with null and the fold
+  *    returns null, while ArrayDot folds to min-length — so the rewrite
+  *    guards with `size(a) = size(b)` and returns null on mismatch, exactly
+  *    the un-rewritten result;
+  *  - null ELEMENTS inside equal-length vectors are outside the vector
+  *    contract ([[ArrayDot]]: "elements are assumed non-null (embedding
+  *    vectors)") — dense-vector data is what this engine's similarity ops
+  *    define themselves over.
+  */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def stripDoubleCast(e: Expression): Expression = e match {
+    case Cast(c, DoubleType, _, _) => stripDoubleCast(c)
+    case other => other
+  }
+
+  private def sameVar(e: Expression, v: NamedLambdaVariable): Boolean =
+    stripDoubleCast(e) match {
+      case nv: NamedLambdaVariable => nv.exprId == v.exprId
+      case _ => false
+    }
+
+  /** {l, r} ≡ {x, y} modulo double-widening casts, either order. */
+  private def isPair(l: Expression, r: Expression,
+      x: NamedLambdaVariable, y: NamedLambdaVariable): Boolean =
+    (sameVar(l, x) && sameVar(r, y)) || (sameVar(l, y) && sameVar(r, x))
+
+  private def isZeroD(e: Expression): Boolean = e match {
+    case Literal(0.0, DoubleType) => true
+    case _ => false
+  }
+
+  private def isIdentity(f: Expression): Boolean = f match {
+    case LambdaFunction(body, Seq(arg: NamedLambdaVariable), _) => sameVar(body, arg)
+    case _ => false
+  }
+
+  private def vecType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(Multiply(ml, mr, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          zero,
+          LambdaFunction(Add(al, ar, _), Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          finish)
+        if isZeroD(zero) && isPair(ml, mr, x, y) && isPair(al, ar, acc, v) &&
+          isIdentity(finish) && vecType(a) && vecType(b) =>
+      If(EqualTo(Size(a), Size(b)), ArrayDot(a, b), Literal(null, DoubleType))
+  }
+}

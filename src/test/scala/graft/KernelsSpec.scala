@@ -106,15 +106,53 @@ class KernelsSpec extends SparkSpec {
   }
 
   test("ArrayDot ≡ aggregate(zip_with) left fold, bit-identical") {
-    val e = Tables.embeddings(spark, sf).limit(50)
-    val pairs = e.select(col("vec_id").as("i"), col("embedding").as("a"))
-      .crossJoin(e.select(col("vec_id").as("j"), col("embedding").as("b")))
-      .where(col("i") < col("j")).limit(500)
-      .withColumn("hof", expr(
-        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("kernel", Vec.dot(col("a"), col("b")))
-    // exact equality — same fold order, so bits must match
-    assert(pairs.where(col("hof") =!= col("kernel")).count() == 0)
+    // DotProductRewrite would turn the HOF side into the kernel and make
+    // this comparison vacuous — suspend it so the INTERPRETED fold is what
+    // the kernel is compared against.
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.functions.DotProductRewrite)
+    try {
+      val e = Tables.embeddings(spark, sf).limit(50)
+      val pairs = e.select(col("vec_id").as("i"), col("embedding").as("a"))
+        .crossJoin(e.select(col("vec_id").as("j"), col("embedding").as("b")))
+        .where(col("i") < col("j")).limit(500)
+        .withColumn("hof", expr(
+          "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .withColumn("kernel", Vec.dot(col("a"), col("b")))
+      // exact equality — same fold order, so bits must match
+      assert(pairs.where(col("hof") =!= col("kernel")).count() == 0)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("DotProductRewrite: plain-SQL HOF dot products compile to the ArrayDot kernel") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val hofDot =
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val df = Tables.embeddings(spark, sf).limit(20)
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+      .withColumn("d", expr(hofDot))
+    // the optimized plan carries the kernel, not the lambda fold
+    val opt = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("arraydot"), opt)
+    // and the value equals the kernel bit-for-bit
+    assert(df.withColumn("k", Vec.dot(col("a"), col("b")))
+      .where(col("d") =!= col("k")).count() == 0)
+    // a WEIGHTED fold is not a dot product — left alone
+    val other = Tables.embeddings(spark, sf).limit(5)
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+      .withColumn("w", expr(
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 2.0D), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    assert(!other.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot"))
+    // length mismatch keeps zip_with's null semantics (the rewrite guards
+    // on size equality; over a LocalRelation the optimizer folds the whole
+    // projection, so assert the VALUE, which must be null either way)
+    val mm = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f))).toDF("a", "b")
+      .withColumn("d", expr(hofDot))
+    assert(mm.head().isNullAt(2))
   }
 
   test("ArrayDot codegen COMPILES with several dots in one stage (no silent fallback)") {
