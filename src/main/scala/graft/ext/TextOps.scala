@@ -331,6 +331,47 @@ object TextOps {
        |GROUP BY g.doc_id
        |ORDER BY g.doc_id""".stripMargin
 
+  /** Bloom-prefiltered decontamination — the 100 TB form of
+    * [[contamination]]: when the benchmark gram set is too large to
+    * broadcast raw (a full eval-suite union is GBs of distinct 8-grams), a
+    * Bloom filter of it is KBs at a declared false-positive budget. The
+    * corpus side probes the sketch first (`might_contain` — Catalyst's own
+    * runtime-filter machinery, so the probe is codegen'd), and only the
+    * surviving ~(matches + fp) grams reach the exact broadcast-join
+    * confirm. FINAL output = exact semantics (Bloom has no false
+    * negatives; false positives die in the confirm join), so this
+    * hash-matches [[contamination]]'s oracle while shipping a sketch
+    * instead of the set. */
+  def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.shim
+    val documents = Tables.documents(spark, sfDir)
+    val grams = documents.select(col("doc_id"),
+      explode(graft.functions.TextFns.wordShingles(col("text"), 8)).as("ngram"))
+    val bench = grams.where(col("doc_id") % 100 === 0).select("ngram").distinct()
+    // Materialize the sketch and inline it as a constant — ~56 KB for 40k
+    // items at ~1% fp, shipped once per task like Spark's own
+    // InjectRuntimeFilter inlines its subquery result (`might_contain`
+    // requires a constant/scalar-subquery filter, not a joined column).
+    val bf: Array[Byte] = bench.select(shim.column(
+      new BloomFilterAggregate(shim.expression(xxhash64(col("ngram"))), 40000L)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val corpus = grams.where(col("doc_id") % 100 =!= 0)
+    val prefiltered = corpus
+      .where(shim.column(BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bf,
+          org.apache.spark.sql.types.BinaryType),
+        shim.expression(xxhash64(col("ngram"))))))
+      .select("doc_id", "ngram")
+    prefiltered
+      .join(broadcast(bench), Seq("ngram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF keyword extraction (top-3 terms per document): the classic
     * distributed shape — one shuffle for (doc, term) counts, one tiny
     * aggregate for document frequencies joined back broadcast, a per-doc
@@ -442,6 +483,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dup_spans" -> (dupSpans _),
     "text_contamination" -> (contamination _),
+    "text_contamination_bloom" -> (contaminationBloom _),
     "text_tfidf_topk" -> (tfidfTopk _),
     "text_repetition" -> (repetition _),
     "text_boilerplate_ngrams" -> (boilerplateNgrams _),
@@ -455,6 +497,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_dup_spans" -> dupSpansSql,
     "text_contamination" -> contaminationSql,
+    "text_contamination_bloom" -> contaminationSql,
     "text_tfidf_topk" -> tfidfTopkSql,
     "text_repetition" -> repetitionSql,
     "text_boilerplate_ngrams" -> boilerplateNgramsSql,

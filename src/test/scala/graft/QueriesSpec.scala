@@ -137,6 +137,14 @@ class QueriesSpec extends SparkSpec {
     assert(firsts.where(col("bin_id") =!= 0 || col("bin_offset") =!= 0).isEmpty)
   }
 
+  test("bloom decontamination equals the exact broadcast form row-for-row") {
+    // Bloom has no false negatives and the confirm join kills false
+    // positives, so the sketch-prefiltered result must be identical
+    val exact = ext.TextOps.contamination(spark, sf)
+    val bloom = ext.TextOps.contaminationBloom(spark, sf)
+    assert(exact.collect().toSeq == bloom.collect().toSeq)
+  }
+
   test("importance sampling: keep rate tracks mean quality; decisions are per-doc stable") {
     import org.apache.spark.sql.functions._
     val out = ext.SamplingOps.importanceSample(spark, sf).cache()
