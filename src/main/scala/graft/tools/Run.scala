@@ -52,6 +52,8 @@ object Run {
       stdout: Boolean = false,
       csv: Boolean = false,
       db: Boolean = false,
+      sse: Option[(String, Int)] = None, // realtime-only latency sink
+
       rateLimit: Int = 100,
       logParts: Int = 50,
       logLevel: Int = 1)
@@ -75,12 +77,17 @@ object Run {
         case "--stdout" => o = o.copy(stdout = true)
         case "--csv" => o = o.copy(csv = true)
         case "--db" => o = o.copy(db = true)
+        case "--sse" =>
+          val hp = value("--sse").split(":", 2)
+          require(hp.length == 2 && hp(1).forall(_.isDigit) && hp(1).nonEmpty,
+            "--sse needs host:port")
+          o = o.copy(sse = Some((hp(0), hp(1).toInt)))
         case "--rate-limit" => o = o.copy(rateLimit = value("--rate-limit").toInt)
         case "--log-parts" => o = o.copy(logParts = value("--log-parts").toInt)
         case "--log-level" => o = o.copy(logLevel = value("--log-level").toInt)
         case other => sys.error(s"unknown argument '$other' " +
           "(init | --config-dir D | --data D | --out D | --realtime | --once | " +
-          "--stdout | --csv | --db | --rate-limit N | --log-parts N | --log-level N)")
+          "--stdout | --csv | --db | --sse H:P | --rate-limit N | --log-parts N | --log-level N)")
       }
       i += 1
     }
@@ -166,8 +173,10 @@ object Run {
 
     if (opts.command.contains("init")) { init(configDir); return }
 
-    require(opts.stdout || opts.csv || opts.db,
-      "no sink selected — pass at least one of --stdout / --csv / --db")
+    require(opts.stdout || opts.csv || opts.db || opts.sse.isDefined,
+      "no sink selected — pass at least one of --stdout / --csv / --db / --sse")
+    require(opts.sse.isEmpty || opts.realtime,
+      "--sse is a realtime latency sink (ROADMAP.md:72) — pass --realtime/-R with it")
     val confPath = Paths.get(configDir, "config.yml")
     val schemaPath = Paths.get(configDir, "schema.hcl")
     require(Files.exists(confPath) && Files.exists(schemaPath),
@@ -239,6 +248,11 @@ object Run {
     }
 
     val (live, drained) = compiled.partition(_._2.isStreaming)
+    // bounded realtime method grids drain to BATCH frames — they need a
+    // batch sink; SSE only carries live streams
+    require(drained.isEmpty || opts.stdout || opts.csv || opts.db,
+      s"queries ${drained.keys.toSeq.sorted.mkString(", ")} drain to batch frames — " +
+        "--sse only serves live streams; add --stdout/--csv/--db for them")
     drained.toSeq.sortBy(_._1).foreach { case (name, df) => landBatch(name, df) }
     if (live.nonEmpty) {
       val demuxed = Compiler.demux(live)
@@ -258,6 +272,10 @@ object Run {
         started += (if (opts.once)
           w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         else w.start())
+      }
+      opts.sse.foreach { case (host, port) =>
+        started += Sinks.sseStream(
+          demuxed, host, port, s"$outDir/_checkpoints/sse", bounded = opts.once)
       }
       val queries = started.result()
       if (opts.once) queries.foreach(_.awaitTermination())
