@@ -122,12 +122,13 @@ object Sinks {
           java.nio.charset.StandardCharsets.UTF_8)
         true
       }
-      def process(r: org.apache.spark.sql.Row): Unit =
+      def process(r: org.apache.spark.sql.Row): Unit = {
         out.write("data: " + r.getString(0) + "\n\n")
-      def close(errorOrNull: Throwable): Unit = {
-        if (out != null) out.flush()
-        if (sock != null) sock.close()
+        out.flush() // latency sink: the frame leaves NOW, not at buffer fill
       }
+      def close(errorOrNull: Throwable): Unit =
+        if (sock != null)
+          try { if (out != null) out.flush() } finally sock.close()
     }
     val w = payload.writeStream.option("checkpointLocation", checkpoint).foreach(writer)
     (if (bounded) w.trigger(Trigger.AvailableNow()) else w).start()

@@ -337,7 +337,7 @@ object TextOps {
     * Bloom filter of it is KBs at a declared false-positive budget. The
     * corpus side probes the sketch first (`might_contain` — Catalyst's own
     * runtime-filter machinery, so the probe is codegen'd), and only the
-    * surviving ~(matches + fp) grams reach the exact broadcast-join
+    * surviving ~(matches + fp) grams reach the exact equi-join
     * confirm. FINAL output = exact semantics (Bloom has no false
     * negatives; false positives die in the confirm join), so this
     * hash-matches [[contamination]]'s oracle while shipping a sketch
@@ -365,8 +365,14 @@ object TextOps {
           org.apache.spark.sql.types.BinaryType),
         shim.expression(xxhash64(col("ngram"))))))
       .select("doc_id", "ngram")
+    // exact confirm WITHOUT a broadcast hint: the whole point of the sketch
+    // is that the raw bench set is too big to ship, so the confirm is a
+    // plain equi-join on ngram over the few survivors (Spark may still
+    // choose broadcast when bench is actually small — testbed — but the
+    // plan degrades to a shuffle join, not a forced driver collect, when
+    // it is not).
     prefiltered
-      .join(broadcast(bench), Seq("ngram"))
+      .join(bench, Seq("ngram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")

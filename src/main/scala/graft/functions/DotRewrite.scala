@@ -68,12 +68,22 @@ object DotProductRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
           ZipWith(a, b,
-            LambdaFunction(Multiply(ml, mr, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+            LambdaFunction(mul @ Multiply(ml, mr, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
           zero,
           LambdaFunction(Add(al, ar, _), Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
           finish)
         if isZeroD(zero) && isPair(ml, mr, x, y) && isPair(al, ar, acc, v) &&
-          isIdentity(finish) && vecType(a) && vecType(b) =>
+          isIdentity(finish) && vecType(a) && vecType(b) &&
+          // the MULTIPLY itself must be double-typed: over float arrays a
+          // bare `x * y` rounds each product to float before the fold
+          // widens it — ArrayDot multiplies in double, a DIFFERENT number.
+          // Only the explicitly-widened form is bit-equivalent.
+          mul.dataType == DoubleType &&
+          // the rewrite duplicates a/b into the size guard AND the kernel;
+          // branches are outside codegen subexpression elimination, so only
+          // rewrite cheap-to-reevaluate inputs (columns) — a computed
+          // vector expression would pay its cost twice.
+          a.isInstanceOf[Attribute] && b.isInstanceOf[Attribute] =>
       If(EqualTo(Size(a), Size(b)), ArrayDot(a, b), Literal(null, DoubleType))
   }
 }

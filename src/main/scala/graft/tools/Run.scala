@@ -79,8 +79,9 @@ object Run {
         case "--db" => o = o.copy(db = true)
         case "--sse" =>
           val hp = value("--sse").split(":", 2)
-          require(hp.length == 2 && hp(1).forall(_.isDigit) && hp(1).nonEmpty,
-            "--sse needs host:port")
+          require(hp.length == 2 && hp(1).nonEmpty && hp(1).length <= 5 &&
+            hp(1).forall(_.isDigit) && hp(1).toInt >= 1 && hp(1).toInt <= 65535,
+            "--sse needs host:port (port 1-65535)")
           o = o.copy(sse = Some((hp(0), hp(1).toInt)))
         case "--rate-limit" => o = o.copy(rateLimit = value("--rate-limit").toInt)
         case "--log-parts" => o = o.copy(logParts = value("--log-parts").toInt)

@@ -113,46 +113,25 @@ class CliSpec extends SparkSpec {
   test("realtime --once --sse pushes every result row as an SSE frame") {
     val dir = writeConfigDir()
     val out = Files.createTempDirectory("cli_sse").toString
-    val server = new java.net.ServerSocket(0)
-    val received = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
-    @volatile var accepting = true
-    val acceptor = new Thread(() => {
-      while (accepting) {
-        try {
-          val s = server.accept()
-          val r = new java.io.BufferedReader(new java.io.InputStreamReader(
-            s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-          var line = r.readLine()
-          while (line != null) {
-            if (line.startsWith("data: ")) received.add(line.drop(6))
-            line = r.readLine()
-          }
-          s.close()
-        } catch { case _: java.net.SocketException => }
-      }
-    })
-    acceptor.setDaemon(true)
-    acceptor.start()
+    val srv = new SseTestServer
     try {
       Run.run(Array("--config-dir", dir, "--realtime", "--once",
-        "--sse", s"localhost:${server.getLocalPort}", "--out", out), Some(spark))
+        "--sse", s"localhost:${srv.port}", "--out", out), Some(spark))
       val want = exampleBatch().count()
-      val deadline = System.currentTimeMillis() + 15000
-      while (received.size() < want && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
-      assert(received.size() == want, s"got ${received.size()} frames, want $want")
+      srv.awaitFrames(want)
+      assert(srv.received.size() == want, s"got ${srv.received.size()} frames, want $want")
       // --sse without --realtime is loud
       val e = intercept[IllegalArgumentException](
         Run.run(Array("--config-dir", dir, "--sse", "localhost:1"), Some(spark)))
       assert(e.getMessage.contains("realtime latency sink"))
-      // bad host:port is loud
-      val b = intercept[IllegalArgumentException](
-        Run.parseArgs(Array("--sse", "nocolon")))
-      assert(b.getMessage.contains("host:port"))
-    } finally {
-      accepting = false
-      server.close()
-    }
+      // bad host:port / out-of-range ports are loud at parse time
+      assert(intercept[IllegalArgumentException](
+        Run.parseArgs(Array("--sse", "nocolon"))).getMessage.contains("host:port"))
+      assert(intercept[IllegalArgumentException](
+        Run.parseArgs(Array("--sse", "h:70000"))).getMessage.contains("host:port"))
+      assert(intercept[IllegalArgumentException](
+        Run.parseArgs(Array("--sse", "h:99999999999"))).getMessage.contains("host:port"))
+    } finally srv.stop()
   }
 
   test("failure modes are loud: no sink, missing config, empty rpc") {

@@ -153,6 +153,23 @@ class KernelsSpec extends SparkSpec {
     val mm = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f))).toDF("a", "b")
       .withColumn("d", expr(hofDot))
     assert(mm.head().isNullAt(2))
+    // a BARE float multiply (no casts) rounds each product to float before
+    // the fold — a DIFFERENT number than ArrayDot's double multiply. The
+    // rule must leave it alone (parquet-backed frame so nothing folds away).
+    val bare = Tables.embeddings(spark, sf).limit(5)
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    assert(!bare.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot"))
+    // and a computed (non-attribute) vector input is not rewritten either —
+    // the size guard would re-evaluate the computed subtree per row
+    val computed = Tables.embeddings(spark, sf).limit(5)
+      .select(col("embedding").as("a"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(slice(a, 1, 8), slice(a, 1, 8), " +
+          "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    assert(!computed.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot"))
   }
 
   test("ArrayDot codegen COMPILES with several dots in one stage (no silent fallback)") {

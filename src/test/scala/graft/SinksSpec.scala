@@ -109,52 +109,25 @@ class SinksSpec extends SparkSpec {
 
   test("SSE sink pushes every result row as a data: frame over TCP (ROADMAP.md:72-74)") {
     val out = tmp("sse")
-    // local SSE consumer: accept every executor connection, collect frames
-    val server = new java.net.ServerSocket(0)
-    val received = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
-    @volatile var accepting = true
-    val acceptor = new Thread(() => {
-      while (accepting) {
-        try {
-          val s = server.accept()
-          val r = new java.io.BufferedReader(
-            new java.io.InputStreamReader(s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-          var line = r.readLine()
-          while (line != null) {
-            if (line.startsWith("data: ")) received.add(line.drop(6))
-            line = r.readLine()
-          }
-          s.close()
-        } catch { case _: java.net.SocketException => /* server closed */ }
-      }
-    })
-    acceptor.setDaemon(true)
-    acceptor.start()
+    val srv = new SseTestServer
     try {
       val spec = graft.model.QuerySpec(
         name = "sse_rt", chain = "ethereum", mode = graft.model.Mode.Realtime,
         globalEvents = Seq(graft.model.EventSpec("error", Seq("value"))),
         saves = Seq("blocknumber" -> col("blocknumber"), "value" -> col("value")))
       val stream = Compiler.compile(spark, sf, spec)
-      val q = Sinks.sseStream(stream, "localhost", server.getLocalPort,
-        s"$out/ckpt", bounded = true)
+      val q = Sinks.sseStream(stream, "localhost", srv.port, s"$out/ckpt", bounded = true)
       q.awaitTermination()
-      // frames drain asynchronously after query termination
       val expect = Tables.events(spark, sf).where(col("event_type") === "error").count()
-      val deadline = System.currentTimeMillis() + 15000
-      while (received.size() < expect && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
-      assert(received.size() == expect, s"got ${received.size()} frames, want $expect")
+      srv.awaitFrames(expect)
+      assert(srv.received.size() == expect, s"got ${srv.received.size()} frames, want $expect")
       // frames are self-describing JSON rows
       import scala.jdk.CollectionConverters._
-      assert(received.asScala.forall(f => f.startsWith("{") && f.contains("\"blocknumber\"")))
+      assert(srv.received.asScala.forall(f => f.startsWith("{") && f.contains("\"blocknumber\"")))
       // batch frames rejected loudly
       intercept[IllegalArgumentException](
-        Sinks.sseStream(Tables.nation(spark, sf), "localhost", server.getLocalPort, s"$out/x"))
-    } finally {
-      accepting = false
-      server.close()
-    }
+        Sinks.sseStream(Tables.nation(spark, sf), "localhost", srv.port, s"$out/x"))
+    } finally srv.stop()
   }
 
   test("R8 streaming demux to SQL: one table per realtime query (output.go:82-104 contract)") {
