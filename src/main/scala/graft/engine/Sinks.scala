@@ -94,6 +94,84 @@ object Sinks {
     (if (bounded) w2.trigger(Trigger.AvailableNow()) else w2).start()
   }
 
+  /** Streaming AGGREGATE → SQL table with per-group upsert semantics: the
+    * realtime form of the DSL's aggregate block landing in a database. An
+    * aggregated stream in update mode emits each group's CURRENT value when
+    * it changes; an append-only DB sink (the reference's contract,
+    * output/output.go:82-104) would accumulate stale versions of every
+    * group. Here each micro-batch transactionally replaces exactly the
+    * groups it contains (DELETE keyed rows + INSERT, one transaction per
+    * batch) so the table always holds one current row per group — a live
+    * dashboard reads it directly. Source progress is checkpointed; the
+    * replace is idempotent per (group, value), so a replayed batch
+    * converges to the same table. */
+  def upsertJdbcStream(
+      df: DataFrame,
+      keyCols: Seq[String],
+      url: String,
+      table: String,
+      props: java.util.Properties,
+      checkpoint: String,
+      bounded: Boolean = false,
+  ): StreamingQuery = {
+    require(df.isStreaming, "upsertJdbcStream needs a streaming frame; use Sinks.jdbc")
+    require(keyCols.nonEmpty, "upsertJdbcStream needs at least one key column")
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"upsertJdbcStream: '$table' is not a bare SQL identifier")
+    val missing = keyCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"upsertJdbcStream: key columns not in frame: $missing")
+    val w = df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // update mode emits only CHANGED groups — a micro-batch is
+        // |changed groups| rows, driver-side by construction
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
+          // first batch creates the table through the ordinary writer path
+          batch.limit(0).write.mode(SaveMode.Append)
+            .jdbc(url, quotedTable(url, table), props)
+          val conn = java.sql.DriverManager.getConnection(url, props)
+          try {
+            conn.setAutoCommit(false)
+            // Spark's JDBC writer created the columns QUOTED (exact case) —
+            // our statements must address them the same way or the DB's
+            // case-folding resolves a different identifier
+            val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
+            upsertInto(conn, batch.schema.fieldNames.toSeq, rows, keyCols, table, quote)
+            conn.commit()
+          } finally conn.close()
+        }
+      }
+    (if (bounded) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** Transactional replace of exactly the given groups: DELETE each row's
+    * key then INSERT its current value, one commit for the whole batch. */
+  private def upsertInto(
+      conn: java.sql.Connection,
+      cols: Seq[String],
+      rows: Array[org.apache.spark.sql.Row],
+      keyCols: Seq[String],
+      table: String,
+      quote: String => String): Unit = {
+    val del = conn.prepareStatement(
+      s"DELETE FROM $table WHERE " + keyCols.map(k => s"${quote(k)} = ?").mkString(" AND "))
+    val ins = conn.prepareStatement(
+      s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+    try {
+      rows.foreach { r =>
+        keyCols.zipWithIndex.foreach { case (k, i) => del.setObject(i + 1, r.getAs[Any](k)) }
+        del.addBatch()
+        cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[Any](c)) }
+        ins.addBatch()
+      }
+      del.executeBatch()
+      ins.executeBatch()
+    } finally { del.close(); ins.close() }
+  }
+
   /** Latency-sensitive stream output (ROADMAP.md:72-74: "Different stream
     * output option for latency-sensitive operations (like mempool
     * monitoring): i.e. Websocket, SSE"): every result row is pushed as a

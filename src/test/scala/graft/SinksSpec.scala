@@ -107,6 +107,47 @@ class SinksSpec extends SparkSpec {
       Sinks.demuxParquetStream(Tables.nation(spark, sf), s"$out/x", s"$out/y"))
   }
 
+  test("streaming aggregate upserts into SQL: one current row per group, replay-stable") {
+    val out = tmp("upsert")
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftup;create=true"
+    def aggStream = {
+      val spec = graft.model.QuerySpec(
+        name = "agg_rt", chain = "ethereum", mode = graft.model.Mode.Realtime,
+        globalEvents = Seq(graft.model.EventSpec("purchase", Seq("value"))),
+        saves = Seq("contract" -> col("contract_address"), "v" -> col("value")),
+        groupBy = Seq("contract"),
+        aggregates = Seq("n" -> count(lit(1)), "biggest" -> max(col("v"))))
+      Compiler.compile(spark, sf, spec)
+    }
+    val q = Sinks.upsertJdbcStream(aggStream, Seq("contract"), url, "agg_live",
+      props, s"$out/ckpt1", bounded = true)
+    q.awaitTermination()
+    val back = spark.read.jdbc(url, "agg_live", props)
+    val want = Tables.events(spark, sf).where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("contract"))
+      .agg(count(lit(1)).as("n"), max("value").as("biggest"))
+    // one CURRENT row per group, equal to the batch aggregate
+    assert(back.count() == want.count())
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    // replay from a FRESH checkpoint reprocesses everything — groups are
+    // REPLACED, not appended, so the table converges to the same state
+    val q2 = Sinks.upsertJdbcStream(aggStream, Seq("contract"), url, "agg_live",
+      props, s"$out/ckpt2", bounded = true)
+    q2.awaitTermination()
+    val again = spark.read.jdbc(url, "agg_live", props)
+    assert(again.count() == want.count())
+    assert(again.exceptAll(want).isEmpty)
+    // loud on batch frames / bad keys / non-bare table names
+    intercept[IllegalArgumentException](Sinks.upsertJdbcStream(
+      Tables.nation(spark, sf), Seq("n_nationkey"), url, "x", props, s"$out/x"))
+    intercept[IllegalArgumentException](Sinks.upsertJdbcStream(
+      aggStream, Seq("nope"), url, "x", props, s"$out/y"))
+    intercept[IllegalArgumentException](Sinks.upsertJdbcStream(
+      aggStream, Seq("contract"), url, "bad-name", props, s"$out/z"))
+  }
+
   test("SSE sink pushes every result row as a data: frame over TCP (ROADMAP.md:72-74)") {
     val out = tmp("sse")
     val srv = new SseTestServer
