@@ -154,11 +154,81 @@ object SamplingOps {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** Data-mixture sampling — the pretraining mixture op (Pile/DoReMi-style
+    * domain weighting): given a target token SHARE per source, compute each
+    * source's acceptance rate so the sampled corpus hits the target mix,
+    * bounded by the scarcest source (the binding source samples at rate
+    * ~1.0; every other source downsamples to keep the proportions). Token
+    * budget B = min_s(T_s / share_s); accept p_s = share_s·B / T_s; a doc
+    * is kept iff its seeded-md5 uniform < p_s — deterministic per doc, so
+    * the mixture is reproducible run-over-run and engine-over-engine.
+    * Output = the per-source audit table (tokens, rate, kept counts).
+    *
+    * Scale shape: two tiny per-source aggregates (20 rows) broadcast back
+    * onto the doc scan — the corpus never shuffles; the keep decision is a
+    * per-row projection. Testbed target shares derive from the source name
+    * ((srcN % 4) + 1, normalized) so both engines compute identical
+    * doubles. */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("est_tokens", expr("(n_chars + 3) div 4").cast("long"))
+      .withColumn("w", expr("CAST(substring(source, 4) AS INT) % 4 + 1").cast("long"))
+    val bySrc = docs.groupBy("source", "w").agg(sum("est_tokens").as("t_tokens"))
+    val wTotal = bySrc.agg(sum("w").as("w_total"))
+    val shares = bySrc.crossJoin(broadcast(wTotal))
+      .withColumn("share", col("w").cast("double") / col("w_total").cast("double"))
+      .withColumn("b_cand", col("t_tokens").cast("double") / col("share"))
+    val budget = shares.agg(min("b_cand").as("budget"))
+    val rates = shares.crossJoin(broadcast(budget))
+      .withColumn("accept_rate",
+        col("share") * col("budget") / col("t_tokens").cast("double"))
+      .select("source", "t_tokens", "accept_rate")
+    val u = conv(substring(
+      md5(concat(lit(Seed + "|mix|"), col("doc_id").cast("string"))), 1, 6),
+      16, 10).cast("double") / lit(16777216.0)
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("keep", u < col("accept_rate"))
+      .groupBy("source", "t_tokens", "accept_rate")
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("keep"), col("est_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  private val mixtureSampleSql = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u24 = (1 to 6).map(i => s"${math.pow(16, 6 - i).toLong} * ${nib(i)}").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, CAST((n_chars + 3) // 4 AS BIGINT) AS est_tokens,
+       |    CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+       |  FROM documents),
+       |s AS (SELECT source, w, CAST(sum(est_tokens) AS BIGINT) AS t_tokens
+       |      FROM t GROUP BY source, w),
+       |wt AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM s),
+       |sh AS (SELECT source, t_tokens,
+       |         CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE) AS share
+       |       FROM s CROSS JOIN wt),
+       |bd AS (SELECT min(CAST(t_tokens AS DOUBLE) / share) AS budget FROM sh),
+       |r AS (SELECT source, t_tokens,
+       |        share * budget / CAST(t_tokens AS DOUBLE) AS accept_rate
+       |      FROM sh CROSS JOIN bd),
+       |k AS (SELECT t.source, r.t_tokens, r.accept_rate, t.est_tokens,
+       |        CAST($u24 AS DOUBLE) / 16777216.0 < r.accept_rate AS keep
+       |      FROM (SELECT *, md5('$Seed|mix|' || CAST(doc_id AS VARCHAR)) AS h FROM t) t
+       |      JOIN r ON t.source = r.source)
+       |SELECT source, t_tokens, accept_rate,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       |  CAST(sum(CASE WHEN keep THEN est_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM k GROUP BY source, t_tokens, accept_rate
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (stratifiedSample _),
     "split_train_val_test" -> (trainValTestSplit _),
     "pack_sequences" -> (packSequencesQuery _),
     "sample_importance" -> (importanceSample _),
+    "sample_mixture" -> (mixtureSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,5 +236,6 @@ object SamplingOps {
     "split_train_val_test" -> trainValTestSplitSql,
     "pack_sequences" -> packSequencesSql,
     "sample_importance" -> importanceSampleSql,
+    "sample_mixture" -> mixtureSampleSql,
   )
 }

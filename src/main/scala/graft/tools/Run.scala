@@ -53,6 +53,7 @@ object Run {
       csv: Boolean = false,
       db: Boolean = false,
       sse: Option[(String, Int)] = None, // realtime-only latency sink
+      schema: Option[String] = None,     // explicit schema path (ROADMAP.md:62-64)
 
       rateLimit: Int = 100,
       logParts: Int = 50,
@@ -72,6 +73,7 @@ object Run {
         case "--config-dir" => o = o.copy(configDir = Some(value("--config-dir")))
         case "--data" => o = o.copy(data = Some(value("--data")))
         case "--out" => o = o.copy(out = Some(value("--out")))
+        case "--schema" => o = o.copy(schema = Some(value("--schema")))
         case "--realtime" | "-R" => o = o.copy(realtime = true)
         case "--once" => o = o.copy(once = true)
         case "--stdout" => o = o.copy(stdout = true)
@@ -87,7 +89,7 @@ object Run {
         case "--log-parts" => o = o.copy(logParts = value("--log-parts").toInt)
         case "--log-level" => o = o.copy(logLevel = value("--log-level").toInt)
         case other => sys.error(s"unknown argument '$other' " +
-          "(init | --config-dir D | --data D | --out D | --realtime | --once | " +
+          "(init | --config-dir D | --data D | --out D | --schema F | --realtime | --once | " +
           "--stdout | --csv | --db | --sse H:P | --rate-limit N | --log-parts N | --log-level N)")
       }
       i += 1
@@ -179,9 +181,12 @@ object Run {
     require(opts.sse.isEmpty || opts.realtime,
       "--sse is a realtime latency sink (ROADMAP.md:72) — pass --realtime/-R with it")
     val confPath = Paths.get(configDir, "config.yml")
-    val schemaPath = Paths.get(configDir, "schema.hcl")
-    require(Files.exists(confPath) && Files.exists(schemaPath),
-      s"$configDir needs config.yml + schema.hcl (run `init --config-dir $configDir` first)")
+    // --schema overrides the conventional location (reference roadmap "CLI
+    // options for schema path", ROADMAP.md:62-64) — config stays with the dir
+    val schemaPath = opts.schema.map(Paths.get(_)).getOrElse(Paths.get(configDir, "schema.hcl"))
+    require(Files.exists(confPath),
+      s"$configDir needs config.yml (run `init --config-dir $configDir` first)")
+    require(Files.exists(schemaPath), s"schema file not found: $schemaPath")
 
     val cfg = ConfigFile.parse(Files.readString(confPath))
     require(cfg.rpc.nonEmpty, "config: rpc section declares no chains")

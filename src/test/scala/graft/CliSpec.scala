@@ -134,6 +134,20 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("--schema overrides the conventional schema location (ROADMAP.md:62-64)") {
+    val dir = writeConfigDir()
+    val out = Files.createTempDirectory("cli_schema").toString
+    // move the schema elsewhere; the conventional path no longer exists
+    val alt = Files.createTempDirectory("alt_schema").resolve("my.hcl")
+    Files.move(Paths.get(dir, "schema.hcl"), alt)
+    val e = intercept[IllegalArgumentException](
+      Run.run(Array("--config-dir", dir, "--stdout"), Some(spark)))
+    assert(e.getMessage.contains("schema file not found"))
+    Run.run(Array("--config-dir", dir, "--schema", alt.toString,
+      "--csv", "--out", out), Some(spark))
+    assert(new java.io.File(s"$out/testbed_swaps.csv").exists())
+  }
+
   test("failure modes are loud: no sink, missing config, empty rpc") {
     val dir = writeConfigDir()
     assert(intercept[IllegalArgumentException](

@@ -137,6 +137,30 @@ class QueriesSpec extends SparkSpec {
     assert(firsts.where(col("bin_id") =!= 0 || col("bin_offset") =!= 0).isEmpty)
   }
 
+  test("mixture sampling: binding source keeps ~all tokens, others downsample to the mix") {
+    import org.apache.spark.sql.functions._
+    val out = ext.SamplingOps.mixtureSample(spark, sf).cache()
+    // rates live in (0, 1] (+ulp): the binding source saturates at ~1.0
+    val rates = out.select("accept_rate").collect().map(_.getDouble(0))
+    assert(rates.forall(r => r > 0.0 && r <= 1.0 + 1e-9))
+    assert(rates.max > 0.999, s"no binding source at rate ~1 (max ${rates.max})")
+    // kept tokens track share*B: every source's expected kept-token mass is
+    // accept_rate * t_tokens; allow sampling noise (25 docs/source at this SF)
+    val bad = out.where(
+      abs(col("kept_tokens") - col("accept_rate") * col("t_tokens")) >
+        col("t_tokens") * 0.5 + lit(200.0))
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+    // decisions re-derive: kept_docs is the count of docs whose seeded
+    // uniform clears the rate (recompute independently for one source)
+    val one = out.orderBy("source").head()
+    val src = one.getString(0); val rate = one.getDouble(2)
+    val u = conv(substring(md5(concat(lit("graft-sample-1|mix|"),
+      col("doc_id").cast("string"))), 1, 6), 16, 10).cast("double") / lit(16777216.0)
+    val recount = Tables.documents(spark, sf).where(col("source") === src)
+      .where(u < lit(rate)).count()
+    assert(recount == one.getLong(3))
+  }
+
   test("bloom decontamination equals the exact broadcast form row-for-row") {
     // Bloom has no false negatives and the confirm join kills false
     // positives, so the sketch-prefiltered result must be identical
