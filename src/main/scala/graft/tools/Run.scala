@@ -253,13 +253,35 @@ object Run {
       Sinks.multi(df, sinks.result())
     }
 
-    val (live, drained) = compiled.partition(_._2.isStreaming)
+    val (allLive, drained) = compiled.partition(_._2.isStreaming)
     // bounded realtime method grids drain to BATCH frames — they need a
     // batch sink; SSE only carries live streams
     require(drained.isEmpty || opts.stdout || opts.csv || opts.db,
       s"queries ${drained.keys.toSeq.sorted.mkString(", ")} drain to batch frames — " +
         "--sse only serves live streams; add --stdout/--csv/--db for them")
     drained.toSeq.sortBy(_._1).foreach { case (name, df) => landBatch(name, df) }
+    // AGGREGATED realtime queries emit updated group values, not appended
+    // rows — they cannot ride the append-mode demux. Each lands in its own
+    // upserted SQL table (one current row per group, Sinks.upsertJdbcStream);
+    // file/console/SSE sinks for them fail loud with the remedy.
+    val aggNames = schema.queries.filter(_.aggregates.nonEmpty).map(_.name).toSet
+    val (aggLive, live) = allLive.partition { case (name, _) => aggNames.contains(name) }
+    if (aggLive.nonEmpty) {
+      require(opts.db && !(opts.csv || opts.sse.isDefined),
+        s"realtime aggregate queries ${aggLive.keys.toSeq.sorted.mkString(", ")} update " +
+          "group values in place — use --db (each lands as an upserted SQL table); " +
+          "csv/sse cannot represent updates")
+      val (url, props) = jdbcTarget
+      val started = aggLive.toSeq.sortBy(_._1).map { case (name, df) =>
+        val keys = schema.queries.find(_.name == name).get.groupBy
+        require(keys.nonEmpty,
+          s"query $name: realtime global aggregate (no group_by) has a single " +
+            "ever-changing row — declare group_by keys for the live table")
+        Sinks.upsertJdbcStream(df, keys, url, name.replaceAll("[^A-Za-z0-9_]", "_"),
+          props, s"$outDir/_checkpoints/agg_$name", bounded = opts.once)
+      }
+      if (opts.once) started.foreach(_.awaitTermination())
+    }
     if (live.nonEmpty) {
       val demuxed = Compiler.demux(live)
       val started = Seq.newBuilder[org.apache.spark.sql.streaming.StreamingQuery]

@@ -134,6 +134,45 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("realtime aggregate query through the CLI lands as an upserted SQL table") {
+    val url = "jdbc:derby:memory:cliagg;create=true"
+    val dir = writeConfigDir(Some(url))
+    val out = Files.createTempDirectory("cli_agg").toString
+    Files.writeString(Paths.get(dir, "schema.hcl"),
+      """query "vol_by_contract" {
+        |  chain = "ethereum"
+        |  event purchase { outputs = ["value"] }
+        |  save {
+        |    contract = contract_address
+        |    v = value
+        |  }
+        |  aggregate {
+        |    group_by = [contract]
+        |    n = count(1)
+        |    biggest = max(v)
+        |  }
+        |}""".stripMargin)
+    Run.run(Array("--config-dir", dir, "--realtime", "--once", "--db", "--out", out),
+      Some(spark))
+    // read back with the CLI's credentials — Derby scopes unqualified
+    // tables to the user's schema (APOLLO)
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    props.setProperty("user", "apollo")
+    props.setProperty("password", "apollo")
+    val back = spark.read.jdbc(url, "vol_by_contract", props)
+    val want = Tables.events(spark, sf).where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("contract"))
+      .agg(count(lit(1)).as("n"), max("value").as("biggest"))
+    assert(back.count() == want.count())
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    // csv cannot represent updates — loud with the remedy
+    val e = intercept[IllegalArgumentException](
+      Run.run(Array("--config-dir", dir, "--realtime", "--once", "--csv",
+        "--out", out), Some(spark)))
+    assert(e.getMessage.contains("upserted SQL table"))
+  }
+
   test("--schema overrides the conventional schema location (ROADMAP.md:62-64)") {
     val dir = writeConfigDir()
     val out = Files.createTempDirectory("cli_schema").toString
