@@ -103,6 +103,54 @@ object Templates {
     )
   }
 
+  /** Compound-style cToken template (ROADMAP.md:82-87): the distinguishing
+    * mechanic is EXCHANGE-RATE ACCRUAL — a cToken balance converts to the
+    * underlying via the market's monotonically-growing exchangeRate
+    * (`underlying = cTokens × exchangeRate / 10^scale`), and the per-sample
+    * rate growth IS the supply yield. The template packages the S5 method
+    * grid polling the rate per market plus a window over the grid for the
+    * growth series — a mechanic neither the swap templates (per-event
+    * math) nor aave (same-sample ratio) exercise. makerdao's vault health
+    * is the same grid + ratio shape with a different ABI — engine-wise
+    * covered by aave + this. Testbed mapping: `view` state ≙
+    * exchangeRateStored, `click` state ≙ the account's cToken balance. */
+  final case class CompoundMarket(address: Long, rateScale: Int)
+
+  def compound(
+      markets: Seq[CompoundMarket],
+      name: String = "compound_positions",
+      chain: String = "ethereum",
+      startTime: String,
+      endTime: String,
+      intervalSeconds: Long = 86400L,
+  ): QuerySpec = {
+    require(markets.nonEmpty, "compound template: declare at least one market")
+    QuerySpec(
+      name = name,
+      chain = chain,
+      contracts = markets.map(m => ContractSpec(m.address,
+        methods = Seq(
+          MethodSpec("view", Seq("value")),    // ≙ exchangeRateStored()
+          MethodSpec("click", Seq("value"))),  // ≙ balanceOf(account) in cTokens
+        transforms = Seq(
+          "rate_scale" -> lit(math.pow(10.0, m.rateScale.toDouble))))),
+      startTime = Some(startTime),
+      endTime = Some(endTime),
+      blockInterval = Some(intervalSeconds),
+      transforms = Seq(
+        "exchange_rate" -> col("view_value"),
+        "ctokens" -> col("click_value"),
+        "underlying" -> col("view_value") * col("click_value") / col("rate_scale")),
+      saves = Seq(
+        "sample_ts" -> col("sample_ts"),
+        "market" -> col("user_id"),
+        "exchange_rate" -> col("exchange_rate"),
+        "ctokens" -> col("ctokens"),
+        "underlying" -> col("underlying"),
+      ),
+    )
+  }
+
   /** One Uniswap-v3-style pool: contract address + token decimals. */
   final case class UniV3Pool(address: Long, decimals0: Int, decimals1: Int)
 

@@ -458,6 +458,58 @@ object ApolloQueries {
       |  CASE WHEN bv <> 0 THEN cv / bv END AS collateral_ratio
       |FROM w WHERE side = 1 ORDER BY sample_ts, account""".stripMargin
 
+  /** ROADMAP v1.1 'compound' template: exchange-rate accrual — cToken
+    * balances convert to the underlying via the market's polled
+    * exchangeRate, and the per-sample rate growth (a lag window OVER the
+    * method grid) is the supply-yield series. Exercises a mechanic none of
+    * the other templates do: a window over grid samples. */
+  def templateCompound(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = Compiler.compile(spark, sfDir, graft.model.Templates.compound(
+      markets = Seq(
+        graft.model.Templates.CompoundMarket(address = 2L, rateScale = 2),
+        graft.model.Templates.CompoundMarket(address = 8L, rateScale = 3)),
+      startTime = "2024-01-03", endTime = "2024-01-27",
+      intervalSeconds = 172800L,
+    ))
+    val w = Window.partitionBy("market").orderBy("sample_ts")
+    val prev = lag(col("exchange_rate"), 1).over(w)
+    grid
+      .withColumn("rate_growth",
+        when(prev =!= 0, col("exchange_rate") / prev - 1))
+      .orderBy("sample_ts", "market")
+  }
+
+  private val templateCompoundSql =
+    """WITH grid AS (
+      |  SELECT g.t, u.user_id
+      |  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-03', TIMESTAMP '2024-01-27', INTERVAL 2 DAY)) AS t) g
+      |  CROSS JOIN (SELECT unnest(CAST([2, 8] AS BIGINT[])) AS user_id) u),
+      |ev AS (SELECT user_id, ts AS t, event_id, value, event_type FROM events
+      |       WHERE user_id IN (2, 8) AND event_type IN ('view', 'click')),
+      |un AS (
+      |  SELECT user_id, t, CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value,
+      |    CAST(NULL AS VARCHAR) AS event_type, 1 AS side FROM grid
+      |  UNION ALL
+      |  SELECT user_id, t, event_id, value, event_type, 0 AS side FROM ev),
+      |w AS (
+      |  SELECT user_id, t, side,
+      |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER win AS rate,
+      |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER win AS ct
+      |  FROM un
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |g AS (
+      |  SELECT t AS sample_ts, user_id AS market, rate AS exchange_rate, ct AS ctokens,
+      |    (rate * ct) / CASE WHEN user_id = 2 THEN 100.0 ELSE 1000.0 END AS underlying
+      |  FROM w WHERE side = 1)
+      |SELECT sample_ts, market, exchange_rate, ctokens, underlying,
+      |  CASE WHEN lag(exchange_rate) OVER mw <> 0
+      |       THEN exchange_rate / lag(exchange_rate) OVER mw - 1 END AS rate_growth
+      |FROM g
+      |WINDOW mw AS (PARTITION BY market ORDER BY sample_ts)
+      |ORDER BY sample_ts, market""".stripMargin
+
   /** ROADMAP v1.1 cross-chain address monitoring
     * (/root/reference/ROADMAP.md:80): ONE address watched on every
     * configured chain — the monitor stamps the same contract-scoped spec per
@@ -1303,6 +1355,7 @@ object ApolloQueries {
     "template_uniswapv2" -> (templateUniswapV2 _),
     "template_uniswapv3" -> (templateUniswapV3 _),
     "template_aave" -> (templateAave _),
+    "template_compound" -> (templateCompound _),
     "tx_context_events" -> (txContextEvents _),
     "raw_stream_passthrough" -> (rawStreamPassthrough _),
     "cross_chain_monitor" -> (crossChainMonitor _),
@@ -1343,6 +1396,7 @@ object ApolloQueries {
     "template_uniswapv2" -> templateUniswapV2Sql,
     "template_uniswapv3" -> templateUniswapV3Sql,
     "template_aave" -> templateAaveSql,
+    "template_compound" -> templateCompoundSql,
     "tx_context_events" -> txContextEventsSql,
     "raw_stream_passthrough" -> rawStreamPassthroughSql,
     "cross_chain_monitor" -> crossChainMonitorSql,
