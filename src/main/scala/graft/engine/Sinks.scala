@@ -116,10 +116,14 @@ object Sinks {
   ): StreamingQuery = {
     require(df.isStreaming, "upsertJdbcStream needs a streaming frame; use Sinks.jdbc")
     require(keyCols.nonEmpty, "upsertJdbcStream needs at least one key column")
-    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"upsertJdbcStream: '$table' is not a bare SQL identifier")
     val missing = keyCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"upsertJdbcStream: key columns not in frame: $missing")
+    val spark = df.sparkSession
+    val qt = quotedTable(url, table) // loop-stamped names ("0-signups") quote
+    // create the table ONCE, before the stream starts — not a per-batch
+    // existence round-trip + empty write job on the hot path
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+      .write.mode(SaveMode.Append).jdbc(url, qt, props)
     val w = df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -128,9 +132,6 @@ object Sinks {
         // |changed groups| rows, driver-side by construction
         val rows = batch.collect()
         if (rows.nonEmpty) {
-          // first batch creates the table through the ordinary writer path
-          batch.limit(0).write.mode(SaveMode.Append)
-            .jdbc(url, quotedTable(url, table), props)
           val conn = java.sql.DriverManager.getConnection(url, props)
           try {
             conn.setAutoCommit(false)
@@ -138,7 +139,7 @@ object Sinks {
             // our statements must address them the same way or the DB's
             // case-folding resolves a different identifier
             val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
-            upsertInto(conn, batch.schema.fieldNames.toSeq, rows, keyCols, table, quote)
+            upsertInto(conn, batch.schema.fieldNames.toSeq, rows, keyCols, qt, quote)
             conn.commit()
           } finally conn.close()
         }
@@ -147,29 +148,43 @@ object Sinks {
   }
 
   /** Transactional replace of exactly the given groups: DELETE each row's
-    * key then INSERT its current value, one commit for the whole batch. */
+    * key then INSERT its current value, one commit for the whole batch.
+    * NULL group keys (Spark's groupBy keeps NULL as a real group) need
+    * `IS NULL` predicates — `k = NULL` never matches, which would leave one
+    * stale row per batch — so deletes are prepared per null-mask. */
   private def upsertInto(
       conn: java.sql.Connection,
       cols: Seq[String],
       rows: Array[org.apache.spark.sql.Row],
       keyCols: Seq[String],
-      table: String,
+      quotedTable: String,
       quote: String => String): Unit = {
-    val del = conn.prepareStatement(
-      s"DELETE FROM $table WHERE " + keyCols.map(k => s"${quote(k)} = ?").mkString(" AND "))
+    val dels = scala.collection.mutable.Map.empty[Seq[Boolean], java.sql.PreparedStatement]
+    def delFor(mask: Seq[Boolean]): java.sql.PreparedStatement =
+      dels.getOrElseUpdate(mask, conn.prepareStatement(
+        s"DELETE FROM $quotedTable WHERE " +
+          keyCols.zip(mask).map { case (k, isNull) =>
+            if (isNull) s"${quote(k)} IS NULL" else s"${quote(k)} = ?"
+          }.mkString(" AND ")))
     val ins = conn.prepareStatement(
-      s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) " +
+      s"INSERT INTO $quotedTable (${cols.map(quote).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")})")
     try {
       rows.foreach { r =>
-        keyCols.zipWithIndex.foreach { case (k, i) => del.setObject(i + 1, r.getAs[Any](k)) }
+        val vals = keyCols.map(k => r.getAs[Any](k))
+        val del = delFor(vals.map(_ == null))
+        var p = 0
+        vals.foreach { v => if (v != null) { p += 1; del.setObject(p, v) } }
         del.addBatch()
         cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[Any](c)) }
         ins.addBatch()
       }
-      del.executeBatch()
+      dels.values.foreach(_.executeBatch())
       ins.executeBatch()
-    } finally { del.close(); ins.close() }
+    } finally {
+      dels.values.foreach(_.close())
+      ins.close()
+    }
   }
 
   /** Latency-sensitive stream output (ROADMAP.md:72-74: "Different stream

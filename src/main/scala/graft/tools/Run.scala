@@ -266,25 +266,38 @@ object Run {
     // file/console/SSE sinks for them fail loud with the remedy.
     val aggNames = schema.queries.filter(_.aggregates.nonEmpty).map(_.name).toSet
     val (aggLive, live) = allLive.partition { case (name, _) => aggNames.contains(name) }
+    val ourStreams = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
     if (aggLive.nonEmpty) {
-      require(opts.db && !(opts.csv || opts.sse.isDefined),
+      // aggregates need --db (the upserted live table); csv/sse stay valid
+      // for the OTHER live queries in the same schema — only the aggregates
+      // route around them. Console CAN show updates, so --stdout gets an
+      // update-mode console stream per aggregate.
+      require(opts.db,
         s"realtime aggregate queries ${aggLive.keys.toSeq.sorted.mkString(", ")} update " +
-          "group values in place — use --db (each lands as an upserted SQL table); " +
-          "csv/sse cannot represent updates")
+          "group values in place — add --db (each lands as an upserted SQL table); " +
+          "file/SSE sinks cannot represent updates")
       val (url, props) = jdbcTarget
-      val started = aggLive.toSeq.sortBy(_._1).map { case (name, df) =>
+      aggLive.toSeq.sortBy(_._1).foreach { case (name, df) =>
         val keys = schema.queries.find(_.name == name).get.groupBy
         require(keys.nonEmpty,
           s"query $name: realtime global aggregate (no group_by) has a single " +
             "ever-changing row — declare group_by keys for the live table")
-        Sinks.upsertJdbcStream(df, keys, url, name.replaceAll("[^A-Za-z0-9_]", "_"),
+        ourStreams += Sinks.upsertJdbcStream(df, keys, url, name,
           props, s"$outDir/_checkpoints/agg_$name", bounded = opts.once)
+        if (opts.stdout) {
+          val w = df.writeStream.format("console")
+            .outputMode("update")
+            .option("truncate", "false")
+            .option("checkpointLocation", s"$outDir/_checkpoints/agg_console_$name")
+          ourStreams += (if (opts.once)
+            w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          else w.start())
+        }
       }
-      if (opts.once) started.foreach(_.awaitTermination())
     }
     if (live.nonEmpty) {
       val demuxed = Compiler.demux(live)
-      val started = Seq.newBuilder[org.apache.spark.sql.streaming.StreamingQuery]
+      val started = ourStreams // continue the same run-wide query list
       if (opts.csv) started += Sinks.demuxFileStream(
         demuxed, s"$outDir/csv", s"$outDir/_checkpoints/csv", format = "csv",
         bounded = opts.once)
@@ -305,10 +318,15 @@ object Run {
         started += Sinks.sseStream(
           demuxed, host, port, s"$outDir/_checkpoints/sse", bounded = opts.once)
       }
-      val queries = started.result()
-      if (opts.once) queries.foreach(_.awaitTermination())
-      else spark.streams.awaitAnyTermination()
     }
+    // One await for EVERY stream this run started (aggregate upserts and
+    // demuxed sinks alike): --once drains each to completion; unbounded
+    // mode runs until any of THIS run's streams terminates (the
+    // reference's ctrl+c loop — not spark.streams.awaitAnyTermination(),
+    // which a shared session would pollute with someone else's queries).
+    if (opts.once) ourStreams.foreach(_.awaitTermination())
+    else if (ourStreams.nonEmpty)
+      while (ourStreams.forall(_.isActive)) Thread.sleep(200)
     // reference: service.DumpMetrics() on the way out
     println(metrics.dump())
   }

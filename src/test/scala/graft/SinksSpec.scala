@@ -139,13 +139,51 @@ class SinksSpec extends SparkSpec {
     val again = spark.read.jdbc(url, "agg_live", props)
     assert(again.count() == want.count())
     assert(again.exceptAll(want).isEmpty)
-    // loud on batch frames / bad keys / non-bare table names
+    // loud on batch frames / bad keys
     intercept[IllegalArgumentException](Sinks.upsertJdbcStream(
       Tables.nation(spark, sf), Seq("n_nationkey"), url, "x", props, s"$out/x"))
     intercept[IllegalArgumentException](Sinks.upsertJdbcStream(
       aggStream, Seq("nope"), url, "x", props, s"$out/y"))
-    intercept[IllegalArgumentException](Sinks.upsertJdbcStream(
-      aggStream, Seq("contract"), url, "bad-name", props, s"$out/z"))
+    // loop-stamped names ("0-signups") are not bare identifiers — they
+    // quote through the dialect like the demux sink does
+    val q3 = Sinks.upsertJdbcStream(aggStream, Seq("contract"), url, "0-agg",
+      props, s"$out/ckpt3", bounded = true)
+    q3.awaitTermination()
+    assert(spark.read.jdbc(url, Sinks.quotedTable(url, "0-agg"), props).count() == want.count())
+  }
+
+  test("upsert sink replaces the NULL group instead of accumulating stale rows") {
+    val out = tmp("upsertnull")
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftupnull;create=true"
+    // group key NULL for odd contracts — Spark keeps NULL as a real group
+    def stream = {
+      val spec = graft.model.QuerySpec(
+        name = "agg_null", chain = "ethereum", mode = graft.model.Mode.Realtime,
+        globalEvents = Seq(graft.model.EventSpec("purchase", Seq("value"))),
+        saves = Seq(
+          "bucket" -> when(col("contract_address") % 2 === 0, col("contract_address")),
+          "v" -> col("value")),
+        groupBy = Seq("bucket"),
+        aggregates = Seq("n" -> count(lit(1))))
+      Compiler.compile(spark, sf, spec)
+    }
+    def runOnce(ck: String): Unit = {
+      val q = Sinks.upsertJdbcStream(stream, Seq("bucket"), url, "null_agg",
+        props, s"$out/$ck", bounded = true)
+      q.awaitTermination()
+    }
+    runOnce("ck1")
+    runOnce("ck2") // replay: the NULL group must be REPLACED, not duplicated
+    val back = spark.read.jdbc(url, "null_agg", props)
+    assert(back.where(col("bucket").isNull).count() == 1,
+      "NULL group accumulated stale rows — IS NULL delete predicate broken")
+    val want = Tables.events(spark, sf).where(col("event_type") === "purchase")
+      .groupBy(when(col("user_id") % 2 === 0, col("user_id")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    assert(back.count() == want.count())
+    assert(back.exceptAll(want).isEmpty)
   }
 
   test("SSE sink pushes every result row as a data: frame over TCP (ROADMAP.md:72-74)") {
