@@ -443,6 +443,36 @@ object DedupOps {
        |WHERE (c.canonical IS NULL OR c.canonical = d.doc_id) AND d.n_toks >= 30
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Quality-aware survivor selection: inside each near-dup family, keep
+    * the HIGHEST-QUALITY member instead of the arbitrary min-id canonical —
+    * the curation policy real pipelines want (dedup should drop the worse
+    * copies, not whichever happened to have a larger id; ties break by id
+    * for determinism). Reuses the memoized cluster map (the persisted-table
+    * seam) and the [[TextOps.qualityScore]] composite; the per-family
+    * ranking is one window over family members only — docs outside any
+    * family never enter the shuffle. */
+  def bestSurvivor(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = clusterMap(spark, sfDir)
+    val quality = TextOps.qualityScore(spark, sfDir).select("doc_id", "quality")
+    val w = Window.partitionBy("cluster").orderBy(col("quality").desc, col("doc_id"))
+    clusters.withColumnRenamed("canonical", "cluster")
+      .join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("cluster", "doc_id", "quality", "keep")
+      .orderBy("cluster", "doc_id")
+  }
+
+  private val bestSurvivorSql =
+    s"""WITH clusters AS ($clusterCanonicalSql),
+       |q AS (SELECT doc_id, quality FROM (${TextOps.qualityScoreSqlText})),
+       |f AS (SELECT c.canonical AS cluster, c.doc_id, q.quality
+       |      FROM clusters c JOIN q ON q.doc_id = c.doc_id),
+       |r AS (SELECT cluster, doc_id, quality,
+       |        row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) = 1 AS keep
+       |      FROM f)
+       |SELECT cluster, doc_id, quality, keep FROM r ORDER BY cluster, doc_id""".stripMargin
+
   /** INCREMENTAL dedup — the shape a production corpus actually runs: a new
     * ingest batch is checked against the EXISTING corpus (not all-pairs over
     * everything). Testbed split: a seeded md5 bucket of the doc id marks
@@ -597,6 +627,7 @@ object DedupOps {
     "dedup_simhash" -> (simhash _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_cluster_canonical" -> (clusterCanonical _),
+    "dedup_best_survivor" -> (bestSurvivor _),
     "curation_pipeline" -> (curationPipeline _),
     "dedup_incremental" -> (incrementalDedup _),
   )
@@ -608,6 +639,7 @@ object DedupOps {
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" -> embeddingCosineSql,
     "dedup_cluster_canonical" -> clusterCanonicalSql,
+    "dedup_best_survivor" -> bestSurvivorSql,
     "curation_pipeline" -> curationPipelineSql,
     "dedup_incremental" -> incrementalDedupSql,
   )

@@ -99,6 +99,24 @@ class QueriesSpec extends SparkSpec {
     assert(recall > 2 * scanned, s"recall $recall must beat the $scanned scan fraction decisively")
   }
 
+  test("best-survivor: exactly one keeper per family, and it has the max quality") {
+    import org.apache.spark.sql.functions._
+    val out = ext.DedupOps.bestSurvivor(spark, sf).cache()
+    // one keeper per cluster
+    val perCluster = out.groupBy("cluster")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"), max("quality").as("maxq"))
+    assert(perCluster.where(col("keepers") =!= 1).isEmpty)
+    // the keeper IS the max-quality member
+    assert(out.where(col("keep")).join(perCluster, Seq("cluster"))
+      .where(col("quality") =!= col("maxq")).isEmpty)
+    // quality-aware selection differs from min-id when a better member exists
+    val minIdKeep = out.groupBy("cluster").agg(min("doc_id").as("doc_id"))
+    val divergent = out.where(col("keep"))
+      .join(minIdKeep, Seq("cluster", "doc_id"), "left_semi")
+    assert(divergent.count() < out.where(col("keep")).count(),
+      "quality-aware survivor never diverged from min-id — fixture too uniform to test the policy")
+  }
+
   test("semantic dedup: tight clusters collapse, min-id per cluster survives") {
     import org.apache.spark.sql.functions._
     val out = ext.DedupOps.semDedup(spark, sf).cache()
