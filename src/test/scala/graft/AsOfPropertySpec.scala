@@ -1,0 +1,135 @@
+package graft
+
+import graft.engine.Enrich
+import org.apache.spark.sql.functions._
+
+/** Randomized property check for the engine's most load-bearing custom
+  * operator: [[Enrich.asOfJoin]] (and its skew-sliced twin) against an
+  * independent in-memory reference, across many generated scenarios —
+  * duplicate timestamps, equal-time probe/state ties, NULL state values,
+  * keys with no state, empty state sides. The fixed-fixture oracles prove
+  * specific shapes; this proves the SEMANTICS over the input space.
+  */
+class AsOfPropertySpec extends SparkSpec {
+
+  /** Reference semantics: among state rows of the probe's key ordered by
+    * (t, tie) with t <= probe t (state at equal t IS visible — the
+    * reference's offset-0 call-at-that-block rule), the last NON-NULL
+    * value; null when none. */
+  private def expected(
+      states: Seq[(Long, Long, Long, Option[Double])], // key, t, tie, value
+      key: Long, pt: Long): Option[Double] =
+    states.filter(s => s._1 == key && s._2 <= pt)
+      .sortBy(s => (s._2, s._3))
+      .flatMap(_._4)
+      .lastOption
+
+  test("asOfJoin and asOfJoinSliced match the in-memory reference on 30 random scenarios") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 30).foreach { scenario =>
+      val nState = rnd.nextInt(40) // possibly zero — empty state side
+      val nProbe = rnd.nextInt(30) + 1
+      // duplicate times on purpose (t range is narrow); ties unique
+      val states = (0 until nState).map { i =>
+        (rnd.nextInt(4).toLong + 1, rnd.nextInt(25).toLong, i.toLong,
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(1000) / 10.0))
+      }
+      val probes = (0 until nProbe).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong + 1, rnd.nextInt(30).toLong)
+      }
+      val stateDf = states.map(s => (s._1, s._2, s._3, s._4.map(Double.box).orNull))
+        .toDF("user_id", "st", "tie", "v")
+        .select(col("user_id"), col("st"), col("tie"), col("v").cast("double"))
+      val probeDf = probes.toDF("probe_id", "user_id", "pt")
+
+      def check(result: org.apache.spark.sql.DataFrame, form: String): Unit = {
+        val got = result.select("probe_id", "asof_v").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+          .toMap
+        assert(got.size == nProbe, s"$form scenario $scenario lost rows")
+        probes.foreach { case (id, k, pt) =>
+          val want = expected(states, k, pt)
+          assert(got(id) == want,
+            s"$form scenario $scenario probe $id (key $k, t $pt): got ${got(id)}, want $want")
+        }
+      }
+
+      check(Enrich.asOfJoin(probeDf, stateDf,
+        key = "user_id", leftTime = "pt", rightTime = "st",
+        tieBreaker = "tie", valueCols = Seq("v")), "plain")
+      // random ascending slice boundaries inside the time domain
+      val b0 = rnd.nextInt(15).toLong
+      val bounds = Seq(b0, b0 + rnd.nextInt(10) + 1L)
+      check(Enrich.asOfJoinSliced(probeDf, stateDf,
+        key = "user_id", leftTime = "pt", rightTime = "st",
+        tieBreaker = "tie", valueCols = Seq("v"), boundaries = bounds), "sliced")
+    }
+  }
+
+  test("HCL constant folder matches a direct evaluator on random arithmetic trees") {
+    // the folder evaluates cty-style constant expressions at schema load
+    // (dsl/schema.go:400-408) — generate random +,-,* trees with parens and
+    // compare against independent BigDecimal evaluation
+    val rnd = new scala.util.Random(4242L)
+    sealed trait E
+    case class Num(v: Int) extends E
+    case class Op(l: E, op: Char, r: E) extends E
+    def gen(depth: Int): E =
+      if (depth == 0 || rnd.nextInt(3) == 0) Num(rnd.nextInt(200) - 100)
+      else Op(gen(depth - 1), "+-*".charAt(rnd.nextInt(3)), gen(depth - 1))
+    def render(e: E): String = e match {
+      case Num(v) if v < 0 => s"($v)" // the folder sees unary minus via parens
+      case Num(v) => v.toString
+      case Op(l, op, r) =>
+        // randomly parenthesize to exercise precedence handling
+        val ls = if (rnd.nextBoolean()) s"(${render(l)})" else render(l)
+        val rs = if (rnd.nextBoolean()) s"(${render(r)})" else render(r)
+        s"$ls $op $rs"
+    }
+    // independent PRECEDENCE-AWARE evaluator of the rendered string (the
+    // renderer intentionally drops parens sometimes, so the string's
+    // standard-precedence meaning — not the generator tree — is the spec)
+    def evalStr(s: String): BigDecimal = {
+      var i = 0
+      def skip(): Unit = while (i < s.length && s.charAt(i) == ' ') i += 1
+      def factor(): BigDecimal = {
+        skip()
+        if (s.charAt(i) == '(') {
+          i += 1; val v = exprP(); skip()
+          require(s.charAt(i) == ')'); i += 1; v
+        } else {
+          val start = i
+          if (s.charAt(i) == '-') i += 1
+          while (i < s.length && s.charAt(i).isDigit) i += 1
+          BigDecimal(s.substring(start, i))
+        }
+      }
+      def term(): BigDecimal = {
+        var v = factor(); skip()
+        while (i < s.length && s.charAt(i) == '*') { i += 1; v = v * factor(); skip() }
+        v
+      }
+      def exprP(): BigDecimal = {
+        var v = term(); skip()
+        while (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) {
+          val op = s.charAt(i); i += 1
+          v = if (op == '+') v + term() else v - term()
+          skip()
+        }
+        v
+      }
+      val v = exprP(); skip(); require(i == s.length, s"trailing input in '$s'"); v
+    }
+    (1 to 200).foreach { i =>
+      val e = gen(4)
+      val s = render(e)
+      val want = evalStr(s)
+      graft.model.HclSchema.evalConst(s) match {
+        case Some(graft.model.HclSchema.FNum(got)) =>
+          assert(got == want, s"case $i: '$s' folded to $got, want $want")
+        case other => fail(s"case $i: '$s' did not fold to a number: $other")
+      }
+    }
+  }
+}
