@@ -67,6 +67,57 @@ class AsOfPropertySpec extends SparkSpec {
     }
   }
 
+  test("text kernels ≡ relational formulations on adversarial random texts") {
+    import graft.functions.TextFns
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val chars = "abcXYZ09!?.,é-_"
+    def word(): String =
+      (0 until (rnd.nextInt(5) + 1)).map(_ => chars.charAt(rnd.nextInt(chars.length))).mkString
+    def text(): String = {
+      val words = (0 until rnd.nextInt(12)).map(_ => word())
+      val sep = " " * (rnd.nextInt(3) + 1)
+      val body = words.mkString(sep)
+      (if (rnd.nextBoolean()) " " else "") + body + (if (rnd.nextBoolean()) "  " else "")
+    }
+    val texts = ("" +: "   " +: (1 to 200).map(_ => text())).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = texts.toDF("doc_id", "text")
+      .withColumn("toks", expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .cache()
+    // shingles: kernel vs HOF, as sets
+    val sh = docs
+      .withColumn("hof", expr(
+        // sequence(1, 0) DESCENDS in Spark, so short docs need the explicit
+        // guard (the fixed-docs twin never sees < 3 tokens)
+        """CASE WHEN size(toks) >= 3 THEN array_distinct(transform(
+          |  sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))
+          |ELSE array() END""".stripMargin))
+      .withColumn("kernel", TextFns.wordShingles(col("text"), 3))
+    assert(sh.where(expr("array_sort(hof) != array_sort(kernel)")).isEmpty)
+    // simhash: kernel vs 32-signed-bit relational sum
+    val toks = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = (0 until 32).map { j =>
+      val nib = s"(instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1)"
+      sum(expr(s"2 * (shiftright($nib, ${j % 4}) % 2) - 1")).as(s"sum$j")
+    }
+    val fp = (0 until 32)
+      .map(j => when(col(s"sum$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val relational = toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("rel"))
+    val kernel = docs.select(col("doc_id"), TextFns.simhash32(col("text")).as("ker"))
+    // inner join: token-less docs (empty/whitespace) have no relational row
+    val joined = relational.join(kernel, "doc_id")
+    assert(joined.where(col("rel") =!= col("ker")).isEmpty)
+    // token-less docs fingerprint to 0 in the kernel
+    val tokenless = docs.where(size(col("toks")) === 0).select("doc_id")
+    assert(kernel.join(tokenless, "doc_id").where(col("ker") =!= 0).isEmpty)
+    docs.unpersist()
+  }
+
   test("HCL constant folder matches a direct evaluator on random arithmetic trees") {
     // the folder evaluates cty-style constant expressions at schema load
     // (dsl/schema.go:400-408) — generate random +,-,* trees with parens and
