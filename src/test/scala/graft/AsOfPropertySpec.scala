@@ -67,6 +67,60 @@ class AsOfPropertySpec extends SparkSpec {
     }
   }
 
+  test("pack_sequences ≡ in-memory prefix-sum reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    (1 to 10).foreach { scenario =>
+      val docs = (0 until rnd.nextInt(80) + 1).map { i =>
+        (i.toLong, s"src${rnd.nextInt(5)}", rnd.nextInt(3000).toLong)
+      }
+      val df = docs.toDF("doc_id", "source", "n_chars")
+      val got = graft.ext.SamplingOps.packSequences(df, ctxTokens = 128L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // reference: per-source doc_id order, integer prefix sums
+      docs.groupBy(_._2).foreach { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).foreach { case (id, _, nc) =>
+          val est = (nc + 3) / 4
+          val want = (est, cum / 128L, cum % 128L)
+          assert(got((src, id)) == want,
+            s"scenario $scenario $src/$id: got ${got((src, id))}, want $want")
+          cum += est
+        }
+      }
+    }
+  }
+
+  test("tx monitor ≡ independently-filtered reference on random specs") {
+    import graft.engine.{TxFilterSpec, TxMonitor}
+    val rnd = new scala.util.Random(123L)
+    // materialize the tx view once; specs filter it both ways
+    val view = TxMonitor.txView(Tables.events(spark, sf))
+      .select("block", "sender", "receiver", "method", "value").cache()
+    val rows = view.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3), r.getDouble(4)))
+    val methods = Seq("purchase", "click", "view", "error", "signup")
+    (1 to 15).foreach { scenario =>
+      val spec = TxFilterSpec(
+        minValue = if (rnd.nextBoolean()) Some(rnd.nextInt(150).toDouble) else None,
+        maxValue = if (rnd.nextBoolean()) Some((rnd.nextInt(100) + 100).toDouble) else None,
+        senders = if (rnd.nextBoolean()) (0 until rnd.nextInt(6) + 1).map(_ => rnd.nextInt(20).toLong) else Nil,
+        receivers = if (rnd.nextBoolean()) (0 until rnd.nextInt(6) + 1).map(_ => rnd.nextInt(100).toLong) else Nil,
+        methods = if (rnd.nextBoolean()) rnd.shuffle(methods).take(rnd.nextInt(3) + 1) else Nil)
+      val gotCount = TxMonitor.monitor(spark, sf, spec)
+        .where(lit(true)).count() // force through the same view path
+      val wantCount = rows.count { case (_, snd, rcv, m, v) =>
+        spec.minValue.forall(v >= _) && spec.maxValue.forall(v < _) &&
+          (spec.senders.isEmpty || spec.senders.contains(snd)) &&
+          (spec.receivers.isEmpty || rcv.exists(spec.receivers.contains)) &&
+          (spec.methods.isEmpty || spec.methods.contains(m))
+      }
+      assert(gotCount == wantCount, s"scenario $scenario: $spec got $gotCount want $wantCount")
+    }
+    view.unpersist()
+  }
+
   test("text kernels ≡ relational formulations on adversarial random texts") {
     import graft.functions.TextFns
     import spark.implicits._
