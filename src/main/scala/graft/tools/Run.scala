@@ -325,8 +325,14 @@ object Run {
     // reference's ctrl+c loop — not spark.streams.awaitAnyTermination(),
     // which a shared session would pollute with someone else's queries).
     if (opts.once) ourStreams.foreach(_.awaitTermination())
-    else if (ourStreams.nonEmpty)
+    else if (ourStreams.nonEmpty) {
       while (ourStreams.forall(_.isActive)) Thread.sleep(200)
+      // a stream that DIED (vs. was stopped) must surface its error —
+      // awaitTermination would rethrow it; the poll loop must too
+      ourStreams.filterNot(_.isActive).foreach { q =>
+        q.exception.foreach(e => throw e)
+      }
+    }
     // reference: service.DumpMetrics() on the way out
     println(metrics.dump())
   }
