@@ -116,6 +116,15 @@ object Sinks {
   ): StreamingQuery = {
     require(df.isStreaming, "upsertJdbcStream needs a streaming frame; use Sinks.jdbc")
     require(keyCols.nonEmpty, "upsertJdbcStream needs at least one key column")
+    // the per-batch collect() below is safe ONLY because update mode on an
+    // aggregated stream emits |changed groups| rows per micro-batch — a
+    // non-aggregated stream would collect whole batches into the driver, so
+    // reject it loudly here instead of OOMing later
+    require(df.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined,
+      "upsertJdbcStream upserts CHANGED GROUPS of an aggregated stream; this frame has no " +
+        "aggregation, so micro-batches are unbounded row sets — use demuxJdbcStream/jdbc instead")
     val missing = keyCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"upsertJdbcStream: key columns not in frame: $missing")
     val spark = df.sparkSession
@@ -190,12 +199,27 @@ object Sinks {
   /** Latency-sensitive stream output (ROADMAP.md:72-74: "Different stream
     * output option for latency-sensitive operations (like mempool
     * monitoring): i.e. Websocket, SSE"): every result row is pushed as a
-    * Server-Sent-Events frame (`data: <json>\n\n`) over a TCP connection as
-    * its micro-batch completes — no file/table materialization on the hot
-    * path. One connection per partition per epoch (the executors write
-    * directly; rows never route through the driver). Pair with the
-    * no-save-block raw passthrough for the reference's "stream everything
-    * as-is, let the application take care of decoding" mode. */
+    * Server-Sent-Events frame over a TCP connection as its micro-batch
+    * completes — no file/table materialization on the hot path. One
+    * connection per partition per epoch (the executors write directly; rows
+    * never route through the driver).
+    *
+    * Delivery contract: AT-LEAST-ONCE. Source progress is checkpointed, so
+    * a restarted query resumes from the last committed epoch; an epoch
+    * whose sink write ran but whose commit didn't land is re-emitted on
+    * restart, and a mid-epoch task retry re-emits that partition's frames.
+    * Every frame therefore carries an `id: <epoch>-<partition>-<seq>` line
+    * (the SSE last-event-id mechanism) — stable across re-emissions when
+    * the per-partition row order is deterministic (true of the narrow
+    * demux pipeline this serves; a shuffled upstream would need an explicit
+    * sort), so consumers dedup/resume by id, the standard SSE story.
+    * A consumer that is DOWN fails open() after [[SseConnectRetries]]
+    * attempts and kills the query (fail-loud: this sink exists to deliver
+    * frames; silently dropping a partition via `open() = false` would be
+    * data loss with no signal). Pair with the no-save-block raw passthrough
+    * for the reference's "stream everything as-is" mode. */
+  val SseConnectRetries = 3
+
   def sseStream(
       df: DataFrame,
       host: String,
@@ -206,17 +230,32 @@ object Sinks {
     require(df.isStreaming, "sseStream needs a streaming frame")
     import org.apache.spark.sql.functions.{col, struct, to_json}
     val payload = df.select(to_json(struct(df.columns.map(col): _*)).as("payload"))
+    val retries = SseConnectRetries
     val writer = new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
       @transient private var sock: java.net.Socket = _
       @transient private var out: java.io.Writer = _
+      @transient private var idPrefix: String = _
+      @transient private var seq: Long = _
       def open(partitionId: Long, epochId: Long): Boolean = {
-        sock = new java.net.Socket(host, port)
+        // ride out transient consumer restarts; a consumer still down after
+        // the retries fails the query (see delivery contract above)
+        var attempt = 0
+        var last: Throwable = null
+        while (sock == null && attempt < retries) {
+          try sock = new java.net.Socket(host, port)
+          catch { case e: java.io.IOException => last = e; attempt += 1; Thread.sleep(200L * attempt) }
+        }
+        if (sock == null) throw new java.io.IOException(
+          s"sseStream: consumer $host:$port unreachable after $retries attempts", last)
         out = new java.io.OutputStreamWriter(sock.getOutputStream,
           java.nio.charset.StandardCharsets.UTF_8)
+        idPrefix = s"$epochId-$partitionId-"
+        seq = 0L
         true
       }
       def process(r: org.apache.spark.sql.Row): Unit = {
-        out.write("data: " + r.getString(0) + "\n\n")
+        out.write("id: " + idPrefix + seq + "\ndata: " + r.getString(0) + "\n\n")
+        seq += 1
         out.flush() // latency sink: the frame leaves NOW, not at buffer fill
       }
       def close(errorOrNull: Throwable): Unit =

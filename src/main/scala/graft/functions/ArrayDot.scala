@@ -12,17 +12,35 @@ import org.apache.spark.sql.types._
   * instead of Spark's interpreted higher-order-function lambdas (HOFs like
   * `aggregate`/`zip_with` evaluate an expression tree per element; on an
   * O(pairs × dims) similarity kernel that interpretation dominates the
-  * query). Elements are assumed non-null (embedding vectors).
+  * query).
   *
   * Semantics: Σ_i l[i]·r[i] for i < min(|l|,|r|), each element widened to
-  * double before multiply — bit-identical to the interpreted/ oracle fold.
+  * double before multiply — bit-identical to the interpreted/oracle fold.
+  * A NULL element inside the folded range yields NULL (the interpreted
+  * `aggregate(zip_with(...))` result: `x * NULL` is NULL and the fold
+  * absorbs it); the per-lane check is only emitted when the array type says
+  * `containsNull`, so dense embedding schemas keep the branch-free loop.
+  *
+  * `nullOnSizeMismatch = true` returns NULL when the lengths differ —
+  * `zip_with`'s null-padding makes the interpreted fold NULL there, and
+  * baking the guard into the kernel (instead of wrapping
+  * `If(size(a)=size(b), …)` around it) means [[DotProductRewrite]] never
+  * duplicates the input expressions, so COMPUTED vectors (normalized,
+  * sliced, …) are rewritten too and evaluate once.
   */
-case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+case class ArrayDot(left: Expression, right: Expression,
+    nullOnSizeMismatch: Boolean = false) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean =
+    super.nullable || nullOnSizeMismatch || elemNullable(left) || elemNullable(right)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -37,12 +55,16 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (nullOnSizeMismatch && a.numElements() != b.numElements()) return null
     val n = math.min(a.numElements(), b.numElements())
     val aFloat = elemType(left) == FloatType
     val bFloat = elemType(right) == FloatType
+    val aCN = elemNullable(left)
+    val bCN = elemNullable(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if ((aCN && a.isNullAt(i)) || (bCN && b.isNullAt(i))) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -61,12 +83,23 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
       val n = ctx.freshName("adN")
       val acc = ctx.freshName("adAcc")
       val i = ctx.freshName("adI")
+      val nullChecks =
+        (if (elemNullable(left)) Seq(s"$a.isNullAt($i)") else Nil) ++
+          (if (elemNullable(right)) Seq(s"$b.isNullAt($i)") else Nil)
+      val elemGuard = if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+      val (sizeOpen, sizeClose) = if (nullOnSizeMismatch)
+        (s"if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; } else {", "}")
+      else ("", "")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
+         |$sizeOpen
          |for (int $i = 0; $i < $n; $i++) {
+         |  $elemGuard
          |  $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
          |}
+         |$sizeClose
          |${ev.value} = $acc;
        """.stripMargin
     })

@@ -24,13 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *    bare `acc + v`, the zero literal 0.0D, the finish the identity — any
   *    other shape (weights, squares, filters) is left alone;
   *  - `zip_with` on different-length arrays pads with null and the fold
-  *    returns null, while ArrayDot folds to min-length — so the rewrite
-  *    guards with `size(a) = size(b)` and returns null on mismatch, exactly
-  *    the un-rewritten result;
-  *  - null ELEMENTS inside equal-length vectors are outside the vector
-  *    contract ([[ArrayDot]]: "elements are assumed non-null (embedding
-  *    vectors)") — dense-vector data is what this engine's similarity ops
-  *    define themselves over.
+  *    returns null — matched by the kernel's `nullOnSizeMismatch` mode
+  *    (baked in rather than wrapped as `If(size(a)=size(b), …)`, so the
+  *    inputs are never duplicated and COMPUTED vectors rewrite too);
+  *  - a null ELEMENT makes the interpreted fold null (`x * NULL` absorbs) —
+  *    the kernel returns null on any null lane, and emits that check only
+  *    when the array type says `containsNull`, so arbitrary user SQL over
+  *    nullable-element columns gets the identical answer while dense
+  *    embedding schemas keep the branch-free loop.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
@@ -78,12 +79,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           // bare `x * y` rounds each product to float before the fold
           // widens it — ArrayDot multiplies in double, a DIFFERENT number.
           // Only the explicitly-widened form is bit-equivalent.
-          mul.dataType == DoubleType &&
-          // the rewrite duplicates a/b into the size guard AND the kernel;
-          // branches are outside codegen subexpression elimination, so only
-          // rewrite cheap-to-reevaluate inputs (columns) — a computed
-          // vector expression would pay its cost twice.
-          a.isInstanceOf[Attribute] && b.isInstanceOf[Attribute] =>
-      If(EqualTo(Size(a), Size(b)), ArrayDot(a, b), Literal(null, DoubleType))
+          mul.dataType == DoubleType =>
+      ArrayDot(a, b, nullOnSizeMismatch = true)
   }
 }

@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
   * templates: uniswapv2 / uniswapv3 / compound / aave / makerdao"
   * (/root/reference/ROADMAP.md:82-87): instead of hand-writing the swap
   * schema (/root/reference/schema.example.hcl), declare the pair contracts
-  * and get the standard QuerySpec. v2 and v3 are built out (v3 adds the
-  * sqrtPriceX96 fixed-point price math); compound/aave/makerdao differ in
-  * ABI surface, not engine capability — they would be further constructors
-  * here.
+  * and get the standard QuerySpec. All five are built out: v2/v3 (event
+  * queries; v3 adds the sqrtPriceX96 fixed-point price math), aave (method
+  * grid + same-sample ratio), compound (grid + exchange-rate accrual
+  * window), makerdao (grid + CDP liquidation predicate).
   */
 object Templates {
 
@@ -110,9 +110,7 @@ object Templates {
     * rate growth IS the supply yield. The template packages the S5 method
     * grid polling the rate per market plus a window over the grid for the
     * growth series — a mechanic neither the swap templates (per-event
-    * math) nor aave (same-sample ratio) exercise. makerdao's vault health
-    * is the same grid + ratio shape with a different ABI — engine-wise
-    * covered by aave + this. Testbed mapping: `view` state ≙
+    * math) nor aave (same-sample ratio) exercise. Testbed mapping: `view` state ≙
     * exchangeRateStored, `click` state ≙ the account's cToken balance. */
   final case class CompoundMarket(address: Long, rateScale: Int)
 
@@ -147,6 +145,66 @@ object Templates {
         "exchange_rate" -> col("exchange_rate"),
         "ctokens" -> col("ctokens"),
         "underlying" -> col("underlying"),
+      ),
+    )
+  }
+
+  /** One MakerDAO-style vault: contract address + its collateral type
+    * (ilk) and that ilk's liquidation ratio (e.g. ETH-A = 1.45 on mainnet:
+    * a vault is safe while collateral/debt stays above it). */
+  final case class MakerVault(address: Long, ilk: String, liquidationRatio: Double)
+
+  /** MakerDAO vault-collateralization template (ROADMAP.md:82-87, the last
+    * of the reference's five declared templates): CDP health is the aave
+    * grid+ratio shape — two polled state methods per vault plus the derived
+    * ratio — with CDP semantics on top: each vault carries its ilk and that
+    * ilk's LIQUIDATION RATIO as plan-time constants (contract-scoped
+    * transforms, folded like v2's decimal scaling), and the template derives
+    * `at_risk = collateralization < liquidation_ratio` — the predicate a
+    * keeper bot watches. Testbed mapping: `view` state ≙ the vault's
+    * collateral value (ink × spot), `click` state ≙ its debt (art × rate);
+    * a live source calls the Vat/Spot contracts' ABI. Ratio is null until
+    * both sides have state and null on zero debt (the template zero-guard
+    * discipline); at_risk inherits null through the comparison. */
+  def makerdao(
+      vaults: Seq[MakerVault],
+      name: String = "makerdao_vaults",
+      chain: String = "ethereum",
+      startTime: String,
+      endTime: String,
+      intervalSeconds: Long = 86400L,
+  ): QuerySpec = {
+    require(vaults.nonEmpty, "makerdao template: declare at least one vault")
+    QuerySpec(
+      name = name,
+      chain = chain,
+      contracts = vaults.map(v => ContractSpec(v.address,
+        methods = Seq(
+          MethodSpec("view", Seq("value")),    // ≙ collateral value (ink × spot)
+          MethodSpec("click", Seq("value"))),  // ≙ vault debt (art × rate)
+        transforms = Seq(
+          "ilk" -> lit(v.ilk),
+          "liquidation_ratio" -> lit(v.liquidationRatio)))),
+      startTime = Some(startTime),
+      endTime = Some(endTime),
+      blockInterval = Some(intervalSeconds),
+      transforms = Seq(
+        "collateral_value" -> col("view_value"),
+        "debt" -> col("click_value"),
+        "collateralization" -> Functions.ternary(col("click_value") =!= 0,
+          col("view_value") / col("click_value"), lit(null).cast("double")),
+        // sequential transform fold: references the ratio derived above
+        "at_risk" -> (col("collateralization") < col("liquidation_ratio"))),
+      saves = Seq(
+        "sample_ts" -> col("sample_ts"),
+        "timestamp" -> col("timestamp"),
+        "vault" -> col("user_id"),
+        "ilk" -> col("ilk"),
+        "collateral_value" -> col("collateral_value"),
+        "debt" -> col("debt"),
+        "collateralization" -> col("collateralization"),
+        "liquidation_ratio" -> col("liquidation_ratio"),
+        "at_risk" -> col("at_risk"),
       ),
     )
   }

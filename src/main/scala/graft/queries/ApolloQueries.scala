@@ -458,6 +458,54 @@ object ApolloQueries {
       |  CASE WHEN bv <> 0 THEN cv / bv END AS collateral_ratio
       |FROM w WHERE side = 1 ORDER BY sample_ts, account""".stripMargin
 
+  /** ROADMAP v1.1 'makerdao' template (the reference's last unchecked
+    * template box, ROADMAP.md:86): vault collateralization — the aave
+    * grid+ratio shape with CDP semantics: per-vault ilk + liquidation-ratio
+    * constants (contract-scoped, plan-time-folded) and the keeper predicate
+    * `at_risk = collateralization < liquidation_ratio`. The oracle derives
+    * the same per-vault constants as CASE maps over the as-of windows. */
+  def templateMakerdao(spark: SparkSession, sfDir: String): DataFrame =
+    Compiler.compile(spark, sfDir, graft.model.Templates.makerdao(
+      vaults = Seq(
+        graft.model.Templates.MakerVault(address = 2L, ilk = "ETH-A", liquidationRatio = 1.45),
+        graft.model.Templates.MakerVault(address = 4L, ilk = "WBTC-A", liquidationRatio = 1.4),
+        graft.model.Templates.MakerVault(address = 6L, ilk = "ETH-B", liquidationRatio = 1.3)),
+      startTime = "2024-01-02", endTime = "2024-01-28",
+      intervalSeconds = 172800L,
+    )).orderBy("sample_ts", "vault")
+
+  private val templateMakerdaoSql =
+    """WITH grid AS (
+      |  SELECT g.t, u.user_id
+      |  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-02', TIMESTAMP '2024-01-28', INTERVAL 2 DAY)) AS t) g
+      |  CROSS JOIN (SELECT unnest(CAST([2, 4, 6] AS BIGINT[])) AS user_id) u),
+      |ev AS (SELECT user_id, ts AS t, event_id, value, event_type FROM events
+      |       WHERE user_id IN (2, 4, 6) AND event_type IN ('view', 'click')),
+      |un AS (
+      |  SELECT user_id, t, CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value,
+      |    CAST(NULL AS VARCHAR) AS event_type, 1 AS side FROM grid
+      |  UNION ALL
+      |  SELECT user_id, t, event_id, value, event_type, 0 AS side FROM ev),
+      |w AS (
+      |  SELECT user_id, t, side,
+      |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER win AS cv,
+      |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER win AS dv
+      |  FROM un
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |g AS (
+      |  SELECT t AS sample_ts, CAST(floor(epoch(t)) AS BIGINT) AS "timestamp",
+      |    user_id AS vault,
+      |    CASE user_id WHEN 2 THEN 'ETH-A' WHEN 4 THEN 'WBTC-A' ELSE 'ETH-B' END AS ilk,
+      |    cv AS collateral_value, dv AS debt,
+      |    CASE WHEN dv <> 0 THEN cv / dv END AS collateralization,
+      |    CAST(CASE user_id WHEN 2 THEN 1.45 WHEN 4 THEN 1.4 ELSE 1.3 END AS DOUBLE) AS liquidation_ratio
+      |  FROM w WHERE side = 1)
+      |SELECT sample_ts, "timestamp", vault, ilk, collateral_value, debt,
+      |  collateralization, liquidation_ratio,
+      |  collateralization < liquidation_ratio AS at_risk
+      |FROM g ORDER BY sample_ts, vault""".stripMargin
+
   /** ROADMAP v1.1 'compound' template: exchange-rate accrual — cToken
     * balances convert to the underlying via the market's polled
     * exchangeRate, and the per-sample rate growth (a lag window OVER the
@@ -1356,6 +1404,7 @@ object ApolloQueries {
     "template_uniswapv3" -> (templateUniswapV3 _),
     "template_aave" -> (templateAave _),
     "template_compound" -> (templateCompound _),
+    "template_makerdao" -> (templateMakerdao _),
     "tx_context_events" -> (txContextEvents _),
     "raw_stream_passthrough" -> (rawStreamPassthrough _),
     "cross_chain_monitor" -> (crossChainMonitor _),
@@ -1397,6 +1446,7 @@ object ApolloQueries {
     "template_uniswapv3" -> templateUniswapV3Sql,
     "template_aave" -> templateAaveSql,
     "template_compound" -> templateCompoundSql,
+    "template_makerdao" -> templateMakerdaoSql,
     "tx_context_events" -> txContextEventsSql,
     "raw_stream_passthrough" -> rawStreamPassthroughSql,
     "cross_chain_monitor" -> crossChainMonitorSql,

@@ -161,15 +161,33 @@ class KernelsSpec extends SparkSpec {
       .withColumn("d", expr(
         "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
     assert(!bare.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot"))
-    // and a computed (non-attribute) vector input is not rewritten either —
-    // the size guard would re-evaluate the computed subtree per row
-    val computed = Tables.embeddings(spark, sf).limit(5)
-      .select(col("embedding").as("a"))
-      .withColumn("d", expr(
-        "aggregate(zip_with(slice(a, 1, 8), slice(a, 1, 8), " +
-          "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-    assert(!computed.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot"))
+    // a COMPUTED (non-attribute) vector input is rewritten too: the kernel's
+    // nullOnSizeMismatch mode replaced the old If(size=size) wrapper, so the
+    // inputs are never duplicated and the computed subtree evaluates once
+    val computedHof =
+      "aggregate(zip_with(slice(a, 1, 8), reverse(a), " +
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    def computedFrame() = Tables.embeddings(spark, sf).limit(20)
+      .select(col("vec_id"), col("embedding").as("a"))
+      .withColumn("d", expr(computedHof))
+    assert(computedFrame().queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot"))
+    // ... and is bit-identical to the interpreted fold (rule suspended).
+    // slice(a,1,8) vs reverse(a) also exercises the size-mismatch → null leg
+    // on real (64-lane vs 8-lane) data.
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.functions.DotProductRewrite)
+    val interp =
+      try computedFrame().select("vec_id", "d").collect().map(r => r.get(0) -> r.get(1)).toMap
+      finally spark.experimental.extraOptimizations = saved
+    val kern = computedFrame().select("vec_id", "d").collect().map(r => r.get(0) -> r.get(1)).toMap
+    assert(kern == interp, s"kernel=$kern interp=$interp")
+    // NULL elements inside equal-length vectors: the interpreted fold is
+    // NULL (x * NULL absorbs) — the rewritten kernel must agree (ADVICE r5)
+    val ne = Seq((Seq(Option(1.0), None, Option(3.0)), Seq(Option(4.0), Option(5.0), Option(6.0))))
+      .toDF("a", "b").withColumn("d", expr(hofDot))
+    assert(ne.head().isNullAt(2))
   }
 
   test("ArrayDot codegen COMPILES with several dots in one stage (no silent fallback)") {
@@ -204,5 +222,9 @@ class KernelsSpec extends SparkSpec {
     val empty = Seq((Array.empty[Float], Array.empty[Float]))
       .toDF("a", "b").select(Vec.dot(col("a"), col("b"))).head().getDouble(0)
     assert(empty == 0.0)
+    // a NULL element nulls the whole dot (matches the interpreted HOF fold)
+    val withNull = Seq((Seq(Option(1.0), None), Seq(Option(3.0), Option(4.0))))
+      .toDF("a", "b").select(Vec.dot(col("a"), col("b"))).head()
+    assert(withNull.isNullAt(0))
   }
 }
