@@ -8,19 +8,22 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub ([[fakeDecode]]); everything Spark-side
-  * — binary schema, batched partition processing, metadata extraction as
-  * columns — is real and tested. In production the stub body is replaced by
-  * a real codec call; the batch shape (fixed-size chunks per partition, the
+  * IMAGE decode is REAL: [[realDecode]] round-trips deterministic PNGs
+  * through the JDK's own `javax.imageio` codec (pixels in, pixels out,
+  * oracle-checked dimensions + mean RGB). Audio/video decode remains a
+  * clearly-marked deterministic stub ([[fakeDecode]]) — the container
+  * ships no audio/video codecs — with everything Spark-side (binary
+  * schema, batched partition processing, metadata extraction as columns)
+  * real and tested. The batch shape (fixed-size chunks per partition, the
   * Scala analogue of `mapInPandas` Arrow batches) is what matters for
   * vectorized decode throughput at scale.
   */
 object MultimodalOps {
 
   /** Deterministic FAKE decode: metadata derived from the payload bytes.
-    * STUB — replace with a real codec (e.g. javax.imageio / ffmpeg bindings)
-    * in production. Kept total and pure so tests and oracles are stable. */
+    * STUB for the audio/video modalities only (the JDK has no codec for
+    * them; images go through the real [[realDecode]] path). Kept total and
+    * pure so tests and oracles are stable. */
   def fakeDecode(nbytes: Long): (Long, Long, Long, Long) = {
     val width = 64L + nbytes % 576L
     val height = 64L + (nbytes * 7L) % 416L
@@ -132,13 +135,96 @@ object MultimodalOps {
       |  CAST(floor(h * least(224.0 / w, 224.0 / h) + 0.5) AS BIGINT) AS resized_h
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Deterministic PNG fixture: a `w × h` row-striped RGB image whose
+    * dimensions and per-row channel values are closed-form functions of
+    * `doc_id` — so the ORACLE can predict what a real decoder must read
+    * back without itself decoding PNG. PNG is lossless; the JDK codec must
+    * return these exact pixels. */
+  def encodePng(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 16).toInt
+    val h = (8 + (docId * 3) % 12).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val r = ((docId * 7 + y) % 256).toInt
+      val g = ((docId * 13 + 2L * y) % 256).toInt
+      val b = ((docId * 31 + 3L * y) % 256).toInt
+      val rgb = (r << 16) | (g << 8) | b
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** REAL image decode — no stub: synthesize a deterministic PNG per
+    * document into the binary column (fixture-build step), then decode REAL
+    * pixels back through the JDK's `javax.imageio` PNG codec in the same
+    * batched `mapPartitions` shape as [[decodeBatched]], extracting
+    * dimensions and mean RGB. The oracle reproduces the closed-form
+    * expectations ([[encodePng]]'s row stripes) — a decoder that misread
+    * size, channel order, or any pixel fails the hash compare. Mean = exact
+    * integer pixel sum / exact pixel count in one IEEE division, identical
+    * on both engines. */
+  def realDecode(df: DataFrame, batchSize: Int = 32): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val png = encodePng(id) // fixture-build: the opaque binary payload
+          // the REAL decode: JDK PNG codec, actual pixels
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          Row(id, w.toLong, h.toLong, sr / n, sg / n, sb / n)
+        }
+      }
+    }(enc)
+  }
+
+  def realDecodeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    realDecode(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  private val realDecodeSql =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h FROM documents),
+      |py AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  avg((doc_id * 7 + y) % 256) AS mean_r,
+      |  avg((doc_id * 13 + 2 * y) % 256) AS mean_g,
+      |  avg((doc_id * 31 + 3 * y) % 256) AS mean_b
+      |FROM py GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_batched_decode" -> (batchedDecode _),
+    "mm_real_decode" -> (realDecodeQuery _),
   )
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> binaryMetaSql,
     "mm_batched_decode" -> batchedDecodeSql,
+    "mm_real_decode" -> realDecodeSql,
   )
 }

@@ -82,6 +82,66 @@ object HclSchema {
     }.mkString("\n")
   }
 
+  /** "line L, col C" for an offset into the parsed text — parse errors must
+    * point a reference user at the offending expression, not a character
+    * count (stripComments preserves line structure, so lines match the
+    * user's file). */
+  private[graft] def lineCol(s: String, off: Int): String = {
+    val upTo = s.substring(0, math.min(off, s.length))
+    val line = upTo.count(_ == '\n') + 1
+    val col = off - upTo.lastIndexOf('\n') // lastIndexOf = -1 on line 1 → 1-based col
+    s"line $line, col $col"
+  }
+
+  /** Unsupported-construct detection at VALUE-scan time, where the offset
+    * is still known: hclsyntax `for` expressions (`[for x in xs : ...]` /
+    * `{for k, v in m : ...}`) and splat expressions (`xs[*].attr` /
+    * `xs.*.attr`) are outside this dialect (the reference's own schemas
+    * never use them) — fail loud WITH position instead of letting the
+    * expression translator produce a downstream error that lost it. */
+  private def rejectUnsupported(s: String, vStart: Int, vEnd: Int, ident: String): Unit = {
+    var i = vStart
+    var inStr = false; var qc = ' '
+    def fail(what: String, at: Int): Nothing = throw new IllegalArgumentException(
+      s"hcl: unsupported HCL construct ($what) in value of `$ident` at ${lineCol(s, at)} — " +
+        "this dialect covers the reference's schema surface; rewrite the expression " +
+        "without for/splat (e.g. declare the projection in a save/transform block)")
+    while (i < vEnd) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < vEnd) i += 1
+        else if (c == qc) inStr = false
+      } else c match {
+        case '"' | '\'' => inStr = true; qc = c
+        case '<' if i + 1 < vEnd && s.charAt(i + 1) == '<' =>
+          // heredoc inside a value is raw TEXT — skip to its closing marker
+          i += 2
+          if (i < vEnd && s.charAt(i) == '-') i += 1
+          val mStart = i
+          while (i < vEnd && s.charAt(i) != '\n') i += 1
+          val m = s.substring(mStart, i).trim
+          var hClosed = m.isEmpty // empty marker: let parseBody's own error fire
+          while (!hClosed && i < vEnd) {
+            i += 1
+            val lStart = i
+            while (i < vEnd && s.charAt(i) != '\n') i += 1
+            if (s.substring(lStart, i).trim == m) hClosed = true
+          }
+        case '[' | '{' =>
+          // `for` immediately after an opener (modulo whitespace) is the
+          // hclsyntax for-expression grammar; `[*]` is the index splat
+          var j = i + 1
+          while (j < vEnd && s.charAt(j).isWhitespace) j += 1
+          if (c == '[' && j < vEnd && s.charAt(j) == '*') fail("splat expression [*]", i)
+          if (j + 3 <= vEnd && s.substring(j, j + 3) == "for" &&
+            (j + 3 == vEnd || s.charAt(j + 3).isWhitespace)) fail("for expression", i)
+        case '.' if i + 1 < vEnd && s.charAt(i + 1) == '*' => fail("attribute splat .*", i)
+        case _ => ()
+      }
+      i += 1
+    }
+  }
+
   /** Parse a block body from `s` starting at `from`; returns (body, next). */
   private def parseBody(s: String, from: Int, topLevel: Boolean): (Body, Int) = {
     val attrs = Seq.newBuilder[(String, String)]
@@ -93,7 +153,7 @@ object HclSchema {
       val idStart = i
       while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
       val ident = s.substring(idStart, i)
-      require(ident.nonEmpty, s"hcl: expected identifier at offset $i")
+      require(ident.nonEmpty, s"hcl: expected identifier at ${lineCol(s, i)}")
       skipWs()
       if (i < s.length && s.charAt(i) == '=') {
         i += 1
@@ -180,6 +240,7 @@ object HclSchema {
           }
           if (!done) i += 1
         }
+        rejectUnsupported(s, vStart, i, ident)
         attrs += ident -> s.substring(vStart, i).trim
         }
       } else {
@@ -202,7 +263,7 @@ object HclSchema {
             skipWs()
             Some(l)
           } else None
-        require(i < s.length && s.charAt(i) == '{', s"hcl: expected '{' after $ident at offset $i")
+        require(i < s.length && s.charAt(i) == '{', s"hcl: expected '{' after $ident at ${lineCol(s, i)}")
         i += 1
         val (body, next) = parseBody(s, i, topLevel = false)
         require(next < s.length && s.charAt(next) == '}', s"hcl: unterminated block $ident")

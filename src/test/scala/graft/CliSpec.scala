@@ -134,6 +134,56 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("unbounded realtime CLI: live trigger lands rows per query dir; graceful stop exits clean") {
+    // the steady-state path --once never exercises: the stream stays LIVE,
+    // rows land while the poll loop is still running, and a graceful stop
+    // (the reference's ctrl+c) exits without surfacing an error
+    val dir = writeConfigDir()
+    val out = Files.createTempDirectory("cli_live").toString
+    val before = spark.streams.active.map(_.id).toSet
+    @volatile var err: Option[Throwable] = None
+    val t = new Thread(() => {
+      try Run.run(Array("--config-dir", dir, "--realtime", "--csv", "--out", out), Some(spark))
+      catch { case e: Throwable => err = Some(e) }
+    })
+    t.start()
+    def landedRows(): Long = scala.util.Try {
+      spark.read.option("header", "true").csv(s"$out/csv/query_name=testbed_swaps").count()
+    }.getOrElse(0L)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (landedRows() == 0 && t.isAlive && err.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(300)
+    assert(err.isEmpty, s"live run failed: $err")
+    assert(landedRows() > 0, "no rows landed while the stream was live")
+    assert(t.isAlive, "run returned on its own — the stream was not live")
+    spark.streams.active.filterNot(q => before(q.id)).foreach(_.stop())
+    t.join(120000)
+    assert(!t.isAlive, "run did not exit after its stream was stopped")
+    assert(err.isEmpty, s"graceful stop surfaced an error: $err")
+  }
+
+  test("unbounded realtime CLI: a dying sink surfaces its failure (not a silent hang)") {
+    // an SSE consumer that is DOWN: the sink's open() exhausts its connect
+    // retries, the streaming query dies, and the unbounded poll loop must
+    // RETHROW that failure (110181f) instead of idling forever
+    val dir = writeConfigDir()
+    val out = Files.createTempDirectory("cli_dead").toString
+    val port = { val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    @volatile var err: Option[Throwable] = None
+    val t = new Thread(() => {
+      try Run.run(Array("--config-dir", dir, "--realtime",
+        "--sse", s"localhost:$port", "--out", out), Some(spark))
+      catch { case e: Throwable => err = Some(e) }
+    })
+    t.start()
+    t.join(180000)
+    assert(!t.isAlive, "run did not exit after its sink failed")
+    assert(err.nonEmpty, "sink failure was swallowed — the poll loop must surface it")
+    val messages = Iterator.iterate(err.get.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("unreachable"), s"unexpected failure chain: $messages")
+  }
+
   test("realtime aggregate query through the CLI lands as an upserted SQL table") {
     val url = "jdbc:derby:memory:cliagg;create=true"
     val dir = writeConfigDir(Some(url))

@@ -379,6 +379,65 @@ class FixturesSpec extends SparkSpec {
     assert(e.getMessage.contains("colliding testbed keys"))
   }
 
+  test("HCL: unsupported for/splat constructs fail loud WITH line position") {
+    // hclsyntax `for` expression — outside the dialect; the error must name
+    // the line so a reference user can find the offending expression
+    val forHcl =
+      """query f {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = 1
+        |    event purchase { outputs = ["value"] }
+        |  }
+        |  filter = [for v in values : v > 0]
+        |  save { block = blocknumber }
+        |}""".stripMargin
+    val e1 = intercept[IllegalArgumentException](HclSchema.parse(forHcl))
+    assert(e1.getMessage.contains("for expression"), e1.getMessage)
+    assert(e1.getMessage.contains("line 7"), e1.getMessage)
+    assert(e1.getMessage.contains("`filter`"), e1.getMessage)
+    // index splat `[*]`
+    val splatHcl =
+      """query s {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = 1
+        |    event purchase { outputs = ["value"] }
+        |    transform { v = amounts[*].value }
+        |  }
+        |  save { block = blocknumber }
+        |}""".stripMargin
+    val e2 = intercept[IllegalArgumentException](HclSchema.parse(splatHcl))
+    assert(e2.getMessage.contains("splat"), e2.getMessage)
+    assert(e2.getMessage.contains("line 6"), e2.getMessage)
+    // attribute splat `.*`
+    val attrSplat =
+      """query a {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = 1
+        |    event purchase { outputs = ["value"] }
+        |  }
+        |  save { v = items.*.value }
+        |}""".stripMargin
+    val e3 = intercept[IllegalArgumentException](HclSchema.parse(attrSplat))
+    assert(e3.getMessage.contains("attribute splat"), e3.getMessage)
+    assert(e3.getMessage.contains("line 7"), e3.getMessage)
+    // strings containing `for`/`.*`/`[*]` lookalikes are NOT flagged
+    val benign =
+      """start_time = "2024-01-05"
+        |query ok {
+        |  chain = "ethereum"
+        |  contract {
+        |    address = 1
+        |    event purchase { outputs = ["value"] }
+        |    transform { note = "[for x in xs : x] and a.*.b and [*]" }
+        |  }
+        |  save { block = blocknumber, note = note }
+        |}""".stripMargin
+    assert(HclSchema.parse(benign).queries.nonEmpty)
+  }
+
   test("HCL: heredoc values parse, survive comments-in-content, and execute") {
     graft.functions.GraftFunctions.register(spark)
     val hcl =

@@ -35,4 +35,24 @@ class MultimodalSpec extends SparkSpec {
       .head()
     assert(r.getAs[Array[Byte]]("payload").length == r.getString(0).getBytes("UTF-8").length)
   }
+
+  test("realDecode round-trips ACTUAL pixels through the JDK PNG codec") {
+    // not the stub: encodePng writes a real PNG container (magic bytes) and
+    // ImageIO must read back the exact stripe colors PNG losslessly stores
+    val png = MultimodalOps.encodePng(42L)
+    assert(png.take(4).map(_ & 0xff).sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == (8 + 42 % 16) && img.getHeight == (8 + 42 * 3 % 12))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == (42 * 7 + y) % 256, s"r at ($x,$y)")
+      assert(((rgb >> 8) & 0xff) == (42 * 13 + 2 * y) % 256, s"g at ($x,$y)")
+      assert((rgb & 0xff) == (42 * 31 + 3 * y) % 256, s"b at ($x,$y)")
+    }
+    // and the distributed path agrees with a driver-side recompute
+    val row = MultimodalOps.realDecode(Tables.documents(spark, sf))
+      .where(col("doc_id") === 42L).head()
+    assert(row.getAs[Long]("width") == img.getWidth.toLong)
+    assert(row.getAs[Long]("height") == img.getHeight.toLong)
+  }
 }

@@ -209,6 +209,52 @@ class SinksSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("SSE restart/replay: resumed runs emit nothing new; replayed frames reuse ids (at-least-once)") {
+    // the delivery contract in Sinks.sseStream's scaladoc, exercised:
+    //  (1) a RESTART from the committed checkpoint emits NO duplicate frames
+    //      (source progress is exactly-once);
+    //  (2) a REPLAY (fresh checkpoint — the uncommitted-epoch case) re-emits
+    //      frames carrying the SAME id: lines, so a consumer deduping by id
+    //      converges to one copy — at-least-once wire, exactly-once effect.
+    val out = tmp("sserestart")
+    val srv = new SseTestServer
+    try {
+      def stream = {
+        val spec = graft.model.QuerySpec(
+          name = "sse_replay", chain = "ethereum", mode = graft.model.Mode.Realtime,
+          globalEvents = Seq(graft.model.EventSpec("error", Seq("value"))),
+          saves = Seq("blocknumber" -> col("blocknumber"), "value" -> col("value")))
+        Compiler.compile(spark, sf, spec)
+      }
+      val expect = Tables.events(spark, sf).where(col("event_type") === "error").count()
+      Sinks.sseStream(stream, "localhost", srv.port, s"$out/ck1", bounded = true)
+        .awaitTermination()
+      srv.awaitFrames(expect)
+      assert(srv.received.size() == expect, s"got ${srv.received.size()}, want $expect")
+      import scala.jdk.CollectionConverters._
+      val firstIds = srv.ids.asScala.toVector
+      assert(firstIds.forall(_.matches("\\d+-\\d+-\\d+")), s"missing/odd ids: ${firstIds.take(3)}")
+      assert(firstIds.distinct.size == firstIds.size, "ids must be unique within a run")
+      // (1) restart from the SAME checkpoint: nothing re-emitted
+      Sinks.sseStream(stream, "localhost", srv.port, s"$out/ck1", bounded = true)
+        .awaitTermination()
+      Thread.sleep(1500) // would-be duplicates need time to arrive
+      assert(srv.received.size() == expect,
+        s"restart from committed checkpoint re-emitted frames: ${srv.received.size()} != $expect")
+      // (2) replay from a FRESH checkpoint: same frames, SAME ids
+      Sinks.sseStream(stream, "localhost", srv.port, s"$out/ck2", bounded = true)
+        .awaitTermination()
+      srv.awaitFrames(2 * expect)
+      assert(srv.received.size() == 2 * expect)
+      val replayIds = srv.ids.asScala.drop(firstIds.size).toVector
+      assert(replayIds.sorted == firstIds.sorted,
+        "replayed frames must reuse the same ids for consumer dedup")
+      // consumer-side dedup by (id, payload) converges to exactly one copy
+      val byId = srv.ids.asScala.zip(srv.received.asScala).toMap
+      assert(byId.size == expect)
+    } finally srv.stop()
+  }
+
   test("R8 streaming demux to SQL: one table per realtime query (output.go:82-104 contract)") {
     val out = tmp("sjdbc")
     val props = new java.util.Properties()

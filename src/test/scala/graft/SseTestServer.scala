@@ -7,6 +7,10 @@ final class SseTestServer {
   val server = new java.net.ServerSocket(0)
   val received: java.util.List[String] =
     java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  /** `id:` line accompanying each data frame (same order as [[received]];
+    * "" when a frame carried no id) — the consumer-side dedup key. */
+  val ids: java.util.List[String] =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
   @volatile private var accepting = true
 
   private val acceptor = new Thread(() => {
@@ -16,8 +20,10 @@ final class SseTestServer {
         val r = new java.io.BufferedReader(new java.io.InputStreamReader(
           s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
         var line = r.readLine()
+        var lastId = ""
         while (line != null) {
-          if (line.startsWith("data: ")) received.add(line.drop(6))
+          if (line.startsWith("id: ")) lastId = line.drop(4)
+          else if (line.startsWith("data: ")) { received.add(line.drop(6)); ids.add(lastId); lastId = "" }
           line = r.readLine()
         }
         s.close()
