@@ -58,15 +58,28 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-stream source for one store table, handling BOTH store layouts:
+    * the driver's testdata keeps each table as a single FILE
+    * (`<dir>/events.parquet` — stream the parent dir with a name glob,
+    * since file-stream basePath must be a directory), while generated
+    * stores (GenScale) and any real parquet producer write a DIRECTORY of
+    * part files under that name — stream the directory itself, where new
+    * part files arriving stream in. */
+  private def tableStream(
+      spark: SparkSession, sfDir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = s"$sfDir/$table.parquet"
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema).option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
+  }
+
   /** S3/S4 — event stream: file-source stand-in for the log subscription.
     * The same `where` pushdown used in batch applies per micro-batch. */
   def eventStream(spark: SparkSession, sfDir: String, signature: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // File-stream basePath must be a directory; select just the events
-    // table out of it with a glob (new matching files would stream in).
-    val base = spark.readStream.schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val base = tableStream(spark, sfDir, "events", eventSchema)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     signature.map(s => base.where(col("event_type") === s)).getOrElse(base)
   }
@@ -112,9 +125,7 @@ object Streams {
     * the bounded run must emit exactly the batch-distinct fingerprints —
     * that is what the oracle asserts. */
   def nearDupDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.readStream.schema(documentSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    val docs = tableStream(spark, sfDir, "documents", documentSchema)
     val deduped = docs
       .select(col("doc_id"), graft.functions.TextFns.simhash32(col("text")).as("simhash"))
       // synthetic bounded event time (documents carry none): every row lands
