@@ -36,8 +36,12 @@ case class ArrayDot(left: Expression, right: Expression,
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
-  private def elemNullable(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].containsNull
+  // total on any dataType: `nullable` may be consulted before
+  // checkInputDataTypes rejects a mistyped call — never cast blindly there
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
 
   override def nullable: Boolean =
     super.nullable || nullOnSizeMismatch || elemNullable(left) || elemNullable(right)

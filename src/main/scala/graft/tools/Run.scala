@@ -266,6 +266,15 @@ object Run {
     // file/console/SSE sinks for them fail loud with the remedy.
     val aggNames = schema.queries.filter(_.aggregates.nonEmpty).map(_.name).toSet
     val (aggLive, live) = allLive.partition { case (name, _) => aggNames.contains(name) }
+    // --sse only carries live NON-aggregate streams (aggregates update group
+    // values in place; drained grids are batch frames) — a run where nothing
+    // can reach the SSE consumer must say so, not silently serve nothing.
+    // Checked BEFORE any stream starts, so the failure leaks nothing.
+    require(opts.sse.isEmpty || live.nonEmpty,
+      "--sse requested but no live non-aggregate stream exists to serve over SSE — " +
+        s"this schema's realtime queries ${(aggLive.keys ++ drained.keys).toSeq.sorted.mkString(", ")} " +
+        "are aggregates (upserted via --db) or bounded grids (batch sinks); " +
+        "SSE frames require an append-mode live stream")
     val ourStreams = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
     if (aggLive.nonEmpty) {
       // aggregates need --db (the upserted live table); csv/sse stay valid
@@ -295,14 +304,6 @@ object Run {
         }
       }
     }
-    // --sse only carries live NON-aggregate streams (aggregates update group
-    // values in place; drained grids are batch frames) — a run where nothing
-    // can reach the SSE consumer must say so, not silently serve nothing
-    require(opts.sse.isEmpty || live.nonEmpty,
-      "--sse requested but no live non-aggregate stream exists to serve over SSE — " +
-        s"this schema's realtime queries ${(aggLive.keys ++ drained.keys).toSeq.sorted.mkString(", ")} " +
-        "are aggregates (upserted via --db) or bounded grids (batch sinks); " +
-        "SSE frames require an append-mode live stream")
     if (live.nonEmpty) {
       val demuxed = Compiler.demux(live)
       val started = ourStreams // continue the same run-wide query list
