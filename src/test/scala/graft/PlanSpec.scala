@@ -167,6 +167,50 @@ class PlanSpec extends SparkSpec {
     assert(viaAgg.except(viaJoin).count() == 0)
   }
 
+  test("INVENTORY-WIDE plan audit: no cartesian product anywhere; BNLJ only where justified (r6)") {
+    // The targeted asserts above pin known-risky shapes; this sweep closes
+    // the rest of the inventory: every BATCH query's physical plan is
+    // checked for the two scale-killer operators. Excluded by name (with
+    // the reason, not silently): queries whose construction EXECUTES work —
+    // streaming drains and driver-iterative algorithms — their plan
+    // discipline is covered by the targeted asserts + oracle parity.
+    val executesOnBuild = Set(
+      "s3_stream_batch_parity", "s3_compiled_stream_parity", "s6_method_poller",
+      "s7_realtime_event_methods", "s7_realtime_negative_offset",
+      "s7_realtime_positive_offset", "mempool_monitor", "dsl_stream_aggregate",
+      "stream_join_parity", "stream_neardup_dedup", "raw_stream_passthrough",
+      "dedup_cluster_canonical", "dedup_best_survivor", "curation_pipeline",
+      "dedup_semantic", // reuses the memoized cluster fixtures
+      "s9_block_dater") // driver-side binary-search refinement
+    // BroadcastNestedLoopJoin is legitimate ONLY against a broadcast
+    // one-row (or few-row constant) side — the documented crossJoin uses
+    val bnljJustified = Set(
+      "sample_mixture",   // two 1-row/20-row broadcast aggregates onto the scan
+      "sample_importance",// 1-row corpus-mean aggregate broadcast
+      "q14_promo_share",  // 1-row ratio numerator/denominator combine
+      "approx_distinct",  // 1-row exact-vs-HLL comparison frame
+      "split_train_val_test", // 1-row corpus count broadcast
+      "text_contamination", "text_contamination_bloom", // tiny benchmark-set constants
+      "s5_method_timeseries", "s5_method_grid_compiled", // tick grid × contract list (both tiny, Sources.scala:86)
+      "template_aave", "template_compound", "template_makerdao", // the same S5 grid shape
+      "sim_brute_topk", "sim_ann_recall", // brute-force baseline: queries (8 rows) broadcast against candidates BY DESIGN
+      "sim_ivf_ann",      // routing: 8 queries × broadcast representative set (both tiny; SimilarityOps:155)
+      "text_tfidf_topk",  // 1-row corpus doc-count broadcast for the idf term (TextOps:401)
+      "sim_clustered_recall")
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(executesOnBuild)
+      .flatMap { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljJustified(name)
+        if (cart || bnlj)
+          Some(s"$name: ${if (cart) "CartesianProduct " else ""}${if (bnlj) "unjustified BNLJ" else ""}")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the flagship transform/filter/save pipeline") {
     // AQE's pre-execution plan hides codegen wrapping; disable it to see the
     // final operator tree structurally.
