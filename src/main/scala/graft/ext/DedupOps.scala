@@ -208,6 +208,55 @@ object DedupOps {
        |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
        |ORDER BY doc1, doc2""".stripMargin
 
+  /** CONTAINMENT scoring over the candidate set (Lee et al.'s asymmetric
+    * measure, "Deduplicating Training Data Makes Language Models Better"
+    * §4 uses both directions): C(A→B) = |S_A ∩ S_B| / |S_A|. A short doc
+    * fully embedded in a long one scores containment ≈ 1 while its
+    * symmetric Jaccard (|∩|/|∪|) stays low — the quote/boilerplate-inclusion
+    * case a Jaccard threshold under-counts. Same plan shape as
+    * [[ngramJaccard]]: candidates from the banded index, per-row
+    * array_intersect on the pair — no shingle explode, no extra shuffle.
+    * `contained_doc` names the subset side (the dedup policy's drop
+    * candidate); ties on equal sizes resolve to doc1 (doc1 < doc2 always).
+    * Exact-integer division both engines — oracle bit-parity. */
+  def ngramContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = docShingles(spark, sfDir)
+    val band = banded(signatures(spark, sfDir))
+    candidatePairs(band)
+      .join(docs.select(col("doc_id").as("doc1"), col("shs").as("s1")), Seq("doc1"))
+      .join(docs.select(col("doc_id").as("doc2"), col("shs").as("s2")), Seq("doc2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("n1", size(col("s1")).cast("long"))
+      .withColumn("n2", size(col("s2")).cast("long"))
+      .withColumn("containment",
+        greatest(col("inter").cast("double") / col("n1"),
+          col("inter").cast("double") / col("n2")))
+      .where(col("containment") >= 0.8)
+      .withColumn("contained_doc",
+        when(col("n1") <= col("n2"), col("doc1")).otherwise(col("doc2")))
+      .select("doc1", "doc2", "n1", "n2", "inter", "containment", "contained_doc")
+      .orderBy("doc1", "doc2")
+  }
+
+  private val ngramContainmentSql =
+    s"""WITH $shinglesCte,
+       |$signaturesCte,
+       |$bandedCte,
+       |$pairsCte,
+       |j AS (
+       |  SELECT p.doc1, p.doc2,
+       |    CAST(len(d1.shs) AS BIGINT) AS n1, CAST(len(d2.shs) AS BIGINT) AS n2,
+       |    CAST(len(list_intersect(d1.shs, d2.shs)) AS BIGINT) AS inter
+       |  FROM pairs p
+       |  JOIN docsh d1 ON d1.doc_id = p.doc1
+       |  JOIN docsh d2 ON d2.doc_id = p.doc2)
+       |SELECT doc1, doc2, n1, n2, inter,
+       |  greatest(CAST(inter AS DOUBLE) / n1, CAST(inter AS DOUBLE) / n2) AS containment,
+       |  CASE WHEN n1 <= n2 THEN doc1 ELSE doc2 END AS contained_doc
+       |FROM j
+       |WHERE greatest(CAST(inter AS DOUBLE) / n1, CAST(inter AS DOUBLE) / n2) >= 0.8
+       |ORDER BY doc1, doc2""".stripMargin
+
   /** SimHash (32-bit, md5-nibble bits, token multiplicity weighted) via the
     * compiled [[graft.functions.SimHash32]] kernel — a pure per-row
     * projection, no explode/groupBy. (The semantically-identical relational
@@ -624,6 +673,7 @@ object DedupOps {
     "dedup_semantic" -> (semDedup _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_ngram_containment" -> (ngramContainment _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_cluster_canonical" -> (clusterCanonical _),
@@ -636,6 +686,7 @@ object DedupOps {
     "dedup_semantic" -> semDedupSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_ngram_containment" -> ngramContainmentSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" -> embeddingCosineSql,
     "dedup_cluster_canonical" -> clusterCanonicalSql,

@@ -231,4 +231,24 @@ class QueriesSpec extends SparkSpec {
     // doc 2: window starts 3..5 → tokens 3-12; doc 3: nothing (not cross-doc)
     assert(out == Seq((1L, 1L, 10L, 3L), (2L, 3L, 12L, 3L)), out.toString)
   }
+
+  test("containment flags a subset doc that the symmetric Jaccard threshold misses") {
+    // the asymmetric measure's reason to exist: a short doc fully EMBEDDED
+    // in a long one — containment = 1.0 while Jaccard stays under the 0.5
+    // dedup threshold (the synthetic corpus's same-length perturbations
+    // never produce this shape, so pin it on a constructed pair)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val pair = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFns.wordShingles(col("text"), 3).as("shs"))
+    val Seq(s1, s2) = pair.orderBy("doc_id").collect()
+      .map(_.getSeq[String](1).toSet).toSeq
+    val inter = (s1 & s2).size.toDouble
+    val jaccard = inter / (s1 | s2).size
+    val containment = math.max(inter / s1.size, inter / s2.size)
+    assert(containment >= 0.8, s"containment $containment — subset pair must flag")
+    assert(jaccard < 0.5, s"jaccard $jaccard — the symmetric threshold must miss this pair")
+  }
 }
