@@ -147,7 +147,9 @@ object Bench {
     val total = ok.map(_._2._2._1).sum
     val totalCold = ok.map(_._2._1).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a query can legitimately trip BOTH the per-query and the suite-median
+    // triggers — report each name once
+    val retriedJson = retried.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"queries_cpu_util":$qsCpu,"queries_sys_load":$qsLoad,"queries_retried":$retriedJson,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")

@@ -119,12 +119,17 @@ object Sinks {
     // the per-batch collect() below is safe ONLY because update mode on an
     // aggregated stream emits |changed groups| rows per micro-batch — a
     // non-aggregated stream would collect whole batches into the driver, so
-    // reject it loudly here instead of OOMing later
+    // reject it loudly here instead of OOMing later. The aggregate must sit
+    // on the STREAMING subtree (isStreaming) — an Aggregate on a joined
+    // static side bounds nothing; streaming Deduplicate is equally bounded
+    // (one row per new key) and allowed.
     require(df.queryExecution.analyzed.collectFirst {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate if a.isStreaming => a
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate if d.isStreaming => d
     }.isDefined,
       "upsertJdbcStream upserts CHANGED GROUPS of an aggregated stream; this frame has no " +
-        "aggregation, so micro-batches are unbounded row sets — use demuxJdbcStream/jdbc instead")
+        "streaming aggregation, so micro-batches are unbounded row sets — use " +
+        "demuxJdbcStream/jdbc instead")
     val missing = keyCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"upsertJdbcStream: key columns not in frame: $missing")
     val spark = df.sparkSession
@@ -213,13 +218,11 @@ object Sinks {
     * the per-partition row order is deterministic (true of the narrow
     * demux pipeline this serves; a shuffled upstream would need an explicit
     * sort), so consumers dedup/resume by id, the standard SSE story.
-    * A consumer that is DOWN fails open() after [[SseConnectRetries]]
+    * A consumer that is DOWN fails open() after 3 connect
     * attempts and kills the query (fail-loud: this sink exists to deliver
     * frames; silently dropping a partition via `open() = false` would be
     * data loss with no signal). Pair with the no-save-block raw passthrough
     * for the reference's "stream everything as-is" mode. */
-  val SseConnectRetries = 3
-
   def sseStream(
       df: DataFrame,
       host: String,
@@ -230,7 +233,7 @@ object Sinks {
     require(df.isStreaming, "sseStream needs a streaming frame")
     import org.apache.spark.sql.functions.{col, struct, to_json}
     val payload = df.select(to_json(struct(df.columns.map(col): _*)).as("payload"))
-    val retries = SseConnectRetries
+    val retries = 3 // connect attempts before the fail-loud IOException
     val writer = new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
       @transient private var sock: java.net.Socket = _
       @transient private var out: java.io.Writer = _
@@ -243,7 +246,13 @@ object Sinks {
         var last: Throwable = null
         while (sock == null && attempt < retries) {
           try sock = new java.net.Socket(host, port)
-          catch { case e: java.io.IOException => last = e; attempt += 1; Thread.sleep(200L * attempt) }
+          catch {
+            case e: java.io.IOException =>
+              last = e; attempt += 1
+              // back off only when another attempt remains — the final
+              // failure should throw NOW, not after one more sleep
+              if (attempt < retries) Thread.sleep(200L * attempt)
+          }
         }
         if (sock == null) throw new java.io.IOException(
           s"sseStream: consumer $host:$port unreachable after $retries attempts", last)

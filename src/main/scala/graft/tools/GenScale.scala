@@ -97,7 +97,11 @@ object GenScale {
       if (i == 0) shifted
       else {
         val n = size(col("embedding"))
-        val rot = lit(i % 64) // dims are fixed-width; rotate by replica index
+        // rotation cycles 1..63, NEVER 0: an `i % dim` of zero would emit
+        // exact copies of the base vectors — the quadratic LSH-bucket
+        // blowup this rotation exists to avoid (testbed vectors are
+        // 64-lane; any dim > 63 keeps the slice arithmetic valid)
+        val rot = lit(((i - 1) % 63) + 1)
         shifted.withColumn("embedding",
           concat(slice(col("embedding"), rot + 1, n - rot), slice(col("embedding"), lit(1), rot)))
       }
