@@ -425,6 +425,58 @@ object TextOps {
        |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Unigram-rank LM score — the bit-exact stand-in for perplexity-based
+    * quality filtering (CCNet/Gopher filter on LM perplexity; a log-prob
+    * is a libm call with no cross-engine bit guarantee, so this op ranks
+    * the corpus vocabulary by frequency and scores each document by the
+    * MEAN RANK of its tokens plus its out-of-vocabulary fraction — the
+    * same monotone signal: rare-token-heavy docs score high/bad, common
+    * prose scores low/good).
+    *
+    * Scale shape: one token-count aggregate (map-side combined) → the
+    * top-K vocabulary with deterministic ranks (count desc, term asc) is a
+    * BOUNDED broadcast (K=16 on the 31-word fixture vocabulary so HALF the vocab OOV-buckets and both branches exercise;
+    * 64k in production is still MBs); per-doc mean = exact-integer rank
+    * sum / token count in one IEEE division. Tokens outside the top K rank
+    * as K+1 (the OOV bucket), so vocabulary growth beyond K never moves an
+    * in-vocab doc's score. */
+  def lmRankScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmRankScoreOf(Tables.documents(spark, sfDir))
+
+  private[graft] def lmRankScoreOf(documents: DataFrame, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents.select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+    // total order (count desc, term asc) makes the K-boundary deterministic
+    val w = Window.orderBy(col("tc").desc, col("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("tc"))
+      .orderBy(col("tc").desc, col("term")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("term", "rank")
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("rank"), lit(k + 1L))).as("rank_sum"),
+        sum(when(col("rank").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("mean_rank", col("rank_sum").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("oov_fraction", col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "mean_rank", "oov_fraction")
+      .orderBy("doc_id")
+  }
+
+  private val lmRankScoreSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |counts AS (SELECT term, count(*) AS tc FROM tok GROUP BY term),
+       |vocab AS (SELECT term, CAST(row_number() OVER (ORDER BY tc DESC, term) AS BIGINT) AS rank
+       |          FROM counts QUALIFY rank <= 16),
+       |j AS (SELECT tok.doc_id, coalesce(v.rank, 17) AS r, v.rank IS NULL AS oov
+       |      FROM tok LEFT JOIN vocab v ON tok.term = v.term)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_rank,
+       |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_fraction
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Duplicated-SUBSTRING span detection (the Lee et al. "Deduplicating
     * Training Data" signal, windowed form): every positional 8-token window
     * is hashed; windows whose hash appears in ≥2 DISTINCT documents are
@@ -491,6 +543,7 @@ object TextOps {
     "text_contamination" -> (contamination _),
     "text_contamination_bloom" -> (contaminationBloom _),
     "text_tfidf_topk" -> (tfidfTopk _),
+    "text_lm_rank_score" -> (lmRankScore _),
     "text_repetition" -> (repetition _),
     "text_boilerplate_ngrams" -> (boilerplateNgrams _),
     "text_langid" -> (langId _),
@@ -505,6 +558,7 @@ object TextOps {
     "text_contamination" -> contaminationSql,
     "text_contamination_bloom" -> contaminationSql,
     "text_tfidf_topk" -> tfidfTopkSql,
+    "text_lm_rank_score" -> lmRankScoreSql,
     "text_repetition" -> repetitionSql,
     "text_boilerplate_ngrams" -> boilerplateNgramsSql,
     "text_langid" -> langIdSql,
