@@ -223,12 +223,78 @@ object SamplingOps {
        |ORDER BY source""".stripMargin
   }
 
+  /** Temperature-flattened mixture sampling (the multilingual-sampling
+    * technique from mT5/XLM-R: sample source s with probability ∝ T_s^α,
+    * α < 1 flattening the natural distribution so small sources are not
+    * drowned). α is FIXED at 0.5 for a bit-exactness reason: the α=0.5
+    * acceptance rate collapses to `sqrt(T_min / T_s)` — the share
+    * normalizer Σ T_u^α cancels out of rate = share_s·B/T_s when
+    * B = min_u(T_u/share_u) — and IEEE sqrt of one exact-integer ratio is
+    * CORRECTLY ROUNDED on every platform, where both a general pow(x, α)
+    * (libm, no bit guarantee) and the normalizer itself (an
+    * order-dependent double sum) would break cross-engine parity. The
+    * binding (smallest) source keeps rate exactly 1.0; a source k× larger
+    * downsamples by 1/√k. Keep decision = seeded-md5 uniform per doc
+    * (reproducible across runs and engines).
+    *
+    * Scale shape: one tiny per-source aggregate broadcast back onto the
+    * scan — the corpus never shuffles; the keep decision is a per-row
+    * projection, exactly like [[mixtureSample]]. */
+  def temperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("est_tokens", expr("(n_chars + 3) div 4").cast("long"))
+    val bySrc = docs.groupBy("source").agg(sum("est_tokens").as("t_tokens"))
+    val tot = bySrc.agg(sum("t_tokens").as("tok_total"), min("t_tokens").as("t_min"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("natural_share",
+        col("t_tokens").cast("double") / col("tok_total").cast("double"))
+      .withColumn("accept_rate",
+        sqrt(col("t_min").cast("double") / col("t_tokens").cast("double")))
+      .select("source", "t_tokens", "natural_share", "accept_rate")
+    val u = conv(substring(
+      md5(concat(lit(Seed + "|temp|"), col("doc_id").cast("string"))), 1, 6),
+      16, 10).cast("double") / lit(16777216.0)
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("keep", u < col("accept_rate"))
+      .groupBy("source", "t_tokens", "natural_share", "accept_rate")
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("keep"), col("est_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  private val temperatureSampleSql = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u24 = (1 to 6).map(i => s"${math.pow(16, 6 - i).toLong} * ${nib(i)}").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, CAST((n_chars + 3) // 4 AS BIGINT) AS est_tokens
+       |  FROM documents),
+       |s AS (SELECT source, CAST(sum(est_tokens) AS BIGINT) AS t_tokens
+       |      FROM t GROUP BY source),
+       |tot AS (SELECT CAST(sum(t_tokens) AS BIGINT) AS tok_total,
+       |               CAST(min(t_tokens) AS BIGINT) AS t_min FROM s),
+       |r AS (SELECT source, t_tokens,
+       |        CAST(t_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE) AS natural_share,
+       |        sqrt(CAST(t_min AS DOUBLE) / CAST(t_tokens AS DOUBLE)) AS accept_rate
+       |      FROM s CROSS JOIN tot),
+       |k AS (SELECT t.source, r.t_tokens, r.natural_share, r.accept_rate, t.est_tokens,
+       |        CAST($u24 AS DOUBLE) / 16777216.0 < r.accept_rate AS keep
+       |      FROM (SELECT *, md5('$Seed|temp|' || CAST(doc_id AS VARCHAR)) AS h FROM t) t
+       |      JOIN r ON t.source = r.source)
+       |SELECT source, t_tokens, natural_share, accept_rate,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       |  CAST(sum(CASE WHEN keep THEN est_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM k GROUP BY source, t_tokens, natural_share, accept_rate
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (stratifiedSample _),
     "split_train_val_test" -> (trainValTestSplit _),
     "pack_sequences" -> (packSequencesQuery _),
     "sample_importance" -> (importanceSample _),
     "sample_mixture" -> (mixtureSample _),
+    "sample_temperature" -> (temperatureSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -237,5 +303,6 @@ object SamplingOps {
     "pack_sequences" -> packSequencesSql,
     "sample_importance" -> importanceSampleSql,
     "sample_mixture" -> mixtureSampleSql,
+    "sample_temperature" -> temperatureSampleSql,
   )
 }

@@ -232,6 +232,23 @@ class QueriesSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 10L, 3L), (2L, 3L, 12L, 3L)), out.toString)
   }
 
+  test("temperature sampling: binding source at rate exactly 1.0, rates fall as 1/sqrt(size)") {
+    val rows = ext.SamplingOps.temperatureSample(spark, sf).collect()
+      .map(x => (x.getAs[Long]("t_tokens"), x.getAs[Double]("accept_rate")))
+    val minT = rows.map(_._1).min
+    rows.foreach { case (t, rate) =>
+      assert(rate == math.sqrt(minT.toDouble / t.toDouble), s"rate for T=$t")
+    }
+    // the α=0.5 flattening property: a source k× the binding source's size
+    // keeps sqrt(k)× the tokens in expectation, not k× — rates strictly
+    // decrease as sizes grow
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.head._2 == 1.0)
+    sorted.sliding(2).foreach { case Array((t1, r1), (t2, r2)) =>
+      if (t1 < t2) assert(r2 < r1, s"rate must fall: T=$t1 r=$r1 vs T=$t2 r=$r2")
+    }
+  }
+
   test("containment flags a subset doc that the symmetric Jaccard threshold misses") {
     // the asymmetric measure's reason to exist: a short doc fully EMBEDDED
     // in a long one — containment = 1.0 while Jaccard stays under the 0.5
