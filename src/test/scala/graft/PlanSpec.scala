@@ -186,6 +186,7 @@ class PlanSpec extends SparkSpec {
     // one-row (or few-row constant) side — the documented crossJoin uses
     val bnljJustified = Set(
       "sample_mixture",   // two 1-row/20-row broadcast aggregates onto the scan
+      "sample_temperature", // 1-row (tok_total, t_min) aggregate broadcast, same shape
       "sample_importance",// 1-row corpus-mean aggregate broadcast
       "q14_promo_share",  // 1-row ratio numerator/denominator combine
       "approx_distinct",  // 1-row exact-vs-HLL comparison frame
