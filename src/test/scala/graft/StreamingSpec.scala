@@ -27,6 +27,38 @@ class StreamingSpec extends SparkSpec {
       batch.select("day", "event_type", "n")).count() == 0)
   }
 
+  test("directory-layout store: NEW part files stream in as later micro-batches (r6)") {
+    // tableStream's directory branch (any real producer's layout, incl.
+    // GenScale): the claim "new matching files stream in" must hold — an
+    // appended part file after the first drain arrives as a NEW micro-batch
+    import java.nio.file.{Files, Paths}
+    val store = Files.createTempDirectory("dirstore").toString
+    val tableDir = s"$store/events.parquet" // DIRECTORY named like the table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Tables.events already converted ts to TIMESTAMP; write raw long nanos
+    // back so the stream's declared schema (ts LongType) matches a real
+    // producer's layout
+    def dump(where: String, half: Int): Unit =
+      Tables.events(spark, sf)
+        .withColumn("ts", expr("CAST(ts AS LONG) * 1000")) // µs → ns
+        .where(if (half == 0) col("event_id") % 2 === 0 else col("event_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(where)
+    dump(tableDir, 0)
+    val q = Streams.eventStream(spark, store)
+      .writeStream.outputMode("append").format("memory").queryName("dirstore_t").start()
+    try {
+      q.processAllAvailable()
+      val firstCount = spark.table("dirstore_t").count()
+      assert(firstCount > 0, "first drain empty — directory branch not reading")
+      dump(tableDir, 1) // a NEW part file lands in the live directory
+      q.processAllAvailable()
+      val total = spark.table("dirstore_t").count()
+      assert(total > firstCount, "appended part file did not stream in")
+      assert(total == Tables.events(spark, sf).count(),
+        s"streamed $total, want the full table")
+    } finally q.stop()
+  }
+
   test("streaming filter pushes the signature predicate per micro-batch") {
     val streamed = runToMemory(
       Streams.eventStream(spark, sf, Some("purchase"))
