@@ -26,7 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (events.go:39,65) → `SupportsPushDownFilters`: those predicates
   *    narrow the fetch, everything else stays a residual Spark filter;
   *  - declared-outputs-only decoding (events.go:434-441) →
-  *    `SupportsPushDownRequiredColumns` prunes to the read schema.
+  *    `SupportsPushDownRequiredColumns` prunes to the read schema;
+  *  - LIMIT pushdown (`SupportsPushDownLimit`, partial): each partition
+  *    reader stops FETCHING once it has produced `limit` rows — on a live
+  *    RPC client an exploratory `LIMIT 10` costs a handful of
+  *    `eth_getLogs` calls instead of the whole block range. Partial
+  *    because per-partition caps cannot guarantee the global count, so
+  *    Spark keeps its own final Limit (`pushLimit` returns false).
   *
   * The "RPC" here is a deterministic pure function of the block number
   * (zero-egress container) — `fetchBlockLogs` is the single seam where a
@@ -86,12 +92,14 @@ class EvmLogsTable(options: CaseInsensitiveStringMap) extends Table with Support
 }
 
 class EvmLogsScanBuilder(start: Long, end: Long, parts: Int, blocksPerBatch: Long = 100L)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var lo = start
   private var hi = end // exclusive
   private var addresses: Option[Set[Long]] = None
   private var topic: Option[String] = None
+  private var limit: Option[Int] = None
   // Two accepted equality filters on the same column with different values
   // (topic='a' AND topic='b') can't be represented in the single-slot state;
   // the conjunction is unsatisfiable, so the scan collapses to empty.
@@ -136,15 +144,22 @@ class EvmLogsScanBuilder(start: Long, end: Long, parts: Int, blocksPerBatch: Lon
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // partial push: each partition fetches at most `limit` rows' worth of
+  // blocks, but the union can exceed the global limit — Spark keeps its
+  // own Limit operator (hence `false`)
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+
   override def build(): Scan =
-    if (unsatisfiable) new EvmLogsScan(lo, lo, parts, addresses, topic, required, blocksPerBatch)
-    else new EvmLogsScan(lo, hi, parts, addresses, topic, required, blocksPerBatch)
+    if (unsatisfiable)
+      new EvmLogsScan(lo, lo, parts, addresses, topic, required, blocksPerBatch, limit)
+    else new EvmLogsScan(lo, hi, parts, addresses, topic, required, blocksPerBatch, limit)
 }
 
 class EvmLogsScan(
     lo: Long, hi: Long, parts: Int,
     addresses: Option[Set[Long]], topic: Option[String],
-    required: StructType, blocksPerBatch: Long = 100L) extends Scan with Batch {
+    required: StructType, blocksPerBatch: Long = 100L,
+    limit: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -158,7 +173,7 @@ class EvmLogsScan(
     new EvmLogsMicroBatchStream(lo, hi, blocksPerBatch, addresses, topic, required)
 
   override def description(): String =
-    s"evmlogs [$lo, $hi) parts=$parts addresses=$addresses topic=$topic"
+    s"evmlogs [$lo, $hi) parts=$parts addresses=$addresses topic=$topic limit=$limit"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val span = math.max(0L, hi - lo)
@@ -167,7 +182,7 @@ class EvmLogsScan(
     (0 until n).iterator
       .map(i => (lo + i * step, math.min(hi, lo + (i + 1) * step)))
       .filter { case (f, t) => f < t }
-      .map(r => EvmLogsPartition(r._1, r._2, addresses, topic, required.fieldNames): InputPartition)
+      .map(r => EvmLogsPartition(r._1, r._2, addresses, topic, required.fieldNames, limit): InputPartition)
       .toArray
   }
 
@@ -232,7 +247,7 @@ class EvmLogsMicroBatchStream(
     val from = startOff.asInstanceOf[BlockOffset].block
     val until = endOff.asInstanceOf[BlockOffset].block
     if (from >= until) Array.empty
-    else Array(EvmLogsPartition(from, until, addresses, topic, required.fieldNames))
+    else Array(EvmLogsPartition(from, until, addresses, topic, required.fieldNames, limit = None))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -245,18 +260,26 @@ class EvmLogsMicroBatchStream(
 final case class EvmLogsPartition(
     from: Long, until: Long,
     addresses: Option[Set[Long]], topic: Option[String],
-    columns: Array[String]) extends InputPartition
+    columns: Array[String], limit: Option[Int]) extends InputPartition
 
 class EvmLogsPartitionReader(p: EvmLogsPartition) extends PartitionReader[InternalRow] {
+  // LAZY block iteration: stopping at the pushed limit means the remaining
+  // blocks are never fetched at all — the RPC-call saving the pushdown buys
   private val it = Iterator.range(p.from, p.until).flatMap { b =>
     EvmLogs.fetchBlockLogs(b).iterator
       .filter { case (_, _, _, addr, top, _) =>
         p.addresses.forall(_.contains(addr)) && p.topic.forall(_ == top)
       }
   }
+  private var emitted = 0
   private var current: (Long, String, String, Long, String, Double) = _
 
-  override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+  override def next(): Boolean = {
+    if (p.limit.exists(emitted >= _)) return false
+    val has = it.hasNext
+    if (has) { current = it.next(); emitted += 1 }
+    has
+  }
 
   override def get(): InternalRow = {
     val full = Map[String, Any](

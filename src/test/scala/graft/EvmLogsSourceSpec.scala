@@ -64,6 +64,28 @@ class EvmLogsSourceSpec extends SparkSpec {
     assert(narrow.count() == expected)
   }
 
+  test("LIMIT pushes into the source: readers stop fetching at the cap (r6)") {
+    // plan side: the pushed limit reaches the connector's scan state
+    val df = logs().limit(7)
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanDesc.contains("limit=Some(7)"), scanDesc)
+    assert(df.count() == 7)
+    // reader side: a partition holding far more rows emits exactly the cap,
+    // leaving the rest of the block range unfetched (lazy iterator)
+    val part = graft.sources.EvmLogsPartition(
+      from = 0L, until = 1000L, addresses = None, topic = None,
+      columns = Array("blocknumber"), limit = Some(5))
+    val reader = new graft.sources.EvmLogsPartitionReader(part)
+    var n = 0
+    while (reader.next()) n += 1
+    assert(n == 5, s"reader emitted $n rows past its pushed limit")
+    // no limit pushed → the same partition yields the full range
+    val unlimited = new graft.sources.EvmLogsPartitionReader(part.copy(limit = None))
+    var m = 0
+    while (unlimited.next()) m += 1
+    assert(m == (0L until 1000L).map(graft.sources.EvmLogs.fetchBlockLogs(_).size).sum)
+  }
+
   test("column pruning reaches the reader (declared-outputs-only decode)") {
     val df = logs().select("blocknumber", "value")
     // DSv2 BatchScan lists the pruned output column set
