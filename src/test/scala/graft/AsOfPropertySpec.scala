@@ -293,6 +293,54 @@ class AsOfPropertySpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("jaccard/containment pair scoring ≡ set-arithmetic reference on random doc pairs") {
+    // the pair-scoring arithmetic used by dedup_ngram_jaccard /
+    // dedup_ngram_containment, checked against plain Scala Set math on
+    // generated shingle arrays — incl. subset pairs (containment 1.0, low
+    // jaccard), disjoint pairs (both 0), and duplicate-free invariants
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31337L)
+    val vocab = (1 to 40).map(i => s"w$i")
+    def shingleSet(): Seq[String] =
+      rnd.shuffle(vocab).take(rnd.nextInt(vocab.size) + 1)
+    val pairs = (1 to 120).map { i =>
+      val a = shingleSet()
+      val b = rnd.nextInt(4) match {
+        case 0 => rnd.shuffle(a).take(math.max(1, a.size / 3)) // subset of a
+        case 1 => shingleSet()
+        case 2 => a // identical
+        case _ => vocab.filterNot(a.contains) match { // disjoint (may be empty)
+          case Nil => shingleSet()
+          case rest => rest
+        }
+      }
+      (i.toLong, a, b)
+    }
+    val got = pairs.toDF("id", "s1", "s2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("n1", size(col("s1")).cast("long"))
+      .withColumn("n2", size(col("s2")).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .withColumn("containment",
+        greatest(col("inter").cast("double") / col("n1"), col("inter").cast("double") / col("n2")))
+      .select("id", "inter", "jaccard", "containment")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    pairs.foreach { case (id, a, b) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val inter = (sa & sb).size
+      val wantJ = inter.toDouble / (sa | sb).size
+      val wantC = math.max(inter.toDouble / sa.size, inter.toDouble / sb.size)
+      val (gi, gj, gc) = got(id)
+      assert(gi == inter.toLong, s"pair $id inter")
+      assert(gj == wantJ, s"pair $id jaccard: $gj vs $wantJ")
+      assert(gc == wantC, s"pair $id containment: $gc vs $wantC")
+      // structural invariants the measures promise
+      assert(gc >= gj, s"pair $id: containment can never be below jaccard")
+      if (sa.subsetOf(sb) || sb.subsetOf(sa)) assert(gc == 1.0, s"pair $id: subset must score 1.0")
+    }
+  }
+
   test("HCL constant folder matches a direct evaluator on random arithmetic trees") {
     // the folder evaluates cty-style constant expressions at schema load
     // (dsl/schema.go:400-408) — generate random +,-,* trees with parens and
