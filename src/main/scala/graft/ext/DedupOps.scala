@@ -669,7 +669,95 @@ object DedupOps {
        |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
        |ORDER BY e.vec_id""".stripMargin
 
+  /** Paragraph width for [[paragraphDedup]] on the newline-free synthetic
+    * corpus: aligned 20-word chunks stand in for `\n\n`-delimited paragraphs
+    * (a real corpus passes its delimiter split instead — the pipeline from
+    * the split onward is identical). */
+  private val ParaWords = 20
+
+  /** Paragraph-level EXACT dedup — the RefinedWeb/MassiveText pass that
+    * whole-document dedup cannot replace: a paragraph occurring in ≥ 2
+    * distinct documents (navigation chrome, license blocks, boilerplate
+    * headers) is removed from ALL of them, and each document's remaining
+    * paragraphs are reassembled in order. Distinct from
+    * [[TextOps.boilerplateNgrams]] (which only REPORTS shared n-grams) and
+    * `text_dup_spans` (overlapping window spans): this op performs the
+    * REMOVAL and re-emits the document. Within-doc repeats are deliberately
+    * exempt (that is `text_repetition`'s signal) — the frequency key is
+    * distinct-document count.
+    *
+    * Scale shape: the corpus text moves through exactly two keyed shuffles —
+    * (1) paragraph rows keyed on the 128-bit md5 digest for the corpus-wide
+    * doc-frequency count + anti-join (rows shrink to (digest, doc_id) on the
+    * counting side; no paragraph text in that exchange), and (2) the kept
+    * rows keyed on doc_id for ordered reassembly. No broadcast of anything
+    * corpus-sized; duplicate-paragraph cardinality never materializes on the
+    * driver. Output is verification-friendly: per-doc paragraph counts plus
+    * an md5 of the reassembled text, so the oracle proves the exact
+    * reconstruction without shipping the text through the hash compare. */
+  def paragraphDedup(spark: SparkSession, sfDir: String): DataFrame =
+    paragraphDedupOf(Tables.documents(spark, sfDir))
+
+  private[graft] def paragraphDedupOf(
+      documents: DataFrame, chunkWords: Int = ParaWords): DataFrame = {
+    require(chunkWords > 0, s"paragraphDedup: chunkWords must be positive, got $chunkWords")
+    val docs = documents.select(col("doc_id"),
+      expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
+    val nParas = expr(s"cast(ceil(size(toks) / $chunkWords.0) as bigint)")
+    val totals = docs.select(col("doc_id"), nParas.as("n_paras"))
+    // aligned chunk texts; empty docs explode to zero rows (totals keep them)
+    val parasArr = expr(
+      s"""case when size(toks) = 0 then cast(array() as array<string>)
+         |else transform(sequence(0, cast(ceil(size(toks) / $chunkWords.0) as int) - 1),
+         |       i -> array_join(slice(toks, i * $chunkWords + 1, $chunkWords), ' '))
+         |end""".stripMargin)
+    val paras = docs
+      .select(col("doc_id"), posexplode(parasArr).as(Seq("idx", "para")))
+      .withColumn("ph", md5(col("para")))
+    // corpus-wide distinct-doc frequency per digest; dup set stays distributed
+    val dup = paras.select(col("ph"), col("doc_id"))
+      .groupBy("ph").agg(countDistinct("doc_id").as("n_docs"))
+      .where(col("n_docs") >= 2).select("ph")
+    val kept = paras.join(dup, Seq("ph"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept_paras"),
+      sum(expr("size(split(para, ' '))")).cast("long").as("kept_tokens"),
+      md5(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+          x => x.getField("para")),
+        " ")).as("kept_hash"))
+    totals.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        (col("n_paras") - coalesce(col("kept_paras"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_hash"), md5(lit(""))).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val paragraphDedupSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |n AS (SELECT doc_id, CAST(ceil(len(toks) / $ParaWords.0) AS BIGINT) AS n_paras FROM t),
+       |e AS (SELECT doc_id, toks,
+       |        unnest(range(0, CAST(ceil(len(toks) / $ParaWords.0) AS BIGINT))) AS i
+       |      FROM t),
+       |p AS (SELECT doc_id, i,
+       |        array_to_string(toks[(i * $ParaWords + 1):(i * $ParaWords + $ParaWords)], ' ') AS para
+       |      FROM e),
+       |dup AS (SELECT para FROM p GROUP BY para HAVING count(DISTINCT doc_id) >= 2),
+       |k AS (SELECT p.doc_id, p.i, p.para FROM p ANTI JOIN dup d ON p.para = d.para),
+       |a AS (SELECT doc_id, count(*) AS kept_paras,
+       |        CAST(sum(len(string_split(para, ' '))) AS BIGINT) AS kept_tokens,
+       |        md5(string_agg(para, ' ' ORDER BY i)) AS kept_hash
+       |      FROM k GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_paras,
+       |  n.n_paras - coalesce(a.kept_paras, 0) AS n_removed,
+       |  coalesce(a.kept_tokens, 0) AS kept_tokens,
+       |  coalesce(a.kept_hash, md5('')) AS kept_hash
+       |FROM n LEFT JOIN a USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph" -> (paragraphDedup _),
     "dedup_semantic" -> (semDedup _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -683,6 +771,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_paragraph" -> paragraphDedupSql,
     "dedup_semantic" -> semDedupSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

@@ -268,4 +268,34 @@ class QueriesSpec extends SparkSpec {
     assert(containment >= 0.8, s"containment $containment — subset pair must flag")
     assert(jaccard < 0.5, s"jaccard $jaccard — the symmetric threshold must miss this pair")
   }
+
+  test("paragraph dedup removes a cross-doc shared paragraph from ALL docs, keeps within-doc repeats") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def chunk(prefix: String) = (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val shared = chunk("nav") // boilerplate paragraph in docs 1 AND 2
+    val uniqA = chunk("bodya")
+    val uniqB = chunk("bodyb")
+    val rep = chunk("rep") // repeated WITHIN doc 3 only
+    val docs = Seq(
+      (1L, shared + " " + uniqA),
+      (2L, shared + " " + uniqB),
+      (3L, rep + " " + rep),
+    ).toDF("doc_id", "text")
+    val out = graft.ext.DedupOps.paragraphDedupOf(docs)
+      .orderBy("doc_id").collect()
+    def md5s(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // docs 1+2: the shared paragraph removed from BOTH; unique body survives
+    assert(out(0).getAs[Long]("n_paras") == 2 && out(0).getAs[Long]("n_removed") == 1)
+    assert(out(1).getAs[Long]("n_removed") == 1)
+    assert(out(0).getAs[String]("kept_hash") == md5s(uniqA))
+    assert(out(1).getAs[String]("kept_hash") == md5s(uniqB))
+    assert(out(0).getAs[Long]("kept_tokens") == 20L)
+    // doc 3: the repeat is within ONE doc — distinct-doc frequency is 1, kept whole
+    assert(out(2).getAs[Long]("n_removed") == 0L,
+      "within-doc repetition must not trigger cross-corpus paragraph removal")
+    assert(out(2).getAs[String]("kept_hash") == md5s(rep + " " + rep))
+  }
 }
