@@ -10,9 +10,12 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: [[realDecode]] round-trips deterministic PNGs
   * through the JDK's own `javax.imageio` codec (pixels in, pixels out,
-  * oracle-checked dimensions + mean RGB). Audio/video decode remains a
-  * clearly-marked deterministic stub ([[fakeDecode]]) — the container
-  * ships no audio/video codecs — with everything Spark-side (binary
+  * oracle-checked dimensions + mean RGB). AUDIO decode is REAL too:
+  * [[audioDecode]] round-trips deterministic PCM16 WAVs through
+  * `javax.sound.sampled` (samples in, samples out, oracle-checked rate /
+  * length / amplitude stats). Only VIDEO decode remains a clearly-marked
+  * deterministic stub ([[fakeDecode]]) — the container ships no video
+  * codec — with everything Spark-side (binary
   * schema, batched partition processing, metadata extraction as columns)
   * real and tested. The batch shape (fixed-size chunks per partition, the
   * Scala analogue of `mapInPandas` Arrow batches) is what matters for
@@ -21,9 +24,10 @@ import org.apache.spark.sql.types._
 object MultimodalOps {
 
   /** Deterministic FAKE decode: metadata derived from the payload bytes.
-    * STUB for the audio/video modalities only (the JDK has no codec for
-    * them; images go through the real [[realDecode]] path). Kept total and
-    * pure so tests and oracles are stable. */
+    * STUB for the video modality only (the JDK has no codec for it; images
+    * go through the real [[realDecode]] path, audio through the real
+    * [[audioDecode]] path). Kept total and pure so tests and oracles are
+    * stable. */
   def fakeDecode(nbytes: Long): (Long, Long, Long, Long) = {
     val width = 64L + nbytes % 576L
     val height = 64L + (nbytes * 7L) % 416L
@@ -216,15 +220,124 @@ object MultimodalOps {
       |  avg((doc_id * 31 + 3 * y) % 256) AS mean_b
       |FROM py GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  /** Closed-form PCM16 sample stream for [[encodeWav]]: value of sample `i`
+    * of document `docId` — integer-only, reproduced verbatim by the oracle.
+    * Range ±2000 fits int16 with headroom. */
+  def wavSample(docId: Long, i: Long): Int =
+    (((docId * 31L + i * 17L) % 4001L) - 2000L).toInt
+
+  /** Samples per doc / sample rate for the WAV fixture (closed forms the
+    * oracle reproduces). */
+  def wavSamples(docId: Long): Int = (200L + (docId * 7L) % 300L).toInt
+  def wavRate(docId: Long): Int = (8000L + (docId % 4L) * 2000L).toInt
+
+  /** Deterministic WAV fixture: mono 16-bit signed little-endian PCM whose
+    * sample values, count, and rate are closed-form functions of `doc_id`
+    * ([[wavSample]]/[[wavSamples]]/[[wavRate]]) — so the ORACLE can predict
+    * what a real decoder must read back without parsing RIFF itself. WAV PCM
+    * is lossless; the JDK codec must return these exact samples. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = wavSamples(docId)
+    val sr = wavRate(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = wavSample(docId, i)
+      pcm(2 * i) = (v & 0xff).toByte // little-endian int16
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** REAL audio decode — the audio-modality stub is gone: synthesize a
+    * deterministic WAV per document into the binary column (fixture-build
+    * step), then decode REAL samples back through the JDK's own
+    * `javax.sound.sampled` RIFF/WAVE codec in the same batched
+    * `mapPartitions` shape as [[decodeBatched]] (a vectorized codec
+    * amortizes per-call overhead per fixed-size chunk). Extracted features
+    * are the standard audio-curation metadata: sample rate, length,
+    * duration, peak amplitude, mean |amplitude|, mean square (energy).
+    * Every value is an exact integer or ONE IEEE division of exact
+    * integers, so the oracle — which reproduces the closed-form sample
+    * stream — matches bit-for-bit; a decoder that misread the header,
+    * endianness, or any sample fails the hash compare. Shuffle-free
+    * per-partition projection at any scale. */
+  def audioDecode(df: DataFrame, batchSize: Int = 32): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("duration_s", DoubleType),
+      StructField("peak_abs", LongType),
+      StructField("mean_abs", DoubleType),
+      StructField("mean_square", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val wav = encodeWav(id) // fixture-build: the opaque binary payload
+          // the REAL decode: JDK RIFF/WAVE codec, actual PCM frames
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"doc $id: unexpected decoded format $fmt")
+          val sr = fmt.getSampleRate.toLong
+          val bytes = ais.readAllBytes()
+          ais.close()
+          val n = bytes.length / 2
+          var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+          var i = 0
+          while (i < n) {
+            // little-endian signed int16 (the decoded stream's format)
+            val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+            val a = math.abs(v)
+            sumAbs += a; sumSq += v * v
+            if (a > peak) peak = a
+            i += 1
+          }
+          Row(id, sr, n.toLong, n.toDouble / sr, peak,
+            sumAbs.toDouble / n, sumSq.toDouble / n)
+        }
+      }
+    }(enc)
+  }
+
+  def audioDecodeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    audioDecode(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  private val audioDecodeSql =
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 4) * 2000 AS sr, 200 + (doc_id * 7) % 300 AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, sr, n, unnest(range(0, n)) AS i FROM d),
+      |v AS (SELECT doc_id, sr, n, ((doc_id * 31 + i * 17) % 4001) - 2000 AS v FROM s)
+      |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(n AS DOUBLE) / sr AS duration_s,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+      |  CAST(sum(abs(v)) AS DOUBLE) / n AS mean_abs,
+      |  CAST(sum(v * v) AS DOUBLE) / n AS mean_square
+      |FROM v GROUP BY doc_id, sr, n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_batched_decode" -> (batchedDecode _),
     "mm_real_decode" -> (realDecodeQuery _),
+    "mm_audio_decode" -> (audioDecodeQuery _),
   )
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> binaryMetaSql,
     "mm_batched_decode" -> batchedDecodeSql,
     "mm_real_decode" -> realDecodeSql,
+    "mm_audio_decode" -> audioDecodeSql,
   )
 }

@@ -55,4 +55,31 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Long]("width") == img.getWidth.toLong)
     assert(row.getAs[Long]("height") == img.getHeight.toLong)
   }
+
+  test("audioDecode round-trips ACTUAL samples through the JDK WAV codec") {
+    // not the stub: encodeWav writes a real RIFF/WAVE container and the
+    // javax.sound.sampled codec must read back the exact PCM16 samples
+    val wav = MultimodalOps.encodeWav(42L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF", "RIFF magic")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE", "WAVE form type")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate.toInt == MultimodalOps.wavRate(42L))
+    assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+    val bytes = ais.readAllBytes()
+    val n = MultimodalOps.wavSamples(42L)
+    assert(bytes.length == n * 2, "decoded frame count")
+    for (i <- 0 until n) {
+      val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      assert(v == MultimodalOps.wavSample(42L, i), s"sample $i")
+    }
+    // and the distributed path agrees with a driver-side recompute
+    val row = MultimodalOps.audioDecode(Tables.documents(spark, sf))
+      .where(col("doc_id") === 42L).head()
+    assert(row.getAs[Long]("n_samples") == n.toLong)
+    assert(row.getAs[Long]("sample_rate") == MultimodalOps.wavRate(42L).toLong)
+    val expPeak = (0 until n).map(i => math.abs(MultimodalOps.wavSample(42L, i))).max
+    assert(row.getAs[Long]("peak_abs") == expPeak.toLong)
+  }
 }
