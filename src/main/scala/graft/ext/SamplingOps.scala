@@ -288,7 +288,75 @@ object SamplingOps {
        |ORDER BY source""".stripMargin
   }
 
+  /** Coarse quality-bucket count for [[tokenBudgetSample]]'s two-phase
+    * prefix sum (quality ∈ [0,1] → ≤ QBuckets+1 buckets — a CONSTANT,
+    * independent of corpus size). */
+  private val QBuckets = 64
+
+  /** Token-BUDGET data selection (the FineWeb-Edu / DCLM shape): rank the
+    * corpus by a quality score and keep the best documents until a global
+    * token budget is reached — "train on the top ~40% of tokens by
+    * classifier score". Selection rule: a doc is kept iff the total tokens
+    * of all STRICTLY better docs (quality desc, doc_id asc — a total order)
+    * is still under the budget, so the doc that crosses the budget line is
+    * the last one in. Budget here = 2/5 of corpus tokens in exact integer
+    * arithmetic (a real run passes its token target).
+    *
+    * Scale shape — the naive form is a GLOBAL ordered prefix sum, i.e. a
+    * single-reducer sort, which is exactly what cannot run at 100 TB. This
+    * is the same two-phase decomposition as [[packSequences]]: (1) bucket
+    * docs by the COARSE quality bucket floor(quality·64) — bucket count is
+    * a constant ≤ 65, so the per-bucket token aggregate is tiny; its
+    * ordered cumulative offsets compute in one single-partition window over
+    * ≤ 65 rows and BROADCAST back; (2) the per-doc prefix sum runs as a
+    * window PARTITIONED by bucket (quality desc, doc_id order inside), and
+    * cum_before = bucket offset + intra-bucket prefix. Because floor is
+    * monotone in quality, bucket-desc-then-quality-desc IS the global
+    * quality order — the result is bit-identical to the single-reducer
+    * form the oracle runs, with the only big shuffle keyed on the bucket
+    * (≤ 65 balanced-by-quality-mass partitions; a skewed corpus can raise
+    * QBuckets, the math is unchanged). The 1-row budget aggregate
+    * broadcasts (PlanSpec-whitelisted BNLJ). */
+  def tokenBudgetSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("n_tok"), col("quality"))
+      .withColumn("qb", floor(col("quality") * QBuckets).cast("long"))
+    val buckets = scored.groupBy("qb").agg(sum("n_tok").as("b_tokens"))
+    // ≤ 65 rows: the single-partition window is over a CONSTANT-size frame
+    val wB = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = buckets
+      .withColumn("b_before", coalesce(sum("b_tokens").over(wB), lit(0L)))
+      .select("qb", "b_before")
+    val budget = buckets.agg(sum("b_tokens").as("t_total"))
+      .select(expr("t_total * 2 div 5").as("budget"))
+    val wIn = Window.partitionBy("qb")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored.join(broadcast(offsets), Seq("qb"))
+      .withColumn("intra_before", coalesce(sum("n_tok").over(wIn), lit(0L)))
+      .withColumn("cum_before", col("b_before") + col("intra_before"))
+      .crossJoin(broadcast(budget))
+      .withColumn("keep", col("cum_before") < col("budget"))
+      .select("doc_id", "n_tok", "quality", "cum_before", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val tokenBudgetSampleSql =
+    s"""WITH q AS (SELECT doc_id, n_tok, quality FROM (${TextOps.qualityScoreSqlText})),
+       |b AS (SELECT CAST((sum(n_tok) * 2) // 5 AS BIGINT) AS budget FROM q),
+       |c AS (SELECT doc_id, n_tok, quality,
+       |        CAST(coalesce(sum(n_tok) OVER (
+       |          ORDER BY quality DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |          AS cum_before
+       |      FROM q)
+       |SELECT doc_id, n_tok, quality, cum_before, cum_before < budget AS keep
+       |FROM c CROSS JOIN b ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_token_budget" -> (tokenBudgetSample _),
     "sample_stratified" -> (stratifiedSample _),
     "split_train_val_test" -> (trainValTestSplit _),
     "pack_sequences" -> (packSequencesQuery _),
@@ -298,6 +366,7 @@ object SamplingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_token_budget" -> tokenBudgetSampleSql,
     "sample_stratified" -> stratifiedSampleSql,
     "split_train_val_test" -> trainValTestSplitSql,
     "pack_sequences" -> packSequencesSql,

@@ -187,6 +187,7 @@ class PlanSpec extends SparkSpec {
     val bnljJustified = Set(
       "sample_mixture",   // two 1-row/20-row broadcast aggregates onto the scan
       "sample_temperature", // 1-row (tok_total, t_min) aggregate broadcast, same shape
+      "sample_token_budget", // 1-row budget aggregate broadcast (SamplingOps scaladoc)
       "sample_importance",// 1-row corpus-mean aggregate broadcast
       "q14_promo_share",  // 1-row ratio numerator/denominator combine
       "approx_distinct",  // 1-row exact-vs-HLL comparison frame

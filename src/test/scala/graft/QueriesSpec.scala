@@ -298,4 +298,33 @@ class QueriesSpec extends SparkSpec {
       "within-doc repetition must not trigger cross-corpus paragraph removal")
     assert(out(2).getAs[String]("kept_hash") == md5s(rep + " " + rep))
   }
+
+  test("token-budget selection: bucketed two-phase prefix sum ≡ the global single-reducer order") {
+    val rows = graft.ext.SamplingOps.tokenBudgetSample(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Double]("quality"), r.getAs[Long]("cum_before"), r.getAs[Boolean]("keep")))
+    // driver-side recompute of the NAIVE form: one global (quality desc,
+    // doc_id) order, running token prefix — the two-phase plan must agree
+    // exactly on every doc
+    val total = rows.map(_._2).sum
+    val budget = total * 2 / 5
+    var cum = 0L
+    val expected = rows.sortBy(r => (-r._3, r._1)).map { r =>
+      val before = cum; cum += r._2
+      r._1 -> ((before, before < budget))
+    }.toMap
+    rows.foreach { case (id, _, _, cumBefore, keep) =>
+      val (expBefore, expKeep) = expected(id)
+      assert(cumBefore == expBefore, s"doc $id: cum_before $cumBefore != $expBefore")
+      assert(keep == expKeep, s"doc $id: keep mismatch")
+    }
+    // boundary: the kept set overshoots the budget by less than one doc,
+    // and dropping its worst member would land under it
+    val kept = rows.filter(_._5)
+    val keptTokens = kept.map(_._2).sum
+    assert(kept.length < rows.length, "fixture must actually drop docs")
+    assert(keptTokens >= budget, "kept set must reach the budget")
+    val lastIn = kept.maxBy(r => (r._4))
+    assert(keptTokens - lastIn._2 < budget, "overshoot bounded by the crossing doc")
+  }
 }
