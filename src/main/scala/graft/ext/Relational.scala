@@ -187,6 +187,37 @@ object Relational {
       |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** HOPPING (sliding) event-time windows — 1-day windows every 6 hours, so
+    * each event lands in exactly 4 overlapping windows. Same
+    * streaming-unified groupBy as [[timeWindowTumbling]] (identical under
+    * readStream + watermark); Spark materializes the per-event window list
+    * inside the aggregate, so the only shuffle is the (window, type) key —
+    * the 4× row expansion happens map-side with partial aggregation, never
+    * as a standalone explode. Window starts emit as epoch SECONDS (BIGINT)
+    * — the engines' timestamp-vs-timestamptz dtypes don't round-trip the
+    * hash compare, epoch integers do. Oracle reproduces Spark's epoch-0
+    * window alignment: latest start = floor(t/slide)·slide, minus k·slide
+    * for k in 0..3. */
+  def timeWindowHopping(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        decOut(sum(dec(col("value")))).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start_s", "event_type")
+
+  private val timeWindowHoppingSql =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS base
+      |  FROM events),
+      |w AS (SELECT event_type, value,
+      |        base - unnest(range(0, 4)) * 21600 AS win_start_s FROM e)
+      |SELECT win_start_s, event_type, count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin
+
   /** Session windows (30-min gap) per user. Oracle is the classic
     * gaps-and-islands rewrite; session end = last event + gap, matching
     * Spark's session_window semantics. */
@@ -560,6 +591,7 @@ object Relational {
     "win_topk_per_group" -> (winTopkPerGroup _),
     "win_running_sum" -> (winRunningSum _),
     "time_window_tumbling" -> (timeWindowTumbling _),
+    "time_window_hopping" -> (timeWindowHopping _),
     "session_windows" -> (sessionWindows _),
     "set_ops" -> (setOps _),
     "dedup_exact" -> (dedupExact _),
@@ -585,6 +617,7 @@ object Relational {
     "win_topk_per_group" -> winTopkSql,
     "win_running_sum" -> winRunningSumSql,
     "time_window_tumbling" -> timeWindowSql,
+    "time_window_hopping" -> timeWindowHoppingSql,
     "session_windows" -> sessionWindowsSql,
     "set_ops" -> setOpsSql,
     "dedup_exact" -> dedupExactSql,

@@ -27,6 +27,21 @@ class StreamingSpec extends SparkSpec {
       batch.select("day", "event_type", "n")).count() == 0)
   }
 
+  test("streaming HOPPING windows equal the batch aggregation (r6)") {
+    // the same 1-day/6-hour groupBy as Relational.timeWindowHopping, run
+    // through the streaming engine: each event must land in its 4
+    // overlapping windows under readStream exactly as in batch
+    def hop(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n"))
+    val streamed = runToMemory(hop(Streams.eventStream(spark, sf)), "hopwin", mode = "complete")
+    val batch = hop(Tables.events(spark, sf))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+  }
+
   test("directory-layout store: NEW part files stream in as later micro-batches (r6)") {
     // tableStream's directory branch (any real producer's layout, incl.
     // GenScale): the claim "new matching files stream in" must hold — an
