@@ -23,6 +23,32 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  /** ImageIO's default stream cache is FILE-backed: every
+    * `ImageIO.read(InputStream)` / `write` spins up (and deletes) a temp
+    * file, so a 50k-image partition scan becomes 50k filesystem round-trips
+    * that serialize under concurrency — measured 3.7× on 10× rows before
+    * this switch (SCALING.md). In-memory payloads want memory-cached
+    * streams; flip the JVM-wide default once. */
+  private lazy val imageIoMemCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** The JDK's PNG codec SPIs, resolved ONCE per executor JVM — the
+    * `ImageIO.read`/`write` facade walks the IIORegistry per call (same
+    * story as [[wavReader]]'s registry contention). Reader/writer INSTANCES
+    * are not thread-safe; the SPI hands out a fresh one per image for the
+    * cost of a constructor. */
+  private lazy val pngReaderSpi: javax.imageio.spi.ImageReaderSpi = {
+    imageIoMemCache
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+    require(it.hasNext, "no JDK PNG ImageReader on this JVM")
+    it.next().getOriginatingProvider
+  }
+  private lazy val pngWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    imageIoMemCache
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+    require(it.hasNext, "no JDK PNG ImageWriter on this JVM")
+    it.next().getOriginatingProvider
+  }
+
   /** Deterministic FAKE decode: metadata derived from the payload bytes.
     * STUB for the video modality only (the JDK has no codec for it; images
     * go through the real [[realDecode]] path, audio through the real
@@ -159,7 +185,10 @@ object MultimodalOps {
       y += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
+    val w2 = pngWriterSpi.createWriterInstance()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try { w2.setOutput(out); w2.write(img); out.flush() }
+    finally { w2.dispose(); out.close() }
     baos.toByteArray
   }
 
@@ -186,8 +215,14 @@ object MultimodalOps {
         batch.map { r =>
           val id = r.getLong(0)
           val png = encodePng(id) // fixture-build: the opaque binary payload
-          // the REAL decode: JDK PNG codec, actual pixels
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          // the REAL decode: JDK PNG codec via the JVM-cached SPI (the
+          // ImageIO facade walks the registry per call), actual pixels
+          val rdr = pngReaderSpi.createReaderInstance()
+          val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(png))
+          val img =
+            try { rdr.setInput(in); rdr.read(0) }
+            finally { rdr.dispose(); in.close() }
           val (w, h) = (img.getWidth, img.getHeight)
           var sr = 0L; var sg = 0L; var sb = 0L
           var y = 0
@@ -231,12 +266,31 @@ object MultimodalOps {
   def wavSamples(docId: Long): Int = (200L + (docId * 7L) % 300L).toInt
   def wavRate(docId: Long): Int = (8000L + (docId % 4L) * 2000L).toInt
 
-  /** Deterministic WAV fixture: mono 16-bit signed little-endian PCM whose
-    * sample values, count, and rate are closed-form functions of `doc_id`
-    * ([[wavSample]]/[[wavSamples]]/[[wavRate]]) — so the ORACLE can predict
-    * what a real decoder must read back without parsing RIFF itself. WAV PCM
-    * is lossless; the JDK codec must return these exact samples. */
-  def encodeWav(docId: Long): Array[Byte] = {
+  /** The JDK's own RIFF/WAVE codec, resolved ONCE per executor JVM through
+    * the public SPI. Going through the `AudioSystem` facade instead costs a
+    * provider-registry lookup PER CALL, and that registry is a synchronized
+    * static in the JDK (`JDK13Services.getProviders`) — 32 executor threads
+    * serialize on it and the op turns super-linear under load (measured
+    * 25.7× on 10× rows before this cache; see SCALING.md). Same codec
+    * classes `AudioSystem` would select, no per-call lock. */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.find { r =>
+        try { r.getAudioFileFormat(new java.io.ByteArrayInputStream(rawEncodeWav(0L))); true }
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => false }
+      }.getOrElse(sys.error("no JDK WAV AudioFileReader on this JVM"))
+  }
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no JDK WAV AudioFileWriter on this JVM"))
+  }
+
+  /** [[encodeWav]] through the facade — used only to PROBE for the WAV
+    * reader provider (one call per JVM, before [[wavReader]] exists). */
+  private def rawEncodeWav(docId: Long): Array[Byte] = {
     val n = wavSamples(docId)
     val sr = wavRate(docId)
     val pcm = new Array[Byte](n * 2)
@@ -253,6 +307,32 @@ object MultimodalOps {
     val baos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic WAV fixture: mono 16-bit signed little-endian PCM whose
+    * sample values, count, and rate are closed-form functions of `doc_id`
+    * ([[wavSample]]/[[wavSamples]]/[[wavRate]]) — so the ORACLE can predict
+    * what a real decoder must read back without parsing RIFF itself. WAV PCM
+    * is lossless; the JDK codec must return these exact samples. Writes via
+    * the JVM-cached [[wavWriter]] SPI (see its note on registry contention).
+    */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = wavSamples(docId)
+    val sr = wavRate(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = wavSample(docId, i)
+      pcm(2 * i) = (v & 0xff).toByte // little-endian int16
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
   }
 
@@ -284,8 +364,10 @@ object MultimodalOps {
         batch.map { r =>
           val id = r.getLong(0)
           val wav = encodeWav(id) // fixture-build: the opaque binary payload
-          // the REAL decode: JDK RIFF/WAVE codec, actual PCM frames
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          // the REAL decode: JDK RIFF/WAVE codec (JVM-cached SPI — the
+          // AudioSystem facade's per-call registry lock serializes executor
+          // threads; see wavReader), actual PCM frames
+          val ais = wavReader.getAudioInputStream(
             new java.io.ByteArrayInputStream(wav))
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
