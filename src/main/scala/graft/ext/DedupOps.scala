@@ -687,12 +687,13 @@ object DedupOps {
     * distinct-document count.
     *
     * Scale shape: the corpus text moves through exactly two keyed shuffles —
-    * (1) paragraph rows keyed on the 128-bit md5 digest for the corpus-wide
-    * doc-frequency count + anti-join (rows shrink to (digest, doc_id) on the
-    * counting side; no paragraph text in that exchange), and (2) the kept
-    * rows keyed on doc_id for ordered reassembly. No broadcast of anything
-    * corpus-sized; duplicate-paragraph cardinality never materializes on the
-    * driver. Output is verification-friendly: per-doc paragraph counts plus
+    * (1) paragraph rows keyed on the 128-bit md5 digest, where an
+    * O(1)-state min≠max window marks cross-doc duplicates (no countDistinct
+    * aggregate, no anti-join, no recompute of the explode subtree), and
+    * (2) rows keyed on doc_id for the conditional ordered reassembly. No
+    * broadcast of anything corpus-sized; duplicate-paragraph cardinality
+    * never materializes on the driver. Output is verification-friendly:
+    * per-doc paragraph counts plus
     * an md5 of the reassembled text, so the oracle proves the exact
     * reconstruction without shipping the text through the hash compare. */
   def paragraphDedup(spark: SparkSession, sfDir: String): DataFrame =
@@ -700,6 +701,7 @@ object DedupOps {
 
   private[graft] def paragraphDedupOf(
       documents: DataFrame, chunkWords: Int = ParaWords): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(chunkWords > 0, s"paragraphDedup: chunkWords must be positive, got $chunkWords")
     val docs = documents.select(col("doc_id"),
       expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
@@ -714,18 +716,23 @@ object DedupOps {
     val paras = docs
       .select(col("doc_id"), posexplode(parasArr).as(Seq("idx", "para")))
       .withColumn("ph", md5(col("para")))
-    // corpus-wide distinct-doc frequency per digest; dup set stays distributed
-    val dup = paras.select(col("ph"), col("doc_id"))
-      .groupBy("ph").agg(countDistinct("doc_id").as("n_docs"))
-      .where(col("n_docs") >= 2).select("ph")
-    val kept = paras.join(dup, Seq("ph"), "left_anti")
-    val agg = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("kept_paras"),
-      sum(expr("size(split(para, ' '))")).cast("long").as("kept_tokens"),
+    // "≥ 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) over the digest —
+    // O(1)-state window instead of countDistinct + anti-join, so every
+    // paragraph row passes the pipeline exactly once (see cdcChunkDedupOf)
+    val wDup = Window.partitionBy("ph")
+    val marked = paras.withColumn("multi_doc",
+      min("doc_id").over(wDup) =!= max("doc_id").over(wDup))
+    val keptStruct = when(!col("multi_doc"), struct(col("idx"), col("para")))
+    val agg = marked.groupBy("doc_id").agg(
+      sum(when(!col("multi_doc"), 1L).otherwise(0L)).as("kept_paras"),
+      coalesce(sum(when(!col("multi_doc"), expr("size(split(para, ' '))").cast("long"))),
+        lit(0L)).as("kept_tokens"),
+      // collect_list skips the nulls `when` leaves for removed paragraphs;
+      // an all-removed doc reassembles "" → md5("")
       md5(array_join(
-        transform(array_sort(collect_list(struct(col("idx"), col("para")))),
-          x => x.getField("para")),
+        transform(array_sort(collect_list(keptStruct)), x => x.getField("para")),
         " ")).as("kept_hash"))
+    // left join keeps zero-token docs (no paragraphs) in the output
     totals.join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_paras"),
         (col("n_paras") - coalesce(col("kept_paras"), lit(0L))).as("n_removed"),
@@ -756,7 +763,122 @@ object DedupOps {
        |FROM n LEFT JOIN a USING (doc_id)
        |ORDER BY n.doc_id""".stripMargin
 
+  /** Gear-hash modulus for [[cdcChunkDedup]]: a token ends a chunk when its
+    * content hash ≡ 0 (mod CdcMod) → expected chunk length ≈ CdcMod words. */
+  private val CdcMod = 8L
+
+  /** Content-defined-chunking (CDC) dedup — the rolling-boundary answer to
+    * [[paragraphDedup]]'s structural blind spot: ALIGNED chunking breaks
+    * under insertion (one word prepended to a copied document shifts every
+    * fixed-width chunk, so no chunk matches and the duplicate text
+    * survives). CDC instead cuts a chunk wherever a token's CONTENT hash
+    * hits the gear condition (31-poly-mod-1e9+7 of the word ≡ 0 mod 8 — the
+    * same parity hash idiom as `text_fingerprint`), so boundaries are a
+    * function of the text itself and RESYNCHRONIZE right after any edit —
+    * the storage-dedup trick (LBFS/Venti lineage) applied to corpus
+    * curation. Chunks occurring in ≥ 2 distinct docs are removed from all
+    * of them, docs reassembled in order, reconstruction md5-verified —
+    * identical removal semantics to [[paragraphDedupOf]], different
+    * boundary discipline (the QueriesSpec fixture pins the divergence: a
+    * one-word prepend defeats aligned chunking but not CDC).
+    *
+    * Scale shape: ONE linear chain, every row passes once — token rows
+    * shuffle by doc_id (boundary prefix count; the chunk assembly
+    * groupBy(doc_id, chunk_id) reuses that exchange), chunk rows shuffle by
+    * digest (the min≠max dup-marking window — O(1) state per group, no
+    * countDistinct aggregate, no self-join, no subtree recompute), then
+    * back by doc_id for the conditional reassembly aggregate. Same family
+    * as `text_dup_spans`; nothing corpus-sized broadcasts. A viral chunk
+    * makes a hot digest group either way (join or window) — the window
+    * buffer spills rather than OOMs. Docs are emitted per tokenized doc
+    * (an empty doc has no chunks and no row — both engines agree). */
+  def cdcChunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunkDedupOf(Tables.documents(spark, sfDir))
+
+  private[graft] def cdcChunkDedupOf(
+      documents: DataFrame, gearMod: Long = CdcMod): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gearMod >= 2, s"cdcChunkDedup: gearMod $gearMod cuts a chunk per token")
+    val docs = documents.select(col("doc_id"),
+      expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
+    // per-token (word, gear-hash) pairs; boundary AFTER a gear-hit token
+    val hashed = docs
+      .select(col("doc_id"), posexplode(expr(
+        """transform(toks, w -> named_struct(
+          |  'w', w,
+          |  'g', aggregate(
+          |         transform(sequence(1, length(w)), i -> cast(ascii(substring(w, i, 1)) as bigint)),
+          |         cast(0 as bigint), (h, c) -> (h * 31 + c) % 1000000007)))""".stripMargin))
+        .as(Seq("pos", "tg")))
+      .select(col("doc_id"), col("pos"), col("tg.w").as("w"),
+        (col("tg.g") % gearMod === 0).cast("int").as("b"))
+    val wCh = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = hashed
+      .withColumn("chunk_id", coalesce(sum("b").over(wCh), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(min("pos").as("cpos"),
+        count(lit(1)).cast("long").as("c_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").as("chunk"))
+      .withColumn("ch", md5(col("chunk")))
+    // "≥ 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) over the digest — an
+    // O(1)-state window instead of a countDistinct aggregate + self-join:
+    // every chunk row passes the pipeline ONCE (the naive three-reference
+    // form recomputed the whole explode+window+agg subtree per branch)
+    val wDup = Window.partitionBy("ch")
+    val marked = chunks.withColumn("multi_doc",
+      min("doc_id").over(wDup) =!= max("doc_id").over(wDup))
+    val keptStruct = when(!col("multi_doc"), struct(col("cpos"), col("chunk")))
+    marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("multi_doc"), 1L).otherwise(0L)).as("n_removed"),
+      coalesce(sum(when(!col("multi_doc"), col("c_tokens"))), lit(0L)).as("kept_tokens"),
+      // collect_list skips the nulls the `when` leaves for removed chunks;
+      // an all-removed doc reassembles "" → md5("") like the oracle
+      md5(array_join(
+        transform(array_sort(collect_list(keptStruct)), x => x.getField("chunk")),
+        " ")).as("kept_hash"))
+      .select("doc_id", "n_chunks", "n_removed", "kept_tokens", "kept_hash")
+      .orderBy("doc_id")
+  }
+
+  private val cdcChunkDedupSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE len($toksSql) > 0),
+       |x AS (SELECT doc_id, unnest(toks) AS w, unnest(range(0, len(toks))) AS pos FROM t),
+       |h AS (SELECT doc_id, pos, w,
+       |        CASE WHEN list_reduce(
+       |          list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, length(w) + 1),
+       |                           i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
+       |          (h, c) -> (h * 31 + c) % 1000000007) % $CdcMod = 0
+       |        THEN 1 ELSE 0 END AS b
+       |      FROM x),
+       |c AS (SELECT doc_id, pos, w,
+       |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |      FROM h),
+       |ch AS (SELECT doc_id, chunk_id, min(pos) AS cpos, count(*) AS c_tokens,
+       |         string_agg(w, ' ' ORDER BY pos) AS chunk
+       |       FROM c GROUP BY doc_id, chunk_id),
+       |dup AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+       |k AS (SELECT ch.doc_id, ch.cpos, ch.c_tokens, ch.chunk
+       |      FROM ch ANTI JOIN dup d ON ch.chunk = d.chunk),
+       |n AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+       |a AS (SELECT doc_id, count(*) AS kept_chunks,
+       |        CAST(sum(c_tokens) AS BIGINT) AS kept_tokens,
+       |        md5(string_agg(chunk, ' ' ORDER BY cpos)) AS kept_hash
+       |      FROM k GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_chunks,
+       |  n.n_chunks - coalesce(a.kept_chunks, 0) AS n_removed,
+       |  coalesce(a.kept_tokens, 0) AS kept_tokens,
+       |  coalesce(a.kept_hash, md5('')) AS kept_hash
+       |FROM n LEFT JOIN a USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> (cdcChunkDedup _),
     "dedup_paragraph" -> (paragraphDedup _),
     "dedup_semantic" -> (semDedup _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -771,6 +893,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" -> cdcChunkDedupSql,
     "dedup_paragraph" -> paragraphDedupSql,
     "dedup_semantic" -> semDedupSql,
     "dedup_minhash_lsh" -> minhashLshSql,

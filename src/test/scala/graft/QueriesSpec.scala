@@ -299,6 +299,27 @@ class QueriesSpec extends SparkSpec {
     assert(out(2).getAs[String]("kept_hash") == md5s(rep + " " + rep))
   }
 
+  test("CDC chunking survives a one-word prepend that defeats aligned paragraph chunks") {
+    // the reason content-defined boundaries exist: doc 2 = doc 1 with ONE
+    // word prepended. Every aligned 20-word chunk shifts → paragraph dedup
+    // finds nothing; CDC boundaries depend on token content, resync right
+    // after the edit, and the shared tail chunks are found and removed.
+    import spark.implicits._
+    val body = (1 to 200).map(i => s"w${i * 7 % 101}x$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, "prepended " + body)).toDF("doc_id", "text")
+    val aligned = graft.ext.DedupOps.paragraphDedupOf(docs)
+      .agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)
+    assert(aligned == 0L,
+      s"aligned chunking should find NO shared chunk after the shift, got $aligned")
+    val cdc = graft.ext.DedupOps.cdcChunkDedupOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_removed"))).toMap
+    val (n1, rem1) = cdc(1L)
+    val (n2, rem2) = cdc(2L)
+    assert(rem1 > n1 / 2 && rem2 > n2 / 2,
+      s"CDC must remove the majority of both docs' chunks (resynced boundaries): " +
+        s"doc1 $rem1/$n1, doc2 $rem2/$n2")
+  }
+
   test("token-budget selection: bucketed two-phase prefix sum ≡ the global single-reducer order") {
     val rows = graft.ext.SamplingOps.tokenBudgetSample(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
