@@ -339,6 +339,34 @@ object Relational {
     """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Approximate percentiles via Spark's native quantile sketch
+    * (`approx_percentile`, Greenwald-Khanna): the one-pass mergeable-state
+    * path a 100 TB percentile wants — the exact interpolated form
+    * ([[aggPercentiles]]) needs the full sorted column per group, the
+    * sketch streams it in bounded memory with partial merge. Gated like
+    * `approx_distinct`: the sketch value is engine-specific, so the oracle
+    * pins the EXACT per-group percentile next to a within-tolerance
+    * boolean. accuracy=10000 bounds rank error at 1/10000 of the group —
+    * on sf groups that means the sketch must land within a few neighboring
+    * values of the true quantile; the 2% value-tolerance gate is then
+    * deterministic in practice while still exercising the sketch. */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").cast("double").as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("exact_p95"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").cast("double").as("approx_p95"))
+      .select(col("l_returnflag"),
+        (abs(col("approx_p50") - col("exact_p50")) / col("exact_p50") <= 0.02).as("p50_within_2pct"),
+        (abs(col("approx_p95") - col("exact_p95")) / col("exact_p95") <= 0.02).as("p95_within_2pct"))
+      .orderBy("l_returnflag")
+
+  private val approxPercentilesSql =
+    """SELECT l_returnflag, TRUE AS p50_within_2pct, TRUE AS p95_within_2pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q4-style EXISTS: orders having at least one deep-discount line,
     * counted by priority — a left-semi join (no row multiplication, the
     * probe side streams). */
@@ -598,6 +626,7 @@ object Relational {
     "agg_rollup" -> (aggRollup _),
     "topk_orders" -> (topkOrders _),
     "approx_distinct" -> (approxDistinct _),
+    "approx_percentiles" -> (approxPercentiles _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "skew_hot_key_agg" -> (skewHotKeyAgg _),
     "skew_asof_sliced" -> (skewAsofSliced _),
@@ -624,6 +653,7 @@ object Relational {
     "agg_rollup" -> aggRollupSql,
     "topk_orders" -> topkOrdersSql,
     "approx_distinct" -> approxDistinctSql,
+    "approx_percentiles" -> approxPercentilesSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "skew_hot_key_agg" -> skewHotKeyAggSql,
     "skew_asof_sliced" -> skewAsofSlicedSql,

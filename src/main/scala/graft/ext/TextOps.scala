@@ -222,6 +222,82 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style composite quality FILTER (Rae et al. 2021, Table A1
+    * shape): the published keep/drop RULE built from the individual signals
+    * this family already computes — real pipelines ship the rule, not just
+    * the signals. Four deterministic sub-rules (thresholds adapted so the
+    * synthetic corpus exercises both branches of each): word count in
+    * [50, 100000]; mean word length in [3, 10]; duplicated-3-gram fraction
+    * ≤ 0.01; ≥ 2 English stopwords. Output keeps every sub-verdict plus the
+    * failure count, so downstream can audit WHY a doc dropped (the
+    * bitmask-of-reasons discipline curation reports need). Single-scan
+    * per-row projection — shuffle-free at any corpus size; doubles are the
+    * same IEEE expression trees on both engines. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRulesOf(Tables.documents(spark, sfDir))
+
+  private[graft] def gopherRulesOf(documents: DataFrame): DataFrame = {
+    val tg = "IF(size(toks) >= 3, transform(sequence(1, size(toks) - 2), " +
+      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))), " +
+      "CAST(array() AS ARRAY<STRING>))"
+    documents
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tok", expr("size(toks)").cast("long"))
+      .withColumn("mean_word_len",
+        expr("aggregate(toks, cast(0 as bigint), (a, w) -> a + length(w))").cast("double")
+          / col("n_tok").cast("double"))
+      .withColumn("tg", expr(tg))
+      .withColumn("dup_trigram_frac",
+        when(expr("size(tg)") > 0,
+          (expr("size(tg)") - expr("size(array_distinct(tg))")).cast("double") /
+            expr("size(tg)").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("stop_cnt",
+        expr(s"size(filter(toks, t -> t in ${inList(stop("en"))}))").cast("long"))
+      .withColumn("r_nwords", col("n_tok") >= 50 && col("n_tok") <= 100000)
+      .withColumn("r_wordlen", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_dup3", col("dup_trigram_frac") <= 0.01)
+      .withColumn("r_stop", col("stop_cnt") >= 2)
+      .withColumn("n_failed",
+        (when(col("r_nwords"), 0).otherwise(1) + when(col("r_wordlen"), 0).otherwise(1)
+          + when(col("r_dup3"), 0).otherwise(1) + when(col("r_stop"), 0).otherwise(1))
+          .cast("long"))
+      .withColumn("keep", col("n_failed") === 0)
+      .select("doc_id", "n_tok", "mean_word_len", "dup_trigram_frac", "stop_cnt",
+        "r_nwords", "r_wordlen", "r_dup3", "r_stop", "n_failed", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val gopherRulesSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, toks,
+       |        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+       |      FROM t),
+       |s AS (SELECT doc_id,
+       |        CAST(len(toks) AS BIGINT) AS n_tok,
+       |        CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+       |          / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+       |        CASE WHEN len(tg) > 0
+       |             THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)
+       |             ELSE 0.0 END AS dup_trigram_frac,
+       |        CAST(len(list_filter(toks, t -> t IN ${inList(stop("en"))})) AS BIGINT) AS stop_cnt
+       |      FROM g),
+       |r AS (SELECT *,
+       |        n_tok >= 50 AND n_tok <= 100000 AS r_nwords,
+       |        mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_wordlen,
+       |        dup_trigram_frac <= 0.01 AS r_dup3,
+       |        stop_cnt >= 2 AS r_stop
+       |      FROM s)
+       |SELECT doc_id, n_tok, mean_word_len, dup_trigram_frac, stop_cnt,
+       |  r_nwords, r_wordlen, r_dup3, r_stop,
+       |  CAST((CASE WHEN r_nwords THEN 0 ELSE 1 END) + (CASE WHEN r_wordlen THEN 0 ELSE 1 END)
+       |     + (CASE WHEN r_dup3 THEN 0 ELSE 1 END) + (CASE WHEN r_stop THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_failed,
+       |  (CASE WHEN r_nwords THEN 0 ELSE 1 END) + (CASE WHEN r_wordlen THEN 0 ELSE 1 END)
+       |    + (CASE WHEN r_dup3 THEN 0 ELSE 1 END) + (CASE WHEN r_stop THEN 0 ELSE 1 END) = 0 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+
   private val repetitionSql =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |g AS (SELECT doc_id, toks,
@@ -545,6 +621,7 @@ object TextOps {
     "text_tfidf_topk" -> (tfidfTopk _),
     "text_lm_rank_score" -> (lmRankScore _),
     "text_repetition" -> (repetition _),
+    "text_gopher_rules" -> (gopherRules _),
     "text_boilerplate_ngrams" -> (boilerplateNgrams _),
     "text_langid" -> (langId _),
     "text_quality_score" -> (qualityScore _),
@@ -560,6 +637,7 @@ object TextOps {
     "text_tfidf_topk" -> tfidfTopkSql,
     "text_lm_rank_score" -> lmRankScoreSql,
     "text_repetition" -> repetitionSql,
+    "text_gopher_rules" -> gopherRulesSql,
     "text_boilerplate_ngrams" -> boilerplateNgramsSql,
     "text_langid" -> langIdSql,
     "text_quality_score" -> qualityScoreSql,
