@@ -349,7 +349,13 @@ object Relational {
     * boolean. accuracy=10000 bounds rank error at 1/10000 of the group —
     * on sf groups that means the sketch must land within a few neighboring
     * values of the true quantile; the 2% value-tolerance gate is then
-    * deterministic in practice while still exercising the sketch. */
+    * deterministic in practice while still exercising the sketch.
+    *
+    * The GATE query deliberately pays for both paths — `percentile()`
+    * buffers every group value, which is exactly the cost the sketch
+    * eliminates (the two-store probe shows the pair at 2.5× on 10× rows,
+    * all of it the exact side; the sketch alone is a linear mergeable
+    * partial aggregate). Production calls `approx_percentile` only. */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
