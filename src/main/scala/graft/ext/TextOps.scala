@@ -553,6 +553,116 @@ object TextOps {
        |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_fraction
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+    * local-fingerprinting algorithm): hash every K-token gram, slide a
+    * window of W consecutive gram hashes, and keep each window's MINIMUM
+    * (rightmost position on ties). The selection guarantee — any shared run
+    * of ≥ W+K−1 tokens between two documents shares at least one selected
+    * fingerprint — is LOCAL, which global sketches (MinHash) cannot give;
+    * expected density is 2/(W+1) of the gram stream, the published bound.
+    * Complements [[dupSpans]]: dup-spans finds where overlap IS, winnowing
+    * builds the compact per-doc index you match against at scale.
+    *
+    * Scale shape: selection is pure per-document window math — the ONE
+    * shuffle is the per-doc window sort; rows shrink to (doc, pos, hash)
+    * before it and fingerprints stay integers end-to-end. The
+    * argmin-with-rightmost-tie is encoded arithmetically (hash·2²⁰ +
+    * (2²⁰−1−pos)) so a single integer window MIN performs the
+    * (hash asc, pos desc) lexicographic choice — no self-join, no
+    * nested window aggregates, identical in both engines. */
+  def winnow(spark: SparkSession, sfDir: String): DataFrame =
+    winnowOf(Tables.documents(spark, sfDir))
+
+  /** The selected fingerprints themselves: one row per (doc_id, n_grams,
+    * fp_pos, fp_h) — the frame a cross-doc matcher joins on, exposed for
+    * the guarantee spec. */
+  private[graft] def winnowFingerprints(documents: DataFrame, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gram = (0 until k).map(j => s"element_at(toks, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val gramsExpr = s"IF(size(toks) >= $k, " +
+      s"transform(sequence(1, size(toks) - ${k - 1}), i -> $gram), " +
+      "CAST(array() AS ARRAY<STRING>))"
+    val grams = documents
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        // first 8 md5 hex chars → 32-bit positional gram hash; c encodes
+        // (hash asc, pos desc) in one BIGINT (< 2^52, exact)
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("h"))
+      .withColumn("c", col("h") * lit(1048576L) + (lit(1048575L) - col("pos")))
+    val winW = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    val docW = Window.partitionBy("doc_id")
+    grams
+      .withColumn("minc", min("c").over(winW))
+      .withColumn("n_grams", count(lit(1)).over(docW))
+      .where(col("pos") <= col("n_grams") - lit(w - 1)) // full windows only
+      .select(col("doc_id"), col("n_grams"),
+        expr("CAST(minc DIV 1048576 AS BIGINT)").as("fp_h"),
+        (lit(1048575L) - expr("minc % 1048576")).as("fp_pos"))
+      .distinct()
+  }
+
+  private[graft] def winnowOf(documents: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val sel = winnowFingerprints(documents, k, w)
+    val agg = sel.groupBy("doc_id", "n_grams").agg(
+      count(lit(1)).as("n_fp"),
+      md5(array_join(transform(
+        sort_array(collect_list(struct(col("fp_pos"), col("fp_h")))),
+        s => concat_ws(":", s.getField("fp_pos").cast("string"),
+          s.getField("fp_h").cast("string"))), ",")).as("fp_md5"))
+    documents.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        when(col("n_fp").isNull, lit(0.0))
+          .otherwise(col("n_fp").cast("double") /
+            (col("n_grams") - lit(w - 1)).cast("double")).as("density"),
+        coalesce(col("fp_md5"), lit("")).as("fp_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val winnowSql = {
+    val k = 4
+    val w = 4
+    val g4 = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    // first 8 md5 hex chars → BIGINT via strpos nibble math (the repo-wide
+    // hex-to-int idiom; no strtol in either engine's common subset)
+    val nib = (i: Int) => s"(strpos('0123456789abcdef', substr(hh, $i, 1)) - 1)"
+    val hexpr = (1 to 8).map(i => s"${nib(i)} * ${java.math.BigInteger.valueOf(16L).pow(8 - i)}")
+      .mkString("(", " + ", ")")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |u AS (SELECT doc_id, unnest(list_transform(
+       |        range(1, greatest(len(toks) - ${k - 1}, 0) + 1),
+       |        i -> struct_pack(pos := i, g := $g4))) AS s
+       |      FROM t),
+       |g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, md5(s.g) AS hh FROM u),
+       |e AS (SELECT doc_id, pos, CAST($hexpr AS BIGINT) * 1048576
+       |        + (1048575 - pos) AS c FROM g),
+       |wm AS (SELECT doc_id, pos, c,
+       |        min(c) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS minc,
+       |        CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams
+       |      FROM e),
+       |sel AS (SELECT DISTINCT doc_id, n_grams,
+       |          CAST(minc // 1048576 AS BIGINT) AS fp_h,
+       |          CAST(1048575 - (minc % 1048576) AS BIGINT) AS fp_pos
+       |        FROM wm WHERE pos <= n_grams - ${w - 1}),
+       |a AS (SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_fp,
+       |        md5(array_to_string(list(CAST(fp_pos AS VARCHAR) || ':'
+       |          || CAST(fp_h AS VARCHAR) ORDER BY fp_pos), ',')) AS fp_md5
+       |      FROM sel GROUP BY doc_id, n_grams)
+       |SELECT d.doc_id, CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fp,
+       |  CASE WHEN a.n_fp IS NULL THEN 0.0
+       |       ELSE CAST(a.n_fp AS DOUBLE) / CAST(a.n_grams - ${w - 1} AS DOUBLE)
+       |  END AS density,
+       |  COALESCE(a.fp_md5, '') AS fp_md5
+       |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Duplicated-SUBSTRING span detection (the Lee et al. "Deduplicating
     * Training Data" signal, windowed form): every positional 8-token window
     * is hashed; windows whose hash appears in ≥2 DISTINCT documents are
@@ -616,6 +726,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dup_spans" -> (dupSpans _),
+    "text_winnow" -> (winnow _),
     "text_contamination" -> (contamination _),
     "text_contamination_bloom" -> (contaminationBloom _),
     "text_tfidf_topk" -> (tfidfTopk _),
@@ -632,6 +743,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_dup_spans" -> dupSpansSql,
+    "text_winnow" -> winnowSql,
     "text_contamination" -> contaminationSql,
     "text_contamination_bloom" -> contaminationSql,
     "text_tfidf_topk" -> tfidfTopkSql,

@@ -232,6 +232,41 @@ class QueriesSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 10L, 3L), (2L, 3L, 12L, 3L)), out.toString)
   }
 
+  test("winnowing: the local guarantee — docs sharing a >= w+k-1 token run share a fingerprint") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // k=4, w=4 → guarantee threshold = 7 shared tokens; these two docs
+    // share EXACTLY the 7-token run "one two three four five six seven"
+    // and nothing else
+    val docs = Seq(
+      (1L, "aa bb one two three four five six seven cc dd ee ff gg"),
+      (2L, "pp qq rr one two three four five six seven ss tt")
+    ).toDF("doc_id", "text")
+    val fp = ext.TextOps.winnowFingerprints(docs, 4, 4)
+    val shared = fp.where(col("doc_id") === 1).select("fp_h")
+      .intersect(fp.where(col("doc_id") === 2).select("fp_h"))
+    assert(!shared.isEmpty,
+      "winnowing guarantee violated: a shared 7-token run produced no shared fingerprint")
+    // density: every full window contributes exactly one fingerprint, so
+    // n_fp <= n_windows and every selected pos is a valid gram position
+    val out = ext.TextOps.winnowOf(docs).collect()
+    out.foreach { r =>
+      val (ng, nf) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_fp"))
+      assert(nf >= 1 && nf <= ng - 3, s"doc ${r.getLong(0)}: $nf of ${ng - 3} windows")
+    }
+  }
+
+  test("winnowing: equal hashes in a window select the RIGHTMOST position") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // all 4-grams of "a a a a a a a a" are identical → every window's min is
+    // a tie and must resolve to its LAST start: windows s=1,2 select 4,5
+    val docs = Seq((1L, "a a a a a a a a")).toDF("doc_id", "text")
+    val fp = ext.TextOps.winnowFingerprints(docs, 4, 4)
+      .select("fp_pos").as[Long].collect().sorted.toSeq
+    assert(fp == Seq(4L, 5L), s"got $fp")
+  }
+
   test("temperature sampling: binding source at rate exactly 1.0, rates fall as 1/sqrt(size)") {
     val rows = ext.SamplingOps.temperatureSample(spark, sf).collect()
       .map(x => (x.getAs[Long]("t_tokens"), x.getAs[Double]("accept_rate")))
