@@ -578,7 +578,131 @@ object SimilarityOps {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmScale = 10000L
+
+  /** Distributed k-means codebook training (Lloyd's algorithm) — the
+    * TRAINING step every quantizing index here declares pluggable
+    * ([[clusteredRecall]]'s cells, [[pqAnn]]'s fitted codebook,
+    * [[SemDeDup|DedupOps]]'s quantizer) but none previously implemented.
+    * Runs [[KmIters]] iterations on the clustered fixture seeded from the
+    * first [[KmK]] vectors; emits per-iteration, per-cluster training
+    * telemetry: member count, inertia (Σ min-distance², the quantity Lloyd
+    * descends), the updated centroid (md5 of its exact integer CSV), and
+    * assignment purity vs the fixture's generating cluster (reaches 1.0 —
+    * the trained codebook IS the generator's, closing the loop the
+    * untrained-PQ recall measurement opened).
+    *
+    * Numerics: embeddings are quantized to integers (round(x·10⁴)) FIRST,
+    * so every distance, partial sum, and half-away-rounded centroid mean is
+    * exact 64-bit integer arithmetic — iteration-stable and bit-identical
+    * cross-engine where double accumulation would diverge with partition
+    * order (quantized k-means is also the production norm at corpus scale:
+    * int16 lanes shuffle 4× narrower than doubles).
+    *
+    * Scale shape (the MLlib contract): per iteration, centroids (k·d ints,
+    * KBs) ship to executors as literals — the broadcast side of every
+    * k-means; assignment + min-distance is one codegen'd scan; the per-dim
+    * centroid update is ONE (k, dim)-keyed shuffle of map-side-combined
+    * partial sums producing k·d rows; only k-row cluster stats reach the
+    * driver. Lineage never grows: each iteration plans from the cached
+    * quantized scan + fresh literals (the BUILDLOG r2 iterative-plan
+    * finding). Inertia stays in int64 here; a 100 TB run promotes that one
+    * aggregate to DECIMAL(38,0). Empty clusters fail loud (production
+    * reseeds; the separated fixture cannot produce one). */
+  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = clusteredEmbeddings(spark, sfDir)
+      .withColumn("qv", expr(
+        s"transform(sequence(1, 64), d -> CAST(round(element_at(embedding, d) * $KmScale.0D) AS BIGINT))"))
+      .select(col("vec_id"), col("cl"), col("qv"))
+      .cache()
+    var centroids: Array[Array[Long]] = q.where(col("vec_id") < KmK)
+      .orderBy("vec_id").select("qv").collect()
+      .map(_.getSeq[Long](0).toArray)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, String, Double)]()
+    for (it <- 1 to KmIters) {
+      val cbLit = centroids.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+      val assigned = q
+        .withColumn("ds", expr(
+          s"""transform($cbLit, c -> aggregate(sequence(1, 64), CAST(0 AS BIGINT),
+             |  (a, d) -> a + (element_at(qv, d) - element_at(c, d))
+             |              * (element_at(qv, d) - element_at(c, d))))""".stripMargin))
+        .withColumn("k", expr("CAST(array_position(ds, array_min(ds)) - 1 AS BIGINT)"))
+        .withColumn("dist", expr("array_min(ds)"))
+      val stats = assigned.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("dist").as("inertia")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      require(stats.size == KmK,
+        s"k-means iteration $it: empty cluster — production reseeds from the farthest point")
+      val maj = assigned.groupBy("k", "cl").agg(count(lit(1)).as("cnt"))
+        .groupBy("k").agg(max("cnt").as("maj")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sums = assigned.select(col("k"), posexplode(col("qv")).as(Seq("d0", "x")))
+        .groupBy("k", "d0").agg(sum("x").as("s")).collect()
+      val newC = Array.fill(KmK, 64)(0L)
+      sums.foreach(r => newC(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2))
+      for (k <- 0 until KmK; d <- 0 until 64) {
+        val n = stats(k)._1
+        val s = newC(k)(d)
+        // half-away-from-zero integer rounding of s/n, mirrored in the oracle
+        val r = (2L * math.abs(s) + n) / (2L * n)
+        newC(k)(d) = if (s >= 0) r else -r
+      }
+      centroids = newC
+      for (k <- 0 until KmK)
+        out += ((it.toLong, k.toLong, stats(k)._1, stats(k)._2,
+          centroids(k).mkString(","), maj(k).toDouble / stats(k)._1.toDouble))
+    }
+    q.unpersist()
+    out.toSeq.toDF("iter", "cluster", "n_members", "inertia", "centroid_csv", "majority_frac")
+      .select(col("iter"), col("cluster"), col("n_members"), col("inertia"),
+        md5(col("centroid_csv")).as("centroid_md5"), col("majority_frac"))
+      .orderBy("iter", "cluster")
+  }
+
+  private val kmeansTrainSql = {
+    // one CTE chain per unrolled Lloyd iteration; cbs = list of centroid
+    // lists ordered by cluster id, carried between iterations
+    def iterCtes(i: Int, prevCb: String) =
+      s"""a$i AS (SELECT q.vec_id, q.cl, q.qv,
+         |  list_transform($prevCb.cbs, c -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, 65), d -> (qv[d] - c[d]) * (qv[d] - c[d]))),
+         |    (a, b) -> a + b)) AS ds
+         |  FROM q CROSS JOIN $prevCb),
+         |x$i AS (SELECT vec_id, cl, qv,
+         |  CAST(list_position(ds, list_min(ds)) - 1 AS BIGINT) AS k,
+         |  list_min(ds) AS dist FROM a$i),
+         |s$i AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(dist) AS BIGINT) AS inertia FROM x$i GROUP BY k),
+         |m$i AS (SELECT k, CAST(max(cnt) AS BIGINT) AS maj FROM
+         |  (SELECT k, cl, count(*) AS cnt FROM x$i GROUP BY k, cl) GROUP BY k),
+         |u$i AS (SELECT k, dd, CAST(sum(qv[dd]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM x$i CROSS JOIN (SELECT unnest(range(1, 65)) AS dd) dims GROUP BY k, dd),
+         |c$i AS (SELECT k, list(CASE WHEN s >= 0 THEN (2 * s + cnt) // (2 * cnt)
+         |    ELSE -((2 * (-s) + cnt) // (2 * cnt)) END ORDER BY dd) AS c
+         |  FROM u$i GROUP BY k),
+         |cb$i AS (SELECT list(c ORDER BY k) AS cbs FROM c$i)""".stripMargin
+    def iterOut(i: Int) =
+      s"""SELECT CAST($i AS BIGINT) AS iter, s$i.k AS cluster, s$i.n AS n_members,
+         |  s$i.inertia,
+         |  md5(array_to_string(list_transform(c$i.c, x -> CAST(x AS VARCHAR)), ',')) AS centroid_md5,
+         |  CAST(m$i.maj AS DOUBLE) / CAST(s$i.n AS DOUBLE) AS majority_frac
+         |FROM s$i JOIN m$i USING (k) JOIN c$i USING (k)""".stripMargin
+    s"""WITH ce AS (SELECT vec_id, vec_id % 8 AS cl, $clusteredEmbSql AS embedding
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, cl, list_transform(range(1, 65),
+       |    d -> CAST(round(embedding[d] * $KmScale.0) AS BIGINT)) AS qv FROM ce),
+       |c0 AS (SELECT vec_id AS k, qv AS c FROM q WHERE vec_id < $KmK),
+       |cb0 AS (SELECT list(c ORDER BY k) AS cbs FROM c0),
+       |${(1 to KmIters).map(i => iterCtes(i, s"cb${i - 1}")).mkString(",\n")}
+       |${(1 to KmIters).map(iterOut).mkString("\nUNION ALL\n")}
+       |ORDER BY iter, cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_train" -> (kmeansTrain _),
     "sim_pq_ann" -> (pqAnn _),
     "sim_pq_codes" -> (pqCodes _),
     "sim_brute_topk" -> (bruteTopk _),
@@ -590,6 +714,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_kmeans_train" -> kmeansTrainSql,
     "sim_pq_ann" -> pqAnnSql,
     "sim_pq_codes" -> pqCodesSql,
     "sim_brute_topk" -> bruteTopkSql,

@@ -267,6 +267,20 @@ class QueriesSpec extends SparkSpec {
     assert(fp == Seq(4L, 5L), s"got $fp")
   }
 
+  test("k-means training: inertia descends and purity reaches 1.0 on the clustered fixture") {
+    val rows = ext.SimilarityOps.kmeansTrain(spark, sf).collect()
+    val byIter = rows.groupBy(_.getAs[Long]("iter"))
+    assert(byIter.keySet == Set(1L, 2L, 3L) && byIter.values.forall(_.length == 8))
+    val totals = byIter.view.mapValues(_.map(_.getAs[Long]("inertia")).sum).toMap
+    assert(totals(2L) <= totals(1L) && totals(3L) <= totals(2L),
+      s"Lloyd inertia must descend: $totals")
+    // converged assignment = the generator's clustering, every cluster pure
+    byIter(3L).foreach { r =>
+      assert(r.getAs[Double]("majority_frac") == 1.0,
+        s"cluster ${r.getAs[Long]("cluster")} purity ${r.getAs[Double]("majority_frac")}")
+    }
+  }
+
   test("temperature sampling: binding source at rate exactly 1.0, rates fall as 1/sqrt(size)") {
     val rows = ext.SamplingOps.temperatureSample(spark, sf).collect()
       .map(x => (x.getAs[Long]("t_tokens"), x.getAs[Double]("accept_rate")))
