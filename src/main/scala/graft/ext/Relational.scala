@@ -230,7 +230,7 @@ object Relational {
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
-  private val sessionWindowsSql =
+  private[graft] val sessionWindowsSql =
     """WITH marked AS (
       |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN lag(ts) OVER w IS NULL

@@ -285,12 +285,35 @@ object Streams {
       .orderBy("user_id", "p_block", "c_block")
   }
 
+  /** Streaming SESSION windows under the oracle gate: the real engine
+    * merges per-user `session_window` state across micro-batches (sessions
+    * GROW and FUSE as rows arrive — unlike fixed windows, the key itself is
+    * mutable state), and the bounded complete-mode run must equal the batch
+    * gaps-and-islands rewrite ([[graft.ext.Relational.sessionWindowsSql]],
+    * shared verbatim as this query's oracle). Complements [[sessionized]]
+    * (the watermarked append-mode production form) by pinning the merge
+    * semantics the append form relies on. Sum goes through exact decimals —
+    * deterministic under any micro-batch split. */
+  def streamSessionParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val sess = eventStream(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,4)")).cast("decimal(38,4)")
+          .cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+    runToTable(sess, "stream_session_sink", "complete")
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s3_stream_batch_parity" -> (streamBatchParity _),
     "stream_neardup_dedup" -> (nearDupDedupStream _),
+    "stream_session_parity" -> (streamSessionParity _),
     "stream_join_parity" -> (streamJoinParity _))
 
   val oracles: Map[String, String] = Map(
+    "stream_session_parity" -> graft.ext.Relational.sessionWindowsSql,
     "s3_stream_batch_parity" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value

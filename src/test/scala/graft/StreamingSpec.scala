@@ -27,6 +27,36 @@ class StreamingSpec extends SparkSpec {
       batch.select("day", "event_type", "n")).count() == 0)
   }
 
+  test("streaming session windows FUSE across micro-batches (r6)") {
+    // the property complete-mode session parity relies on: a later batch's
+    // row landing BETWEEN two existing sessions must merge them into one
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sess = in.toDF().toDF("ts", "user_id", "value")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n_events"))
+    val q = sess.writeStream.outputMode("complete").format("memory")
+      .queryName("sess_fuse").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+      in.addData((ts(0), 1L, 1.0), (ts(50), 1L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_fuse").count() == 2, "50-min-apart events must open two sessions")
+      in.addData((ts(25), 1L, 1.0))
+      q.processAllAvailable()
+      val fused = spark.table("sess_fuse").collect()
+      assert(fused.length == 1 && fused.head.getAs[Long]("n_events") == 3L,
+        s"bridging row failed to fuse the sessions: ${fused.toSeq}")
+      assert(fused.head.getAs[java.sql.Timestamp]("s") == ts(0) &&
+        fused.head.getAs[java.sql.Timestamp]("e") == ts(80))
+    } finally q.stop()
+  }
+
   test("streaming HOPPING windows equal the batch aggregation (r6)") {
     // the same 1-day/6-hour groupBy as Relational.timeWindowHopping, run
     // through the streaming engine: each event must land in its 4
