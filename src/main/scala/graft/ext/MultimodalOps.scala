@@ -255,6 +255,168 @@ object MultimodalOps {
       |  avg((doc_id * 31 + 3 * y) % 256) AS mean_b
       |FROM py GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  /** Decode a PNG payload through the JVM-cached codec and return
+    * (width, height, channel sums) — the shared kernel of [[realDecode]],
+    * [[resizeThumb]] and [[frameSample]]. */
+  private def decodePng(png: Array[Byte]): java.awt.image.BufferedImage = {
+    val rdr = pngReaderSpi.createReaderInstance()
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png))
+    try { rdr.setInput(in); rdr.read(0) }
+    finally { rdr.dispose(); in.close() }
+  }
+
+  /** REAL thumbnail resize — the standard curation preprocessing step
+    * (decode → fixed-size thumbnail → embed): decodes the PNG fixture's
+    * real pixels, then resamples NEAREST-NEIGHBOR to `side × side` with the
+    * canonical integer mapping `src = (dst · srcDim) / side` — deterministic
+    * by construction, unlike `Image.getScaledInstance`'s
+    * implementation-defined kernels, which is what lets the oracle predict
+    * the thumbnail's mean RGB in closed form (row stripes sample at
+    * `(y·h)//side`). Same batched mapPartitions shape as [[realDecode]];
+    * means are exact integer sums over the side² sampled pixels in one IEEE
+    * division (division by a power of two — exact on both engines). */
+  def resizeThumb(df: DataFrame, side: Int = 8, batchSize: Int = 32): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("thumb_mean_r", DoubleType),
+      StructField("thumb_mean_g", DoubleType),
+      StructField("thumb_mean_b", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val img = decodePng(encodePng(id))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < side) {
+            val sy = y * h / side
+            var x = 0
+            while (x < side) {
+              val rgb = img.getRGB(x * w / side, sy)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (side * side).toDouble
+          Row(id, w.toLong, h.toLong, sr / n, sg / n, sb / n)
+        }
+      }
+    }(enc)
+  }
+
+  def resizeThumbQuery(spark: SparkSession, sfDir: String): DataFrame =
+    resizeThumb(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  private val resizeThumbSql =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h FROM documents),
+      |py AS (SELECT doc_id, w, h, (unnest(range(0, 8)) * h) // 8 AS sy FROM d)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  avg((doc_id * 7 + sy) % 256) AS thumb_mean_r,
+      |  avg((doc_id * 13 + 2 * sy) % 256) AS thumb_mean_g,
+      |  avg((doc_id * 31 + 3 * sy) % 256) AS thumb_mean_b
+      |FROM py GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
+  /** Frames-container fixture for [[frameSample]]: `4 + doc_id % 5` PNG
+    * frames, length-prefixed behind a `FRM0` magic + frame-count header —
+    * the seekable-index shape every real demuxer exposes. Frame `f` is
+    * [[encodePng]]'s image for the derived id `doc_id·11 + f`, so every
+    * sampled frame's dimensions and stripes stay closed-form for the
+    * oracle. (The JDK ships no video codec — the CONTAINER is the honest
+    * synthetic piece, exactly as documented on [[fakeDecode]]; the
+    * per-frame pixel decode is the real PNG codec.) */
+  def encodeFrames(docId: Long): Array[Byte] = {
+    val n = (4 + docId % 5).toInt
+    val baos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(baos)
+    dos.writeInt(0x46524d30) // "FRM0"
+    dos.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val p = encodePng(docId * 11 + f)
+      dos.writeInt(p.length); dos.write(p); f += 1
+    }
+    dos.flush()
+    baos.toByteArray
+  }
+
+  /** REAL frame sampling — the video-pipeline step (demux → keep every k-th
+    * frame → decode those): walks the container's frame index, SKIPS
+    * non-sampled frames without decoding them (the point of stride
+    * sampling — decode cost scales with kept frames, not stored frames),
+    * and runs the real PNG codec on the kept ones. One output row per
+    * (doc, sampled frame) with decoded dimensions + mean RGB,
+    * oracle-predicted in closed form. */
+  def frameSample(df: DataFrame, stride: Int = 2, batchSize: Int = 32): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("frame_idx", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(0)
+          val dis = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(encodeFrames(id)))
+          require(dis.readInt() == 0x46524d30, s"bad frames magic for doc $id")
+          val n = dis.readInt()
+          (0 until n).flatMap { f =>
+            val len = dis.readInt()
+            if (f % stride != 0) { dis.skipBytes(len); None }
+            else {
+              val png = new Array[Byte](len)
+              dis.readFully(png)
+              val img = decodePng(png)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val p = (w * h).toDouble
+              Some(Row(id, n.toLong, f.toLong, w.toLong, h.toLong, sr / p, sg / p, sb / p))
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
+  def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    frameSample(Tables.documents(spark, sfDir)).orderBy("doc_id", "frame_idx")
+
+  private val frameSampleSql =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS n FROM documents),
+      |f AS (SELECT doc_id, n, unnest(range(0, n)) AS fi FROM d),
+      |s AS (SELECT doc_id, n, fi, doc_id * 11 + fi AS fid FROM f WHERE fi % 2 = 0),
+      |dims AS (SELECT doc_id, n, fi, fid,
+      |          8 + fid % 16 AS w, 8 + (fid * 3) % 12 AS h FROM s),
+      |py AS (SELECT doc_id, n, fi, fid, w, h, unnest(range(0, h)) AS y FROM dims)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_frames, CAST(fi AS BIGINT) AS frame_idx,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  avg((fid * 7 + y) % 256) AS mean_r,
+      |  avg((fid * 13 + 2 * y) % 256) AS mean_g,
+      |  avg((fid * 31 + 3 * y) % 256) AS mean_b
+      |FROM py GROUP BY doc_id, n, fi, w, h ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Closed-form PCM16 sample stream for [[encodeWav]]: value of sample `i`
     * of document `docId` — integer-only, reproduced verbatim by the oracle.
     * Range ±2000 fits int16 with headroom. */
@@ -413,6 +575,8 @@ object MultimodalOps {
     "mm_binary_meta" -> (binaryMeta _),
     "mm_batched_decode" -> (batchedDecode _),
     "mm_real_decode" -> (realDecodeQuery _),
+    "mm_resize_thumb" -> (resizeThumbQuery _),
+    "mm_frame_sample" -> (frameSampleQuery _),
     "mm_audio_decode" -> (audioDecodeQuery _),
   )
 
@@ -420,6 +584,8 @@ object MultimodalOps {
     "mm_binary_meta" -> binaryMetaSql,
     "mm_batched_decode" -> batchedDecodeSql,
     "mm_real_decode" -> realDecodeSql,
+    "mm_resize_thumb" -> resizeThumbSql,
+    "mm_frame_sample" -> frameSampleSql,
     "mm_audio_decode" -> audioDecodeSql,
   )
 }

@@ -56,6 +56,44 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Long]("height") == img.getHeight.toLong)
   }
 
+  test("frames container round-trips: magic, count, per-frame REAL pixel decode (r6.3)") {
+    val bytes = MultimodalOps.encodeFrames(17L)
+    val dis = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    assert(dis.readInt() == 0x46524d30, "FRM0 magic")
+    val n = dis.readInt()
+    assert(n == (4 + 17 % 5), "frame count closed form")
+    // every frame is a decodable PNG with the derived-id dimensions
+    for (f <- 0 until n) {
+      val len = dis.readInt(); val png = new Array[Byte](len); dis.readFully(png)
+      assert(png.take(8).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+        s"frame $f PNG signature")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val fid = 17L * 11 + f
+      assert(img.getWidth == (8 + fid % 16).toInt && img.getHeight == (8 + fid * 3 % 12).toInt)
+    }
+    assert(dis.available() == 0, "no trailing bytes")
+    // the distributed sampler keeps exactly the stride-0,2,4... frames
+    val rows = MultimodalOps.frameSample(Tables.documents(spark, sf))
+      .where(col("doc_id") === 17L).collect()
+    assert(rows.map(_.getAs[Long]("frame_idx")).sorted.toSeq ==
+      (0 until n by 2).map(_.toLong))
+  }
+
+  test("resizeThumb uses the canonical nearest-neighbor mapping (r6.3)") {
+    // doc 5: w=13, h=11 → thumbnail row y samples source row (y*11)/8;
+    // recompute driver-side from the decoded image and compare
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MultimodalOps.encodePng(5L)))
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sr = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      sr += (img.getRGB(x * w / 8, y * h / 8) >> 16) & 0xff
+    val row = MultimodalOps.resizeThumb(Tables.documents(spark, sf))
+      .where(col("doc_id") === 5L).head()
+    assert(row.getAs[Double]("thumb_mean_r") == sr / 64.0)
+    assert(row.getAs[Long]("width") == w.toLong && row.getAs[Long]("height") == h.toLong)
+  }
+
   test("audioDecode round-trips ACTUAL samples through the JDK WAV codec") {
     // not the stub: encodeWav writes a real RIFF/WAVE container and the
     // javax.sound.sampled codec must read back the exact PCM16 samples
