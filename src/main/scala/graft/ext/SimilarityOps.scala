@@ -603,9 +603,10 @@ object SimilarityOps {
     *
     * Scale shape (the MLlib contract): per iteration, centroids (k·d ints,
     * KBs) ship to executors as literals — the broadcast side of every
-    * k-means; assignment + min-distance is one codegen'd scan; the per-dim
-    * centroid update is ONE (k, dim)-keyed shuffle of map-side-combined
-    * partial sums producing k·d rows; only k-row cluster stats reach the
+    * k-means; assignment + min-distance is one codegen'd scan feeding ONE
+    * (k, label, dim)-keyed map-side-combined shuffle (≤ k²·d rows out)
+    * that carries counts, inertia and per-dim sums together, so each
+    * iteration is exactly one job; only that bounded rollup reaches the
     * driver. Lineage never grows: each iteration plans from the cached
     * quantized scan + fresh literals (the BUILDLOG r2 iterative-plan
     * finding). Inertia stays in int64 here; a 100 TB run promotes that one
@@ -631,18 +632,31 @@ object SimilarityOps {
              |              * (element_at(qv, d) - element_at(c, d))))""".stripMargin))
         .withColumn("k", expr("CAST(array_position(ds, array_min(ds)) - 1 AS BIGINT)"))
         .withColumn("dist", expr("array_min(ds)"))
-      val stats = assigned.groupBy("k")
-        .agg(count(lit(1)).as("n"), sum("dist").as("inertia")).collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      require(stats.size == KmK,
+      // ONE aggregation job per iteration: the (k, true-label, dim)-keyed
+      // rollup (≤ k·k·d = 4096 groups, map-side combined) carries member
+      // counts, inertia and per-dim sums together — stats/majority/means
+      // are derived driver-side from the one collected result instead of
+      // re-scanning (and re-codegen'ing the 512-literal assignment) three
+      // times per iteration.
+      val agg = assigned
+        .select(col("k"), col("cl"), col("dist"), posexplode(col("qv")).as(Seq("d0", "x")))
+        .groupBy("k", "cl", "d0")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("s"), sum("dist").as("dsum"))
+        .collect()
+        .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt, r.getInt(2)),
+          (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val ks = agg.keySet.map(_._1)
+      require(ks.size == KmK,
         s"k-means iteration $it: empty cluster — production reseeds from the farthest point")
-      val maj = assigned.groupBy("k", "cl").agg(count(lit(1)).as("cnt"))
-        .groupBy("k").agg(max("cnt").as("maj")).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val sums = assigned.select(col("k"), posexplode(col("qv")).as(Seq("d0", "x")))
-        .groupBy("k", "d0").agg(sum("x").as("s")).collect()
+      val stats = (0 until KmK).map { k =>
+        val d0 = agg.collect { case ((`k`, _, 0), (cnt, _, dsum)) => (cnt, dsum) }
+        k -> ((d0.map(_._1).sum, d0.map(_._2).sum)) // (n, inertia)
+      }.toMap
+      val maj = (0 until KmK).map { k =>
+        k -> agg.collect { case ((`k`, _, 0), (cnt, _, _)) => cnt }.max
+      }.toMap
       val newC = Array.fill(KmK, 64)(0L)
-      sums.foreach(r => newC(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2))
+      agg.foreach { case ((k, _, d0), (_, s, _)) => newC(k)(d0) += s }
       for (k <- 0 until KmK; d <- 0 until 64) {
         val n = stats(k)._1
         val s = newC(k)(d)
