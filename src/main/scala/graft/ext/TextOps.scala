@@ -553,6 +553,83 @@ object TextOps {
        |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_fraction
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Unicode NFC normalization pass ([[graft.functions.NfcNormalize]], a
+    * codegen'd Catalyst expression over `java.text.Normalizer`) — the
+    * canonicalization every hashing/dedup stage assumes: byte-different
+    * encodings of identical text (combining marks vs precomposed) must
+    * fingerprint identically. Emits per-doc before/after lengths, a changed
+    * flag, and the md5 of the normalized text; DuckDB's own
+    * `nfc_normalize` is the oracle, so the JVM and DuckDB implementations
+    * of Unicode canonical composition are checked against each other
+    * (KernelsSpec pins the interesting non-ASCII cases the ASCII corpus
+    * can't exercise). Shuffle-free single-scan projection; the kernel
+    * returns already-normalized strings untouched — no allocation on the
+    * common path. */
+  def normalizeNfc(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = graft.functions.TextFns.nfcNormalize(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(norm).cast("long").as("len_nfc"),
+        (norm =!= col("text")).as("changed"),
+        md5(norm).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val normalizeNfcSql =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+      |  CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc,
+      |  nfc_normalize(text) <> text AS changed,
+      |  md5(nfc_normalize(text)) AS nfc_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Count-min-sketch heavy hitters — the third gated sketch family
+    * (beside HLL `approx_distinct` and GK `approx_percentiles`): the exact
+    * top-10 terms ride alongside a CMS estimate of each, and the oracle
+    * pins the sketch's two-sided contract as a boolean — a CMS NEVER
+    * undercounts, and overcounts by at most ε·N with the configured
+    * confidence (ε = 10⁻³, the bound integer-ceiled so the comparison is
+    * exact). Determinism: the sketch seed is fixed, so the booleans are a
+    * pure function of the corpus and hold at every SF or fail the gate.
+    *
+    * Scale shape: the sketch is the point — a CONSTANT ~100 KB mergeable
+    * partial aggregate regardless of corpus size (the exact side keeps
+    * vocabulary-sized state and exists only for the gate, same deal as the
+    * other two sketch gates); one token scan feeds both. The driver reads
+    * 10 estimates out of the one collected sketch — the
+    * InjectRuntimeFilter-style bounded materialization used by the Bloom
+    * decontamination path. */
+  def approxTopkTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val tok = Tables.documents(spark, sfDir).select(explode(expr(toksExpr)).as("term"))
+    val sk = tok.agg(
+      expr("count_min_sketch(term, CAST(0.001 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)").as("cms"),
+      count(lit(1)).as("total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sk.getAs[Array[Byte]]("cms")))
+    val bound = (sk.getAs[Long]("total") + 999L) / 1000L // ceil(eps * N), exact
+    val w = Window.orderBy(col("n_exact").desc, col("term"))
+    val top = tok.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 10).collect()
+    top.toSeq.map { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = cms.estimateCount(r.getAs[String]("term"))
+      (r.getAs[Long]("rank"), r.getAs[String]("term"), exact,
+        est >= exact && est <= exact + bound)
+    }.toDF("rank", "term", "n_exact", "sketch_within_bound").orderBy("rank")
+  }
+
+  private val approxTopkTermsSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT unnest(toks) AS term FROM t),
+       |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY term),
+       |r AS (SELECT *, CAST(row_number() OVER (ORDER BY n_exact DESC, term) AS BIGINT) AS rank
+       |      FROM c)
+       |SELECT rank, term, n_exact, TRUE AS sketch_within_bound
+       |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
     * local-fingerprinting algorithm): hash every K-token gram, slide a
     * window of W consecutive gram hashes, and keep each window's MINIMUM
@@ -726,6 +803,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dup_spans" -> (dupSpans _),
+    "text_normalize_nfc" -> (normalizeNfc _),
+    "text_approx_topk" -> (approxTopkTerms _),
     "text_winnow" -> (winnow _),
     "text_contamination" -> (contamination _),
     "text_contamination_bloom" -> (contaminationBloom _),
@@ -743,6 +822,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_dup_spans" -> dupSpansSql,
+    "text_normalize_nfc" -> normalizeNfcSql,
+    "text_approx_topk" -> approxTopkTermsSql,
     "text_winnow" -> winnowSql,
     "text_contamination" -> contaminationSql,
     "text_contamination_bloom" -> contaminationSql,

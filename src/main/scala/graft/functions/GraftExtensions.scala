@@ -29,6 +29,7 @@ object GraftFunctions {
     "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "shingle width k"))),
     "minhash_signature" -> (es => MinHashSignature(es(0), intArg(es(1), "numPerm"))),
     "simhash32" -> (es => SimHash32(es(0))),
+    "nfc_normalize" -> (es => NfcNormalize(es(0))),
     "evm_address" -> (es => EvmAddress(es(0))),
     "evm_uint" -> (es => EvmUint(es(0))),
     "evm_uint_hex" -> (es => EvmUintHex(es(0))),

@@ -19,6 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  /** Unicode NFC normalization; returns the INPUT object untouched when
+    * already normalized (the common case — zero allocation). */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Distinct lowercase word k-grams of a text (whitespace tokens, empties
     * dropped, first-occurrence order). ≡ the shinglesExpr/shinglesSql HOFs. */
   def wordShingles(text: UTF8String, k: Int): ArrayData = {
@@ -126,6 +135,29 @@ object TextKernels {
   }
 }
 
+/** Unicode NFC canonical-composition normalization — the curation step
+  * that runs BEFORE any hashing/dedup so byte-different encodings of the
+  * same text (e + combining acute vs é) hash identically. NFC, not NFKC:
+  * canonical composition is semantics-preserving, while compatibility
+  * folding (① → 1) changes content and belongs to a separate opt-in pass.
+  * Fast path: `Normalizer.isNormalized` is a cheap scan and almost always
+  * true on real corpora — the input UTF8String is returned as-is with no
+  * allocation; only denormalized strings pay the compose. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs a string input, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word-k-gram shingles of a string column. */
 case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, "shingle width must be >= 1")
@@ -196,4 +228,6 @@ object TextFns {
     shim.column(MinHashSignature(shim.expression(shingles), numPerm))
   def simhash32(text: Column): Column =
     shim.column(SimHash32(shim.expression(text)))
+  def nfcNormalize(text: Column): Column =
+    shim.column(NfcNormalize(shim.expression(text)))
 }

@@ -105,6 +105,24 @@ class KernelsSpec extends SparkSpec {
     assert(r.getInt(3) == 2)
   }
 
+  test("NfcNormalize: canonical composition, NOT compatibility folding (r6.3)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // combining acute composes; Hangul jamo compose; the circled digit is
+    // untouched (that is NFKC's job); normalized inputs return THE SAME
+    // object (the zero-allocation fast path)
+    val k = graft.functions.TextKernels.nfcNormalize _
+    assert(k(UTF8String.fromString("café")).toString == "café")
+    assert(k(UTF8String.fromString("한")).toString == "한")
+    assert(k(UTF8String.fromString("①")).toString == "①")
+    val already = UTF8String.fromString("plain ascii")
+    assert(k(already) eq already, "fast path must return the input object")
+    // and through codegen via the SQL surface, null-safe
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('café') AS a, nfc_normalize(CAST(NULL AS STRING)) AS b").head()
+    assert(r.getString(0) == "café" && r.isNullAt(1))
+  }
+
   test("ArrayDot ≡ aggregate(zip_with) left fold, bit-identical") {
     // DotProductRewrite would turn the HOF side into the kernel and make
     // this comparison vacuous — suspend it so the INTERPRETED fold is what
