@@ -214,27 +214,12 @@ object MultimodalOps {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val id = r.getLong(0)
-          val png = encodePng(id) // fixture-build: the opaque binary payload
-          // the REAL decode: JDK PNG codec via the JVM-cached SPI (the
-          // ImageIO facade walks the registry per call), actual pixels
-          val rdr = pngReaderSpi.createReaderInstance()
-          val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(png))
-          val img =
-            try { rdr.setInput(in); rdr.read(0) }
-            finally { rdr.dispose(); in.close() }
+          // fixture-build payload, then the REAL decode: JDK PNG codec via
+          // the JVM-cached SPI (the ImageIO facade walks the registry per
+          // call), actual pixels
+          val img = decodePng(encodePng(id))
           val (w, h) = (img.getWidth, img.getHeight)
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
-          }
+          val (sr, sg, sb) = sumRgb(img)
           val n = (w * h).toDouble
           Row(id, w.toLong, h.toLong, sr / n, sg / n, sb / n)
         }
@@ -255,15 +240,31 @@ object MultimodalOps {
       |  avg((doc_id * 31 + 3 * y) % 256) AS mean_b
       |FROM py GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
-  /** Decode a PNG payload through the JVM-cached codec and return
-    * (width, height, channel sums) — the shared kernel of [[realDecode]],
-    * [[resizeThumb]] and [[frameSample]]. */
+  /** Decode a PNG payload through the JVM-cached codec — the shared decode
+    * kernel of [[realDecode]], [[resizeThumb]] and [[frameSample]]. */
   private def decodePng(png: Array[Byte]): java.awt.image.BufferedImage = {
     val rdr = pngReaderSpi.createReaderInstance()
     val in = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(png))
     try { rdr.setInput(in); rdr.read(0) }
     finally { rdr.dispose(); in.close() }
+  }
+
+  /** Whole-image per-channel pixel sums — the shared stats kernel of
+    * [[realDecode]] and [[frameSample]]. */
+  private def sumRgb(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
   }
 
   /** REAL thumbnail resize — the standard curation preprocessing step
@@ -380,17 +381,7 @@ object MultimodalOps {
               dis.readFully(png)
               val img = decodePng(png)
               val (w, h) = (img.getWidth, img.getHeight)
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                  x += 1
-                }
-                y += 1
-              }
+              val (sr, sg, sb) = sumRgb(img)
               val p = (w * h).toDouble
               Some(Row(id, n.toLong, f.toLong, w.toLong, h.toLong, sr / p, sg / p, sb / p))
             }

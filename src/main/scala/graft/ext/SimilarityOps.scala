@@ -623,7 +623,7 @@ object SimilarityOps {
       .orderBy("vec_id").select("qv").collect()
       .map(_.getSeq[Long](0).toArray)
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, String, Double)]()
-    for (it <- 1 to KmIters) {
+    try for (it <- 1 to KmIters) {
       val cbLit = centroids.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
       val assigned = q
         .withColumn("ds", expr(
@@ -668,8 +668,7 @@ object SimilarityOps {
       for (k <- 0 until KmK)
         out += ((it.toLong, k.toLong, stats(k)._1, stats(k)._2,
           centroids(k).mkString(","), maj(k).toDouble / stats(k)._1.toDouble))
-    }
-    q.unpersist()
+    } finally q.unpersist()
     out.toSeq.toDF("iter", "cluster", "n_members", "inertia", "centroid_csv", "majority_frac")
       .select(col("iter"), col("cluster"), col("n_members"), col("inertia"),
         md5(col("centroid_csv")).as("centroid_md5"), col("majority_frac"))

@@ -593,10 +593,12 @@ object TextOps {
     * pure function of the corpus and hold at every SF or fail the gate.
     *
     * Scale shape: the sketch is the point — a CONSTANT ~100 KB mergeable
-    * partial aggregate regardless of corpus size (the exact side keeps
-    * vocabulary-sized state and exists only for the gate, same deal as the
-    * other two sketch gates); one token scan feeds both. The driver reads
-    * 10 estimates out of the one collected sketch — the
+    * partial aggregate regardless of corpus size, built in ONE pass over
+    * the token stream (the production query is that pass alone). The exact
+    * top-10 side is a SECOND corpus scan that exists only for the gate —
+    * the same deliberate reference cost as `approx_distinct` /
+    * `approx_percentiles` pay, dropped in production. The driver reads 10
+    * estimates out of the one collected sketch — the
     * InjectRuntimeFilter-style bounded materialization used by the Bloom
     * decontamination path. */
   def approxTopkTerms(spark: SparkSession, sfDir: String): DataFrame = {
@@ -643,10 +645,13 @@ object TextOps {
     * Scale shape: selection is pure per-document window math — the ONE
     * shuffle is the per-doc window sort; rows shrink to (doc, pos, hash)
     * before it and fingerprints stay integers end-to-end. The
-    * argmin-with-rightmost-tie is encoded arithmetically (hash·2²⁰ +
-    * (2²⁰−1−pos)) so a single integer window MIN performs the
-    * (hash asc, pos desc) lexicographic choice — no self-join, no
-    * nested window aggregates, identical in both engines. */
+    * argmin-with-rightmost-tie is encoded arithmetically (hash·2³¹ +
+    * (2³¹−1−pos), overflow-free for any 32-bit hash and any document under
+    * 2³¹ grams) so a single integer window MIN performs the (hash asc,
+    * pos desc) lexicographic choice — no self-join, no nested window
+    * aggregates, identical in both engines. Documents with fewer grams
+    * than the window keep classic winnowing's fallback: one fingerprint,
+    * the min over everything. */
   def winnow(spark: SparkSession, sfDir: String): DataFrame =
     winnowOf(Tables.documents(spark, sfDir))
 
@@ -665,18 +670,23 @@ object TextOps {
       .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         // first 8 md5 hex chars → 32-bit positional gram hash; c encodes
-        // (hash asc, pos desc) in one BIGINT (< 2^52, exact)
+        // (hash asc, pos desc) in one BIGINT: a 2³¹ position field keeps
+        // h·2³¹ + (2³¹−1−pos) < 2⁶³ for ANY h < 2³², so even a
+        // 2-billion-token document cannot overflow the encoding
         conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("h"))
-      .withColumn("c", col("h") * lit(1048576L) + (lit(1048575L) - col("pos")))
+      .withColumn("c", col("h") * lit(2147483648L) + (lit(2147483647L) - col("pos")))
     val winW = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     val docW = Window.partitionBy("doc_id")
     grams
       .withColumn("minc", min("c").over(winW))
       .withColumn("n_grams", count(lit(1)).over(docW))
-      .where(col("pos") <= col("n_grams") - lit(w - 1)) // full windows only
+      // one start per full window; a SHORT doc (1..w-1 grams) keeps start 1,
+      // whose clipped window is the whole doc — classic winnowing's
+      // min-of-everything fallback, so even 1-gram docs fingerprint
+      .where(col("pos") <= greatest(col("n_grams") - lit(w - 1), lit(1L)))
       .select(col("doc_id"), col("n_grams"),
-        expr("CAST(minc DIV 1048576 AS BIGINT)").as("fp_h"),
-        (lit(1048575L) - expr("minc % 1048576")).as("fp_pos"))
+        expr("CAST(minc DIV 2147483648 AS BIGINT)").as("fp_h"),
+        (lit(2147483647L) - expr("minc % 2147483648")).as("fp_pos"))
       .distinct()
   }
 
@@ -695,7 +705,7 @@ object TextOps {
         coalesce(col("n_fp"), lit(0L)).as("n_fp"),
         when(col("n_fp").isNull, lit(0.0))
           .otherwise(col("n_fp").cast("double") /
-            (col("n_grams") - lit(w - 1)).cast("double")).as("density"),
+            greatest(col("n_grams") - lit(w - 1), lit(1L)).cast("double")).as("density"),
         coalesce(col("fp_md5"), lit("")).as("fp_md5"))
       .orderBy("doc_id")
   }
@@ -715,17 +725,17 @@ object TextOps {
        |        i -> struct_pack(pos := i, g := $g4))) AS s
        |      FROM t),
        |g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, md5(s.g) AS hh FROM u),
-       |e AS (SELECT doc_id, pos, CAST($hexpr AS BIGINT) * 1048576
-       |        + (1048575 - pos) AS c FROM g),
+       |e AS (SELECT doc_id, pos, CAST($hexpr AS BIGINT) * 2147483648
+       |        + (2147483647 - pos) AS c FROM g),
        |wm AS (SELECT doc_id, pos, c,
        |        min(c) OVER (PARTITION BY doc_id ORDER BY pos
        |          ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS minc,
        |        CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams
        |      FROM e),
        |sel AS (SELECT DISTINCT doc_id, n_grams,
-       |          CAST(minc // 1048576 AS BIGINT) AS fp_h,
-       |          CAST(1048575 - (minc % 1048576) AS BIGINT) AS fp_pos
-       |        FROM wm WHERE pos <= n_grams - ${w - 1}),
+       |          CAST(minc // 2147483648 AS BIGINT) AS fp_h,
+       |          CAST(2147483647 - (minc % 2147483648) AS BIGINT) AS fp_pos
+       |        FROM wm WHERE pos <= greatest(n_grams - ${w - 1}, 1)),
        |a AS (SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_fp,
        |        md5(array_to_string(list(CAST(fp_pos AS VARCHAR) || ':'
        |          || CAST(fp_h AS VARCHAR) ORDER BY fp_pos), ',')) AS fp_md5
@@ -733,7 +743,7 @@ object TextOps {
        |SELECT d.doc_id, CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
        |  CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fp,
        |  CASE WHEN a.n_fp IS NULL THEN 0.0
-       |       ELSE CAST(a.n_fp AS DOUBLE) / CAST(a.n_grams - ${w - 1} AS DOUBLE)
+       |       ELSE CAST(a.n_fp AS DOUBLE) / CAST(greatest(a.n_grams - ${w - 1}, 1) AS DOUBLE)
        |  END AS density,
        |  COALESCE(a.fp_md5, '') AS fp_md5
        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id

@@ -19,9 +19,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  /** Unicode NFC normalization; returns the INPUT object untouched when
-    * already normalized (the common case — zero allocation). */
+  /** Unicode NFC normalization. Pure-ASCII input (the overwhelmingly
+    * common case in web corpora) is detected by a raw byte scan — ASCII is
+    * always NFC — and returns the input object with ZERO allocation; only
+    * strings containing a byte ≥ 0x80 pay the String decode +
+    * isNormalized check, and only genuinely denormalized ones pay the
+    * compose. */
   def nfcNormalize(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s // pure ASCII: already NFC, no allocation
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

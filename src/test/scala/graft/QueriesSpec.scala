@@ -256,6 +256,25 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: short docs fall back to min-of-everything and still match (r6.3 review)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 6 tokens → 3 grams < w=4: no full window, but classic winnowing still
+    // emits the min over all grams — identical short docs MUST share it,
+    // and n_grams must report the true gram count, not 0
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = ext.TextOps.winnowOf(docs).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_grams") == 3L, s"true gram count: ${r.toSeq}")
+      assert(r.getAs[Long]("n_fp") == 1L, s"one fallback fingerprint: ${r.toSeq}")
+    }
+    assert(out.map(_.getAs[String]("fp_md5")).distinct.length == 1,
+      "identical short docs must share their fallback fingerprint")
+  }
+
   test("winnowing: equal hashes in a window select the RIGHTMOST position") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
