@@ -24,6 +24,45 @@ class AsOfPropertySpec extends SparkSpec {
       .flatMap(_._4)
       .lastOption
 
+  /** Independent reference for winnowing: brute-force per-window argmin
+    * with the rightmost tie rule, including the short-doc fallback. */
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h8(g: String): Long = {
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+    if (toks.length < k) return Set.empty
+    val hs = (0 to toks.length - k).map(i => h8(toks.slice(i, i + k).mkString(" ")))
+    val starts = 0 until math.max(hs.length - (w - 1), 1)
+    starts.map { s =>
+      val win = s until math.min(s + w, hs.length)
+      val minH = win.map(hs).min
+      val pos = win.filter(i => hs(i) == minH).max
+      ((pos + 1).toLong, minH)
+    }.toSet
+  }
+
+  test("winnowing ≡ the brute-force reference on random corpora (ties, empties, short docs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 10).foreach { trial =>
+      val vocab = 1 + rnd.nextInt(5) // tiny vocabulary → frequent hash ties
+      val docs = (1L to 8L).map { id =>
+        val n = rnd.nextInt(14) // 0..13 tokens: empty, short-doc and full cases
+        (id, Seq.fill(n)("w" + rnd.nextInt(vocab)).mkString(" "))
+      }
+      val got = ext.TextOps.winnowFingerprints(docs.toDF("doc_id", "text"), 4, 4)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("fp_pos"), r.getAs[Long]("fp_h"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = docs.map { case (id, text) => id -> winnowRef(text, 4, 4) }
+        .filter(_._2.nonEmpty).toMap
+      assert(got == want, s"trial $trial: got $got want $want docs $docs")
+    }
+  }
+
   test("asOfJoin and asOfJoinSliced match the in-memory reference on 30 random scenarios") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)
