@@ -578,6 +578,109 @@ object SimilarityOps {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  private val RerankS = 50
+
+  /** PQ search stage two — the exact RE-RANK that [[pqAnn]] documents as
+    * production's answer to "quantization cannot rank within a cell": take
+    * the ADC shortlist (top-[[RerankS]] codes-only matches), FETCH those
+    * candidates' full vectors by id (the one point in the read path that
+    * touches float data — an equi-join of S ids per query against the
+    * vector store, never a scan), and re-rank the shortlist by exact L2.
+    * The output carries each winner's `adc_rank` beside its final `rank` —
+    * on the fixture the two disagree for most rows (within a cell ADC
+    * collapses to id-order ties), which is precisely the reordering the
+    * exact stage exists to do; `same_cluster` stays pinned TRUE.
+    *
+    * Scale shape: stage one reads ~TBs of codes (see [[pqAnn]]); stage two
+    * moves S·dims floats per query through a broadcast-able id join —
+    * re-rank cost is O(S·d) per query regardless of corpus size. */
+  def pqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sq = (x: String) => s"($x) * ($x)"
+    val diff = s"CAST(element_at(embedding, CAST(m * 8 + d AS INT)) AS DOUBLE) - ${pqTrainedCb("j", "m", "d")}"
+    val enc = clusteredEmbeddings(spark, sfDir)
+      .withColumn("dists", expr(
+        s"""transform(sequence(0, 7), m -> transform(sequence(0, 7), j ->
+           |  aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
+           |            (a, d) -> a + ${sq(diff)})))""".stripMargin))
+      .withColumn("codes",
+        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"))
+    val cands = enc.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("cl").as("c_cl"), col("codes"))
+    val q = clusteredEmbeddings(spark, sfDir).where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("cl").as("q_cl"), col("embedding").as("qe"))
+    val adcDiff = s"CAST(element_at(qe, CAST(m * 8 + d AS INT)) AS DOUBLE) - " +
+      pqTrainedCb("CAST(element_at(codes, CAST(m + 1 AS INT)) AS BIGINT)", "m", "d")
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    val shortlist = cands.join(broadcast(q))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, m) ->
+           |  acc + aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
+           |                  (a, d) -> a + ${sq(adcDiff)}))""".stripMargin))
+      .withColumn("adc_rank", row_number().over(wAdc).cast("long"))
+      .where(col("adc_rank") <= RerankS)
+      .select("q_id", "q_cl", "qe", "c_id", "c_cl", "adc_rank")
+    // the FETCH: shortlist ids -> full vectors (id equi-join, not a scan)
+    val store = clusteredEmbeddings(spark, sfDir)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val l2 = "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    val wL2 = Window.partitionBy("q_id").orderBy(col("l2"), col("c_id"))
+    shortlist.join(store, Seq("c_id"))
+      .withColumn("l2", expr(l2))
+      .withColumn("rank", row_number().over(wL2).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("l2"), col("adc_rank"),
+        (col("c_cl") === col("q_cl")).as("same_cluster"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val pqRerankSql = {
+    def cb(j: String) = {
+      val g = s"(($j) * 64 + (m * 8 + dd))"
+      s"(CASE WHEN ($g * $g * 2654435761 + $g * 40503) % 1000 < 500 THEN 1.0 ELSE -1.0 END)"
+    }
+    val diff = s"CAST(embedding[m * 8 + dd] AS DOUBLE) - ${cb("j")}"
+    val adcDiff = s"CAST(qe[m * 8 + dd] AS DOUBLE) - ${cb("CAST(codes[m + 1] AS BIGINT)")}"
+    val l2 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, 65), k -> " +
+      "(CAST(qe[k] AS DOUBLE) - CAST(embedding[k] AS DOUBLE)) " +
+      "* (CAST(qe[k] AS DOUBLE) - CAST(embedding[k] AS DOUBLE)))), " +
+      "(a, b) -> a + b)"
+    s"""WITH ce AS (
+       |  SELECT vec_id, vec_id % 8 AS cl, $clusteredEmbSql AS embedding FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, cl,
+       |    list_transform(range(0, 8), m -> list_transform(range(0, 8), j ->
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, 9), dd -> ($diff) * ($diff))),
+       |        (a, b) -> a + b))) AS dists
+       |  FROM ce WHERE vec_id >= 8),
+       |c AS (SELECT vec_id AS c_id, cl AS c_cl,
+       |        list_transform(dists, ds -> CAST(list_position(ds, list_min(ds)) - 1 AS INT)) AS codes
+       |      FROM d),
+       |q AS (SELECT vec_id AS q_id, cl AS q_cl, embedding AS qe FROM ce WHERE vec_id < 8),
+       |s AS (SELECT q.q_id, q.q_cl, q.qe, c.c_id, c.c_cl,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(range(0, 8), m ->
+       |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |              list_transform(range(1, 9), dd -> ($adcDiff) * ($adcDiff))),
+       |              (a, b) -> a + b))),
+       |          (a, b) -> a + b) AS adc
+       |      FROM c CROSS JOIN q),
+       |sl AS (SELECT * FROM (
+       |        SELECT q_id, q_cl, qe, c_id, c_cl,
+       |          CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS BIGINT) AS adc_rank
+       |        FROM s) WHERE adc_rank <= $RerankS),
+       |f AS (SELECT sl.q_id, sl.c_id, sl.c_cl = sl.q_cl AS same_cluster, sl.adc_rank,
+       |        $l2 AS l2
+       |      FROM sl JOIN ce ON ce.vec_id = sl.c_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2, c_id) AS BIGINT) AS rank
+       |      FROM f)
+       |SELECT q_id, rank, c_id, l2, adc_rank, same_cluster
+       |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   private val KmK = 8
   private val KmIters = 3
   private val KmScale = 10000L
@@ -716,6 +819,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans_train" -> (kmeansTrain _),
+    "sim_pq_rerank" -> (pqRerank _),
     "sim_pq_ann" -> (pqAnn _),
     "sim_pq_codes" -> (pqCodes _),
     "sim_brute_topk" -> (bruteTopk _),
@@ -728,6 +832,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "sim_kmeans_train" -> kmeansTrainSql,
+    "sim_pq_rerank" -> pqRerankSql,
     "sim_pq_ann" -> pqAnnSql,
     "sim_pq_codes" -> pqCodesSql,
     "sim_brute_topk" -> bruteTopkSql,

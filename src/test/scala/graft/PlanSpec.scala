@@ -197,6 +197,7 @@ class PlanSpec extends SparkSpec {
       "template_aave", "template_compound", "template_makerdao", // the same S5 grid shape
       "sim_brute_topk", "sim_ann_recall", // brute-force baseline: queries (8 rows) broadcast against candidates BY DESIGN
       "sim_pq_ann",       // ADC scan: 8-row query side broadcast against the codes column BY DESIGN
+      "sim_pq_rerank",    // same ADC scan shape feeding the shortlist; the fetch itself is an equi-join
       "sim_ivf_ann",      // routing: 8 queries × broadcast representative set (both tiny; SimilarityOps:155)
       "text_tfidf_topk",  // 1-row corpus doc-count broadcast for the idf term (TextOps:401)
       "sim_clustered_recall")

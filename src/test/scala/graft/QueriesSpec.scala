@@ -286,6 +286,17 @@ class QueriesSpec extends SparkSpec {
     assert(fp == Seq(4L, 5L), s"got $fp")
   }
 
+  test("PQ re-rank: the exact stage reorders the tie-flattened ADC shortlist (r6.4)") {
+    val rows = ext.SimilarityOps.pqRerank(spark, sf).collect()
+    assert(rows.length == 40) // 8 queries × top-5
+    // within a cell ADC collapses to id-order ties, so the exact stage must
+    // actually move things: every surviving row was promoted from deeper in
+    // the shortlist than its final rank
+    val reordered = rows.count(r => r.getAs[Long]("rank") != r.getAs[Long]("adc_rank"))
+    assert(reordered > 20, s"exact re-rank changed only $reordered/40 positions")
+    assert(rows.forall(_.getAs[Boolean]("same_cluster")), "routing must hold through re-rank")
+  }
+
   test("k-means training: inertia descends and purity reaches 1.0 on the clustered fixture") {
     val rows = ext.SimilarityOps.kmeansTrain(spark, sf).collect()
     val byIter = rows.groupBy(_.getAs[Long]("iter"))
