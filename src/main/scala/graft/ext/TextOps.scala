@@ -553,6 +553,67 @@ object TextOps {
        |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_fraction
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-SOURCE corpus curation report — the dashboard artifact every
+    * pipeline run emits before/after a curation pass: document and token
+    * volumes, length profile, exact-duplicate pressure, and an English
+    * stopword-density signal, one row per source shard. Every mean/ratio is
+    * an exact integer sum divided ONCE in IEEE doubles, so the report is
+    * bit-stable under any partitioning (no double accumulation anywhere).
+    *
+    * Scale shape: one token-free scan computes chars/dup digests (md5 of
+    * the raw text — the exact-dedup key), one tokenized scan computes
+    * token/stopword sums; both aggregate map-side-combined by `source`
+    * (tens of groups), and the dup count rides the (source, digest)
+    * rollup — the same single-pass marking shape as the chunk-dedup ops,
+    * never a self-join. */
+  def corpusReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val en = stop("en")
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.select(col("source"), col("n_chars"), md5(col("text")).as("dig"))
+    // (source, digest) rollup: a digest seen c>1 times contributes c-1
+    // removable duplicate docs
+    val dups = base.groupBy("source", "dig").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(
+        sum(col("c")).as("n_docs"),
+        sum(col("c") - lit(1L)).as("dup_docs"))
+    val chars = base.groupBy("source").agg(sum("n_chars").as("total_chars"))
+    val toks = docs
+      .select(col("source"), explode(expr(toksExpr)).as("term"))
+      .groupBy("source").agg(
+        count(lit(1)).as("total_tokens"),
+        sum(when(col("term").isin(en: _*), 1L).otherwise(0L)).as("stopword_hits"))
+    dups.join(chars, Seq("source")).join(toks, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_chars"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double")).as("mean_tokens"),
+        col("dup_docs"),
+        (col("dup_docs").cast("double") / col("n_docs").cast("double")).as("dup_fraction"),
+        (col("stopword_hits").cast("double") / col("total_tokens").cast("double"))
+          .as("stopword_density"))
+      .orderBy("source")
+  }
+
+  private val corpusReportSql = {
+    val en = inList(stop("en"))
+    s"""WITH d AS (SELECT source, n_chars, md5(text) AS dig FROM documents),
+       |dd AS (SELECT source, dig, count(*) AS c FROM d GROUP BY source, dig),
+       |du AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+       |         CAST(sum(c - 1) AS BIGINT) AS dup_docs FROM dd GROUP BY source),
+       |ch AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |       FROM d GROUP BY source),
+       |t AS (SELECT source, $toksSql AS toks FROM documents),
+       |tok AS (SELECT source, unnest(toks) AS term FROM t),
+       |tk AS (SELECT source, CAST(count(*) AS BIGINT) AS total_tokens,
+       |         CAST(sum(CASE WHEN term IN $en THEN 1 ELSE 0 END) AS BIGINT) AS stopword_hits
+       |       FROM tok GROUP BY source)
+       |SELECT du.source, du.n_docs, ch.total_chars, tk.total_tokens,
+       |  CAST(tk.total_tokens AS DOUBLE) / CAST(du.n_docs AS DOUBLE) AS mean_tokens,
+       |  du.dup_docs,
+       |  CAST(du.dup_docs AS DOUBLE) / CAST(du.n_docs AS DOUBLE) AS dup_fraction,
+       |  CAST(tk.stopword_hits AS DOUBLE) / CAST(tk.total_tokens AS DOUBLE) AS stopword_density
+       |FROM du JOIN ch ON du.source = ch.source JOIN tk ON du.source = tk.source
+       |ORDER BY du.source""".stripMargin
+  }
+
   /** Unicode NFC normalization pass ([[graft.functions.NfcNormalize]], a
     * codegen'd Catalyst expression over `java.text.Normalizer`) — the
     * canonicalization every hashing/dedup stage assumes: byte-different
@@ -815,6 +876,7 @@ object TextOps {
     "text_dup_spans" -> (dupSpans _),
     "text_normalize_nfc" -> (normalizeNfc _),
     "text_approx_topk" -> (approxTopkTerms _),
+    "report_corpus_by_source" -> (corpusReport _),
     "text_winnow" -> (winnow _),
     "text_contamination" -> (contamination _),
     "text_contamination_bloom" -> (contaminationBloom _),
@@ -834,6 +896,7 @@ object TextOps {
     "text_dup_spans" -> dupSpansSql,
     "text_normalize_nfc" -> normalizeNfcSql,
     "text_approx_topk" -> approxTopkTermsSql,
+    "report_corpus_by_source" -> corpusReportSql,
     "text_winnow" -> winnowSql,
     "text_contamination" -> contaminationSql,
     "text_contamination_bloom" -> contaminationSql,
