@@ -715,28 +715,35 @@ object SimilarityOps {
     * finding). Inertia stays in int64 here; a 100 TB run promotes that one
     * aggregate to DECIMAL(38,0). Empty clusters fail loud (production
     * reseeds; the separated fixture cannot produce one). */
-  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
+  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansTrainOf(clusteredEmbeddings(spark, sfDir), KmK, KmIters, 64)
+
+  /** [[kmeansTrain]] over any (vec_id, cl, embedding: array<double>) frame —
+    * the seam the randomized property spec drives with arbitrary points. */
+  private[graft] def kmeansTrainOf(
+      points: DataFrame, kk: Int, iters: Int, dims: Int): DataFrame = {
+    val spark = points.sparkSession
     import spark.implicits._
-    val q = clusteredEmbeddings(spark, sfDir)
+    val q = points
       .withColumn("qv", expr(
-        s"transform(sequence(1, 64), d -> CAST(round(element_at(embedding, d) * $KmScale.0D) AS BIGINT))"))
+        s"transform(sequence(1, $dims), d -> CAST(round(element_at(embedding, d) * $KmScale.0D) AS BIGINT))"))
       .select(col("vec_id"), col("cl"), col("qv"))
       .cache()
-    var centroids: Array[Array[Long]] = q.where(col("vec_id") < KmK)
+    var centroids: Array[Array[Long]] = q.where(col("vec_id") < kk)
       .orderBy("vec_id").select("qv").collect()
       .map(_.getSeq[Long](0).toArray)
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, String, Double)]()
-    try for (it <- 1 to KmIters) {
+    try for (it <- 1 to iters) {
       val cbLit = centroids.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
       val assigned = q
         .withColumn("ds", expr(
-          s"""transform($cbLit, c -> aggregate(sequence(1, 64), CAST(0 AS BIGINT),
+          s"""transform($cbLit, c -> aggregate(sequence(1, $dims), CAST(0 AS BIGINT),
              |  (a, d) -> a + (element_at(qv, d) - element_at(c, d))
              |              * (element_at(qv, d) - element_at(c, d))))""".stripMargin))
         .withColumn("k", expr("CAST(array_position(ds, array_min(ds)) - 1 AS BIGINT)"))
         .withColumn("dist", expr("array_min(ds)"))
       // ONE aggregation job per iteration: the (k, true-label, dim)-keyed
-      // rollup (≤ k·k·d = 4096 groups, map-side combined) carries member
+      // rollup (≤ k·k·d groups, map-side combined) carries member
       // counts, inertia and per-dim sums together — stats/majority/means
       // are derived driver-side from the one collected result instead of
       // re-scanning (and re-codegen'ing the 512-literal assignment) three
@@ -749,18 +756,18 @@ object SimilarityOps {
         .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt, r.getInt(2)),
           (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
       val ks = agg.keySet.map(_._1)
-      require(ks.size == KmK,
+      require(ks.size == kk,
         s"k-means iteration $it: empty cluster — production reseeds from the farthest point")
-      val stats = (0 until KmK).map { k =>
+      val stats = (0 until kk).map { k =>
         val d0 = agg.collect { case ((`k`, _, 0), (cnt, _, dsum)) => (cnt, dsum) }
         k -> ((d0.map(_._1).sum, d0.map(_._2).sum)) // (n, inertia)
       }.toMap
-      val maj = (0 until KmK).map { k =>
+      val maj = (0 until kk).map { k =>
         k -> agg.collect { case ((`k`, _, 0), (cnt, _, _)) => cnt }.max
       }.toMap
-      val newC = Array.fill(KmK, 64)(0L)
+      val newC = Array.fill(kk, dims)(0L)
       agg.foreach { case ((k, _, d0), (_, s, _)) => newC(k)(d0) += s }
-      for (k <- 0 until KmK; d <- 0 until 64) {
+      for (k <- 0 until kk; d <- 0 until dims) {
         val n = stats(k)._1
         val s = newC(k)(d)
         // half-away-from-zero integer rounding of s/n, mirrored in the oracle
@@ -768,7 +775,7 @@ object SimilarityOps {
         newC(k)(d) = if (s >= 0) r else -r
       }
       centroids = newC
-      for (k <- 0 until KmK)
+      for (k <- 0 until kk)
         out += ((it.toLong, k.toLong, stats(k)._1, stats(k)._2,
           centroids(k).mkString(","), maj(k).toDouble / stats(k)._1.toDouble))
     } finally q.unpersist()

@@ -63,6 +63,79 @@ class AsOfPropertySpec extends SparkSpec {
     }
   }
 
+  /** Reference Lloyd's on quantized ints, mirroring kmeansTrainOf exactly:
+    * Spark round() = BigDecimal HALF_UP (BUILDLOG r2: Math.round is NOT
+    * floor(x+0.5)); argmin tie → lowest centroid id; half-away mean
+    * rounding; seeds = vec_id < k in id order. */
+  private def kmeansRef(
+      pts: Seq[(Long, Long, Array[Double])], k: Int, iters: Int, dims: Int)
+    : Seq[(Long, Long, Long, Long, String, Double)] = {
+    def q(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 10000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val qp = pts.map { case (id, cl, v) => (id, cl, v.map(q)) }
+    var cents = qp.filter(_._1 < k).sortBy(_._1).map(_._3.clone).toArray
+    val out = Seq.newBuilder[(Long, Long, Long, Long, String, Double)]
+    for (it <- 1 to iters) {
+      val assigned = qp.map { case (id, cl, v) =>
+        val ds = cents.map(c => (0 until dims).map(d => {
+          val df = v(d) - c(d); df * df
+        }).sum)
+        val kSel = ds.indexOf(ds.min)
+        (id, cl, v, kSel, ds.min)
+      }
+      val newC = Array.fill(k, dims)(0L)
+      for (kk <- 0 until k) {
+        val mem = assigned.filter(_._4 == kk)
+        val n = mem.size.toLong
+        for (d <- 0 until dims) {
+          val s = mem.map(_._3(d)).sum
+          val r = (2L * math.abs(s) + n) / (2L * n)
+          newC(kk)(d) = if (s >= 0) r else -r
+        }
+        val maj = mem.groupBy(_._2).values.map(_.size).max.toLong
+        out += ((it.toLong, kk.toLong, n, mem.map(_._5).sum,
+          "", maj.toDouble / n.toDouble))
+      }
+      cents = newC
+      // backfill centroid csv for this iteration's k rows
+      val rows = out.result()
+      out.clear()
+      out ++= rows.zipWithIndex.map { case (r, i) =>
+        if (r._1 == it && r._5.isEmpty) r.copy(_5 = cents(r._2.toInt).mkString(","))
+        else r
+      }
+    }
+    out.result()
+  }
+
+  test("distributed k-means ≡ the in-memory Lloyd reference on random point sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val (k, iters, dims) = (4, 3, 6)
+    (1 to 5).foreach { trial =>
+      // k centers with ±0.2 noise; vec_id i gets generator label i % k and
+      // the first k ids (one per label) seed the training
+      val centers = Array.fill(k, dims)(rnd.nextDouble() * 2.0 - 1.0)
+      val pts = (0L until 60L).map { id =>
+        val cl = (id % k).toInt
+        (id, id % k, Array.tabulate(dims)(d =>
+          centers(cl)(d) + (rnd.nextDouble() - 0.5) * 0.4))
+      }
+      val df = pts.toDF("vec_id", "cl", "embedding")
+      val got = ext.SimilarityOps.kmeansTrainOf(df, k, iters, dims).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getDouble(5))).toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = kmeansRef(pts, k, iters, dims).map { r =>
+        (r._1, r._2, r._3, r._4,
+          md.digest(r._5.getBytes("UTF-8")).map("%02x".format(_)).mkString, r._6)
+      }
+      assert(got.sortBy(r => (r._1, r._2)) == want.sortBy(r => (r._1, r._2)),
+        s"trial $trial")
+    }
+  }
+
   test("asOfJoin and asOfJoinSliced match the in-memory reference on 30 random scenarios") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)
