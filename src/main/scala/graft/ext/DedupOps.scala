@@ -87,6 +87,63 @@ object DedupOps {
         s"md5(${cols.mkString(" || ',' || ")}) AS b$b"
       }.mkString(", ") + " FROM sig)"
 
+  /** LSH band-tuning report — the observability artifact for the one knob
+    * MinHash dedup has: rows-per-band `r`. For each r ∈ {2, 4, 8} over the
+    * same 16-permutation signatures, one row with the quantities an
+    * operator reads before picking r for a corpus: band count, populated
+    * bucket count, the LARGEST bucket (the reducer-hotspot predictor the
+    * [[MaxBucketSize]] cap guards), and the exact candidate-pair volume
+    * Σ c·(c−1)/2 — the join cost r controls (small r = high recall, huge
+    * pair volume; large r = precision, missed near-dups). All integer
+    * window/aggregate math over the SAME (band, bucket) key the production
+    * join shuffles on; no pair is materialized — the count is computed from
+    * bucket sizes, so the report stays cheap even where the join wouldn't.
+    * Docs with <[[K]] tokens have null signatures and drop out of every
+    * config identically (concat-null band semantics, as in [[banded]]). */
+  def lshTuningReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = signatures(spark, sfDir)
+    val perCfg = Seq(2, 4, 8).map { r =>
+      val nBands = NumPerm / r
+      val withBands = (0 until nBands).foldLeft(sig) { (df, b) =>
+        val parts = (0 until r).map(i => col(s"mh${b * r + i}"))
+          .flatMap(c => Seq(c, lit(","))).dropRight(1)
+        df.withColumn(s"cb$b", md5(concat(parts: _*)))
+      }
+      withBands
+        .select(posexplode(array((0 until nBands).map(b => col(s"cb$b")): _*))
+          .as(Seq("band_idx", "bk")))
+        .where(col("bk").isNotNull)
+        .groupBy("band_idx", "bk").agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          max("c").as("max_bucket"),
+          expr("CAST(sum((c * (c - 1)) DIV 2) AS BIGINT)").as("candidate_pairs"))
+        .select(lit(r.toLong).as("rows_per_band"), lit(nBands.toLong).as("n_bands"),
+          col("n_buckets"), col("max_bucket"), col("candidate_pairs"))
+    }
+    perCfg.reduce(_ union _).orderBy("rows_per_band")
+  }
+
+  private val lshTuningReportSql = {
+    def cfg(r: Int) = {
+      val nBands = NumPerm / r
+      val stack = (0 until nBands).map { b =>
+        val cols = (0 until r).map(i => s"mh${b * r + i}")
+        s"SELECT $b AS band_idx, md5(${cols.mkString(" || ',' || ")}) AS bk FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""SELECT CAST($r AS BIGINT) AS rows_per_band, CAST($nBands AS BIGINT) AS n_bands,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(c) AS BIGINT) AS max_bucket,
+         |  CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
+         |FROM (SELECT band_idx, bk, count(*) AS c FROM ($stack)
+         |      WHERE bk IS NOT NULL GROUP BY band_idx, bk)""".stripMargin
+    }
+    s"""WITH $shinglesCte,
+       |$signaturesCte
+       |${Seq(2, 4, 8).map(cfg).mkString("\nUNION ALL\n")}
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   /** A band bucket larger than this is excluded from candidate generation.
     * A band collision implies ~all 4 signature rows agree, so honest buckets
     * are near-dup clusters (dozens); a bucket of B docs costs B² join output,
@@ -878,6 +935,7 @@ object DedupOps {
        |ORDER BY n.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "report_lsh_tuning" -> (lshTuningReport _),
     "dedup_cdc_chunks" -> (cdcChunkDedup _),
     "dedup_paragraph" -> (paragraphDedup _),
     "dedup_semantic" -> (semDedup _),
@@ -893,6 +951,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "report_lsh_tuning" -> lshTuningReportSql,
     "dedup_cdc_chunks" -> cdcChunkDedupSql,
     "dedup_paragraph" -> paragraphDedupSql,
     "dedup_semantic" -> semDedupSql,
