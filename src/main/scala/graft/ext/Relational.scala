@@ -163,6 +163,33 @@ object Relational {
       .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "run_qty")
   }
 
+  /** Time-RANGE window frame — the interval form rows-based frames can't
+    * express: per user, the trailing-hour event count and value sum at
+    * every event. RANGE frames are value-deterministic by construction
+    * (every row with the same ordering value is in every frame that
+    * includes the boundary — no tie-order sensitivity to break), and the
+    * sum runs through exact decimals. One shuffle by user, one sort —
+    * the standard sliding-profile shape (fraud velocity checks, rate
+    * profiles) at any scale. */
+  def winTrailingRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600L, 0L)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", decOut(sum(dec(col("value"))).over(w)))
+      .select("event_id", "user_id", "ts_s", "n_1h", "sum_1h")
+      .orderBy("event_id")
+  }
+
+  private val winTrailingRangeSql =
+    """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) OVER w AS DECIMAL(38,4)) AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   private val winRunningSumSql =
     """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
       |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) OVER (
@@ -624,6 +651,7 @@ object Relational {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "win_topk_per_group" -> (winTopkPerGroup _),
     "win_running_sum" -> (winRunningSum _),
+    "win_trailing_range" -> (winTrailingRange _),
     "time_window_tumbling" -> (timeWindowTumbling _),
     "time_window_hopping" -> (timeWindowHopping _),
     "session_windows" -> (sessionWindows _),
@@ -651,6 +679,7 @@ object Relational {
     "q5_local_supplier" -> q5Sql,
     "win_topk_per_group" -> winTopkSql,
     "win_running_sum" -> winRunningSumSql,
+    "win_trailing_range" -> winTrailingRangeSql,
     "time_window_tumbling" -> timeWindowSql,
     "time_window_hopping" -> timeWindowHoppingSql,
     "session_windows" -> sessionWindowsSql,
