@@ -811,6 +811,92 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Winnowing-index candidate pairs — the MATCHER over [[winnow]]'s
+    * fingerprint index (MOSS's second half): documents sharing ≥ 2 selected
+    * fingerprint HASHES ([[WinnowMinShared]] = 1) are overlap candidates,
+    * each confirmed with exact token-set Jaccard. The winnowing guarantee makes this dedup LOCAL:
+    * any pair sharing one ≥ w+k−1-token run is guaranteed into the
+    * candidate set by construction — no probabilistic minhash miss — while
+    * selection keeps the index at ~2/(w+1) of the gram stream.
+    *
+    * Scale shape: the ONLY corpus-sized shuffle is the fingerprint-hash
+    * equi-self-join on the SELECTED fingerprints (the winnowed index, not
+    * the gram stream); ubiquitous fingerprints (boilerplate) are capped at
+    * [[WinnowHashCap]] docs the way the LSH bucket cap works — a hash
+    * shared by B docs costs B² pairs, and over-cap hashes are exact-dup
+    * boilerplate a real pipeline routes to frequency-based removal first.
+    * Exact Jaccard runs on candidate pairs only. */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame =
+    winnowPairsOf(Tables.documents(spark, sfDir))
+
+  private val WinnowHashCap = 2000
+  // ≥ 1 preserves the guarantee: a minimal w+k−1-token overlap can select
+  // exactly ONE shared fingerprint; precision filtering belongs to the
+  // exact-jaccard column, not the candidate cut
+  private val WinnowMinShared = 1
+
+  private[graft] def winnowPairsOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = winnowFingerprints(documents, 4, 4)
+      .select("doc_id", "fp_h").distinct()
+      .withColumn("__hsz", count(lit(1)).over(Window.partitionBy("fp_h")))
+      .where(col("__hsz") <= WinnowHashCap)
+      .select("doc_id", "fp_h")
+    val pairs = fp.select(col("doc_id").as("doc1"), col("fp_h"))
+      .join(fp.select(col("doc_id").as("doc2"), col("fp_h")), Seq("fp_h"))
+      .where(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("shared_fp"))
+      .where(col("shared_fp") >= WinnowMinShared)
+    val toks = documents.select(col("doc_id"),
+      array_distinct(expr(toksExpr)).as("tset"))
+    pairs
+      .join(toks.select(col("doc_id").as("doc1"), col("tset").as("t1")), Seq("doc1"))
+      .join(toks.select(col("doc_id").as("doc2"), col("tset").as("t2")), Seq("doc2"))
+      .withColumn("jaccard",
+        expr("CAST(size(array_intersect(t1, t2)) AS DOUBLE)") /
+          expr("CAST(size(array_union(t1, t2)) AS DOUBLE)"))
+      .select("doc1", "doc2", "shared_fp", "jaccard")
+      .orderBy("doc1", "doc2")
+  }
+
+  private val winnowPairsSql = {
+    // reuse the winnow CTE chain up to `sel`, then pair on fp_h
+    val k = 4
+    val w = 4
+    val g4 = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    val nib = (i: Int) => s"(strpos('0123456789abcdef', substr(hh, $i, 1)) - 1)"
+    val hexpr = (1 to 8).map(i => s"${nib(i)} * ${java.math.BigInteger.valueOf(16L).pow(8 - i)}")
+      .mkString("(", " + ", ")")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |u AS (SELECT doc_id, unnest(list_transform(
+       |        range(1, greatest(len(toks) - ${k - 1}, 0) + 1),
+       |        i -> struct_pack(pos := i, g := $g4))) AS s
+       |      FROM t),
+       |g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, md5(s.g) AS hh FROM u),
+       |e AS (SELECT doc_id, pos, CAST($hexpr AS BIGINT) * 2147483648
+       |        + (2147483647 - pos) AS c FROM g),
+       |wm AS (SELECT doc_id, pos, c,
+       |        min(c) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS minc,
+       |        CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams
+       |      FROM e),
+       |fp0 AS (SELECT DISTINCT doc_id, CAST(minc // 2147483648 AS BIGINT) AS fp_h
+       |        FROM wm WHERE pos <= greatest(n_grams - ${w - 1}, 1)),
+       |fp AS (SELECT doc_id, fp_h FROM (
+       |        SELECT doc_id, fp_h, count(*) OVER (PARTITION BY fp_h) AS hsz FROM fp0)
+       |       WHERE hsz <= $WinnowHashCap),
+       |p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS shared_fp
+       |      FROM fp a JOIN fp b ON a.fp_h = b.fp_h AND a.doc_id < b.doc_id
+       |      GROUP BY a.doc_id, b.doc_id
+       |      HAVING count(*) >= $WinnowMinShared),
+       |ts AS (SELECT doc_id, list_distinct($toksSql) AS tset FROM documents)
+       |SELECT p.doc1, p.doc2, p.shared_fp,
+       |  CAST(len(list_intersect(t1.tset, t2.tset)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(t1.tset, t2.tset))) AS DOUBLE) AS jaccard
+       |FROM p JOIN ts t1 ON t1.doc_id = p.doc1 JOIN ts t2 ON t2.doc_id = p.doc2
+       |ORDER BY p.doc1, p.doc2""".stripMargin
+  }
+
   /** Duplicated-SUBSTRING span detection (the Lee et al. "Deduplicating
     * Training Data" signal, windowed form): every positional 8-token window
     * is hashed; windows whose hash appears in ≥2 DISTINCT documents are
@@ -878,6 +964,7 @@ object TextOps {
     "text_approx_topk" -> (approxTopkTerms _),
     "report_corpus_by_source" -> (corpusReport _),
     "text_winnow" -> (winnow _),
+    "dedup_winnow_pairs" -> (winnowPairs _),
     "text_contamination" -> (contamination _),
     "text_contamination_bloom" -> (contaminationBloom _),
     "text_tfidf_topk" -> (tfidfTopk _),
@@ -898,6 +985,7 @@ object TextOps {
     "text_approx_topk" -> approxTopkTermsSql,
     "report_corpus_by_source" -> corpusReportSql,
     "text_winnow" -> winnowSql,
+    "dedup_winnow_pairs" -> winnowPairsSql,
     "text_contamination" -> contaminationSql,
     "text_contamination_bloom" -> contaminationSql,
     "text_tfidf_topk" -> tfidfTopkSql,

@@ -256,6 +256,24 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("winnow pairs: the local guarantee carries end-to-end — a minimal 7-token overlap is a candidate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb one two three four five six seven cc dd ee ff gg"),
+      (2L, "pp qq rr one two three four five six seven ss tt"),
+      (3L, "completely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val out = ext.TextOps.winnowPairsOf(docs).collect()
+    val pair = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.isDefined, s"guaranteed candidate pair missing: ${out.toSeq}")
+    assert(pair.get.getAs[Long]("shared_fp") >= 1L)
+    val j = pair.get.getAs[Double]("jaccard")
+    assert(j > 0.2 && j < 0.7, s"exact jaccard sanity: $j")
+    assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L),
+      "disjoint doc must not appear unless hashes collide")
+  }
+
   test("winnowing: short docs fall back to min-of-everything and still match (r6.3 review)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
