@@ -69,16 +69,20 @@ object DedupOps {
         s"list_min(list_transform(shs, s -> md5('$i|' || s))) AS mh$i").mkString(", ") +
       " FROM docsh)"
 
-  /** Band buckets: md5 of each 4-signature slice. `concat` (not concat_ws)
-    * so an all-null signature row (doc with <3 tokens) gets a null bucket
-    * and drops out of the join on both engines identically. */
-  private def banded(sig: DataFrame): DataFrame =
-    (0 until Bands).foldLeft(sig) { (df, b) =>
-      val parts = (0 until NumPerm / Bands)
-        .map(r => col(s"mh${b * (NumPerm / Bands) + r}"))
+  /** Band buckets: md5 of each rows-per-band signature slice. `concat` (not
+    * concat_ws) so an all-null signature row (doc with <3 tokens) gets a
+    * null bucket and drops out of the join on both engines identically.
+    * Parameterized over rows-per-band so [[lshTuningReport]]'s r-sweep uses
+    * the PRODUCTION band construction, not a reimplementation. */
+  private def bandedWith(sig: DataFrame, rowsPerBand: Int, prefix: String): DataFrame =
+    (0 until NumPerm / rowsPerBand).foldLeft(sig) { (df, b) =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}"))
         .flatMap(c => Seq(c, lit(","))).dropRight(1)
-      df.withColumn(s"b$b", md5(concat(parts: _*)))
+      df.withColumn(s"$prefix$b", md5(concat(parts: _*)))
     }
+
+  private def banded(sig: DataFrame): DataFrame = bandedWith(sig, NumPerm / Bands, "b")
 
   private val bandedCte =
     "band AS (SELECT *, " +
@@ -101,23 +105,27 @@ object DedupOps {
     * Docs with <[[K]] tokens have null signatures and drop out of every
     * config identically (concat-null band semantics, as in [[banded]]). */
   def lshTuningReport(spark: SparkSession, sfDir: String): DataFrame = {
+    // DELIBERATELY uncached: the three r-branches do recompute the
+    // signatures subtree, but they run as independent subtrees of ONE lazy
+    // union job that keeps all cores busy — caching was tried and MEASURED
+    // 3.8× slower at the 10× store (materialization barriers + 275 MB of
+    // md5 strings through storage cost more than the recompute they saved).
+    // The recompute-per-branch lesson (BUILDLOG r6.3) applies when branches
+    // feed one ANOTHER's shuffle; here they only share a leaf scan.
     val sig = signatures(spark, sfDir)
     val perCfg = Seq(2, 4, 8).map { r =>
       val nBands = NumPerm / r
-      val withBands = (0 until nBands).foldLeft(sig) { (df, b) =>
-        val parts = (0 until r).map(i => col(s"mh${b * r + i}"))
-          .flatMap(c => Seq(c, lit(","))).dropRight(1)
-        df.withColumn(s"cb$b", md5(concat(parts: _*)))
-      }
-      withBands
+      bandedWith(sig, r, "cb")
         .select(posexplode(array((0 until nBands).map(b => col(s"cb$b")): _*))
           .as(Seq("band_idx", "bk")))
         .where(col("bk").isNotNull)
         .groupBy("band_idx", "bk").agg(count(lit(1)).as("c"))
         .agg(
           count(lit(1)).as("n_buckets"),
-          max("c").as("max_bucket"),
-          expr("CAST(sum((c * (c - 1)) DIV 2) AS BIGINT)").as("candidate_pairs"))
+          // empty config (every doc under K tokens): 0/0, not NULL/NULL
+          coalesce(max("c"), lit(0L)).as("max_bucket"),
+          coalesce(expr("CAST(sum((c * (c - 1)) DIV 2) AS BIGINT)"), lit(0L))
+            .as("candidate_pairs"))
         .select(lit(r.toLong).as("rows_per_band"), lit(nBands.toLong).as("n_bands"),
           col("n_buckets"), col("max_bucket"), col("candidate_pairs"))
     }

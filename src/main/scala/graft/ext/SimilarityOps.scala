@@ -513,8 +513,11 @@ object SimilarityOps {
     * every SF. Scores and ranks are bit-exact (ordered folds, id
     * tie-breaks); the 8-row query side broadcasts
     * (PlanSpec-whitelisted, same shape as `sim_brute_topk`). */
-  def pqAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared stage one of the PQ read path ([[pqAnn]] and [[pqRerank]]):
+    * encode every candidate to its 8 codes with the fitted codebook, then
+    * ADC-score each against the 8 broadcast full-precision queries.
+    * Columns: q_id, q_cl, qe, c_id, c_cl, adc. */
+  private def adcScored(spark: SparkSession, sfDir: String): DataFrame = {
     val sq = (x: String) => s"($x) * ($x)"
     val diff = s"CAST(element_at(embedding, CAST(m * 8 + d AS INT)) AS DOUBLE) - ${pqTrainedCb("j", "m", "d")}"
     val enc = clusteredEmbeddings(spark, sfDir)
@@ -530,12 +533,18 @@ object SimilarityOps {
       .select(col("vec_id").as("q_id"), col("cl").as("q_cl"), col("embedding").as("qe"))
     val adcDiff = s"CAST(element_at(qe, CAST(m * 8 + d AS INT)) AS DOUBLE) - " +
       pqTrainedCb("CAST(element_at(codes, CAST(m + 1 AS INT)) AS BIGINT)", "m", "d")
-    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
     cands.join(broadcast(q))
       .withColumn("adc", expr(
         s"""aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, m) ->
            |  acc + aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
            |                  (a, d) -> a + ${sq(adcDiff)}))""".stripMargin))
+      .select("q_id", "q_cl", "qe", "c_id", "c_cl", "adc")
+  }
+
+  def pqAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    adcScored(spark, sfDir)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("c_id"), col("adc"),
@@ -596,27 +605,8 @@ object SimilarityOps {
     * re-rank cost is O(S·d) per query regardless of corpus size. */
   def pqRerank(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sq = (x: String) => s"($x) * ($x)"
-    val diff = s"CAST(element_at(embedding, CAST(m * 8 + d AS INT)) AS DOUBLE) - ${pqTrainedCb("j", "m", "d")}"
-    val enc = clusteredEmbeddings(spark, sfDir)
-      .withColumn("dists", expr(
-        s"""transform(sequence(0, 7), m -> transform(sequence(0, 7), j ->
-           |  aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
-           |            (a, d) -> a + ${sq(diff)})))""".stripMargin))
-      .withColumn("codes",
-        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"))
-    val cands = enc.where(col("vec_id") >= 8)
-      .select(col("vec_id").as("c_id"), col("cl").as("c_cl"), col("codes"))
-    val q = clusteredEmbeddings(spark, sfDir).where(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("cl").as("q_cl"), col("embedding").as("qe"))
-    val adcDiff = s"CAST(element_at(qe, CAST(m * 8 + d AS INT)) AS DOUBLE) - " +
-      pqTrainedCb("CAST(element_at(codes, CAST(m + 1 AS INT)) AS BIGINT)", "m", "d")
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
-    val shortlist = cands.join(broadcast(q))
-      .withColumn("adc", expr(
-        s"""aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, m) ->
-           |  acc + aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
-           |                  (a, d) -> a + ${sq(adcDiff)}))""".stripMargin))
+    val shortlist = adcScored(spark, sfDir)
       .withColumn("adc_rank", row_number().over(wAdc).cast("long"))
       .where(col("adc_rank") <= RerankS)
       .select("q_id", "q_cl", "qe", "c_id", "c_cl", "adc_rank")

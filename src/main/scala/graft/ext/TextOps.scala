@@ -582,13 +582,19 @@ object TextOps {
       .groupBy("source").agg(
         count(lit(1)).as("total_tokens"),
         sum(when(col("term").isin(en: _*), 1L).otherwise(0L)).as("stopword_hits"))
-    dups.join(chars, Seq("source")).join(toks, Seq("source"))
-      .select(col("source"), col("n_docs"), col("total_chars"), col("total_tokens"),
-        (col("total_tokens").cast("double") / col("n_docs").cast("double")).as("mean_tokens"),
+    // LEFT join on the token side: a source whose docs yield ZERO tokens (a
+    // broken extraction run — the thing a curation dashboard exists to
+    // surface) must still report, with 0 tokens and null density
+    dups.join(chars, Seq("source")).join(toks, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        (coalesce(col("total_tokens"), lit(0L)).cast("double") /
+          col("n_docs").cast("double")).as("mean_tokens"),
         col("dup_docs"),
         (col("dup_docs").cast("double") / col("n_docs").cast("double")).as("dup_fraction"),
-        (col("stopword_hits").cast("double") / col("total_tokens").cast("double"))
-          .as("stopword_density"))
+        when(col("total_tokens").isNull, lit(null).cast("double"))
+          .otherwise(col("stopword_hits").cast("double") /
+            col("total_tokens").cast("double")).as("stopword_density"))
       .orderBy("source")
   }
 
@@ -605,12 +611,15 @@ object TextOps {
        |tk AS (SELECT source, CAST(count(*) AS BIGINT) AS total_tokens,
        |         CAST(sum(CASE WHEN term IN $en THEN 1 ELSE 0 END) AS BIGINT) AS stopword_hits
        |       FROM tok GROUP BY source)
-       |SELECT du.source, du.n_docs, ch.total_chars, tk.total_tokens,
-       |  CAST(tk.total_tokens AS DOUBLE) / CAST(du.n_docs AS DOUBLE) AS mean_tokens,
+       |SELECT du.source, du.n_docs, ch.total_chars,
+       |  CAST(COALESCE(tk.total_tokens, 0) AS BIGINT) AS total_tokens,
+       |  CAST(COALESCE(tk.total_tokens, 0) AS DOUBLE) / CAST(du.n_docs AS DOUBLE) AS mean_tokens,
        |  du.dup_docs,
        |  CAST(du.dup_docs AS DOUBLE) / CAST(du.n_docs AS DOUBLE) AS dup_fraction,
-       |  CAST(tk.stopword_hits AS DOUBLE) / CAST(tk.total_tokens AS DOUBLE) AS stopword_density
-       |FROM du JOIN ch ON du.source = ch.source JOIN tk ON du.source = tk.source
+       |  CASE WHEN tk.total_tokens IS NULL THEN NULL
+       |       ELSE CAST(tk.stopword_hits AS DOUBLE) / CAST(tk.total_tokens AS DOUBLE)
+       |  END AS stopword_density
+       |FROM du JOIN ch ON du.source = ch.source LEFT JOIN tk ON du.source = tk.source
        |ORDER BY du.source""".stripMargin
   }
 
@@ -771,16 +780,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  private val winnowSql = {
+  /** Shared oracle CTE chain for the winnowing family (k=4, w=4): tokens →
+    * positional 4-grams → 8-hex-char hash (strpos nibble math — the
+    * repo-wide hex-to-int idiom, no strtol in either engine's common
+    * subset) → (hash asc, pos desc) arithmetic encoding → window minima +
+    * per-doc gram counts. Interpolated by BOTH `winnowSql` and
+    * `winnowPairsSql` so an encoding change (e.g. the r6.3 overflow-width
+    * fix) can never diverge the two oracles. */
+  private val winnowCtePrefix = {
     val k = 4
     val w = 4
     val g4 = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-    // first 8 md5 hex chars → BIGINT via strpos nibble math (the repo-wide
-    // hex-to-int idiom; no strtol in either engine's common subset)
     val nib = (i: Int) => s"(strpos('0123456789abcdef', substr(hh, $i, 1)) - 1)"
     val hexpr = (1 to 8).map(i => s"${nib(i)} * ${java.math.BigInteger.valueOf(16L).pow(8 - i)}")
       .mkString("(", " + ", ")")
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |u AS (SELECT doc_id, unnest(list_transform(
        |        range(1, greatest(len(toks) - ${k - 1}, 0) + 1),
        |        i -> struct_pack(pos := i, g := $g4))) AS s
@@ -792,7 +806,12 @@ object TextOps {
        |        min(c) OVER (PARTITION BY doc_id ORDER BY pos
        |          ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS minc,
        |        CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams
-       |      FROM e),
+       |      FROM e)""".stripMargin
+  }
+
+  private val winnowSql = {
+    val w = 4
+    s"""WITH $winnowCtePrefix,
        |sel AS (SELECT DISTINCT doc_id, n_grams,
        |          CAST(minc // 2147483648 AS BIGINT) AS fp_h,
        |          CAST(2147483647 - (minc % 2147483648) AS BIGINT) AS fp_pos
@@ -837,16 +856,23 @@ object TextOps {
 
   private[graft] def winnowPairsOf(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // both sides of the self-join (and both confirm joins) reference these
+    // frames — cache once instead of recomputing the fingerprint/tokenize
+    // subtrees per branch (the minhashLsh banded-cache precedent)
     val fp = winnowFingerprints(documents, 4, 4)
       .select("doc_id", "fp_h").distinct()
       .withColumn("__hsz", count(lit(1)).over(Window.partitionBy("fp_h")))
       .where(col("__hsz") <= WinnowHashCap)
       .select("doc_id", "fp_h")
+      .cache()
     val pairs = fp.select(col("doc_id").as("doc1"), col("fp_h"))
       .join(fp.select(col("doc_id").as("doc2"), col("fp_h")), Seq("fp_h"))
       .where(col("doc1") < col("doc2"))
       .groupBy("doc1", "doc2").agg(count(lit(1)).as("shared_fp"))
       .where(col("shared_fp") >= WinnowMinShared)
+    // toks stays UNCACHED: the two confirm joins each prune to one side's
+    // candidate doc ids, and caching the corpus-sized token sets measured
+    // slower at the 10× store than recomputing the pruned scans
     val toks = documents.select(col("doc_id"),
       array_distinct(expr(toksExpr)).as("tset"))
     pairs
@@ -860,26 +886,8 @@ object TextOps {
   }
 
   private val winnowPairsSql = {
-    // reuse the winnow CTE chain up to `sel`, then pair on fp_h
-    val k = 4
     val w = 4
-    val g4 = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-    val nib = (i: Int) => s"(strpos('0123456789abcdef', substr(hh, $i, 1)) - 1)"
-    val hexpr = (1 to 8).map(i => s"${nib(i)} * ${java.math.BigInteger.valueOf(16L).pow(8 - i)}")
-      .mkString("(", " + ", ")")
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |u AS (SELECT doc_id, unnest(list_transform(
-       |        range(1, greatest(len(toks) - ${k - 1}, 0) + 1),
-       |        i -> struct_pack(pos := i, g := $g4))) AS s
-       |      FROM t),
-       |g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, md5(s.g) AS hh FROM u),
-       |e AS (SELECT doc_id, pos, CAST($hexpr AS BIGINT) * 2147483648
-       |        + (2147483647 - pos) AS c FROM g),
-       |wm AS (SELECT doc_id, pos, c,
-       |        min(c) OVER (PARTITION BY doc_id ORDER BY pos
-       |          ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS minc,
-       |        CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams
-       |      FROM e),
+    s"""WITH $winnowCtePrefix,
        |fp0 AS (SELECT DISTINCT doc_id, CAST(minc // 2147483648 AS BIGINT) AS fp_h
        |        FROM wm WHERE pos <= greatest(n_grams - ${w - 1}, 1)),
        |fp AS (SELECT doc_id, fp_h FROM (
