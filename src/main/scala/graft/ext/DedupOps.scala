@@ -355,11 +355,18 @@ object DedupOps {
     * stacked so ONE equi-self-join keyed on (table, bucket) covers both),
     * then exact cosine ≥ 0.4 on candidates only. No all-pairs join anywhere
     * — the shuffle key is the bucket id, buckets are independent, and a
-    * vector lands in exactly 2 buckets, so the plan is linear in N at any
-    * scale (the r1 version was an O(N²) broadcast nested-loop; PlanSpec now
-    * asserts BNLJ-freedom). Dot/norm folds run in array order on both
-    * engines (Spark `aggregate` ≙ DuckDB `list_reduce`) so the doubles are
-    * bit-identical. */
+    * vector lands in exactly 2 buckets (the r1 version was an O(N²)
+    * broadcast nested-loop; PlanSpec now asserts BNLJ-freedom).
+    *
+    * The bit width is the SCALE KNOB, not a constant: with b fixed,
+    * candidate volume grows as N²/2ᵇ (the 10× probe measures the fixture's
+    * b=4 at ~6× — the same fixture-pinned-parameter quadratic term as
+    * dedup_semantic's k=8 quantizer); production sizes b ∝ log N so
+    * per-bucket occupancy (and thus candidates per vector) stays constant —
+    * same mechanics, wider hash, exactly how [[lshTuningReport]]'s
+    * rows-per-band sweep sizes the MinHash analogue. Dot/norm folds run in
+    * array order on both engines (Spark `aggregate` ≙ DuckDB `list_reduce`)
+    * so the doubles are bit-identical. */
   def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("norm", Vec.norm(col("embedding")))
