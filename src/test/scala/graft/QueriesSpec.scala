@@ -304,6 +304,26 @@ class QueriesSpec extends SparkSpec {
     assert(fp == Seq(4L, 5L), s"got $fp")
   }
 
+  test("sign-hash width is the embedding-LSH scale knob: occupancy collapses per bit (r6.4)") {
+    // the dedup_embedding_cosine scale contract (b ∝ log N): each added
+    // sign bit ~halves bucket occupancy on near-isotropic embeddings, so
+    // widening the hash as N grows holds candidates-per-vector constant
+    import org.apache.spark.sql.functions._
+    def occupancy(bits: Int): (Long, Double) = {
+      val bucket = (0 until bits)
+        .map(i => s"CASE WHEN element_at(embedding, ${1 + i}) > 0 THEN ${1L << (bits - 1 - i)} ELSE 0 END")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      val r = Tables.embeddings(spark, sf).select(expr(bucket).as("bk"))
+        .groupBy("bk").count()
+        .agg(max("count").as("mx"), avg("count").as("av")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val (max4, avg4) = occupancy(4)
+    val (max8, avg8) = occupancy(8)
+    assert(avg8 * 8 < avg4, s"avg occupancy must collapse: b=4 $avg4 vs b=8 $avg8")
+    assert(max8 * 2 < max4, s"max occupancy must collapse: b=4 $max4 vs b=8 $max8")
+  }
+
   test("PQ re-rank: the exact stage reorders the tie-flattened ADC shortlist (r6.4)") {
     val rows = ext.SimilarityOps.pqRerank(spark, sf).collect()
     assert(rows.length == 40) // 8 queries × top-5
