@@ -12,14 +12,23 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-    * for; read it as long nanos and truncate to microseconds — exactly what
-    * DuckDB (µs timestamps) does, so oracle values agree. */
+  /** events.ts has shipped in two physical layouts: TIMESTAMP(NANOS), which
+    * Spark has no native type for (read as long nanos under the legacy flag
+    * and truncate to microseconds — exactly what DuckDB's µs timestamps do,
+    * so oracle values agree), and plain timestamp[us] with
+    * isAdjustedToUTC=false, which Spark reads natively as TIMESTAMP_NTZ.
+    * Both normalize to the same contract downstream code was built on:
+    * `ts` is a TimestampType instant (sessions pin UTC, so the NTZ cast is
+    * value-preserving and both layouts yield identical instants). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")

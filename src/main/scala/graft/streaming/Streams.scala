@@ -48,8 +48,10 @@ object Streams {
       pending: List[PendingProbe],
       maxSeen: Long)
 
-  /** events.ts is parquet TIMESTAMP(NANOS) → read as long nanos (see
-    * [[graft.Tables.events]]) and truncate to µs timestamps. */
+  /** The long-nanos events layout: parquet TIMESTAMP(NANOS) → read as long
+    * nanos (see [[graft.Tables.events]]) and truncate to µs timestamps.
+    * Spec fixtures that synthesize raw long-ts part files use this schema
+    * directly; [[eventStream]] probes the store and picks the layout. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -57,6 +59,14 @@ object Streams {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** The timestamp[us] events layout (isAdjustedToUTC=false → NTZ on read);
+    * normalized to the same TimestampType instants as the long layout. */
+  private[streaming] val eventSchemaNtz: StructType = StructType(
+    eventSchema.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = TimestampNTZType)
+      case f => f
+    })
 
   /** File-stream source for one store table, handling BOTH store layouts:
     * the driver's testdata keeps each table as a single FILE
@@ -79,8 +89,17 @@ object Streams {
     * The same `where` pushdown used in batch applies per micro-batch. */
   def eventStream(spark: SparkSession, sfDir: String, signature: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val base = tableStream(spark, sfDir, "events", eventSchema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // a file stream needs its schema up front — probe the store's footer
+    // (one cheap batch read) for which physical ts layout this store uses
+    val tsIsLong =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType == LongType
+    val base =
+      if (tsIsLong)
+        tableStream(spark, sfDir, "events", eventSchema)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else
+        tableStream(spark, sfDir, "events", eventSchemaNtz)
+          .withColumn("ts", col("ts").cast(TimestampType))
     signature.map(s => base.where(col("event_type") === s)).getOrElse(base)
   }
 

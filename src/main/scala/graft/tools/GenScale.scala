@@ -47,9 +47,10 @@ object GenScale {
 
   def scaleStore(spark: SparkSession, src: String, out: String, replicas: Int): Unit = {
     require(replicas >= 1, "replicas must be >= 1")
-    // events.ts is parquet TIMESTAMP(NANOS); read it as long nanos (exactly
-    // what Tables.events does) and write it back as plain INT64 — the
-    // downstream loader treats both identically
+    // events.ts replicates as whatever the source store holds — long nanos
+    // (TIMESTAMP(NANOS) under the legacy flag, rewritten as plain INT64) or
+    // native µs timestamps; Tables.events/Streams.eventStream probe the
+    // written store's footer and normalize either layout identically
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(t: String, df: DataFrame): Unit = {

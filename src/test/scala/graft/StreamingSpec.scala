@@ -85,7 +85,7 @@ class StreamingSpec extends SparkSpec {
     // producer's layout
     def dump(where: String, half: Int): Unit =
       Tables.events(spark, sf)
-        .withColumn("ts", expr("CAST(ts AS LONG) * 1000")) // µs → ns
+        .withColumn("ts", expr("unix_micros(ts) * 1000")) // µs → ns
         .where(if (half == 0) col("event_id") % 2 === 0 else col("event_id") % 2 === 1)
         .coalesce(1).write.mode("append").parquet(where)
     dump(tableDir, 0)
@@ -186,8 +186,9 @@ class StreamingSpec extends SparkSpec {
     // file per trigger — 3 micro-batches, so clicks in batch 1 must enrich
     // purchases arriving in batches 2-3 purely via GroupState carry-forward
     val dir = Files.createTempDirectory("asof_mb").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = Tables.table(spark, sf, "events") // ts stays LongType nanos
+    // split the NORMALIZED frame (ts TimestampType instants) so the fixture
+    // is independent of which physical ts layout the store shipped with
+    val raw = Tables.events(spark, sf)
     val maxId = raw.agg(max("event_id")).head().getLong(0)
     val cuts = Seq(0L, maxId / 3, 2 * maxId / 3, maxId + 1)
     cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
@@ -204,13 +205,19 @@ class StreamingSpec extends SparkSpec {
     // (event_id monotone in ts) — assert it rather than assume it of the
     // synthetic generator
     val fileMaxTs = (0 until 3).map(i =>
-      spark.read.parquet(s"$dir/f$i.parquet").agg(max("ts")).head().getLong(0))
+      spark.read.parquet(s"$dir/f$i.parquet")
+        .agg(max("ts")).head().getTimestamp(0).getTime)
     assert(fileMaxTs == fileMaxTs.sorted, s"files not time-ordered: $fileMaxTs")
-    val base = spark.readStream.schema(Streams.eventSchema)
+    val tsSchema = org.apache.spark.sql.types.StructType(
+      Streams.eventSchema.fields.map {
+        case f if f.name == "ts" =>
+          f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+        case f => f
+      })
+    val base = spark.readStream.schema(tsSchema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val streamed = runToMemory(Streams.asOfEnrichStream(base), "asof_mb")
       .select("blocknumber", "user_id", "value", "last_click")
     val batch = graft.queries.ApolloQueries.eventAsOfEnrich(spark, sf)
@@ -302,8 +309,9 @@ class StreamingSpec extends SparkSpec {
   test("negative-offset state ring carries across REAL micro-batches") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("ring_mb").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = Tables.table(spark, sf, "events")
+    // split the NORMALIZED frame (ts TimestampType instants) so the fixture
+    // is independent of which physical ts layout the store shipped with
+    val raw = Tables.events(spark, sf)
     val maxId = raw.agg(max("event_id")).head().getLong(0)
     val cuts = Seq(0L, maxId / 3, 2 * maxId / 3, maxId + 1)
     cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
@@ -315,11 +323,16 @@ class StreamingSpec extends SparkSpec {
       Files.move(part.toPath, dst)
       dst.toFile.setLastModified(1700000000000L + i * 60000L)
     }
-    val base = spark.readStream.schema(Streams.eventSchema)
+    val tsSchema = org.apache.spark.sql.types.StructType(
+      Streams.eventSchema.fields.map {
+        case f if f.name == "ts" =>
+          f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+        case f => f
+      })
+    val base = spark.readStream.schema(tsSchema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val spec = graft.model.QuerySpec(
       name = "prior_click_mb", chain = "ethereum",
       contracts = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L).map(a =>
