@@ -22,12 +22,21 @@ object Tables {
     * value-preserving and both layouts yield identical instants). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // NTZ→instant is only value-preserving when the session is UTC;
+        // fail loud rather than silently shift every instant by host tz.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other " +
+            "(expected TIMESTAMP(NANOS)-as-long, timestamp_ntz, or timestamp)")
     }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")

@@ -60,14 +60,6 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The timestamp[us] events layout (isAdjustedToUTC=false → NTZ on read);
-    * normalized to the same TimestampType instants as the long layout. */
-  private[streaming] val eventSchemaNtz: StructType = StructType(
-    eventSchema.fields.map {
-      case f if f.name == "ts" => f.copy(dataType = TimestampNTZType)
-      case f => f
-    })
-
   /** File-stream source for one store table, handling BOTH store layouts:
     * the driver's testdata keeps each table as a single FILE
     * (`<dir>/events.parquet` — stream the parent dir with a name glob,
@@ -90,16 +82,24 @@ object Streams {
   def eventStream(spark: SparkSession, sfDir: String, signature: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // a file stream needs its schema up front — probe the store's footer
-    // (one cheap batch read) for which physical ts layout this store uses
-    val tsIsLong =
-      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType == LongType
-    val base =
-      if (tsIsLong)
+    // (one cheap batch read) for which physical ts layout this store uses.
+    // The probed type is copied into the declared schema verbatim: a store
+    // whose ts is UTC-adjusted timestamp (plain spark.write default) probes
+    // as TimestampType, and declaring NTZ there would make the parquet
+    // reader reject the file at runtime while batch reads it fine.
+    val probedTs = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val base = probedTs match {
+      case LongType =>
         tableStream(spark, sfDir, "events", eventSchema)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else
-        tableStream(spark, sfDir, "events", eventSchemaNtz)
+      case other =>
+        val schema = StructType(eventSchema.fields.map {
+          case f if f.name == "ts" => f.copy(dataType = other)
+          case f => f
+        })
+        tableStream(spark, sfDir, "events", schema)
           .withColumn("ts", col("ts").cast(TimestampType))
+    }
     signature.map(s => base.where(col("event_type") === s)).getOrElse(base)
   }
 

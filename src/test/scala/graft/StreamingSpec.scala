@@ -104,6 +104,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("UTC-adjusted timestamp store layout streams AND matches batch (r7 advice)") {
+    // A user who rewrites/repartitions the store with plain spark.write gets
+    // ts as a UTC-adjusted timestamp (isAdjustedToUTC=true). Tables.events
+    // reads that layout fine; the stream source must too — previously it
+    // declared NTZ for every non-long ts and the parquet reader rejected the
+    // file at runtime. The stream schema now copies the probed dataType.
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("utcstore").toString
+    Tables.events(spark, sf) // ts is TimestampType — spark.write default layout
+      .coalesce(1).write.parquet(s"$store/events.parquet")
+    val batch = Tables.events(spark, store)
+    assert(batch.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val streamed = runToMemory(
+      Streams.eventStream(spark, store).select("event_id", "ts"), "utc_t")
+    assert(streamed.count() == batch.count(), "stream/batch row divergence")
+    // instants must agree exactly, not just counts
+    val bSum = batch.agg(sum(expr("unix_micros(ts)"))).head().getLong(0)
+    val sSum = streamed.agg(sum(expr("unix_micros(ts)"))).head().getLong(0)
+    assert(bSum == sSum, "stream/batch instant divergence on UTC-adjusted layout")
+  }
+
+  test("corrupt ts layout fails loud, not garbage (r7 advice)") {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("badstore").toString
+    Tables.events(spark, sf)
+      .withColumn("ts", col("ts").cast("string")) // third, unsupported layout
+      .coalesce(1).write.parquet(s"$store/events.parquet")
+    val e = intercept[IllegalStateException] { Tables.events(spark, store) }
+    assert(e.getMessage.contains("StringType"),
+      s"error should name the offending type, got: ${e.getMessage}")
+  }
+
   test("streaming filter pushes the signature predicate per micro-batch") {
     val streamed = runToMemory(
       Streams.eventStream(spark, sf, Some("purchase"))
