@@ -367,11 +367,22 @@ object DedupOps {
     * rows-per-band sweep sizes the MinHash analogue. Dot/norm folds run in
     * array order on both engines (Spark `aggregate` ≙ DuckDB `list_reduce`)
     * so the doubles are bit-identical. */
-  def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingCosineAt(spark, sfDir,
+      sys.env.get("SPARK_GRAFT_EMB_BITS").map(_.toInt).getOrElse(4))
+
+  /** Width-parameterized form of the b ∝ log N contract above. The oracle
+    * gate never sets the env override, so the gated query is pinned at the
+    * fixture's b=4 recall point; the ScaleProbe sets b≈log₂N to measure the
+    * occupancy contract holding at a bigger store (SCALING.md §r7). Wider b
+    * reuses the same two-table stacked shape — table i hashes dims
+    * [1+i·b, (i+1)·b], so any 1 ≤ b ≤ 32 fits the 64-dim vectors. */
+  def embeddingCosineAt(spark: SparkSession, sfDir: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"sign-hash width out of range: $bits")
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("norm", Vec.norm(col("embedding")))
-      .withColumn("bk0", expr(SimilarityOps.signBucketExpr(1)))
-      .withColumn("bk1", expr(SimilarityOps.signBucketExpr(5)))
+      .withColumn("bk0", expr(SimilarityOps.signBucketExpr(1, bits)))
+      .withColumn("bk1", expr(SimilarityOps.signBucketExpr(1 + bits, bits)))
     val stacked = e.select(col("vec_id"),
       posexplode(array(col("bk0"), col("bk1"))).as(Seq("tbl", "bk")))
     val cand = stacked.select(col("vec_id").as("id1"), col("tbl"), col("bk"))

@@ -62,14 +62,14 @@ object SimilarityOps {
   /** Sign-bit LSH bucket id from 4 consecutive components starting at
     * `startDim` (1-based) — axis-aligned random-hyperplane LSH. Shared with
     * [[DedupOps.embeddingCosine]]'s multi-table candidate generation. */
-  def signBucketExpr(startDim: Int): String =
-    (0 until 4).map { i =>
-      s"CASE WHEN element_at(embedding, ${startDim + i}) > 0 THEN ${8 >> i} ELSE 0 END"
+  def signBucketExpr(startDim: Int, bits: Int = 4): String =
+    (0 until bits).map { i =>
+      s"CASE WHEN element_at(embedding, ${startDim + i}) > 0 THEN ${1L << (bits - 1 - i)} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS BIGINT)")
 
-  def signBucketSql(startDim: Int): String =
-    (0 until 4).map { i =>
-      s"CASE WHEN embedding[${startDim + i}] > 0 THEN ${8 >> i} ELSE 0 END"
+  def signBucketSql(startDim: Int, bits: Int = 4): String =
+    (0 until bits).map { i =>
+      s"CASE WHEN embedding[${startDim + i}] > 0 THEN ${1L << (bits - 1 - i)} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS BIGINT)")
 
   /** ANN via multi-table LSH: TWO 4-bit sign hash tables (dims 1-4 and 5-8,

@@ -324,6 +324,25 @@ class QueriesSpec extends SparkSpec {
     assert(max8 * 2 < max4, s"max occupancy must collapse: b=4 $max4 vs b=8 $max8")
   }
 
+  test("embeddingCosine width parameterization: gate default IS b=4, bounds loud (r7)") {
+    // the oracle gate never sets SPARK_GRAFT_EMB_BITS, so the gated query
+    // must be bit-identical to the explicit fixture width — and the knob
+    // must reject widths the 64-dim vectors can't hash (2 tables × b dims)
+    val gate = ext.DedupOps.embeddingCosine(spark, sf).collect()
+    val b4 = ext.DedupOps.embeddingCosineAt(spark, sf, 4).collect()
+    assert(gate.toSeq == b4.toSeq, "gate default diverged from explicit b=4")
+    // wider b trades recall for candidate volume: pairs at b=7 must still
+    // all be TRUE near-dups (the exact-cosine confirm is width-independent)
+    val b7 = ext.DedupOps.embeddingCosineAt(spark, sf, 7).collect()
+    assert(b7.forall(_.getDouble(2) >= 0.4))
+    intercept[IllegalArgumentException] {
+      ext.DedupOps.embeddingCosineAt(spark, sf, 0)
+    }
+    intercept[IllegalArgumentException] {
+      ext.DedupOps.embeddingCosineAt(spark, sf, 33)
+    }
+  }
+
   test("PQ re-rank: the exact stage reorders the tie-flattened ADC shortlist (r6.4)") {
     val rows = ext.SimilarityOps.pqRerank(spark, sf).collect()
     assert(rows.length == 40) // 8 queries × top-5
