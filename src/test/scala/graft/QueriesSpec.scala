@@ -343,6 +343,20 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("trained PQ: the k-means-fitted codebook routes every top-5 to the right cluster (r7)") {
+    // closes the kmeansTrain→index loop: codebooks here are TRAINED per
+    // subspace (not the fixture's sign grid), and the end-to-end read path
+    // must still route correctly — same_cluster TRUE on all 8×5 rows, and
+    // the exact re-rank stage must produce strictly ranked l2 per query
+    val rows = ext.SimilarityOps.pqTrained(spark, sf).collect()
+    assert(rows.length == 40)
+    assert(rows.forall(_.getBoolean(5)), "trained codebook misrouted a query")
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val l2s = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(l2s.sorted.sameElements(l2s), s"q$q re-rank not l2-ordered")
+    }
+  }
+
   test("PQ re-rank: the exact stage reorders the tie-flattened ADC shortlist (r6.4)") {
     val rows = ext.SimilarityOps.pqRerank(spark, sf).collect()
     assert(rows.length == 40) // 8 queries × top-5
