@@ -723,13 +723,36 @@ object DedupOps {
     * embeddings are isotropic noise, SCALING.md §ANN). Cells = the
     * quantizer's fit, as in [[SimilarityOps.clusteredRecall]]. */
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // k ∝ N probe knob (the paper's scale contract): with a per-cell
+    // POPULATION target set, each store derives its own cell count, so one
+    // ScaleProbe run sizes the quantizer per store (sf1.0 → 80 cells,
+    // sf10 → 800 at target 250). The oracle gate never sets it → the gated
+    // query stays at the fixture's 8 generator cells.
+    val cells = sys.env.get("SPARK_GRAFT_SEM_TARGET") match {
+      case None => 8
+      case Some(t) =>
+        val n = Tables.embeddings(spark, sfDir).count()
+        val raw = math.max(8L, n / t.toLong)
+        (((raw + 7) / 8) * 8).toInt // multiple of 8 → refines generator cells
+    }
+    semDedupAt(spark, sfDir, cells)
+  }
+
+  /** Cell-count-parameterized [[semDedup]]: the quantizer key is
+    * `vec_id % cells`. Any multiple of 8 REFINES the fixture generator's 8
+    * clusters (x % 8k determines x % 8), so semantic duplicates still share
+    * a cell; per-cell population — and thus the bounded quadratic — shrinks
+    * ∝ 1/cells. cells=8 is bit-identical to the gated query. */
+  def semDedupAt(spark: SparkSession, sfDir: String, cells: Int): DataFrame = {
+    require(cells >= 8 && cells % 8 == 0, s"cells must be a positive multiple of 8: $cells")
     val e = SimilarityOps.clusteredEmbeddings(spark, sfDir)
+      .withColumn("qcl", col("vec_id") % cells)
       .withColumn("norm", Vec.norm(col("embedding")))
-    val a = e.select(col("cl"), col("vec_id").as("a_id"),
+    val a = e.select(col("qcl"), col("vec_id").as("a_id"),
       col("embedding").as("ae"), col("norm").as("an"))
-    val b = e.select(col("cl"), col("vec_id").as("b_id"),
+    val b = e.select(col("qcl"), col("vec_id").as("b_id"),
       col("embedding").as("be"), col("norm").as("bn"))
-    val dropped = a.join(b, Seq("cl"))
+    val dropped = a.join(b, Seq("qcl"))
       .where(col("a_id") < col("b_id"))
       .where(Vec.dot(col("ae"), col("be")) / (col("an") * col("bn")) >= SemDedupTau)
       .select(col("b_id").as("vec_id")).distinct()

@@ -96,9 +96,11 @@ object HclSchema {
   /** Unsupported-construct detection at VALUE-scan time, where the offset
     * is still known: hclsyntax `for` expressions (`[for x in xs : ...]` /
     * `{for k, v in m : ...}`) and splat expressions (`xs[*].attr` /
-    * `xs.*.attr`) are outside this dialect (the reference's own schemas
-    * never use them) — fail loud WITH position instead of letting the
-    * expression translator produce a downstream error that lost it. */
+    * `xs.*.attr`) ARE evaluated in `variables` values and loop `items`
+    * (resolveItems, plan-construction time — r7); in every OTHER context
+    * they stay outside the dialect — fail loud WITH position instead of
+    * letting the expression translator produce a downstream error that
+    * lost it. */
   private def rejectUnsupported(s: String, vStart: Int, vEnd: Int, ident: String): Unit = {
     var i = vStart
     var inStr = false; var qc = ' '
@@ -143,7 +145,8 @@ object HclSchema {
   }
 
   /** Parse a block body from `s` starting at `from`; returns (body, next). */
-  private def parseBody(s: String, from: Int, topLevel: Boolean): (Body, Int) = {
+  private def parseBody(s: String, from: Int, topLevel: Boolean,
+      permissive: Boolean = false): (Body, Int) = {
     val attrs = Seq.newBuilder[(String, String)]
     val blocks = Seq.newBuilder[(String, Option[String], Body)]
     var i = from
@@ -240,7 +243,12 @@ object HclSchema {
           }
           if (!done) i += 1
         }
-        rejectUnsupported(s, vStart, i, ident)
+        // `variables` values (and the bodies re-parsed from them — the
+        // permissive flag) and loop `items` are the contexts where
+        // for-expressions and [*] splat ARE evaluated (plan-construction
+        // time, see resolveItems) — everywhere else they stay loud errors
+        if (!permissive && ident != "variables" && ident != "items")
+          rejectUnsupported(s, vStart, i, ident)
         attrs += ident -> s.substring(vStart, i).trim
         }
       } else {
@@ -265,7 +273,7 @@ object HclSchema {
           } else None
         require(i < s.length && s.charAt(i) == '{', s"hcl: expected '{' after $ident at ${lineCol(s, i)}")
         i += 1
-        val (body, next) = parseBody(s, i, topLevel = false)
+        val (body, next) = parseBody(s, i, topLevel = false, permissive)
         require(next < s.length && s.charAt(next) == '}', s"hcl: unterminated block $ident")
         i = next + 1
         blocks += ((ident, label.filter(_.nonEmpty), body))
@@ -699,37 +707,10 @@ object HclSchema {
 
     val (top, _) = parseBody(stripComments(hcl), 0, topLevel = true)
 
-    // variables: folded at load; stored as SQL string literals so `${name}`
-    // substitution inside expressions yields a literal, not an identifier
-    val varEntries: Seq[(String, String)] = top.attrs.collect { case ("variables", v) =>
+    val varAttrs: Seq[(String, String)] = top.attrs.collect { case ("variables", v) =>
       require(v.startsWith("{"), s"hcl: variables must be a map, got $v")
-      val (body, _) = parseBody(v.drop(1), 0, topLevel = false)
-      body.attrs.map { case (k, raw) =>
-        require(raw.trim != "now", s"hcl: variable $k cannot be `now`")
-        // numbers substitute as bare SQL literals (a quoted number would
-        // force string coercion in comparisons); strings as quoted literals
-        // with embedded single quotes escaped; bare date tokens stay
-        // verbatim (their dashes are not subtraction)
-        k -> (if (BareDateRe.matches(raw.trim)) s"'${raw.trim}'"
-        else evalConst(raw) match {
-          case Some(n: FNum) => renderFolded(n)
-          case Some(FStr(s)) => "'" + s.replace("'", "\\'") + "'"
-          case None => "'" + raw.replace("'", "\\'") + "'"
-        })
-      }
+      parseBody(v.drop(1), 0, topLevel = false, permissive = true)._1.attrs
     }.flatten
-
-    /** Integer attr (block_interval / block_offset) — arithmetic folds at
-      * load: `block_interval = 60 * 60 * 24` is a cty constant expression
-      * in the reference (dsl/schema.go:400-408). */
-    def toLongConst(v: String, what: String): Long = evalConst(v) match {
-      case Some(FNum(n)) if n.isWhole => n.toBigInt.toLong
-      case _ => sys.error(s"hcl: $what must be an integer constant expression, got $v")
-    }
-    val varNames = varEntries.map(_._1).toSet
-
-    val startTime = top.attrs.collectFirst { case ("start_time", v) => foldLiteral(v) }.flatten
-    val endTime = top.attrs.collectFirst { case ("end_time", v) => foldLiteral(v) }.flatten
 
     def parseArr(v: String): Seq[String] = {
       require(v.startsWith("[") && v.endsWith("]"), s"hcl: expected a list, got $v")
@@ -760,6 +741,197 @@ object HclSchema {
       case QuotedRe(x) => x
       case x => x
     }
+
+    // ---------- for-expressions and [*] splat (hclsyntax, evaluated at
+    // plan-construction time over literal collections — the same contract
+    // as the reference's cty evaluation, dsl/schema.go:388) ----------
+    // A collection value is: a list literal `[...]` (items stay raw:
+    // scalars keep quotes, objects keep `{...}` text), a reference to a
+    // list-valued variable, `name[*].attr` splat over an object list, or
+    // `[for x in coll : body (if cond)?]`. Resolution returns UNQUOTED
+    // scalar strings (or raw object text, which loop stamping binds as
+    // `${item.attr}` downstream).
+    val SplatRe = """^([A-Za-z_]\w*)\[\*\]\.([A-Za-z_]\w*)$""".r
+    val BareIdentRe = """^[A-Za-z_]\w*$""".r
+    val varLists = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+
+    def objAttrs(item: String): Map[String, String] = {
+      val t = item.trim
+      require(t.startsWith("{"), s"hcl: splat/attr access needs object items, got $t")
+      // HCL2 object-literal entries are comma-separated; parseBody's attr
+      // scanner is newline-delimited — rewrite TOP-LEVEL commas (string-
+      // and bracket-aware) before parsing
+      val body = t.drop(1)
+      val sb = new StringBuilder
+      var depth = 0; var inStr = false; var esc = false
+      body.foreach { c =>
+        if (inStr) {
+          sb.append(c)
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true; sb.append(c)
+          case '(' | '[' | '{' => depth += 1; sb.append(c)
+          case ')' | ']' | '}' => depth -= 1; sb.append(c)
+          case ',' if depth == 0 => sb.append('\n')
+          case _ => sb.append(c)
+        }
+      }
+      parseBody(sb.toString, 0, topLevel = false, permissive = true)._1.attrs.toMap
+    }
+
+    def evalScalar(body: String, binds: Map[String, String]): String = {
+      val t = body.trim
+      if (t.startsWith("\"")) // string template: interpolate ${x}/${x.attr}
+        binds.foldLeft(unquote(t)) { case (acc, (k, v)) =>
+          acc.replace("${" + k + "}", unquote(v))
+        }
+      else {
+        // bare expression: substitute references (longest key first so
+        // `x.attr` wins over `x`); raw binding values keep their own quotes
+        // and so stay valid evalConst operands
+        val sub = binds.toSeq.sortBy(-_._1.length).foldLeft(t) { case (acc, (k, v)) =>
+          acc.replaceAll(
+            "(?<![\\w.])" + java.util.regex.Pattern.quote(k) + "(?![\\w.])",
+            java.util.regex.Matcher.quoteReplacement(v.trim))
+        }
+        evalConst(sub) match {
+          case Some(f) => renderFolded(f)
+          case None => unquote(sub)
+        }
+      }
+    }
+
+    def evalCond(cond: String, binds: Map[String, String]): Boolean = {
+      val ops = Seq("==", "!=", "<=", ">=", "<", ">")
+      val op = ops.find(cond.contains).getOrElse(
+        sys.error(s"hcl: unsupported for-expression condition: $cond"))
+      val Array(l, r) = cond.split(java.util.regex.Pattern.quote(op), 2)
+      val (lv, rv) = (evalScalar(l, binds), evalScalar(r, binds))
+      val num = (s: String) => scala.util.Try(BigDecimal(s)).toOption
+      val cmp = (num(lv), num(rv)) match {
+        case (Some(a), Some(b)) => a.compare(b)
+        case _ => lv.compare(rv)
+      }
+      op match {
+        case "==" => cmp == 0
+        case "!=" => cmp != 0
+        case "<=" => cmp <= 0
+        case ">=" => cmp >= 0
+        case "<" => cmp < 0
+        case ">" => cmp > 0
+      }
+    }
+
+    def evalFor(v: String): Seq[String] = {
+      // [for <x> in <coll> : <body>] / [for <x> in <coll> : <body> if <cond>]
+      val inner = v.trim.stripPrefix("[").stripSuffix("]").trim
+      val AfterFor = inner.stripPrefix("for").trim
+      val inIdx = AfterFor.indexOf(" in ")
+      require(inIdx > 0, s"hcl: malformed for expression: $v")
+      val x = AfterFor.substring(0, inIdx).trim
+      require(BareIdentRe.matches(x), s"hcl: for-expression variable must be an identifier: $x")
+      val rest = AfterFor.substring(inIdx + 4)
+      // the collection ends at the first TOP-LEVEL ':' (bracket/brace/string aware)
+      var depth = 0; var inStr = false; var colon = -1; var i = 0
+      while (i < rest.length && colon < 0) {
+        val c = rest.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
+        else c match {
+          case '"' => inStr = true
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case ':' if depth == 0 => colon = i
+          case _ => ()
+        }
+        i += 1
+      }
+      require(colon > 0, s"hcl: for expression lacks ':': $v")
+      val coll = rest.substring(0, colon).trim
+      var body = rest.substring(colon + 1).trim
+      // optional trailing `if <cond>` at top level
+      val ifIdx = {
+        var d = 0; var s2 = false; var at = -1; var j = 0
+        while (j < body.length - 3) {
+          val c = body.charAt(j)
+          if (s2) { if (c == '\\') j += 1 else if (c == '"') s2 = false }
+          else c match {
+            case '"' => s2 = true
+            case '(' | '[' | '{' => d += 1
+            case ')' | ']' | '}' => d -= 1
+            case ' ' if d == 0 && body.startsWith(" if ", j) => at = j
+            case _ => ()
+          }
+          j += 1
+        }
+        at
+      }
+      val cond = if (ifIdx >= 0) Some(body.substring(ifIdx + 4).trim) else None
+      if (ifIdx >= 0) body = body.substring(0, ifIdx).trim
+      resolveItems(coll).flatMap { item =>
+        val binds: Map[String, String] =
+          (if (item.trim.startsWith("{"))
+            objAttrs(item).map { case (k2, v2) => s"$x.$k2" -> v2 }
+          else Map.empty[String, String]) + (x -> item)
+        if (cond.forall(evalCond(_, binds))) Some(evalScalar(body, binds)) else None
+      }
+    }
+
+    def resolveItems(v0: String): Seq[String] = {
+      val v = v0.trim
+      v match {
+        case SplatRe(name, attr) =>
+          resolveItems(name).map(it => unquote(objAttrs(it).getOrElse(attr,
+            sys.error(s"hcl: splat attribute `$attr` missing on an item of `$name`"))))
+        case _ if v.startsWith("[") =>
+          val afterBracket = v.drop(1).dropWhile(_.isWhitespace)
+          if (afterBracket.startsWith("for") &&
+            afterBracket.drop(3).headOption.forall(_.isWhitespace)) evalFor(v)
+          else parseArr(v).map(it => if (it.startsWith("{")) it else unquote(it))
+        case BareIdentRe() =>
+          varLists.getOrElse(v, sys.error(
+            s"hcl: `$v` is not a list-valued variable (known: ${varLists.keys.mkString(", ")})"))
+        case other => sys.error(s"hcl: expected a list, variable, for-expression or splat, got $other")
+      }
+    }
+
+    // variables: list-valued entries (list literals, for-expressions,
+    // splats) resolve in declaration order into varLists — consumable by
+    // loop.items and later list variables; scalar entries fold at load and
+    // are stored as SQL string literals so `${name}` substitution inside
+    // expressions yields a literal, not an identifier
+    val varEntries: Seq[(String, String)] = varAttrs.flatMap { case (k, raw) =>
+      val t = raw.trim
+      if (t.startsWith("[") || SplatRe.matches(t)) {
+        varLists(k) = resolveItems(t)
+        None
+      } else {
+        require(t != "now", s"hcl: variable $k cannot be `now`")
+        // numbers substitute as bare SQL literals (a quoted number would
+        // force string coercion in comparisons); strings as quoted literals
+        // with embedded single quotes escaped; bare date tokens stay
+        // verbatim (their dashes are not subtraction)
+        Some(k -> (if (BareDateRe.matches(t)) s"'$t'"
+        else evalConst(raw) match {
+          case Some(n: FNum) => renderFolded(n)
+          case Some(FStr(s)) => "'" + s.replace("'", "\\'") + "'"
+          case None => "'" + raw.replace("'", "\\'") + "'"
+        }))
+      }
+    }
+
+    /** Integer attr (block_interval / block_offset) — arithmetic folds at
+      * load: `block_interval = 60 * 60 * 24` is a cty constant expression
+      * in the reference (dsl/schema.go:400-408). */
+    def toLongConst(v: String, what: String): Long = evalConst(v) match {
+      case Some(FNum(n)) if n.isWhole => n.toBigInt.toLong
+      case _ => sys.error(s"hcl: $what must be an integer constant expression, got $v")
+    }
+    val varNames = varEntries.map(_._1).toSet
+
+    val startTime = top.attrs.collectFirst { case ("start_time", v) => foldLiteral(v) }.flatten
+    val endTime = top.attrs.collectFirst { case ("end_time", v) => foldLiteral(v) }.flatten
 
     // function definitions (ROADMAP v1.1 #DEFINE) — parsed before queries so
     // every expression can call them; see [[expandMacros]]
@@ -816,14 +988,21 @@ object HclSchema {
         val raw = cb.attrs.collectFirst { case ("address", v) =>
           v.trim.stripPrefix("\"").stripSuffix("\"") }
           .getOrElse(sys.error(s"hcl: contract block in query $name lacks address"))
-        (raw, addressToLong(raw), cb, eventsOf(cb, declaredOutputs), methodsOf(cb))
+        // a `${...}` template address stays a STRING through the JSON
+        // document — JsonSchema substitutes the loop item / variable per
+        // stamped query and folds it then (its string-address branch)
+        val addrJson: JValue =
+          if (raw.contains("${")) JString(raw) else JInt(addressToLong(raw))
+        (raw, addrJson, cb, eventsOf(cb, declaredOutputs), methodsOf(cb))
       }
       // the 62-bit fold must keep declared addresses distinct — a collision
       // would silently merge two contracts' event/transform scopes.
       // Distinctness is judged on the CANONICAL address value ("0x1" and
-      // "0x01" are the same contract, not a collision).
-      val declDistinct = contracts.map(c => addressValue(c._1)).distinct
-      val foldDistinct = contracts.map(_._2).distinct
+      // "0x01" are the same contract, not a collision). Template addresses
+      // are judged per stamped item downstream, not here.
+      val literalAddrs = contracts.map(_._1).filterNot(_.contains("${"))
+      val declDistinct = literalAddrs.map(addressValue).distinct
+      val foldDistinct = literalAddrs.map(addressToLong).distinct
       require(foldDistinct.size == declDistinct.size,
         s"hcl: query $name: ${declDistinct.size} distinct contract addresses fold to " +
           s"${foldDistinct.size} colliding testbed keys — rename one address or widen the key space")
@@ -832,11 +1011,11 @@ object HclSchema {
       // the ordinary ternary/requote/output/variable pipeline like inline text)
       def sql(e: String): String = toSql(expandMacros(e, fnDefs), outputs, varNames)
 
-      val contractJson: Seq[JObject] = contracts.map { case (_, addr, cb, ownEvents, _) =>
+      val contractJson: Seq[JObject] = contracts.map { case (_, addrJson, cb, ownEvents, _) =>
         val transforms: Seq[(String, String)] = cb.blocks.collect {
           case ("transform", _, tb) => tb.attrs.map { case (k, v) => k -> sql(v) }
         }.flatten
-        var base: JObject = JObject("address" -> JInt(addr))
+        var base: JObject = JObject("address" -> addrJson)
         if (transforms.nonEmpty)
           base = base ~ ("transforms" -> JObject(transforms.map { case (k, v) => k -> (JString(v): JValue) }.toList))
         // contract-scoped events stay ON the contract (reference semantics:
@@ -899,7 +1078,7 @@ object HclSchema {
     // applies to every query in its document.
     val loopBlock = top.blocks.collectFirst { case ("loop", _, lb) => lb }
     val loopItems: Seq[String] = loopBlock.toSeq.flatMap(lb =>
-      lb.attrs.collectFirst { case ("items", v) => parseArr(v).map(unquote) }.getOrElse(Nil))
+      lb.attrs.collectFirst { case ("items", v) => resolveItems(v) }.getOrElse(Nil))
     val loopQueries: Seq[(String, Body)] = loopBlock.toSeq.flatMap(_.blocks).collect {
       case ("query", Some(n), qb) => (n, qb)
     }

@@ -1391,10 +1391,62 @@ object ApolloQueries {
       |LEFT JOIN part pt ON e.event_id % 100 + 1 = pt.p_partkey
       |WHERE e.event_type = 'purchase' ORDER BY blocknumber""".stripMargin
 
+  /** HCL `for` expressions + `[*]` splat (hclsyntax full dialect,
+    * dsl/schema.go:388) driving loop fan-out end-to-end: an object-list
+    * variable is splatted into a uid list, a for-expression filters it,
+    * and the loop stamps one query per surviving item — all evaluated at
+    * plan-construction time, exactly where the reference's cty evaluation
+    * runs. The previous behavior (loud rejection with line/col) is kept
+    * for every OTHER context (FixturesSpec pins both). */
+  def hclForSplat(spark: SparkSession, sfDir: String): DataFrame = {
+    val hcl =
+      """variables = {
+        |  contracts = [
+        |    { uid = 2, tag = "alpha" },
+        |    { uid = 3, tag = "beta" },
+        |    { uid = 4, tag = "gamma" },
+        |    { uid = 9, tag = "omega" },
+        |  ]
+        |  uids = contracts[*].uid
+        |  small_uids = [for u in uids : u if u <= 4]
+        |}
+        |loop {
+        |  items = small_uids
+        |  query uid_swaps {
+        |    chain = "ethereum"
+        |    contract {
+        |      address = "${item}"
+        |      event purchase { outputs = ["value"] }
+        |    }
+        |    save {
+        |      uid = item
+        |      block = blocknumber
+        |      amount = value
+        |    }
+        |  }
+        |}""".stripMargin
+    val schema = HclSchema.parse(hcl)
+    Compiler.demux(schema.queries.map(q => q.name -> Compiler.compile(spark, sfDir, q)).toMap)
+      .orderBy("query_name", "block")
+  }
+
+  private val hclForSplatSql =
+    """SELECT * FROM (
+      |  SELECT '0-uid_swaps' AS query_name, 2 AS uid, event_id AS block, value AS amount
+      |  FROM events WHERE event_type = 'purchase' AND user_id = 2
+      |  UNION ALL
+      |  SELECT '1-uid_swaps', 3, event_id, value
+      |  FROM events WHERE event_type = 'purchase' AND user_id = 3
+      |  UNION ALL
+      |  SELECT '2-uid_swaps', 4, event_id, value
+      |  FROM events WHERE event_type = 'purchase' AND user_id = 4)
+      |ORDER BY query_name, block""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "apollo_flagship_swaps" -> (flagship _),
     "hcl_scoped_swaps" -> (hclScopedSwaps _),
     "hcl_custom_fn" -> (hclCustomFn _),
+    "hcl_for_splat" -> (hclForSplat _),
     "dsl_aggregate" -> (dslAggregate _),
     "dsl_stream_aggregate" -> (dslStreamAggregate _),
     "tx_monitor" -> (txMonitor _),
@@ -1437,6 +1489,7 @@ object ApolloQueries {
     "apollo_flagship_swaps" -> flagshipSql,
     "hcl_scoped_swaps" -> hclScopedSwapsSql,
     "hcl_custom_fn" -> hclCustomFnSql,
+    "hcl_for_splat" -> hclForSplatSql,
     "dsl_aggregate" -> dslAggregateSql,
     "dsl_stream_aggregate" -> dslAggregateSql,
     "tx_monitor" -> txMonitorSql,

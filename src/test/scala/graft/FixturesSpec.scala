@@ -379,6 +379,69 @@ class FixturesSpec extends SparkSpec {
     assert(e.getMessage.contains("colliding testbed keys"))
   }
 
+  test("HCL for-expressions + [*] splat evaluate in variables/loop.items (r7)") {
+    // the dialect gap the r6 verdict named: list comprehension over literal
+    // collections and splat on object lists, evaluated at plan-construction
+    // time. Variables chain (splat feeds a for-expression feeds the loop).
+    val hcl =
+      """variables = {
+        |  contracts = [
+        |    { uid = 2, tag = "alpha" },
+        |    { uid = 3, tag = "beta" },
+        |    { uid = 9, tag = "omega" },
+        |  ]
+        |  uids = contracts[*].uid
+        |  names = [for c in contracts : "${c.tag}-${c.uid}" if c.uid <= 3]
+        |  doubled = [for u in uids : u * 2]
+        |}
+        |loop {
+        |  items = [for u in uids : u if u <= 3]
+        |  query q {
+        |    chain = "ethereum"
+        |    contract {
+        |      address = "${item}"
+        |      event purchase { outputs = ["value"] }
+        |    }
+        |    save { block = blocknumber }
+        |  }
+        |}""".stripMargin
+    val schema = model.HclSchema.parse(hcl)
+    // loop stamped one query per SURVIVING item (uid <= 3 keeps 2 and 3)
+    assert(schema.queries.map(_.name) == Seq("0-q", "1-q"))
+    assert(schema.queries.map(_.contracts.head.address) == Seq(2L, 3L))
+
+    // splat attribute missing on an item → loud, names attr and variable
+    val bad =
+      """variables = {
+        |  xs = [ { a = 1 }, { b = 2 } ]
+        |  ys = xs[*].a
+        |}
+        |loop {
+        |  items = ys
+        |  query q {
+        |    chain = "ethereum"
+        |    event purchase { outputs = ["value"] }
+        |    save { block = blocknumber }
+        |  }
+        |}""".stripMargin
+    val e = intercept[RuntimeException](model.HclSchema.parse(bad))
+    assert(e.getMessage.contains("`a`") && e.getMessage.contains("`xs`"), e.getMessage)
+
+    // items referencing a non-list variable → loud with the known lists
+    val notList =
+      """variables = { n = 5 }
+        |loop {
+        |  items = n
+        |  query q {
+        |    chain = "ethereum"
+        |    event purchase { outputs = ["value"] }
+        |    save { block = blocknumber }
+        |  }
+        |}""".stripMargin
+    val e2 = intercept[RuntimeException](model.HclSchema.parse(notList))
+    assert(e2.getMessage.contains("not a list-valued variable"), e2.getMessage)
+  }
+
   test("HCL: unsupported for/splat constructs fail loud WITH line position") {
     // hclsyntax `for` expression — outside the dialect; the error must name
     // the line so a reference user can find the offending expression
