@@ -383,18 +383,26 @@ object DedupOps {
       .withColumn("norm", Vec.norm(col("embedding")))
       .withColumn("bk0", expr(SimilarityOps.signBucketExpr(1, bits)))
       .withColumn("bk1", expr(SimilarityOps.signBucketExpr(1 + bits, bits)))
-    val stacked = e.select(col("vec_id"),
+    // Vectors ride INTO the bucket join and the exact cosine runs in the
+    // join's own stage: shuffle volume is 2N vector rows (the stacked
+    // sides), never ∝ candidate pairs. The r6 shape generated candidate
+    // IDs first and re-fetched both vectors by id — two more shuffles
+    // CARRYING candidate-many wide rows, which the sf10 probe measured as
+    // the dominant, GC-thrashing cost (SCALING.md §sf10). distinct() now
+    // runs on the cos ≥ 0.4 SURVIVORS (pairs whose two tables both
+    // collide would otherwise emit twice), a far smaller set than the
+    // candidates.
+    val stacked = e.select(col("vec_id"), col("embedding"), col("norm"),
       posexplode(array(col("bk0"), col("bk1"))).as(Seq("tbl", "bk")))
-    val cand = stacked.select(col("vec_id").as("id1"), col("tbl"), col("bk"))
-      .join(stacked.select(col("vec_id").as("id2"), col("tbl"), col("bk")), Seq("tbl", "bk"))
+    val a = stacked.select(col("tbl"), col("bk"),
+      col("vec_id").as("id1"), col("embedding").as("e1"), col("norm").as("nm1"))
+    val b = stacked.select(col("tbl"), col("bk"),
+      col("vec_id").as("id2"), col("embedding").as("e2"), col("norm").as("nm2"))
+    a.join(b, Seq("tbl", "bk"))
       .where(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    cand
-      .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("norm").as("nm1")), Seq("id1"))
-      .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("norm").as("nm2")), Seq("id2"))
       .withColumn("cos_sim", Vec.dot(col("e1"), col("e2")) / (col("nm1") * col("nm2")))
       .where(col("cos_sim") >= 0.4)
-      .select("id1", "id2", "cos_sim")
+      .select("id1", "id2", "cos_sim").distinct()
       .orderBy("id1", "id2")
   }
 

@@ -27,9 +27,15 @@ object ScaleProbe {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle-partition override: the bench pins partitions = cores, which
+    // keeps bytes/partition growing with store size — at a 100× store a
+    // cluster (or AQE) would scale partition COUNT instead. Probing with a
+    // store-sized count separates genuine plan super-linearity from
+    // fat-partition spill.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
