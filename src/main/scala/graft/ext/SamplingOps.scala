@@ -317,12 +317,16 @@ object SamplingOps {
     * (≤ 65 balanced-by-quality-mass partitions; a skewed corpus can raise
     * QBuckets, the math is unchanged). The 1-row budget aggregate
     * broadcasts (PlanSpec-whitelisted BNLJ). */
-  def tokenBudgetSample(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared budget-cut windowing for [[tokenBudgetSample]] and
+    * [[bpeBudgetSample]]: a quality-bucket prefix sum (≤ 65-row broadcast)
+    * plus a per-bucket intra window reconstructs the GLOBAL
+    * (quality desc, doc_id) cumulative token count without a
+    * single-partition corpus-wide window — qb = floor(quality·B) is
+    * monotone in quality, so bucket-then-intra order IS the global order. */
+  private def budgetKeep(scored: DataFrame, tokCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = TextOps.qualityScore(spark, sfDir)
-      .select(col("doc_id"), col("n_tok"), col("quality"))
-      .withColumn("qb", floor(col("quality") * QBuckets).cast("long"))
-    val buckets = scored.groupBy("qb").agg(sum("n_tok").as("b_tokens"))
+    val withQb = scored.withColumn("qb", floor(col("quality") * QBuckets).cast("long"))
+    val buckets = withQb.groupBy("qb").agg(sum(tokCol).as("b_tokens"))
     // ≤ 65 rows: the single-partition window is over a CONSTANT-size frame
     val wB = Window.orderBy(col("qb").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -334,14 +338,48 @@ object SamplingOps {
     val wIn = Window.partitionBy("qb")
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    scored.join(broadcast(offsets), Seq("qb"))
-      .withColumn("intra_before", coalesce(sum("n_tok").over(wIn), lit(0L)))
+    withQb.join(broadcast(offsets), Seq("qb"))
+      .withColumn("intra_before", coalesce(sum(tokCol).over(wIn), lit(0L)))
       .withColumn("cum_before", col("b_before") + col("intra_before"))
       .crossJoin(broadcast(budget))
       .withColumn("keep", col("cum_before") < col("budget"))
+  }
+
+  def tokenBudgetSample(spark: SparkSession, sfDir: String): DataFrame =
+    budgetKeep(
+      TextOps.qualityScore(spark, sfDir).select(col("doc_id"), col("n_tok"), col("quality")),
+      "n_tok")
       .select("doc_id", "n_tok", "quality", "cum_before", "keep")
       .orderBy("doc_id")
-  }
+
+  /** [[tokenBudgetSample]] with the SUBWORD count ([[TextOps.bpeTokenCount]])
+    * as the budget currency — whitespace counts under-charge dense text,
+    * and a real FineWeb-Edu-style budget decision is made in model tokens.
+    * The quality scan and the tokenizer scan join on doc_id (one keyed
+    * shuffle each; production fuses both projections into one scan). */
+  def bpeBudgetSample(spark: SparkSession, sfDir: String): DataFrame =
+    budgetKeep(
+      TextOps.qualityScore(spark, sfDir).select(col("doc_id"), col("quality"))
+        .join(TextOps.bpeTokenCount(spark, sfDir).select(col("doc_id"), col("bpe_tokens")),
+          Seq("doc_id")),
+      "bpe_tokens")
+      .select("doc_id", "bpe_tokens", "quality", "cum_before", "keep")
+      .orderBy("doc_id")
+
+  private val bpeBudgetSampleSql =
+    s"""WITH RECURSIVE q0 AS (SELECT doc_id, quality FROM (${TextOps.qualityScoreSqlText})),
+       |t0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |${TextOps.bpeWalkCtes("t0")},
+       |q AS (SELECT q0.doc_id, bpec.bpe_tokens, q0.quality FROM q0 JOIN bpec USING (doc_id)),
+       |b AS (SELECT CAST((sum(bpe_tokens) * 2) // 5 AS BIGINT) AS budget FROM q),
+       |c AS (SELECT doc_id, bpe_tokens, quality,
+       |        CAST(coalesce(sum(bpe_tokens) OVER (
+       |          ORDER BY quality DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |          AS cum_before
+       |      FROM q)
+       |SELECT doc_id, bpe_tokens, quality, cum_before, cum_before < budget AS keep
+       |FROM c CROSS JOIN b ORDER BY doc_id""".stripMargin
 
   private val tokenBudgetSampleSql =
     s"""WITH q AS (SELECT doc_id, n_tok, quality FROM (${TextOps.qualityScoreSqlText})),
@@ -357,6 +395,7 @@ object SamplingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_token_budget" -> (tokenBudgetSample _),
+    "sample_bpe_budget" -> (bpeBudgetSample _),
     "sample_stratified" -> (stratifiedSample _),
     "split_train_val_test" -> (trainValTestSplit _),
     "pack_sequences" -> (packSequencesQuery _),
@@ -367,6 +406,7 @@ object SamplingOps {
 
   val oracles: Map[String, String] = Map(
     "sample_token_budget" -> tokenBudgetSampleSql,
+    "sample_bpe_budget" -> bpeBudgetSampleSql,
     "sample_stratified" -> stratifiedSampleSql,
     "split_train_val_test" -> trainValTestSplitSql,
     "pack_sequences" -> packSequencesSql,

@@ -128,6 +128,90 @@ object TextOps {
        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic subword vocabulary for [[bpeTokenCount]] — a synthetic
+    * merge table (zero-egress stand-in for a trained BPE/WordPiece vocab):
+    * corpus words plus high-frequency English bigrams. Tokenization is
+    * greedy longest-match-first (the WordPiece inference rule, which is
+    * also how a trained BPE merge table is APPLIED once merges are ranked):
+    * at each position take the longest vocab entry that matches, else emit
+    * a single char. Swapping in a real vocab changes this list, not the
+    * expression. */
+  private[graft] val BpeVocab: Seq[String] = Seq(
+    "table", "spark", "value", "batch", "merge", "window", "scan", "part",
+    "hash", "sort", "fast", "slow", "key", "row", "agg", "line",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+    "ve", "co", "me", "de", "ri", "ro", "ic", "ne", "ea", "ra",
+    "ce", "li", "ch", "ll", "be", "ma", "si", "ur")
+
+  private def bpeVocabExpr = BpeVocab.map(v => s"'$v'").mkString("array(", ",", ")")
+  private def bpeVocabSqlList = BpeVocab.map(v => s"'$v'").mkString("[", ",", "]")
+
+  /** Greedy longest-match subword count of string column `t` as ONE
+    * codegen'd fold: positions 1..len stream through an (pos, count) state;
+    * a position below the cursor is a skip, at the cursor the longest
+    * matching vocab entry (or 1 char) advances it. O(len·|V|) worst case,
+    * no UDF, no explode — the whole tokenizer stays inside whole-stage
+    * codegen. Mirrored operation-for-operation in [[bpeCountSql]]
+    * (list_reduce with an init-prepended homogeneous struct list — DuckDB
+    * folds have no separate init slot). Property-checked against a plain
+    * Scala reference tokenizer on random strings (BpePropertySpec). */
+  private[graft] def bpeCountExpr(t: String): String =
+    s"""CASE WHEN length($t) = 0 THEN CAST(0 AS BIGINT) ELSE
+       |aggregate(sequence(1, length($t)),
+       |  named_struct('p', 1, 'n', 0),
+       |  (st, i) -> IF(i != st.p, st, named_struct(
+       |    'p', st.p + CAST(coalesce(array_max(transform(
+       |      filter($bpeVocabExpr, v -> substring($t, st.p, length(v)) = v),
+       |      v -> length(v))), 1) AS INT),
+       |    'n', st.n + 1)),
+       |  st -> CAST(st.n AS BIGINT)) END""".stripMargin
+
+  /** Oracle-side greedy walk as RECURSIVE CTEs over a source CTE exposing
+    * (doc_id, t). A list_reduce fold mirroring [[bpeCountExpr]] would be
+    * the natural mirror, but DuckDB 1.0's vectorized evaluation of a fold
+    * lambda that captures an outer column mis-binds rows in large vectors
+    * — 2 of 5000 sf0.1 docs came back wrong from the full-table query
+    * while the SAME expression on a row-restricted source was correct.
+    * The recursive walk (one row per emitted token, level = token index)
+    * avoids the construct entirely; validated doc-for-doc against the
+    * Spark fold at sf0.1. Callers prepend `WITH RECURSIVE`. */
+  private[ext] def bpeWalkCtes(src: String): String =
+    s"""bpew(doc_id, p, n) AS (
+       |  SELECT doc_id, 1, CAST(0 AS BIGINT) FROM $src
+       |  UNION ALL
+       |  SELECT w.doc_id,
+       |    w.p + CAST(coalesce(list_max(list_transform(list_filter($bpeVocabSqlList,
+       |      v -> substr(s.t, w.p, length(v)) = v), v -> length(v))), 1) AS INTEGER),
+       |    w.n + 1
+       |  FROM bpew w JOIN $src s USING (doc_id)
+       |  WHERE w.p <= length(s.t)),
+       |bpec AS (SELECT doc_id, max(n) AS bpe_tokens FROM bpew GROUP BY doc_id)""".stripMargin
+
+  /** Subword (BPE-style) token counting — the count real budget decisions
+    * use, next to [[tokenCount]]'s whitespace/regex/chars-per-4 estimates.
+    * Scale shape: a shuffle-free per-row projection, like every other
+    * single-scan text op here. */
+  def bpeTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", lower(col("text")))
+      .withColumn("bpe_tokens", expr(bpeCountExpr("t")))
+      .withColumn("ws_tokens", expr(s"size($toksExpr)").cast("long"))
+      .withColumn("n_chars", length(col("t")).cast("long"))
+      .withColumn("chars_per_token", col("n_chars").cast("double") / col("bpe_tokens"))
+      .select("doc_id", "bpe_tokens", "ws_tokens", "n_chars", "chars_per_token")
+      .orderBy("doc_id")
+
+  private val bpeTokenCountSql =
+    s"""WITH RECURSIVE t0 AS (SELECT doc_id, text, lower(text) AS t FROM documents),
+       |${bpeWalkCtes("t0")}
+       |SELECT t0.doc_id, bpec.bpe_tokens,
+       |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+       |  CAST(length(t) AS BIGINT) AS n_chars,
+       |  CAST(length(t) AS DOUBLE) / bpec.bpe_tokens AS chars_per_token
+       |FROM t0 JOIN bpec USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Fingerprinting: canonical form (sorted distinct tokens) → md5, plus a
     * 31-polynomial rolling hash mod 1e9+7 over the canonical chars. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
@@ -983,6 +1067,7 @@ object TextOps {
     "text_langid" -> (langId _),
     "text_quality_score" -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
+    "text_bpe_count" -> (bpeTokenCount _),
     "text_fingerprint" -> (fingerprint _),
     "text_pii_scrub" -> (piiScrub _),
   )
@@ -1004,6 +1089,7 @@ object TextOps {
     "text_langid" -> langIdSql,
     "text_quality_score" -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
+    "text_bpe_count" -> bpeTokenCountSql,
     "text_fingerprint" -> fingerprintSql,
     "text_pii_scrub" -> piiScrubSql,
   )

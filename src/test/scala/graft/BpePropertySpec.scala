@@ -1,0 +1,57 @@
+package graft
+
+/** Randomized property check for the greedy longest-match subword counter
+  * ([[graft.ext.TextOps.bpeCountExpr]]) against a plain Scala reference
+  * tokenizer. The codegen'd fold and the reference walk the same contract —
+  * at each position take the LONGEST matching vocab entry, else one char —
+  * so counts must agree exactly on any input: vocab-dense strings, strings
+  * with no vocab hits, overlapping-prefix traps ("t"+"able" vs "table"),
+  * empty strings, and single chars.
+  */
+class BpePropertySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def refBpe(t: String): Long = {
+    var p = 0; var n = 0L
+    while (p < t.length) {
+      val m = ext.TextOps.BpeVocab
+        .filter(v => t.startsWith(v, p)).map(_.length)
+        .maxOption.getOrElse(1)
+      p += m; n += 1
+    }
+    n
+  }
+
+  test("bpe count: codegen'd fold == reference tokenizer on random strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // alphabet biased toward vocab chars so matches actually occur, plus
+    // spaces and chars outside every vocab entry
+    val alphabet = "abcdefghijklmnopqrstuvwxyz .x9"
+    val cases: Seq[String] =
+      Seq("", "t", "table", "ttable", "tableth", "thth", "xxxx", " ") ++
+        (1 to 120).map { i =>
+          val len = rnd.nextInt(60)
+          (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .withColumn("n", expr(ext.TextOps.bpeCountExpr("t")))
+    val got = df.select("id", "n").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == refBpe(t),
+        s"case $i '${t.take(40)}': got ${got(i.toLong)}, want ${refBpe(t)}")
+    }
+  }
+
+  test("bpe count: longest match wins over any shorter prefix") {
+    import spark.implicits._
+    // "table" is one token (the 5-char entry beats every shorter match);
+    // "tabl" has no multi-char match at any position → 4 single chars
+    val df = Seq((1L, "table"), (2L, "tabl"), (3L, "thtable")).toDF("id", "t")
+      .withColumn("n", expr(ext.TextOps.bpeCountExpr("t")))
+    val m = df.select("id", "n").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 1L, s"'table' must be a single token, got ${m(1L)}")
+    assert(m(2L) == 4L, s"'tabl' must be t+a+b+l = 4, got ${m(2L)}")
+    assert(m(3L) == 2L, s"'thtable' must be th+table = 2, got ${m(3L)}")
+  }
+}

@@ -188,6 +188,7 @@ class PlanSpec extends SparkSpec {
       "sample_mixture",   // two 1-row/20-row broadcast aggregates onto the scan
       "sample_temperature", // 1-row (tok_total, t_min) aggregate broadcast, same shape
       "sample_token_budget", // 1-row budget aggregate broadcast (SamplingOps scaladoc)
+      "sample_bpe_budget",   // same budgetKeep shape, subword-token currency
       "sample_importance",// 1-row corpus-mean aggregate broadcast
       "q14_promo_share",  // 1-row ratio numerator/denominator combine
       "approx_distinct",  // 1-row exact-vs-HLL comparison frame
@@ -198,6 +199,7 @@ class PlanSpec extends SparkSpec {
       "sim_brute_topk", "sim_ann_recall", // brute-force baseline: queries (8 rows) broadcast against candidates BY DESIGN
       "sim_pq_ann",       // ADC scan: 8-row query side broadcast against the codes column BY DESIGN
       "sim_pq_rerank",    // same ADC scan shape feeding the shortlist; the fetch itself is an equi-join
+      "sim_pq_trained",   // same ADC scan (8-row query side broadcast) off the TRAINED codebook
       "sim_ivf_ann",      // routing: 8 queries × broadcast representative set (both tiny; SimilarityOps:155)
       "text_tfidf_topk",  // 1-row corpus doc-count broadcast for the idf term (TextOps:401)
       "sim_clustered_recall")
