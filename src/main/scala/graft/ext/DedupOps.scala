@@ -713,6 +713,86 @@ object DedupOps {
        |WHERE $isNewSql
        |ORDER BY d.doc_id""".stripMargin
 
+  private val EmbIncrSeed = "graft-embincr-1"
+
+  private def isNewVecCol: Column =
+    substring(md5(concat(lit(EmbIncrSeed + "|"), col("vec_id").cast("string"))), 1, 1)
+      .isin("0", "1", "2")
+
+  private val isNewVecSql =
+    s"substr(md5('$EmbIncrSeed|' || CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')"
+
+  /** Incremental EMBEDDING dedup — the ANN analogue of
+    * [[incrementalDedup]]: the corpus holds an at-rest (table, bucket)
+    * sign-hash index; an ingest batch hashes ONLY itself, probes the
+    * stored buckets, and exact cosine runs on candidates only. Each new
+    * vector reports its best corpus match at cos ≥ 0.4 (ties → lowest
+    * corpus id), never new-vs-new — matching a store where the batch is
+    * admitted (and indexed) only after the dedup decision.
+    *
+    * Scale shape: the CORPUS NEVER MOVES. The ingest batch (the small
+    * side, ~19% here and ~0.01% of a production corpus) broadcasts to the
+    * bucket-partitioned index, the cosine runs in the join's own stage
+    * (the [[embeddingCosineAt]] restructure), and only the cos ≥ 0.4
+    * survivors flow into the per-new-vector argmax. Plan-asserted: the
+    * candidate join is a BroadcastHashJoin — no shuffle of the corpus
+    * side (PlanSpec r7). At 100 TB the broadcast side is the batch and
+    * the stored index is bucketed by (tbl, bk); either way the data that
+    * moves is O(batch), not O(corpus). */
+  def embeddingIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("norm", Vec.norm(col("embedding")))
+      .withColumn("bk0", expr(SimilarityOps.signBucketExpr(1)))
+      .withColumn("bk1", expr(SimilarityOps.signBucketExpr(5)))
+      .withColumn("is_new", isNewVecCol)
+    val stacked = e.select(col("vec_id"), col("embedding"), col("norm"), col("is_new"),
+      posexplode(array(col("bk0"), col("bk1"))).as(Seq("tbl", "bk")))
+    val corpus = stacked.where(!col("is_new")).select(col("tbl"), col("bk"),
+      col("vec_id").as("corpus_id"), col("embedding").as("ce"), col("norm").as("cn"))
+    val batch = stacked.where(col("is_new")).select(col("tbl"), col("bk"),
+      col("vec_id").as("new_id"), col("embedding").as("ne"), col("norm").as("nn"))
+    val matches = corpus.join(broadcast(batch), Seq("tbl", "bk"))
+      .withColumn("cos_sim", Vec.dot(col("ne"), col("ce")) / (col("nn") * col("cn")))
+      .where(col("cos_sim") >= 0.4)
+      .select("new_id", "corpus_id", "cos_sim").distinct()
+    val w = Window.partitionBy("new_id").orderBy(col("cos_sim").desc, col("corpus_id"))
+    val best = matches.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("new_id").as("vec_id"), col("corpus_id").as("dup_of"),
+        col("cos_sim").as("dup_cos"))
+    Tables.embeddings(spark, sfDir).where(isNewVecCol).select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("dup_cos"))
+      .orderBy("vec_id")
+  }
+
+  private val embeddingIncrementalSql = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+        s"k -> CAST($x[k] AS DOUBLE) * CAST($y[k] AS DOUBLE))), (acc, v) -> acc + v)"
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dot("embedding", "embedding")}) AS norm,
+       |    ${SimilarityOps.signBucketSql(1)} AS bk0, ${SimilarityOps.signBucketSql(5)} AS bk1,
+       |    $isNewVecSql AS is_new
+       |  FROM embeddings),
+       |st AS (SELECT vec_id, embedding, norm, is_new, 0 AS tbl, bk0 AS bk FROM e
+       |       UNION ALL SELECT vec_id, embedding, norm, is_new, 1, bk1 FROM e),
+       |m AS (SELECT DISTINCT b.vec_id AS new_id, c.vec_id AS corpus_id,
+       |        ${dot("b.embedding", "c.embedding")} / (b.norm * c.norm) AS cos_sim
+       |      FROM st b JOIN st c ON b.tbl = c.tbl AND b.bk = c.bk
+       |      WHERE b.is_new AND NOT c.is_new
+       |        AND ${dot("b.embedding", "c.embedding")} / (b.norm * c.norm) >= 0.4),
+       |best AS (SELECT new_id, corpus_id AS dup_of, cos_sim AS dup_cos FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY new_id ORDER BY cos_sim DESC, corpus_id) AS rk FROM m)
+       |  WHERE rk = 1)
+       |SELECT e0.vec_id, b.dup_of IS NOT NULL AS is_dup, b.dup_of, b.dup_cos
+       |FROM embeddings e0 LEFT JOIN best b ON e0.vec_id = b.new_id
+       |WHERE $isNewVecSql
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private val SemDedupTau = 0.98
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -1001,6 +1081,7 @@ object DedupOps {
     "dedup_ngram_containment" -> (ngramContainment _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
+    "dedup_embedding_incremental" -> (embeddingIncremental _),
     "dedup_cluster_canonical" -> (clusterCanonical _),
     "dedup_best_survivor" -> (bestSurvivor _),
     "curation_pipeline" -> (curationPipeline _),
@@ -1017,6 +1098,7 @@ object DedupOps {
     "dedup_ngram_containment" -> ngramContainmentSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" -> embeddingCosineSql,
+    "dedup_embedding_incremental" -> embeddingIncrementalSql,
     "dedup_cluster_canonical" -> clusterCanonicalSql,
     "dedup_best_survivor" -> bestSurvivorSql,
     "curation_pipeline" -> curationPipelineSql,

@@ -71,6 +71,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("incremental embedding dedup: corpus never shuffles — batch side broadcasts (r7)") {
+    val p = plan("dedup_embedding_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the CANDIDATE join (keyed on tbl, bk) must be a broadcast-hash join
+    // with the cosine filter fused in — a sort-merge shape there would
+    // shuffle the at-rest corpus index on every ingest batch. (The final
+    // new-ids ⟕ best join is rows-per-batch sized; AQE broadcasts it at
+    // runtime.)
+    assert(p.contains("BroadcastHashJoin [tbl"), p)
+    assert(!p.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("bk#")), p)
+  }
+
   test("ngram jaccard: no cartesian / nested-loop anywhere") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
