@@ -320,7 +320,16 @@ object TextOps {
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
     gopherRulesOf(Tables.documents(spark, sfDir))
 
-  private[graft] def gopherRulesOf(documents: DataFrame): DataFrame = {
+  private[graft] def gopherRulesOf(documents: DataFrame): DataFrame =
+    withGopherSignals(documents)
+      .select("doc_id", "n_tok", "mean_word_len", "dup_trigram_frac", "stop_cnt",
+        "r_nwords", "r_wordlen", "r_dup3", "r_stop", "n_failed", "keep")
+      .orderBy("doc_id")
+
+  /** The Gopher signal/rule columns WITHOUT the final projection/sort —
+    * streaming-safe (pure per-row projections), so the curation stream
+    * pipeline applies the identical rule the batch query gates. */
+  private[graft] def withGopherSignals(documents: DataFrame): DataFrame = {
     val tg = "IF(size(toks) >= 3, transform(sequence(1, size(toks) - 2), " +
       "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))), " +
       "CAST(array() AS ARRAY<STRING>))"
@@ -347,9 +356,6 @@ object TextOps {
           + when(col("r_dup3"), 0).otherwise(1) + when(col("r_stop"), 0).otherwise(1))
           .cast("long"))
       .withColumn("keep", col("n_failed") === 0)
-      .select("doc_id", "n_tok", "mean_word_len", "dup_trigram_frac", "stop_cnt",
-        "r_nwords", "r_wordlen", "r_dup3", "r_stop", "n_failed", "keep")
-      .orderBy("doc_id")
   }
 
   private val gopherRulesSql =
@@ -381,6 +387,33 @@ object TextOps {
        |  (CASE WHEN r_nwords THEN 0 ELSE 1 END) + (CASE WHEN r_wordlen THEN 0 ELSE 1 END)
        |    + (CASE WHEN r_dup3 THEN 0 ELSE 1 END) + (CASE WHEN r_stop THEN 0 ELSE 1 END) = 0 AS keep
        |FROM r ORDER BY doc_id""".stripMargin
+
+  /** The Gopher keep-rule as reusable CTEs ending in
+    * `gkeep(doc_id, n_tok, keep)` — the oracle-side twin of
+    * [[withGopherSignals]]' `keep` column, shared by the streaming
+    * curation pipeline's parity oracle. Conditions identical to
+    * [[gopherRulesSql]]. */
+  private[graft] val gopherKeepSqlCtes: String =
+    s"""gt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |gg AS (SELECT doc_id, toks,
+       |        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+       |      FROM gt),
+       |gs AS (SELECT doc_id,
+       |        CAST(len(toks) AS BIGINT) AS n_tok,
+       |        CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+       |          / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+       |        CASE WHEN len(tg) > 0
+       |             THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)
+       |             ELSE 0.0 END AS dup_trigram_frac,
+       |        CAST(len(list_filter(toks, t -> t IN ${inList(stop("en"))})) AS BIGINT) AS stop_cnt
+       |      FROM gg),
+       |gkeep AS (SELECT doc_id, n_tok,
+       |        n_tok >= 50 AND n_tok <= 100000
+       |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |        AND dup_trigram_frac <= 0.01
+       |        AND stop_cnt >= 2 AS keep
+       |      FROM gs)""".stripMargin
 
   private val repetitionSql =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

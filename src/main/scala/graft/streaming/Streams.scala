@@ -325,13 +325,113 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** A survivor row flowing between the curation pipeline's hops. */
+  private[streaming] final case class CurationSurvivor(
+      doc_id: Long, simhash: Long, n_tok: Long)
+
+  /** [[curationStream]]'s admission output. */
+  private[streaming] final case class CurationAdmit(
+      doc_id: Long, simhash: Long, n_tok: Long, cum_before: Long, keep: Boolean)
+
+  private val CurationBudget = 20000L
+
+  /** STREAMING CURATION PIPELINE — quality filter → near-dup dedup →
+    * token-budget admission, all on the real micro-batch engine, each hop
+    * checkpointed (r6 advice #7). Two chained stateful operators
+    * (per-simhash dedup state + the global budget counter) cannot share
+    * one streaming query, so the pipeline is the production multi-hop
+    * shape: hop 1 writes its survivors to a checkpointed parquet sink,
+    * hop 2 streams that directory — exactly a bronze→silver→gold layout,
+    * each hop independently restartable from its checkpoint.
+    *
+    *  - Hop 1: [[TextOps.withGopherSignals]] applies the IDENTICAL rule
+    *    columns the batch `text_gopher_rules` gates (streaming-safe pure
+    *    projections), then per-simhash GroupState keeps the MIN-doc_id
+    *    survivor per fingerprint — deterministic, unlike
+    *    dropDuplicatesWithinWatermark's arrival-order winner (which is
+    *    partition-race-dependent inside a micro-batch).
+    *  - Hop 2: a single-group GroupState carries the running token total
+    *    across micro-batches; docs admit while the total sits below the
+    *    FIXED budget (a stream cannot know corpus totals — production
+    *    budgets are absolute targets, e.g. "collect 15B tokens"). Rows
+    *    sort by doc_id inside each batch, so on the gate's single-file
+    *    store the admission order is doc_id order and the bounded run
+    *    hash-matches the batch composition (the oracle); on a multi-file
+    *    store the order is arrival order, the streaming semantics.
+    */
+  def curationStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val hop = java.nio.file.Files.createTempDirectory("curation_hop").toString
+    // hop 1: filter + deterministic near-dup survivor
+    val survivors = graft.ext.TextOps.withGopherSignals(
+        tableStream(spark, sfDir, "documents", documentSchema))
+      .where(col("keep"))
+      .select(col("doc_id"), graft.functions.TextFns.simhash32(col("text")).as("simhash"),
+        col("n_tok"))
+      .as[CurationSurvivor]
+      .groupByKey(_.simhash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[CurationSurvivor], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator(rows.minBy(_.doc_id)) }
+        })
+    val q1 = survivors.writeStream.format("parquet")
+      .option("path", s"$hop/survivors")
+      .option("checkpointLocation", s"$hop/ck1")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    // hop 2: budget admission over the checkpointed survivor stream
+    val admitted = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[CurationSurvivor]].schema)
+      .parquet(s"$hop/survivors")
+      .as[CurationSurvivor]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[CurationSurvivor], state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val before = cum
+            cum += r.n_tok
+            CurationAdmit(r.doc_id, r.simhash, r.n_tok, before, before < CurationBudget)
+          }
+          state.update(cum)
+          out.iterator
+        })
+    val q2 = admitted.writeStream.format("memory").queryName("curation_sink")
+      .option("checkpointLocation", s"$hop/ck2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    spark.table("curation_sink").orderBy("doc_id")
+  }
+
+  private[streaming] val curationParitySql = {
+    val rules = graft.ext.TextOps.gopherKeepSqlCtes
+    s"""WITH $rules,
+       |sh AS (${graft.ext.DedupOps.simhashSql}),
+       |kept AS (SELECT g.doc_id, g.n_tok, sh.simhash
+       |         FROM gkeep g JOIN sh ON sh.doc_id = g.doc_id WHERE g.keep),
+       |surv AS (SELECT simhash, min(doc_id) AS doc_id FROM kept GROUP BY simhash),
+       |s2 AS (SELECT k.doc_id, k.simhash, k.n_tok
+       |       FROM kept k JOIN surv s ON s.doc_id = k.doc_id AND s.simhash = k.simhash),
+       |c AS (SELECT doc_id, simhash, n_tok,
+       |        CAST(coalesce(sum(n_tok) OVER (
+       |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |          AS cum_before
+       |      FROM s2)
+       |SELECT doc_id, simhash, n_tok, cum_before, cum_before < $CurationBudget AS keep
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_curation_parity" -> (curationStream _),
     "s3_stream_batch_parity" -> (streamBatchParity _),
     "stream_neardup_dedup" -> (nearDupDedupStream _),
     "stream_session_parity" -> (streamSessionParity _),
     "stream_join_parity" -> (streamJoinParity _))
 
   val oracles: Map[String, String] = Map(
+    "stream_curation_parity" -> curationParitySql,
     "stream_session_parity" -> graft.ext.Relational.sessionWindowsSql,
     "s3_stream_batch_parity" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,

@@ -137,6 +137,27 @@ class StreamingSpec extends SparkSpec {
       s"error should name the offending type, got: ${e.getMessage}")
   }
 
+  test("curation pipeline: admission invariants hold end-to-end (r7)") {
+    // the two-hop stream (gopher filter → min-doc dedup → budget admit):
+    // cum_before must chain exactly (cum[i+1] = cum[i] + n_tok[i] in doc_id
+    // order), keep must be a PREFIX of the admission order, and every
+    // surviving simhash must appear exactly once
+    val rows = Streams.curationStream(spark, sf)
+      .select("doc_id", "simhash", "n_tok", "cum_before", "keep").collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.sortBy(_.getLong(0))
+    byDoc.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(3) == a.getLong(3) + a.getLong(2),
+          s"cum_before chain broken at doc ${b.getLong(0)}")
+      case _ => ()
+    }
+    val keeps = byDoc.map(_.getBoolean(4))
+    assert(!keeps.dropWhile(identity).contains(true), "keep is not a prefix")
+    val hashes = rows.map(_.getLong(1))
+    assert(hashes.distinct.length == hashes.length, "dedup emitted a simhash twice")
+  }
+
   test("streaming filter pushes the signature predicate per micro-batch") {
     val streamed = runToMemory(
       Streams.eventStream(spark, sf, Some("purchase"))
