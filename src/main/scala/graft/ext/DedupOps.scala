@@ -863,6 +863,50 @@ object DedupOps {
        |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
        |ORDER BY e.vec_id""".stripMargin
 
+  /** [[semDedup]] with the quantizer's cells TRAINED — the last leg of the
+    * r6 verdict's "wire kmeansTrain into the quantizing read paths" (PQ and
+    * IVF closed in [[SimilarityOps.pqTrained]]/[[SimilarityOps.ivfTrained]]).
+    * The cell key is no longer fixture arithmetic (`vec_id % 8`) but the
+    * Lloyd codebook's argmin assignment ([[SimilarityOps]]'
+    * trainedAssignment); the within-cell pairwise compare, τ, and the
+    * keep/drop contract are bit-identical to [[semDedup]]. Scale shape is
+    * unchanged — the trained cell id is the one shuffle key, the centroids
+    * ship as literals, and the bounded per-cell quadratic follows the k ∝ N
+    * contract with k now the TRAINER's knob rather than the fixture's. The
+    * DuckDB oracle re-derives the same training (unrolled Lloyd CTEs) and
+    * hash-matches, so trained provenance is gate-checked end-to-end. */
+  def semDedupTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = SimilarityOps.trainedAssignment(spark, sfDir)
+      .select(col("vec_id"), col("cell"))
+    val e = SimilarityOps.clusteredEmbeddings(spark, sfDir)
+      .join(cells, Seq("vec_id"))
+      .withColumn("norm", Vec.norm(col("embedding")))
+    val a = e.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("norm").as("an"))
+    val b = e.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), col("norm").as("bn"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .where(Vec.dot(col("ae"), col("be")) / (col("an") * col("bn")) >= SemDedupTau)
+      .select(col("b_id").as("vec_id")).distinct()
+    e.join(dropped.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("__dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val semDedupTrainedSql =
+    s"""WITH ${SimilarityOps.trainedAssignmentCtes},
+       |e AS (SELECT a.vec_id, a.cell, ce.embedding,
+       |    sqrt(${SimilarityOps.dotSql("ce.embedding", "ce.embedding")}) AS norm
+       |  FROM assigned a JOIN ce ON ce.vec_id = a.vec_id),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${SimilarityOps.dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+       |        >= $SemDedupTau)
+       |SELECT e.vec_id, e.cell, d.vec_id IS NULL AS keep
+       |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   /** Paragraph width for [[paragraphDedup]] on the newline-free synthetic
     * corpus: aligned 20-word chunks stand in for `\n\n`-delimited paragraphs
     * (a real corpus passes its delimiter split instead — the pipeline from
@@ -1076,6 +1120,7 @@ object DedupOps {
     "dedup_cdc_chunks" -> (cdcChunkDedup _),
     "dedup_paragraph" -> (paragraphDedup _),
     "dedup_semantic" -> (semDedup _),
+    "dedup_semantic_trained" -> (semDedupTrained _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_ngram_containment" -> (ngramContainment _),
@@ -1093,6 +1138,7 @@ object DedupOps {
     "dedup_cdc_chunks" -> cdcChunkDedupSql,
     "dedup_paragraph" -> paragraphDedupSql,
     "dedup_semantic" -> semDedupSql,
+    "dedup_semantic_trained" -> semDedupTrainedSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_ngram_containment" -> ngramContainmentSql,

@@ -719,11 +719,26 @@ object SimilarityOps {
         s"transform(sequence(1, $dims), d -> CAST(round(element_at(embedding, d) * $KmScale.0D) AS BIGINT))"))
       .select(col("vec_id"), col("cl"), col("qv"))
       .cache()
+    val out =
+      try lloydLoop(q, kk, iters, dims)._2
+      finally q.unpersist()
+    out.toDF("iter", "cluster", "n_members", "inertia", "centroid_csv", "majority_frac")
+      .select(col("iter"), col("cluster"), col("n_members"), col("inertia"),
+        md5(col("centroid_csv")).as("centroid_md5"), col("majority_frac"))
+      .orderBy("iter", "cluster")
+  }
+
+  /** The Lloyd loop itself over a quantized (vec_id, cl, qv: array<bigint>)
+    * frame — returns (final centroids, per-iteration telemetry). Shared by
+    * [[kmeansTrainOf]] (which emits the telemetry) and [[ivfTrained]] (which
+    * consumes the centroids as its cell table). */
+  private def lloydLoop(q: DataFrame, kk: Int, iters: Int, dims: Int)
+      : (Array[Array[Long]], Seq[(Long, Long, Long, Long, String, Double)]) = {
     var centroids: Array[Array[Long]] = q.where(col("vec_id") < kk)
       .orderBy("vec_id").select("qv").collect()
       .map(_.getSeq[Long](0).toArray)
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, String, Double)]()
-    try for (it <- 1 to iters) {
+    for (it <- 1 to iters) {
       val cbLit = centroids.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
       val assigned = q
         .withColumn("ds", expr(
@@ -768,17 +783,14 @@ object SimilarityOps {
       for (k <- 0 until kk)
         out += ((it.toLong, k.toLong, stats(k)._1, stats(k)._2,
           centroids(k).mkString(","), maj(k).toDouble / stats(k)._1.toDouble))
-    } finally q.unpersist()
-    out.toSeq.toDF("iter", "cluster", "n_members", "inertia", "centroid_csv", "majority_frac")
-      .select(col("iter"), col("cluster"), col("n_members"), col("inertia"),
-        md5(col("centroid_csv")).as("centroid_md5"), col("majority_frac"))
-      .orderBy("iter", "cluster")
+    }
+    (centroids, out.toSeq)
   }
 
-  private val kmeansTrainSql = {
-    // one CTE chain per unrolled Lloyd iteration; cbs = list of centroid
-    // lists ordered by cluster id, carried between iterations
-    def iterCtes(i: Int, prevCb: String) =
+  // one CTE chain per unrolled Lloyd iteration; cbs = list of centroid
+  // lists ordered by cluster id, carried between iterations. Shared by
+  // kmeansTrainSql (telemetry) and ivfTrainedSql (read path off c$N).
+  private def kmIterCtes(i: Int, prevCb: String) =
       s"""a$i AS (SELECT q.vec_id, q.cl, q.qv,
          |  list_transform($prevCb.cbs, c -> list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_transform(range(1, 65), d -> (qv[d] - c[d]) * (qv[d] - c[d]))),
@@ -797,21 +809,136 @@ object SimilarityOps {
          |    ELSE -((2 * (-s) + cnt) // (2 * cnt)) END ORDER BY dd) AS c
          |  FROM u$i GROUP BY k),
          |cb$i AS (SELECT list(c ORDER BY k) AS cbs FROM c$i)""".stripMargin
+
+  // shared prefix: clustered fixture → quantized int vectors → seed codebook
+  private def kmPrefixSql =
+    s"""ce AS (SELECT vec_id, vec_id % 8 AS cl, $clusteredEmbSql AS embedding
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, cl, list_transform(range(1, 65),
+       |    d -> CAST(round(embedding[d] * $KmScale.0) AS BIGINT)) AS qv FROM ce),
+       |c0 AS (SELECT vec_id AS k, qv AS c FROM q WHERE vec_id < $KmK),
+       |cb0 AS (SELECT list(c ORDER BY k) AS cbs FROM c0)""".stripMargin
+
+  private val kmeansTrainSql = {
     def iterOut(i: Int) =
       s"""SELECT CAST($i AS BIGINT) AS iter, s$i.k AS cluster, s$i.n AS n_members,
          |  s$i.inertia,
          |  md5(array_to_string(list_transform(c$i.c, x -> CAST(x AS VARCHAR)), ',')) AS centroid_md5,
          |  CAST(m$i.maj AS DOUBLE) / CAST(s$i.n AS DOUBLE) AS majority_frac
          |FROM s$i JOIN m$i USING (k) JOIN c$i USING (k)""".stripMargin
-    s"""WITH ce AS (SELECT vec_id, vec_id % 8 AS cl, $clusteredEmbSql AS embedding
-       |  FROM embeddings),
-       |q AS (SELECT vec_id, cl, list_transform(range(1, 65),
-       |    d -> CAST(round(embedding[d] * $KmScale.0) AS BIGINT)) AS qv FROM ce),
-       |c0 AS (SELECT vec_id AS k, qv AS c FROM q WHERE vec_id < $KmK),
-       |cb0 AS (SELECT list(c ORDER BY k) AS cbs FROM c0),
-       |${(1 to KmIters).map(i => iterCtes(i, s"cb${i - 1}")).mkString(",\n")}
+    s"""WITH $kmPrefixSql,
+       |${(1 to KmIters).map(i => kmIterCtes(i, s"cb${i - 1}")).mkString(",\n")}
        |${(1 to KmIters).map(iterOut).mkString("\nUNION ALL\n")}
        |ORDER BY iter, cluster""".stripMargin
+  }
+
+  /** TRAINED IVF, end-to-end — the middle leg of the r6 verdict's
+    * "wire the trainer into the quantizing read paths" (PQ closed by
+    * [[pqTrained]]; [[ivfAnn]]'s cells were min-id members, and
+    * [[clusteredRecall]]'s were the generator's own labels). Here the cell
+    * table IS [[lloydLoop]]'s trained codebook: [[KmIters]] Lloyd
+    * iterations on the quantized clustered fixture, then
+    *  - every vector's cell = argmin-distance trained centroid (the
+    *    quantizer's fit, not the fixture's arithmetic),
+    *  - each query routes to its [[NProbe]] nearest TRAINED centroids
+    *    (posexplode over the centroid-distance array — the centroids ship
+    *    as literals, KBs, the broadcast side of every IVF),
+    *  - only routed cells' members are scored, exact integer L2,
+    *    top-[[TopK]] per query.
+    * The one data-sized shuffle is the (cell) equi-join of candidates
+    * against the tiny routed table (broadcast); candidate assignment and
+    * routing are shuffle-free projections. The DuckDB oracle re-derives
+    * the SAME training with unrolled iteration CTEs and hash-matches —
+    * trained-codebook provenance is gate-checked, not declared. */
+  def ivfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = trainedAssignment(spark, sfDir)
+    val wr = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
+    val routed = assigned.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("cl").as("q_cl"), col("qv").as("qqv"),
+        posexplode(col("ds")).as(Seq("cell0", "cdist")))
+      .withColumn("cell", col("cell0").cast("long"))
+      .withColumn("rrank", row_number().over(wr))
+      .where(col("rrank") <= NProbe)
+      .select("q_id", "q_cl", "qqv", "cell")
+    val cands = assigned.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("cl").as("c_cl"), col("qv").as("cv"), col("cell"))
+    val l2Expr = "aggregate(sequence(1, 64), CAST(0 AS BIGINT), " +
+      "(a, d) -> a + (element_at(qqv, d) - element_at(cv, d))" +
+      " * (element_at(qqv, d) - element_at(cv, d)))"
+    val w = Window.partitionBy("q_id").orderBy(col("l2"), col("c_id"))
+    cands.join(broadcast(routed), Seq("cell"))
+      .withColumn("l2", expr(l2Expr))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("l2"), col("cell"),
+        (col("c_cl") === col("q_cl")).as("same_cluster"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** (vec_id, cl, qv, ds, cell) under the TRAINED codebook: runs
+    * [[lloydLoop]] on the quantized clustered fixture, then assigns every
+    * vector to its argmin-distance trained centroid. `ds` is the full
+    * centroid-distance array (ordered by cell id) so consumers can also
+    * route ([[ivfTrained]]); `cell` is the quantizer's fit — shared with
+    * [[graft.ext.DedupOps]]'s trained SemDeDup. The centroids ship as
+    * literals (k·d ints, KBs): assignment is a shuffle-free projection. */
+  private[ext] def trainedAssignment(spark: SparkSession, sfDir: String): DataFrame = {
+    val qf = clusteredEmbeddings(spark, sfDir)
+      .withColumn("qv", expr(
+        s"transform(sequence(1, 64), d -> CAST(round(element_at(embedding, d) * $KmScale.0D) AS BIGINT))"))
+      .select(col("vec_id"), col("cl"), col("qv"))
+      .cache()
+    val cb = lloydLoop(qf, KmK, KmIters, 64)._1
+    val cbLit = cb.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    val dsExpr = // int L2 to every trained centroid, ordered by cell id
+      s"""transform($cbLit, c -> aggregate(sequence(1, 64), CAST(0 AS BIGINT),
+         |  (a, d) -> a + (element_at(qv, d) - element_at(c, d))
+         |              * (element_at(qv, d) - element_at(c, d))))""".stripMargin
+    qf.withColumn("ds", expr(dsExpr))
+      .withColumn("cell", expr("CAST(array_position(ds, array_min(ds)) - 1 AS BIGINT)"))
+  }
+
+  /** The unrolled-training SQL shared with the trained-SemDeDup oracle:
+    * CTEs `q` (quantized vectors) … `assigned` (vec_id, cl, qv, cell) under
+    * the final codebook — the oracle twin of [[trainedAssignment]]. */
+  private[ext] def trainedAssignmentCtes: String = {
+    val finCb = s"cb$KmIters"
+    def l2(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(1, 65), d -> ($x[d] - $y[d]) * ($x[d] - $y[d]))),
+         |  (a, b) -> a + b)""".stripMargin
+    s"""$kmPrefixSql,
+       |${(1 to KmIters).map(i => kmIterCtes(i, s"cb${i - 1}")).mkString(",\n")},
+       |assigned AS (SELECT vec_id, cl, qv,
+       |    CAST(list_position(ds, list_min(ds)) - 1 AS BIGINT) AS cell
+       |  FROM (SELECT q.vec_id, q.cl, q.qv,
+       |      list_transform($finCb.cbs, c -> ${l2("qv", "c")}) AS ds
+       |    FROM q CROSS JOIN $finCb))""".stripMargin
+  }
+
+  private val ivfTrainedSql = {
+    val fin = s"c$KmIters" // (k, c) centroid rows of the FINAL codebook
+    def l2(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(1, 65), d -> ($x[d] - $y[d]) * ($x[d] - $y[d]))),
+         |  (a, b) -> a + b)""".stripMargin
+    s"""WITH $trainedAssignmentCtes,
+       |routed AS (SELECT q_id, q_cl, cell FROM (
+       |    SELECT a.vec_id AS q_id, a.cl AS q_cl, f.k AS cell,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${l2("a.qv", "f.c")}, f.k) AS rrank
+       |    FROM assigned a CROSS JOIN $fin f WHERE a.vec_id < 8)
+       |  WHERE rrank <= $NProbe),
+       |scored AS (SELECT ro.q_id, c.vec_id AS c_id, ${l2("qq.qv", "c.qv")} AS l2,
+       |    c.cell, c.cl = ro.q_cl AS same_cluster
+       |  FROM routed ro
+       |  JOIN assigned c ON c.cell = ro.cell AND c.vec_id >= 8
+       |  JOIN q qq ON qq.vec_id = ro.q_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2, c_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, c_id, l2, cell, same_cluster
+       |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
   private val PqIters = 2
@@ -980,6 +1107,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_trained" -> (pqTrained _),
+    "sim_ivf_trained" -> (ivfTrained _),
     "sim_kmeans_train" -> (kmeansTrain _),
     "sim_pq_rerank" -> (pqRerank _),
     "sim_pq_ann" -> (pqAnn _),
@@ -994,6 +1122,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "sim_pq_trained" -> pqTrainedSql,
+    "sim_ivf_trained" -> ivfTrainedSql,
     "sim_kmeans_train" -> kmeansTrainSql,
     "sim_pq_rerank" -> pqRerankSql,
     "sim_pq_ann" -> pqAnnSql,

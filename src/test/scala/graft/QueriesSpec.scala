@@ -357,6 +357,36 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("trained IVF: trained cells route every query home; scoring stays within NProbe cells (r7)") {
+    // the middle leg of the trainer→index wiring: cells are the Lloyd
+    // codebook's fit (not min-id members, not the generator's labels). On
+    // the separable fixture the trained quantizer must (a) route all 8×5
+    // survivors to the query's own generating cluster, (b) score only
+    // members of ≤ NProbe routed cells per query, (c) rank by exact L2
+    val rows = ext.SimilarityOps.ivfTrained(spark, sf).collect()
+    assert(rows.length == 40)
+    assert(rows.forall(_.getAs[Boolean]("same_cluster")), "trained cells misrouted a query")
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("cell")).distinct.length <= 3, s"q$q scored > NProbe cells")
+      val l2s = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("l2"))
+      assert(l2s.sorted.sameElements(l2s), s"q$q not l2-ordered")
+    }
+  }
+
+  test("trained SemDeDup: trained cells converge to the generator's → keep set identical (r7)") {
+    // the trained quantizer reaches purity 1.0 on the separable fixture, so
+    // its cells are a relabeling of the generator's — the within-cell pair
+    // set, and therefore the keep/drop decisions, must match semDedup's
+    // fixture-arithmetic cells row for row (cell IDs may permute; keep not)
+    val trained = ext.DedupOps.semDedupTrained(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val fixture = ext.DedupOps.semDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(trained.size == fixture.size)
+    val diverged = fixture.collect { case (id, k) if trained(id) != k => id }
+    assert(diverged.isEmpty, s"keep/drop diverged for vec_ids ${diverged.take(5).mkString(",")}")
+  }
+
   test("PQ re-rank: the exact stage reorders the tie-flattened ADC shortlist (r6.4)") {
     val rows = ext.SimilarityOps.pqRerank(spark, sf).collect()
     assert(rows.length == 40) // 8 queries × top-5
