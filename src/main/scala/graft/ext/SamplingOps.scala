@@ -393,7 +393,54 @@ object SamplingOps {
        |SELECT doc_id, n_tok, quality, cum_before, cum_before < budget AS keep
        |FROM c CROSS JOIN b ORDER BY doc_id""".stripMargin
 
+  private val ShardCount = 16
+
+  /** Reproducible GLOBAL shuffle + shard assignment — the step between
+    * curation and training: the corpus is laid out in a seeded
+    * pseudo-random order (seeded md5 of doc_id — no `rand()`, so the order
+    * is identical run-over-run, engine-over-engine, and under retries) and
+    * striped round-robin into [[ShardCount]] shards (`shard = pos % S`,
+    * `pos_in_shard = pos div S`) so every shard is a balanced unbiased
+    * sample of the corpus and a training job can consume any subset.
+    *
+    * Scale shape: the global rank is NOT a single-reducer window — the
+    * hash's first nibble range-partitions the order into 16 buckets
+    * (lexicographic hex = numeric bucket order), each bucket ranks
+    * independently under its own window, and the 16 bucket counts
+    * prefix-sum into offsets (a broadcast of 16 rows). Exactly the
+    * two-phase prefix-sum contract [[tokenBudgetSample]] documents, applied
+    * to ordering: at 100 TB the buckets widen (more nibbles) and become
+    * range partitions; no stage ever sees the corpus on one reducer. */
+  def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("__h", md5(concat(lit(Seed + "|shard|"), col("doc_id").cast("string"))))
+      .withColumn("__b", expr("CAST(conv(substring(__h, 1, 1), 16, 10) AS INT)"))
+    val wB = Window.partitionBy("__b").orderBy(col("__h"), col("doc_id"))
+    val ranked = d.withColumn("__r", row_number().over(wB).cast("long"))
+    // 16 rows: the single-partition window is over a constant-size frame
+    val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .select("__b", "__off")
+    ranked.join(broadcast(offsets), Seq("__b"))
+      .withColumn("pos", col("__off") + col("__r") - 1)
+      .select(col("doc_id"), expr(s"pos % $ShardCount").as("shard_id"),
+        expr(s"pos div $ShardCount").as("pos_in_shard"))
+      .orderBy("shard_id", "pos_in_shard")
+  }
+
+  private val shuffleShardsSql =
+    s"""WITH h AS (SELECT doc_id,
+       |    md5('$Seed|shard|' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+       |r AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos FROM h)
+       |SELECT doc_id, CAST(pos % $ShardCount AS BIGINT) AS shard_id,
+       |  CAST(pos // $ShardCount AS BIGINT) AS pos_in_shard
+       |FROM r ORDER BY shard_id, pos_in_shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_shuffle_shards" -> (shuffleShards _),
     "sample_token_budget" -> (tokenBudgetSample _),
     "sample_bpe_budget" -> (bpeBudgetSample _),
     "sample_stratified" -> (stratifiedSample _),
@@ -405,6 +452,7 @@ object SamplingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_shuffle_shards" -> shuffleShardsSql,
     "sample_token_budget" -> tokenBudgetSampleSql,
     "sample_bpe_budget" -> bpeBudgetSampleSql,
     "sample_stratified" -> stratifiedSampleSql,

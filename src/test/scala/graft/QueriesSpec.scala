@@ -524,6 +524,26 @@ class QueriesSpec extends SparkSpec {
     assert(h1 == h2, "PQ codes must be stable across runs")
   }
 
+  test("shuffle shards: bucketed two-phase global rank ≡ naive global order; shards balanced (r7)") {
+    val rows = graft.ext.SamplingOps.shuffleShards(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard_id"), r.getAs[Long]("pos_in_shard")))
+    // driver-side recompute of the naive form: one global seeded-md5 order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = {
+      val b = md.digest(s"graft-sample-1|shard|$id".getBytes("UTF-8"))
+      b.map("%02x".format(_)).mkString
+    }
+    val expected = rows.map(_._1).sortBy(id => (h(id), id)).zipWithIndex.map {
+      case (id, pos) => id -> ((pos.toLong % 16, pos.toLong / 16))
+    }.toMap
+    rows.foreach { case (id, shard, pos) =>
+      assert((shard, pos) == expected(id), s"doc $id: ($shard,$pos) != ${expected(id)}")
+    }
+    // round-robin striping ⇒ shard sizes differ by at most one
+    val sizes = rows.groupBy(_._2).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: min ${sizes.min} max ${sizes.max}")
+  }
+
   test("token-budget selection: bucketed two-phase prefix sum ≡ the global single-reducer order") {
     val rows = graft.ext.SamplingOps.tokenBudgetSample(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
