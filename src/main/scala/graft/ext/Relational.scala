@@ -645,7 +645,35 @@ object Relational {
       |SELECT blocknumber, k, value, last_click
       |FROM w WHERE side = 1 ORDER BY blocknumber""".stripMargin
 
+  /** Hive-partitioned layout + partition-pruned read — the 100 TB data
+    * layout story the bucketing spec covers for joins, stated for SCANS: a
+    * corpus written `partitionBy(lang)` turns a per-language read into a
+    * directory prune (the scan's PartitionFilters — zero data files from
+    * other languages are even listed), where the flat layout reads and
+    * filters everything. `lang` is low-cardinality and stable — the
+    * partition-key discipline; `source` (20 values) stays a data column
+    * filtered by parquet row-group stats. The query writes the layout then
+    * reads back one (lang, source) slice, so the gate covers round-trip
+    * fidelity through the partitioned layout including the
+    * partition-column type restore; PlanSpec pins the pruned scan shape
+    * (partition filters present, no lang data-filter). */
+  def layoutPrunedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_layout_${new java.io.File(sfDir).getName}").getAbsolutePath
+    Tables.documents(spark, sfDir)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    spark.read.parquet(dir)
+      .where(col("lang") === "en" && col("source") === "src3")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val layoutPrunedScanSql =
+    """SELECT doc_id, source, lang, n_chars FROM documents
+      |WHERE lang = 'en' AND source = 'src3' ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_pruned_scan" -> (layoutPrunedScan _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_topk" -> (q3ShippingTopk _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -674,6 +702,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "layout_pruned_scan" -> layoutPrunedScanSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_topk" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

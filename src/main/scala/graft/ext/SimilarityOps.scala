@@ -1105,7 +1105,61 @@ object SimilarityOps {
        |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Embedding outlier filter — the vector-hygiene pass before ANN or
+    * cluster training: flag vectors whose squared norm sits more than 2σ
+    * from the corpus mean (truncated/corrupt embeddings, un-normalized
+    * stragglers). All decision arithmetic is EXACT: lanes quantize to
+    * int64 (round(x·10⁴), the k-means scale), the squared norm is an int64
+    * fold, and the 2σ rule compares (N·q − S)² > 4·(N·SS − S²) in
+    * DECIMAL(38,0) — the textbook z-score with both sides multiplied
+    * through by N², so no division, no sqrt, no IEEE anywhere in the flag.
+    * A double-sum mean would make the boolean depend on partition order;
+    * this one is reproducible bit-for-bit on any cluster topology.
+    * Scale shape: one shuffle-free scan to quantize + norm, ONE 1-row
+    * global rollup broadcast back onto the scan, then a shuffle-free flag
+    * projection. Magnitudes: norm2_q ≤ 64·(10⁴)² ≈ 6.4e9, well under 2⁵³
+    * (so the reported norm's cast to double is exact), and every decimal
+    * intermediate stays under 10³⁰ at 100× the bench store. */
+  def outlierFilter(spark: SparkSession, sfDir: String): DataFrame =
+    outlierFilterOf(Tables.embeddings(spark, sfDir))
+
+  private[graft] def outlierFilterOf(em: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val q = em.select(col("vec_id"), expr(
+      s"""aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0D, 0) AS BIGINT)),
+         |  CAST(0 AS BIGINT), (a, v) -> a + v * v)""".stripMargin).as("norm2_q"))
+    val stats = q.agg(
+      count(lit(1)).as("n"),
+      sum(col("norm2_q").cast(dec38)).as("s"),
+      sum(col("norm2_q").cast(dec38) * col("norm2_q").cast(dec38)).as("ss"))
+    q.crossJoin(broadcast(stats))
+      .withColumn("dev", col("n").cast(dec38) * col("norm2_q").cast(dec38) - col("s"))
+      .withColumn("is_outlier", col("dev") * col("dev") >
+        lit(4).cast(dec38) * (col("n").cast(dec38) * col("ss") - col("s") * col("s")))
+      .select(col("vec_id"), col("norm2_q"),
+        (sqrt(col("norm2_q").cast("double")) / lit(10000.0d)).as("norm"),
+        col("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  private val outlierFilterSql =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(list_sum(list_transform(
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT)),
+      |    v -> v * v)) AS BIGINT) AS norm2_q
+      |  FROM embeddings),
+      |st AS (SELECT count(*) AS n,
+      |  sum(CAST(norm2_q AS HUGEINT)) AS s,
+      |  sum(CAST(norm2_q AS HUGEINT) * CAST(norm2_q AS HUGEINT)) AS ss FROM q)
+      |SELECT vec_id, norm2_q,
+      |  sqrt(CAST(norm2_q AS DOUBLE)) / 10000.0 AS norm,
+      |  (CAST(n AS HUGEINT) * norm2_q - s) * (CAST(n AS HUGEINT) * norm2_q - s)
+      |    > 4 * (CAST(n AS HUGEINT) * ss - s * s) AS is_outlier
+      |FROM q, st ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_outlier_filter" -> (outlierFilter _),
     "sim_pq_trained" -> (pqTrained _),
     "sim_ivf_trained" -> (ivfTrained _),
     "sim_kmeans_train" -> (kmeansTrain _),
@@ -1121,6 +1175,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_outlier_filter" -> outlierFilterSql,
     "sim_pq_trained" -> pqTrainedSql,
     "sim_ivf_trained" -> ivfTrainedSql,
     "sim_kmeans_train" -> kmeansTrainSql,

@@ -571,6 +571,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-source overlap matrix — the "is source B a mirror or scrape of
+    * source A?" curation dashboard: for every source pair, the number of
+    * distinct word 8-grams both contain, and that count as a fraction of
+    * the smaller side's distinct-gram volume (the overlap coefficient —
+    * robust when one source dwarfs the other, where Jaccard washes out).
+    * Scale shape: distinct (source, gram) FIRST (the big shrink — repeats
+    * within a source never leave the map side), then ONE groupBy on the
+    * gram collecting the source set. Per-gram state is bounded by the
+    * source count (~20), and pairs explode from that tiny array — the
+    * corpus never self-joins on the gram, so no shuffle carries more than
+    * one row per distinct (source, gram). A gram-keyed self-join computes
+    * the same matrix but materializes candidate pairs per gram; this form
+    * is the bounded-state one (reference ext: same aggregation shape as
+    * the LSH tuning report's bucket rollup). */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    sourceOverlapOf(Tables.documents(spark, sfDir))
+
+  private[graft] def sourceOverlapOf(documents: DataFrame): DataFrame = {
+    // wordShingles emits per-doc DISTINCT 8-grams (compiled kernel);
+    // .distinct() collapses them across docs to one (source, gram) row.
+    val grams = documents.select(col("source"),
+      explode(graft.functions.TextFns.wordShingles(col("text"), 8)).as("ngram"))
+      .distinct()
+    val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val pairs = grams
+      .groupBy("ngram").agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+      // ordered pairs (srcs[i], srcs[j]), i < j: slice is 1-based, so the
+      // elements after 0-based index i start at position i + 2.
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)), b ->
+          |    struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n_grams").as("grams_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n_grams").as("grams_b"))), Seq("src_b"))
+      .withColumn("overlap", col("shared_grams").cast("double") /
+        least(col("grams_a"), col("grams_b")).cast("double"))
+      .select("src_a", "src_b", "shared_grams", "grams_a", "grams_b", "overlap")
+      .orderBy("src_a", "src_b")
+  }
+
+  private val sourceOverlapSql =
+    s"""WITH t AS (SELECT source, doc_id, $toksSql AS toks FROM documents),
+       |g0 AS (SELECT source, unnest(list_distinct(list_transform(
+       |         range(1, greatest(len(toks) - 7, 0) + 1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+       |              toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS ngram
+       |       FROM t),
+       |g AS (SELECT DISTINCT source, ngram FROM g0),
+       |tot AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+       |sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams
+       |       FROM g a JOIN g b ON a.ngram = b.ngram AND a.source < b.source
+       |       GROUP BY 1, 2)
+       |SELECT sh.src_a, sh.src_b, sh.shared_grams,
+       |  ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+       |  CAST(sh.shared_grams AS DOUBLE) / least(ta.n_grams, tb.n_grams) AS overlap
+       |FROM sh JOIN tot ta ON sh.src_a = ta.source
+       |        JOIN tot tb ON sh.src_b = tb.source
+       |ORDER BY sh.src_a, sh.src_b""".stripMargin
+
   /** TF-IDF keyword extraction (top-3 terms per document): the classic
     * distributed shape — one shuffle for (doc, term) counts, one tiny
     * aggregate for document frequencies joined back broadcast, a per-doc
@@ -1088,6 +1151,7 @@ object TextOps {
     "text_normalize_nfc" -> (normalizeNfc _),
     "text_approx_topk" -> (approxTopkTerms _),
     "report_corpus_by_source" -> (corpusReport _),
+    "report_source_overlap" -> (sourceOverlap _),
     "text_winnow" -> (winnow _),
     "dedup_winnow_pairs" -> (winnowPairs _),
     "text_contamination" -> (contamination _),
@@ -1110,6 +1174,7 @@ object TextOps {
     "text_normalize_nfc" -> normalizeNfcSql,
     "text_approx_topk" -> approxTopkTermsSql,
     "report_corpus_by_source" -> corpusReportSql,
+    "report_source_overlap" -> sourceOverlapSql,
     "text_winnow" -> winnowSql,
     "dedup_winnow_pairs" -> winnowPairsSql,
     "text_contamination" -> contaminationSql,

@@ -215,6 +215,7 @@ class PlanSpec extends SparkSpec {
       "sim_pq_trained",   // same ADC scan (8-row query side broadcast) off the TRAINED codebook
       "sim_ivf_ann",      // routing: 8 queries × broadcast representative set (both tiny; SimilarityOps:155)
       "text_tfidf_topk",  // 1-row corpus doc-count broadcast for the idf term (TextOps:401)
+      "sim_outlier_filter", // 1-row (n, s, ss) stats aggregate broadcast onto the scan
       "sim_clustered_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(executesOnBuild)
@@ -228,6 +229,19 @@ class PlanSpec extends SparkSpec {
         else None
       }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("layout_pruned_scan: lang is a PARTITION filter, not a data filter (r7)") {
+    // the written layout must turn the lang predicate into directory
+    // pruning — it may appear only in PartitionFilters; source stays a
+    // pushed data filter against row-group stats
+    val df = ext.Relational.layoutPrunedScan(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val part = "PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p)
+    assert(part.isDefined, s"lang must prune partitions:\n$p")
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(!pushed.contains("lang"), s"lang must not reach the data filters: $pushed")
+    assert(pushed.contains("source"), s"source must push to row-group stats: $pushed")
   }
 
   test("whole-stage codegen covers the flagship transform/filter/save pipeline") {

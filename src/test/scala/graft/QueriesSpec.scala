@@ -572,4 +572,42 @@ class QueriesSpec extends SparkSpec {
     val lastIn = kept.maxBy(r => (r._4))
     assert(keptTokens - lastIn._2 < budget, "overshoot bounded by the crossing doc")
   }
+
+  test("report_source_overlap: pair counts from constructed shared grams (r7)") {
+    import spark.implicits._
+    val g = "one two three four five six seven eight"
+    // a and b share exactly gram g; c shares nothing; within-source repeats
+    // of g (two a-docs) must not inflate the distinct-gram count
+    val docs = Seq(
+      (1L, "a", g), (2L, "a", g + " nine"), (3L, "b", g),
+      (4L, "c", "x1 x2 x3 x4 x5 x6 x7 x8"))
+      .toDF("doc_id", "source", "text")
+    val out = ext.TextOps.sourceOverlapOf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    assert(out.length == 1, s"only (a,b) overlaps: ${out.mkString(",")}")
+    val (sa, sb, shared, ov) = out.head
+    assert(sa == "a" && sb == "b" && shared == 1L)
+    // overlap = shared / min(|grams_a|, |grams_b|): a has 2 distinct grams
+    // (g and its shift), b has 1 → 1/1
+    assert(ov == 1.0d)
+  }
+
+  test("sim_outlier_filter: 2-sigma flag is exact and order-free (r7)") {
+    import spark.implicits._
+    // nine unit-ish vectors + one doubled: z(outlier) = 3 sigma, z(rest) =
+    // 1/3 sigma — the flag must mark exactly the doubled one
+    val base = Array.fill(64)(0.1f)
+    val big = base.map(_ * 2.0f)
+    val em = ((1L to 9L).map(i => (i, base.toSeq)) :+ (10L, big.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = ext.SimilarityOps.outlierFilterOf(em)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(10L), "the doubled-norm vector must flag")
+    assert((1L to 9L).forall(!out(_)), "uniform vectors must not flag")
+    // degenerate corpus: all norms equal -> variance 0 -> nothing flags
+    val same = ext.SimilarityOps.outlierFilterOf(
+      (1L to 5L).map(i => (i, base.toSeq)).toDF("vec_id", "embedding"))
+      .where(org.apache.spark.sql.functions.col("is_outlier")).count()
+    assert(same == 0L, "zero-variance corpus must produce zero outliers")
+  }
 }
