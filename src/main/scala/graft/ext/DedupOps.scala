@@ -1115,7 +1115,72 @@ object DedupOps {
        |FROM n LEFT JOIN a USING (doc_id)
        |ORDER BY n.doc_id""".stripMargin
 
+  /** The split rule of [[SamplingOps.trainValTestSplit]] as a per-row
+    * expression: bucket = first two md5 hex chars of (seed|doc_id) mod 10;
+    * 0-7 train, 8 val, 9 test. Same seed, same arithmetic — so this op
+    * composes with that split, not a parallel notion of it. */
+  private def splitOf(id: Column): Column = {
+    val bucket = conv(substring(md5(concat(lit("graft-sample-1|"), id.cast("string"))), 1, 2),
+      16, 10).cast("long") % 10
+    when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+  }
+
+  private def splitSql(idCol: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5('graft-sample-1|' || CAST($idCol AS VARCHAR)), $i, 1)) - 1)"
+    s"CASE WHEN (16 * ${nib(1)} + ${nib(2)}) % 10 < 8 THEN 'train' " +
+      s"WHEN (16 * ${nib(1)} + ${nib(2)}) % 10 = 8 THEN 'val' ELSE 'test' END"
+  }
+
+  /** Cross-split near-duplicate leakage purge — the eval-integrity pass a
+    * train/val/test split needs AFTER near-dup detection: an eval document
+    * whose near-duplicate sits in train leaks the benchmark into the
+    * training set (Brown et al. 2020 §C measure exactly this contamination;
+    * Lee et al. 2021 §6.2 find ~1% of eval sets duplicated in common
+    * training corpora). Candidates come from the SAME MinHash band index as
+    * [[minhashLsh]]; the split label is the SAME md5-bucket rule as
+    * [[SamplingOps.trainValTestSplit]] (seed, nibble math, 80/10/10), so
+    * the purge list composes exactly with both existing ops. Output: each
+    * (train_doc, eval_doc) candidate pair crossing the split, with the eval
+    * side's split — the train docs to drop, with the evidence.
+    *
+    * Scale shape: the split label is derived per-row from the doc id (a
+    * pure projection on the pair stream — NO join against a split table, no
+    * extra shuffle); the only shuffle remains the band-bucket self-join
+    * that candidate generation already pays. */
+  def splitLeakagePurge(spark: SparkSession, sfDir: String): DataFrame = {
+    val band = banded(signatures(spark, sfDir))
+    candidatePairs(band)
+      .withColumn("split1", splitOf(col("doc1")))
+      .withColumn("split2", splitOf(col("doc2")))
+      .where((col("split1") === "train" && col("split2") =!= "train")
+        || (col("split1") =!= "train" && col("split2") === "train"))
+      .select(
+        when(col("split1") === "train", col("doc1")).otherwise(col("doc2")).as("train_doc"),
+        when(col("split1") === "train", col("doc2")).otherwise(col("doc1")).as("eval_doc"),
+        when(col("split1") === "train", col("split2")).otherwise(col("split1")).as("eval_split"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  private val splitLeakagePurgeSql =
+    s"""WITH $shinglesCte,
+       |$signaturesCte,
+       |$bandedCte,
+       |$pairsCte,
+       |sp AS (SELECT doc1, doc2,
+       |         ${splitSql("doc1")} AS split1,
+       |         ${splitSql("doc2")} AS split2
+       |       FROM pairs)
+       |SELECT
+       |  CASE WHEN split1 = 'train' THEN doc1 ELSE doc2 END AS train_doc,
+       |  CASE WHEN split1 = 'train' THEN doc2 ELSE doc1 END AS eval_doc,
+       |  CASE WHEN split1 = 'train' THEN split2 ELSE split1 END AS eval_split
+       |FROM sp
+       |WHERE (split1 = 'train') <> (split2 = 'train')
+       |ORDER BY train_doc, eval_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_leakage_purge" -> (splitLeakagePurge _),
     "report_lsh_tuning" -> (lshTuningReport _),
     "dedup_cdc_chunks" -> (cdcChunkDedup _),
     "dedup_paragraph" -> (paragraphDedup _),
@@ -1134,6 +1199,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "split_leakage_purge" -> splitLeakagePurgeSql,
     "report_lsh_tuning" -> lshTuningReportSql,
     "dedup_cdc_chunks" -> cdcChunkDedupSql,
     "dedup_paragraph" -> paragraphDedupSql,

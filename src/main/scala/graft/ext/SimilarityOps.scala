@@ -1105,6 +1105,87 @@ object SimilarityOps {
        |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  private val HamS = 50 // Hamming shortlist size before the exact re-rank
+
+  /** One 32-bit packed word of sign bits: bit i (weight 2^(31-i)) is set
+    * when dim `32·w + i + 1` (1-based) is > 0 — the same `> 0` sign rule as
+    * [[signBucketExpr]]. 32 bits per word keeps every weight ≤ 2³¹, so the
+    * packed word is an exact BIGINT on both engines with no sign-bit edge. */
+  private def packWordExpr(w: Int, elem: Int => String): String =
+    (0 until 32).map { i =>
+      s"CASE WHEN ${elem(32 * w + i + 1)} > 0 THEN ${1L << (31 - i)} ELSE 0 END"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Binary (1-bit) quantization ANN — the most aggressive compression on
+    * the quantization ladder (int8 → PQ → binary): each 64-dim float vector
+    * collapses to TWO packed 32-bit sign words (8 bytes, a 32× reduction),
+    * candidate scoring is `bit_count(xor)` Hamming distance (Charikar 2002:
+    * sign-random-projection Hamming estimates angular distance), and the
+    * top-[[HamS]] shortlist re-ranks by exact cosine — the
+    * shortlist-then-rerank contract shared with [[pqRerank]].
+    *
+    * Scale shape: packing is a shuffle-free codegen'd projection (at rest
+    * this is the index you'd store — 8 bytes/vector, so 100 TB of float
+    * vectors become ~3 TB of scannable codes); scoring streams the packed
+    * store against the 8 broadcast queries (no shuffle of the big side, and
+    * the rows entering the per-query ranking window carry only
+    * (q_id, c_id, 2×int64) — the full vectors do NOT ride through the
+    * shuffle); the exact re-rank fetches only the HamS·Q shortlist vectors
+    * back by id equi-join. Hamming ties and cosine ties both break by c_id. */
+  def binaryHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("pw0", expr(packWordExpr(0, i => s"element_at(embedding, $i)")))
+      .withColumn("pw1", expr(packWordExpr(1, i => s"element_at(embedding, $i)")))
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("pw0").as("qw0"), col("pw1").as("qw1"))
+    val c = e.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("pw0"), col("pw1"))
+    val wHam = Window.partitionBy("q_id").orderBy(col("ham"), col("c_id"))
+    val shortlist = c.join(broadcast(q))
+      .withColumn("ham",
+        (bit_count(col("pw0").bitwiseXOR(col("qw0")))
+          + bit_count(col("pw1").bitwiseXOR(col("qw1")))).cast("long"))
+      .select("q_id", "c_id", "ham")
+      .withColumn("ham_rank", row_number().over(wHam).cast("long"))
+      .where(col("ham_rank") <= HamS)
+    val full = Tables.embeddings(spark, sfDir).withColumn("norm", Vec.norm(col("embedding")))
+    val qf = full.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
+    val cf = full.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cn"))
+    val wCos = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    shortlist.join(cf, Seq("c_id")).join(broadcast(qf), Seq("q_id"))
+      .withColumn("cos_sim", Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("q_id", "rank", "c_id", "cos_sim", "ham", "ham_rank")
+      .orderBy("q_id", "rank")
+  }
+
+  private val binaryHammingSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm,
+       |    ${packWordExpr(0, i => s"embedding[$i]")} AS pw0,
+       |    ${packWordExpr(1, i => s"embedding[$i]")} AS pw1
+       |  FROM embeddings),
+       |h AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    CAST(bit_count(xor(q.pw0, c.pw0)) + bit_count(xor(q.pw1, c.pw1)) AS BIGINT) AS ham
+       |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id >= 8),
+       |sl AS (
+       |  SELECT q_id, c_id, ham,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY ham, c_id) AS BIGINT) AS ham_rank
+       |  FROM h QUALIFY ham_rank <= $HamS),
+       |f AS (
+       |  SELECT sl.q_id, sl.c_id, sl.ham, sl.ham_rank,
+       |    ${dotSql("qq.embedding", "cc.embedding")} / (qq.norm * cc.norm) AS cos_sim
+       |  FROM sl JOIN e qq ON qq.vec_id = sl.q_id JOIN e cc ON cc.vec_id = sl.c_id),
+       |r AS (SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rank
+       |  FROM f)
+       |SELECT q_id, rank, c_id, cos_sim, ham, ham_rank
+       |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
   /** Embedding outlier filter — the vector-hygiene pass before ANN or
     * cluster training: flag vectors whose squared norm sits more than 2σ
     * from the corpus mean (truncated/corrupt embeddings, un-normalized
@@ -1159,6 +1240,7 @@ object SimilarityOps {
       |FROM q, st ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_binary_hamming" -> (binaryHamming _),
     "sim_outlier_filter" -> (outlierFilter _),
     "sim_pq_trained" -> (pqTrained _),
     "sim_ivf_trained" -> (ivfTrained _),
@@ -1175,6 +1257,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_binary_hamming" -> binaryHammingSql,
     "sim_outlier_filter" -> outlierFilterSql,
     "sim_pq_trained" -> pqTrainedSql,
     "sim_ivf_trained" -> ivfTrainedSql,

@@ -1146,7 +1146,62 @@ object TextOps {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** Curation funnel report — the per-stage survivor accounting every
+    * production pipeline publishes next to its corpus (RefinedWeb Fig. 2,
+    * FineWeb's "dataset card" funnels): how many documents enter, and how
+    * many survive each successive gate. Stages compose this library's own
+    * ops in their pipeline order: raw → language filter (en) → Gopher
+    * quality rule ([[withGopherSignals]]' `keep`) → exact-dedup canonical
+    * (distinct text hash among survivors). `n_dropped` is the per-stage
+    * loss, so regressions in any upstream filter surface as a diff in ONE
+    * row of this report.
+    *
+    * Scale shape: every stage flag is a per-row projection on the SAME
+    * single scan; the whole funnel is ONE aggregate (count-if per stage +
+    * one distinct-count, map-side partials) → 4 rows. The stage unpivot and
+    * the lag window run on those 4 rows. No joins, no second scan. */
+  def qualityFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = withGopherSignals(Tables.documents(spark, sfDir))
+      .withColumn("f_lang", col("lang") === "en")
+      .withColumn("f_gopher", col("f_lang") && col("keep"))
+    val agg = flagged.agg(
+      count(lit(1)).as("n_raw"),
+      count(when(col("f_lang"), 1)).as("n_lang"),
+      count(when(col("f_gopher"), 1)).as("n_gopher"),
+      countDistinct(when(col("f_gopher"), md5(col("text")))).as("n_exact"))
+    val w = Window.orderBy("stage_idx")
+    agg.select(expr(
+      """stack(4,
+        |  1L, 'raw', n_raw,
+        |  2L, 'lang_en', n_lang,
+        |  3L, 'gopher_keep', n_gopher,
+        |  4L, 'exact_unique', n_exact) AS (stage_idx, stage, n_docs)""".stripMargin))
+      .withColumn("n_dropped",
+        coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L)))
+      .orderBy("stage_idx")
+  }
+
+  private val qualityFunnelSql =
+    s"""WITH $gopherKeepSqlCtes,
+       |f AS (SELECT d.doc_id, d.lang, d.text, g.keep
+       |      FROM documents d JOIN gkeep g USING (doc_id)),
+       |a AS (SELECT
+       |        count(*) AS n_raw,
+       |        count(*) FILTER (WHERE lang = 'en') AS n_lang,
+       |        count(*) FILTER (WHERE lang = 'en' AND keep) AS n_gopher,
+       |        count(DISTINCT CASE WHEN lang = 'en' AND keep THEN md5(text) END) AS n_exact
+       |      FROM f),
+       |u AS (SELECT CAST(1 AS BIGINT) AS stage_idx, 'raw' AS stage, n_raw AS n_docs FROM a
+       |      UNION ALL SELECT 2, 'lang_en', n_lang FROM a
+       |      UNION ALL SELECT 3, 'gopher_keep', n_gopher FROM a
+       |      UNION ALL SELECT 4, 'exact_unique', n_exact FROM a)
+       |SELECT stage_idx, stage, n_docs,
+       |  coalesce(lag(n_docs) OVER (ORDER BY stage_idx) - n_docs, 0) AS n_dropped
+       |FROM u ORDER BY stage_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "report_quality_funnel" -> (qualityFunnel _),
     "text_dup_spans" -> (dupSpans _),
     "text_normalize_nfc" -> (normalizeNfc _),
     "text_approx_topk" -> (approxTopkTerms _),
@@ -1170,6 +1225,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "report_quality_funnel" -> qualityFunnelSql,
     "text_dup_spans" -> dupSpansSql,
     "text_normalize_nfc" -> normalizeNfcSql,
     "text_approx_topk" -> approxTopkTermsSql,

@@ -610,4 +610,52 @@ class QueriesSpec extends SparkSpec {
       .where(org.apache.spark.sql.functions.col("is_outlier")).count()
     assert(same == 0L, "zero-variance corpus must produce zero outliers")
   }
+
+  test("sim_binary_hamming: packed-word Hamming equals direct sign disagreement (r7)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val signs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_ > 0f).toArray }.toMap
+    val out = ext.SimilarityOps.binaryHamming(spark, sf)
+      .select("q_id", "c_id", "ham").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, c, ham) =>
+      val direct = signs(q).zip(signs(c)).count { case (a, b) => a != b }
+      assert(ham == direct, s"pair ($q,$c): packed ham $ham != direct $direct")
+    }
+  }
+
+  test("split_leakage_purge: split labels re-derive from md5 independently (r7)") {
+    import spark.implicits._
+    def split(docId: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-sample-1|$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = Integer.parseInt(hex.substring(0, 2), 16) % 10
+      if (bucket < 8) "train" else if (bucket == 8) "val" else "test"
+    }
+    val rows = ext.DedupOps.splitLeakagePurge(spark, sf)
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (trainDoc, evalDoc, evalSplit) =>
+      assert(split(trainDoc) == "train", s"$trainDoc not a train doc")
+      assert(split(evalDoc) == evalSplit, s"$evalDoc split mismatch")
+      assert(evalSplit == "val" || evalSplit == "test")
+    }
+  }
+
+  test("report_quality_funnel: stages are monotone and n_dropped is consistent (r7)") {
+    import spark.implicits._
+    val rows = ext.TextOps.qualityFunnel(spark, sf)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq("raw", "lang_en", "gopher_keep", "exact_unique"))
+    assert(rows.head._3 == Tables.documents(spark, sf).count(), "stage 1 must count the corpus")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, "funnel must be non-increasing")
+      assert(b._4 == a._3 - b._3, "n_dropped must equal the stage loss")
+    }
+    assert(rows.head._4 == 0L, "raw stage drops nothing")
+  }
 }
