@@ -213,6 +213,7 @@ class PlanSpec extends SparkSpec {
       "sim_pq_ann",       // ADC scan: 8-row query side broadcast against the codes column BY DESIGN
       "sim_pq_rerank",    // same ADC scan shape feeding the shortlist; the fetch itself is an equi-join
       "sim_pq_trained",   // same ADC scan (8-row query side broadcast) off the TRAINED codebook
+      "sim_binary_hamming", // Hamming scan: 8-row packed-query side broadcast against the code words BY DESIGN
       "sim_ivf_ann",      // routing: 8 queries × broadcast representative set (both tiny; SimilarityOps:155)
       "text_tfidf_topk",  // 1-row corpus doc-count broadcast for the idf term (TextOps:401)
       "sim_outlier_filter", // 1-row (n, s, ss) stats aggregate broadcast onto the scan
