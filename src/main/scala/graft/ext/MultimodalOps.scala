@@ -562,7 +562,139 @@ object MultimodalOps {
       |  CAST(sum(v * v) AS DOUBLE) / n AS mean_square
       |FROM v GROUP BY doc_id, sr, n ORDER BY doc_id""".stripMargin
 
+  /** Family-structured PNG fixture for [[phashDedup]]: family
+    * `q = doc_id % 97` fixes dimensions and row stripes (the [[encodePng]]
+    * pattern with channels mod 200), and replica index `doc_id / 97` adds a
+    * uniform brightness delta `(doc_id / 97) % 20` to every channel (no
+    * clamping: 199 + 19 < 256). Family members are therefore
+    * brightness-shifted RE-ENCODES of one image — the canonical near-dup an
+    * average-hash must collapse, and byte-level/exact dedup cannot. */
+  def encodePngFam(docId: Long): Array[Byte] = {
+    val q = docId % 97
+    val delta = ((docId / 97) % 20).toInt
+    val w = (8 + q % 16).toInt
+    val h = (8 + (q * 3) % 12).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      // quadratic row terms keep the stripe profile non-monotone, so the
+      // 8-row average-hash separates families instead of collapsing every
+      // gradient-like image onto one low/high pattern
+      val r = ((q * 7 + 37L * y * y) % 200).toInt + delta
+      val g = ((q * 13 + 23L * y * y + 2L * y) % 200).toInt + delta
+      val b = ((q * 31 + 41L * y * y + 3L * y) % 200).toInt + delta
+      val rgb = (r << 16) | (g << 8) | b
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val w2 = pngWriterSpi.createWriterInstance()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try { w2.setOutput(out); w2.write(img); out.flush() }
+    finally { w2.dispose(); out.close() }
+    baos.toByteArray
+  }
+
+  /** REAL image near-duplicate detection via the average hash (aHash —
+    * Krawetz's "Looks Like It" construction, the `imagededup`/pHash family
+    * baseline): decode real pixels through the JDK codec, nearest-neighbor
+    * sample an 8×8 luminance grid ([[resizeThumb]]'s integer mapping,
+    * lum = r+g+b with no division), set bit `i` when its cell is brighter
+    * than the image mean, pack 64 bits into two 32-bit words. The mean
+    * compare is the EXACT integer form `64·lum > total` (total over all 64
+    * cells), so a uniform brightness shift adds the same amount to both
+    * sides and cancels — [[encodePngFam]]'s brightness-replica families
+    * collapse to one hash BY CONSTRUCTION of the algorithm, not the
+    * fixture, while exact byte dedup would see distinct files.
+    *
+    * Dup groups are exact-equal hashes: ONE shuffle of (doc_id, 2×int64) —
+    * 16 bytes per image regardless of image size, so at 100 TB of images
+    * the grouping stage moves ~GBs. Output per doc: hash words, group size,
+    * canonical (min doc id), and the drop flag. */
+  def phashDedup(df: DataFrame, batchSize: Int = 32): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ph0", LongType),
+      StructField("ph1", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val hashed = df.select(col("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val img = decodePng(encodePngFam(id))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val lum = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var x = 0
+            while (x < 8) {
+              val rgb = img.getRGB(x * w / 8, sy)
+              val l = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              lum(y * 8 + x) = l
+              total += l
+              x += 1
+            }
+            y += 1
+          }
+          var ph0 = 0L; var ph1 = 0L
+          var i = 0
+          while (i < 64) {
+            if (64L * lum(i) > total) {
+              val bit = 1L << (31 - (i % 32))
+              if (i < 32) ph0 += bit else ph1 += bit
+            }
+            i += 1
+          }
+          Row(id, ph0, ph1)
+        }
+      }
+    }(enc)
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy("ph0", "ph1")
+    hashed
+      .withColumn("group_size", count(lit(1)).over(grp).cast("long"))
+      .withColumn("canonical", min(col("doc_id")).over(grp))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical"))
+      .orderBy("doc_id")
+  }
+
+  def phashDedupQuery(spark: SparkSession, sfDir: String): DataFrame =
+    phashDedup(Tables.documents(spark, sfDir))
+
+  /** Oracle: the fixture's stripes are constant per row, so each 8×8 cell
+    * row shares one luminance; the brightness delta cancels out of the
+    * `64·lum > total` compare, so the oracle derives the hash from the
+    * FAMILY's delta-free stripes in closed form. Row y of word 0 occupies
+    * bits 31−8y…24−8y → weight 255·2^(24−8y) when set. */
+  private val phashDedupSql =
+    """WITH d AS (SELECT doc_id, doc_id % 97 AS q FROM documents),
+      |g AS (SELECT doc_id, q, 8 + (q * 3) % 12 AS h FROM d),
+      |cy AS (SELECT doc_id, q, h, unnest(range(0, 8)) AS y FROM g),
+      |l AS (SELECT doc_id, y,
+      |        ((q * 7 + 37 * ((y * h) // 8) * ((y * h) // 8)) % 200)
+      |      + ((q * 13 + 23 * ((y * h) // 8) * ((y * h) // 8) + 2 * ((y * h) // 8)) % 200)
+      |      + ((q * 31 + 41 * ((y * h) // 8) * ((y * h) // 8) + 3 * ((y * h) // 8)) % 200) AS lum
+      |      FROM cy),
+      |t AS (SELECT doc_id, 8 * sum(lum) AS total FROM l GROUP BY doc_id),
+      |b AS (SELECT l.doc_id, l.y, CASE WHEN 64 * l.lum > t.total THEN 1 ELSE 0 END AS bit
+      |      FROM l JOIN t USING (doc_id)),
+      |ph AS (SELECT doc_id,
+      |        CAST(sum(CASE WHEN y = 0 THEN bit * 4278190080 WHEN y = 1 THEN bit * 16711680
+      |                      WHEN y = 2 THEN bit * 65280 WHEN y = 3 THEN bit * 255 ELSE 0 END) AS BIGINT) AS ph0,
+      |        CAST(sum(CASE WHEN y = 4 THEN bit * 4278190080 WHEN y = 5 THEN bit * 16711680
+      |                      WHEN y = 6 THEN bit * 65280 WHEN y = 7 THEN bit * 255 ELSE 0 END) AS BIGINT) AS ph1
+      |       FROM b GROUP BY doc_id)
+      |SELECT doc_id, ph0, ph1,
+      |  CAST(count(*) OVER (PARTITION BY ph0, ph1) AS BIGINT) AS group_size,
+      |  min(doc_id) OVER (PARTITION BY ph0, ph1) AS canonical,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY ph0, ph1) AS is_dup
+      |FROM ph ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup" -> (phashDedupQuery _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_batched_decode" -> (batchedDecode _),
     "mm_real_decode" -> (realDecodeQuery _),
@@ -572,6 +704,7 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_dedup" -> phashDedupSql,
     "mm_binary_meta" -> binaryMetaSql,
     "mm_batched_decode" -> batchedDecodeSql,
     "mm_real_decode" -> realDecodeSql,

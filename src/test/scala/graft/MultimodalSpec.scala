@@ -120,4 +120,28 @@ class MultimodalSpec extends SparkSpec {
     val expPeak = (0 until n).map(i => math.abs(MultimodalOps.wavSample(42L, i))).max
     assert(row.getAs[Long]("peak_abs") == expPeak.toLong)
   }
+
+  test("mm_phash_dedup: aHash collapses brightness replicas that byte dedup cannot (r7)") {
+    import spark.implicits._
+    // 0 and 97 are the same family at different brightness: distinct PNG
+    // bytes (exact dedup keeps both), identical average hash
+    val b0 = MultimodalOps.encodePngFam(0L)
+    val b97 = MultimodalOps.encodePngFam(97L)
+    assert(!java.util.Arrays.equals(b0, b97), "replicas must differ at the byte level")
+    val out = MultimodalOps.phashDedup(Tables.documents(spark, sf))
+      .select("doc_id", "ph0", "ph1", "canonical", "is_dup")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val fam = out.keys.filter(_ % 97 == 0).toSeq.sorted
+    assert(fam.size >= 2, "fixture must contain at least one brightness family")
+    val hashes = fam.map(d => (out(d)._2, out(d)._3)).distinct
+    assert(hashes.size == 1, s"family 0 must share one hash, got $hashes")
+    assert(fam.map(d => out(d)._4).distinct.size == 1, "one canonical per group")
+    assert(fam.count(d => !out(d)._5) == fam.map(d => out(d)._4).distinct.size
+      || out(fam.head)._4 < fam.head + 1, "exactly the canonical is kept")
+    // discrimination: the corpus must not collapse to a handful of hashes
+    val distinctHashes = out.values.map(r => (r._2, r._3)).toSet.size
+    assert(distinctHashes > out.size / 30,
+      s"hash space degenerate: $distinctHashes hashes for ${out.size} docs")
+  }
 }
