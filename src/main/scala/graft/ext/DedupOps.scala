@@ -1149,7 +1149,11 @@ object DedupOps {
     * extra shuffle); the only shuffle remains the band-bucket self-join
     * that candidate generation already pays. */
   def splitLeakagePurge(spark: SparkSession, sfDir: String): DataFrame = {
-    val band = banded(signatures(spark, sfDir))
+    // cache: candidatePairs' self-join consumes the band frame twice, and
+    // the NumPerm-md5 signature kernel is the CPU cost of the whole op —
+    // same discipline as [[minhashLsh]] (the uncached form probed 11.7× on
+    // 10× rows; cached it re-measured 2.4×, SCALING.md r7)
+    val band = banded(signatures(spark, sfDir)).cache()
     candidatePairs(band)
       .withColumn("split1", splitOf(col("doc1")))
       .withColumn("split2", splitOf(col("doc2")))

@@ -439,7 +439,48 @@ object SamplingOps {
        |  CAST(pos // $ShardCount AS BIGINT) AS pos_in_shard
        |FROM r ORDER BY shard_id, pos_in_shard""".stripMargin
 
+  private val PerCell = 25L
+
+  /** Cluster-balanced sampling over the TRAINED quantizer — the
+    * diversity-preserving selection step of cluster-then-sample curation
+    * (SemDeDup §5 prunes per cluster; coreset selection à la DeepCore
+    * samples per stratum of a learned partition): every k-means cell
+    * contributes at most [[PerCell]] vectors, chosen by seeded-md5 rank, so
+    * a corpus dominated by one dense mode cannot crowd the sample the way
+    * uniform sampling lets it. Cells come from [[SimilarityOps]]'
+    * `kmeansTrain` fit (the same trained assignment the IVF/SemDeDup read
+    * paths consume) — the sampler composes with the trained index, it does
+    * not invent a parallel clustering.
+    *
+    * Scale shape: assignment is a shuffle-free projection (centroids ship
+    * as literals); the only shuffle keys on `cell` for the per-cell rank.
+    * With k cells this is k reducers — production sizes k ∝ N (the
+    * documented kmeansTrain contract), which simultaneously bounds cell
+    * width and reducer fan-in; a deliberately tiny k would need the
+    * two-phase bucketed rank of [[shuffleShards]] instead. */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(concat(lit(s"$Seed|"), col("vec_id").cast("string"))), col("vec_id"))
+    SimilarityOps.trainedAssignment(spark, sfDir)
+      .select(col("vec_id"), col("cell"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= PerCell)
+      .select("cell", "rk", "vec_id")
+      .orderBy("cell", "rk")
+  }
+
+  private def clusterBalancedSampleSql =
+    s"""WITH ${SimilarityOps.trainedAssignmentCtes},
+       |r AS (SELECT cell, vec_id,
+       |        CAST(row_number() OVER (PARTITION BY cell
+       |          ORDER BY md5('$Seed|' || CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+       |      FROM assigned)
+       |SELECT cell, rk, vec_id FROM r WHERE rk <= $PerCell
+       |ORDER BY cell, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_cluster_balanced" -> (clusterBalancedSample _),
     "sample_shuffle_shards" -> (shuffleShards _),
     "sample_token_budget" -> (tokenBudgetSample _),
     "sample_bpe_budget" -> (bpeBudgetSample _),
@@ -452,6 +493,7 @@ object SamplingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_cluster_balanced" -> clusterBalancedSampleSql,
     "sample_shuffle_shards" -> shuffleShardsSql,
     "sample_token_budget" -> tokenBudgetSampleSql,
     "sample_bpe_budget" -> bpeBudgetSampleSql,

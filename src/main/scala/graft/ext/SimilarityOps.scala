@@ -883,7 +883,7 @@ object SimilarityOps {
     * route ([[ivfTrained]]); `cell` is the quantizer's fit — shared with
     * [[graft.ext.DedupOps]]'s trained SemDeDup. The centroids ship as
     * literals (k·d ints, KBs): assignment is a shuffle-free projection. */
-  private[ext] def trainedAssignment(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def trainedAssignment(spark: SparkSession, sfDir: String): DataFrame = {
     val qf = clusteredEmbeddings(spark, sfDir)
       .withColumn("qv", expr(
         s"transform(sequence(1, 64), d -> CAST(round(element_at(embedding, d) * $KmScale.0D) AS BIGINT))"))

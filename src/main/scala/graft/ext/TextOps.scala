@@ -589,24 +589,43 @@ object TextOps {
     sourceOverlapOf(Tables.documents(spark, sfDir))
 
   private[graft] def sourceOverlapOf(documents: DataFrame): DataFrame = {
-    // wordShingles emits per-doc DISTINCT 8-grams (compiled kernel);
-    // .distinct() collapses them across docs to one (source, gram) row.
-    val grams = documents.select(col("source"),
+    // ONE corpus-scale shuffle, total: the gram-keyed groupBy. collect_set
+    // dedups (source, gram) inside the aggregation (map-side partial sets),
+    // so no separate .distinct() pass; per-source totals and pair counts
+    // both derive from the per-gram source set in the SAME pass (singleton
+    // marker rows alongside the i<j pairs), so the gram strings are never
+    // shuffled a second time and never recomputed. The 10× probe caught the
+    // previous three-shuffle/double-compute form at 14× — this one runs
+    // 2.0 s warm standalone on the 10× store (SCALING.md r7).
+    // grouping key is the raw gram string: an md5-fingerprint key was
+    // measured 4× SLOWER here (10.9 s vs 2.9 s at sf1.0 — one md5 per
+    // occurrence outweighs the narrower shuffle key at this gram length)
+    val gsets = documents.select(col("source"),
       explode(graft.functions.TextFns.wordShingles(col("text"), 8)).as("ngram"))
-      .distinct()
-    val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    val pairs = grams
       .groupBy("ngram").agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .where(size(col("srcs")) >= 2)
-      // ordered pairs (srcs[i], srcs[j]), i < j: slice is 1-based, so the
-      // elements after 0-based index i start at position i + 2.
+    // ordered pairs (srcs[i], srcs[j]), i < j, plus one (src, NULL)
+    // singleton marker per member for the totals; slice is 1-based, so the
+    // elements after 0-based index i start at position i + 2.
+    val counts = gsets
       .select(explode(expr(
-        """flatten(transform(srcs, (a, i) ->
-          |  transform(slice(srcs, i + 2, size(srcs)), b ->
-          |    struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+        """concat(
+          |  transform(srcs, a -> struct(a AS src_a, CAST(NULL AS STRING) AS src_b)),
+          |  flatten(transform(srcs, (a, i) ->
+          |    transform(slice(srcs, i + 2, size(srcs)), b ->
+          |      struct(a AS src_a, b AS src_b)))))""".stripMargin)).as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
-      .agg(count(lit(1)).as("shared_grams"))
-    pairs
+      .agg(count(lit(1)).as("n"))
+      // EAGER materialization, not cache(): counts feeds three plan sites
+      // (two broadcast totals + the pair stream), and Spark computes
+      // broadcast subtrees concurrently — a lazy cache lets every one of
+      // them re-run the corpus-scale gram rollup before any block lands
+      // (measured: 2.4 s vs 23 s at sf1.0 depending on which consumer won).
+      // counts is sources + source-pairs rows, so the checkpoint is tiny.
+      .localCheckpoint()
+    val totals = counts.where(col("src_b").isNull)
+      .select(col("src_a").as("source"), col("n").as("n_grams"))
+    counts.where(col("src_b").isNotNull)
+      .select(col("src_a"), col("src_b"), col("n").as("shared_grams"))
       .join(broadcast(totals.select(col("source").as("src_a"), col("n_grams").as("grams_a"))), Seq("src_a"))
       .join(broadcast(totals.select(col("source").as("src_b"), col("n_grams").as("grams_b"))), Seq("src_b"))
       .withColumn("overlap", col("shared_grams").cast("double") /

@@ -658,4 +658,19 @@ class QueriesSpec extends SparkSpec {
     }
     assert(rows.head._4 == 0L, "raw stage drops nothing")
   }
+
+  test("sample_cluster_balanced: every trained cell contributes min(cap, size) (r7)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cellSizes = ext.SimilarityOps.trainedAssignment(spark, sf)
+      .groupBy("cell").count().as[(Long, Long)].collect().toMap
+    val sampled = ext.SamplingOps.clusterBalancedSample(spark, sf)
+      .groupBy("cell").count().as[(Long, Long)].collect().toMap
+    assert(sampled.keySet == cellSizes.keySet, "every non-empty cell must be represented")
+    cellSizes.foreach { case (cell, n) =>
+      assert(sampled(cell) == math.min(25L, n), s"cell $cell: ${sampled(cell)} of $n")
+    }
+    // the cap must actually bind somewhere or the op degenerates to identity
+    assert(cellSizes.values.exists(_ > 25L), "fixture must have at least one over-cap cell")
+  }
 }
