@@ -1105,6 +1105,61 @@ object SimilarityOps {
        |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  private val KnnK = 3
+
+  /** k-NN GRAPH construction — the whole-corpus artifact that graph-based
+    * curation consumes (connected-component dedup over similarity edges,
+    * SemDeDup-style cluster pruning, label propagation): EVERY vector gets
+    * its top-[[KnnK]] approximate neighbors, unlike the ANN queries which
+    * answer for 8 probe vectors. Candidates are LSH bucket mates (the same
+    * two stacked sign-hash tables as [[DedupOps.embeddingCosine]]), the
+    * exact cosine runs inside the bucket join's own stage with the vectors
+    * riding the join (the sf10-probe shape: shuffle volume 2N vector rows
+    * at ANY candidate count), and the per-vector top-k window shuffles only
+    * (src, nbr, cos) — 24-byte rows. A vector alone in both its buckets
+    * has no edges (standard for LSH graphs; more tables is the recall
+    * knob, the width b ∝ log N contract bounds bucket occupancy). */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("norm", Vec.norm(col("embedding")))
+      .withColumn("bk0", expr(signBucketExpr(1)))
+      .withColumn("bk1", expr(signBucketExpr(5)))
+    val stacked = e.select(col("vec_id"), col("embedding"), col("norm"),
+      posexplode(array(col("bk0"), col("bk1"))).as(Seq("tbl", "bk")))
+    val a = stacked.select(col("tbl"), col("bk"),
+      col("vec_id").as("src"), col("embedding").as("e1"), col("norm").as("nm1"))
+    val b = stacked.select(col("tbl"), col("bk"),
+      col("vec_id").as("nbr"), col("embedding").as("e2"), col("norm").as("nm2"))
+    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
+    a.join(b, Seq("tbl", "bk"))
+      .where(col("src") =!= col("nbr"))
+      .withColumn("cos_sim", Vec.dot(col("e1"), col("e2")) / (col("nm1") * col("nm2")))
+      .select("src", "nbr", "cos_sim").distinct() // both-table collisions emit twice
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= KnnK)
+      .select("src", "rank", "nbr", "cos_sim")
+      .orderBy("src", "rank")
+  }
+
+  private val knnGraphSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm,
+       |    ${signBucketSql(1)} AS bk0, ${signBucketSql(5)} AS bk1
+       |  FROM embeddings),
+       |st AS (SELECT vec_id, 0 AS tbl, bk0 AS bk FROM e
+       |       UNION ALL SELECT vec_id, 1 AS tbl, bk1 AS bk FROM e),
+       |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+       |         FROM st a JOIN st b ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |s AS (SELECT c.src, c.nbr,
+       |        ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim
+       |      FROM cand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.nbr),
+       |r AS (SELECT *,
+       |        CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT src, rank, nbr, cos_sim FROM r WHERE rank <= $KnnK
+       |ORDER BY src, rank""".stripMargin
+
   private val HamS = 50 // Hamming shortlist size before the exact re-rank
 
   /** One 32-bit packed word of sign bits: bit i (weight 2^(31-i)) is set
@@ -1240,6 +1295,7 @@ object SimilarityOps {
       |FROM q, st ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph" -> (knnGraph _),
     "sim_binary_hamming" -> (binaryHamming _),
     "sim_outlier_filter" -> (outlierFilter _),
     "sim_pq_trained" -> (pqTrained _),
@@ -1257,6 +1313,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_graph" -> knnGraphSql,
     "sim_binary_hamming" -> binaryHammingSql,
     "sim_outlier_filter" -> outlierFilterSql,
     "sim_pq_trained" -> pqTrainedSql,

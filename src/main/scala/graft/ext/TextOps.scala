@@ -148,15 +148,17 @@ object TextOps {
   private def bpeVocabExpr = BpeVocab.map(v => s"'$v'").mkString("array(", ",", ")")
   private def bpeVocabSqlList = BpeVocab.map(v => s"'$v'").mkString("[", ",", "]")
 
-  /** Greedy longest-match subword count of string column `t` as ONE
-    * codegen'd fold: positions 1..len stream through an (pos, count) state;
-    * a position below the cursor is a skip, at the cursor the longest
-    * matching vocab entry (or 1 char) advances it. O(len·|V|) worst case,
-    * no UDF, no explode — the whole tokenizer stays inside whole-stage
-    * codegen. Mirrored operation-for-operation in [[bpeCountSql]]
-    * (list_reduce with an init-prepended homogeneous struct list — DuckDB
-    * folds have no separate init slot). Property-checked against a plain
-    * Scala reference tokenizer on random strings (BpePropertySpec). */
+  /** Greedy longest-match subword count of string column `t` as one
+    * `aggregate` fold: positions 1..len stream through an (pos, count)
+    * state; a position below the cursor is a skip, at the cursor the
+    * longest matching vocab entry (or 1 char) advances it. This is the
+    * SEMANTIC SPEC form, kept for the property suite (kernel ≡ this HOF ≡
+    * plain-Scala reference): Spark interprets HOF lambdas per element, and
+    * at len·|V| probes per document this fold measured 112 s for the sf0.1
+    * corpus — the SHIPPED path is the compiled
+    * [[graft.functions.TextKernels.bpeCount]] kernel (~1 s, identical
+    * counts, codepoint-exact). Property-checked three ways in
+    * BpePropertySpec. */
   private[graft] def bpeCountExpr(t: String): String =
     s"""CASE WHEN length($t) = 0 THEN CAST(0 AS BIGINT) ELSE
        |aggregate(sequence(1, length($t)),
@@ -196,7 +198,10 @@ object TextOps {
   def bpeTokenCount(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("t", lower(col("text")))
-      .withColumn("bpe_tokens", expr(bpeCountExpr("t")))
+      // compiled kernel; bpeCountExpr above stays as the semantic spec the
+      // property suite checks the kernel against (kernel ≡ HOF ≡ reference)
+      .withColumn("bpe_tokens",
+        graft.functions.TextFns.bpeCount(col("t"), BpeVocab))
       .withColumn("ws_tokens", expr(s"size($toksExpr)").cast("long"))
       .withColumn("n_chars", length(col("t")).cast("long"))
       .withColumn("chars_per_token", col("n_chars").cast("double") / col("bpe_tokens"))
@@ -328,8 +333,47 @@ object TextOps {
 
   /** The Gopher signal/rule columns WITHOUT the final projection/sort —
     * streaming-safe (pure per-row projections), so the curation stream
-    * pipeline applies the identical rule the batch query gates. */
-  private[graft] def withGopherSignals(documents: DataFrame): DataFrame = {
+    * pipeline applies the identical rule the batch query gates.
+    *
+    * Signals come from the compiled one-pass
+    * [[graft.functions.TextKernels.gopherSignals]] kernel. The previous
+    * composable HOF form ([[withGopherSignalsHof]], kept as the semantic
+    * spec) was O(n²) once Catalyst collapsed projections — the tokenizer
+    * subtree inlined INTO each trigram lambda re-ran per element — and a
+    * `filter(keep)` consumer measured 22 s at sf0.1 vs 0.4 s through the
+    * kernel (equivalence pinned column-for-column in KernelsSpec). */
+  private[graft] def withGopherSignals(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("gs", graft.functions.TextFns.gopherSignals(col("text"), stop("en")))
+      .withColumn("n_tok", col("gs.n_tok"))
+      // empty-doc contract pinned on BOTH engines (ANSI Spark throws on the
+      // bare 0/0, DuckDB's list_sum gives NULL — neither is a usable mean):
+      // no tokens → mean_word_len 0.0 (r_wordlen then fails, as it should)
+      .withColumn("mean_word_len",
+        when(col("gs.n_tok") > 0,
+          col("gs.word_len_sum").cast("double") / col("gs.n_tok").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_trigram_frac",
+        when(col("gs.tg_total") > 0,
+          (col("gs.tg_total") - col("gs.tg_distinct")).cast("double") /
+            col("gs.tg_total").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("stop_cnt", col("gs.stop_cnt"))
+      .withColumn("r_nwords", col("n_tok") >= 50 && col("n_tok") <= 100000)
+      .withColumn("r_wordlen", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_dup3", col("dup_trigram_frac") <= 0.01)
+      .withColumn("r_stop", col("stop_cnt") >= 2)
+      .withColumn("n_failed",
+        (when(col("r_nwords"), 0).otherwise(1) + when(col("r_wordlen"), 0).otherwise(1)
+          + when(col("r_dup3"), 0).otherwise(1) + when(col("r_stop"), 0).otherwise(1))
+          .cast("long"))
+      .withColumn("keep", col("n_failed") === 0)
+      .drop("gs")
+
+  /** The composable-HOF form of the signal columns — the SEMANTIC SPEC the
+    * kernel is property-checked against (KernelsSpec); not on any shipped
+    * path. Collapse-inlining makes it O(n²): see [[withGopherSignals]]. */
+  private[graft] def withGopherSignalsHof(documents: DataFrame): DataFrame = {
     val tg = "IF(size(toks) >= 3, transform(sequence(1, size(toks) - 2), " +
       "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))), " +
       "CAST(array() AS ARRAY<STRING>))"
@@ -337,8 +381,10 @@ object TextOps {
       .withColumn("toks", expr(toksExpr))
       .withColumn("n_tok", expr("size(toks)").cast("long"))
       .withColumn("mean_word_len",
-        expr("aggregate(toks, cast(0 as bigint), (a, w) -> a + length(w))").cast("double")
-          / col("n_tok").cast("double"))
+        when(col("n_tok") > 0,
+          expr("aggregate(toks, cast(0 as bigint), (a, w) -> a + length(w))").cast("double")
+            / col("n_tok").cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("tg", expr(tg))
       .withColumn("dup_trigram_frac",
         when(expr("size(tg)") > 0,
@@ -366,8 +412,10 @@ object TextOps {
        |      FROM t),
        |s AS (SELECT doc_id,
        |        CAST(len(toks) AS BIGINT) AS n_tok,
-       |        CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
-       |          / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+       |        CASE WHEN len(toks) > 0
+       |             THEN CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+       |                  / CAST(len(toks) AS DOUBLE)
+       |             ELSE 0.0 END AS mean_word_len,
        |        CASE WHEN len(tg) > 0
        |             THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)
        |             ELSE 0.0 END AS dup_trigram_frac,
@@ -401,8 +449,10 @@ object TextOps {
        |      FROM gt),
        |gs AS (SELECT doc_id,
        |        CAST(len(toks) AS BIGINT) AS n_tok,
-       |        CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
-       |          / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+       |        CASE WHEN len(toks) > 0
+       |             THEN CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+       |                  / CAST(len(toks) AS DOUBLE)
+       |             ELSE 0.0 END AS mean_word_len,
        |        CASE WHEN len(tg) > 0
        |             THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)
        |             ELSE 0.0 END AS dup_trigram_frac,

@@ -56,6 +56,88 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  /** First-char-indexed, longest-first vocab lookup for [[bpeCount]]:
+    * slot c holds every vocab entry starting with ASCII char c, sorted by
+    * length descending, so a position probes only the few entries that can
+    * possibly match instead of the whole vocabulary. */
+  def buildBpeTable(vocab: Seq[String]): Array[Array[String]] = {
+    val table = Array.fill(128)(Array.empty[String])
+    vocab.distinct.groupBy(_.charAt(0)).foreach { case (c, vs) =>
+      require(c < 128, s"bpe vocab entries must start with an ASCII char: '$c'")
+      table(c) = vs.sortBy(-_.length).toArray
+    }
+    table
+  }
+
+  /** Greedy longest-match subword count — the compiled twin of the
+    * `aggregate(sequence(...))` fold in [[graft.ext.TextOps]] (kept there
+    * as the semantic spec): at each position take the longest matching
+    * vocab entry, else advance one CODEPOINT. Spark HOF lambdas interpret
+    * an expression tree per element; at len × |V| probes per document the
+    * interpreted fold measured 112 s for the sf0.1 corpus vs ~1 s compiled
+    * (SCALING.md r7). ASCII-only vocab means a code-unit `regionMatches`
+    * can never match half a surrogate pair, and the non-match branch
+    * advances by `Character.charCount`, so the walk is codepoint-exact —
+    * identical counts to the substring()-based fold and the DuckDB
+    * recursive oracle on any input. */
+  def bpeCount(text: UTF8String, table: Array[Array[String]]): Long = {
+    val s = text.toString
+    val len = s.length
+    var i = 0
+    var n = 0L
+    while (i < len) {
+      val c = s.charAt(i)
+      var adv = 0
+      if (c < 128) {
+        val cands = table(c)
+        var j = 0
+        while (adv == 0 && j < cands.length) {
+          val v = cands(j)
+          if (s.regionMatches(i, v, 0, v.length)) adv = v.length
+          j += 1
+        }
+      }
+      if (adv == 0) adv = Character.charCount(s.codePointAt(i))
+      i += adv
+      n += 1L
+    }
+    n
+  }
+
+  /** One-pass Gopher signal counters — n_tok, word-length sum, trigram
+    * total/distinct, stopword hits — as a single compiled walk over the
+    * tokens. The composable HOF form (kept in [[graft.ext.TextOps]] as the
+    * semantic spec) inlines the tokenizer INTO each trigram lambda when
+    * Catalyst collapses the projection, so `filter(keep)`-style consumers
+    * re-tokenized the document per trigram element — O(n²) interpreted work
+    * that measured 22 s for the sf0.1 corpus vs 0.4 s through this kernel
+    * (SCALING.md r7). Tokenization is [[wordShingles]]' exact rule
+    * (lowercase, single-space split, empties dropped); word length counts
+    * CODEPOINTS like Spark's `length`. */
+  def gopherSignals(text: UTF8String, stopSet: java.util.HashSet[String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.toLowerCase.split(' ').filter(_.nonEmpty)
+    var lenSum = 0L
+    var stopCnt = 0L
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      lenSum += w.codePointCount(0, w.length)
+      if (stopSet.contains(w)) stopCnt += 1L
+      i += 1
+    }
+    val tgTotal = math.max(toks.length - 2, 0).toLong
+    val seen = new java.util.HashSet[String]()
+    i = 0
+    while (i + 3 <= toks.length) {
+      seen.add(new java.lang.StringBuilder(toks(i)).append(' ')
+        .append(toks(i + 1)).append(' ').append(toks(i + 2)).toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length.toLong, lenSum, tgTotal, seen.size.toLong, stopCnt))
+  }
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   private def hex(bytes: Array[Byte]): String = {
@@ -212,6 +294,57 @@ case class MinHashSignature(child: Expression, numPerm: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Greedy longest-match subword count of a string column over a fixed
+  * vocabulary (see [[TextKernels.bpeCount]]). */
+case class BpeCount(child: Expression, vocab: Seq[String]) extends UnaryExpression {
+  @transient private lazy val table: Array[Array[String]] =
+    TextKernels.buildBpeTable(vocab)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_count needs a string input, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bpeCount(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("bpeTable", table, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeCount($c, $tableRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass Gopher quality signals of a string column: struct<n_tok,
+  * word_len_sum, tg_total, tg_distinct, stop_cnt>, all BIGINT (see
+  * [[TextKernels.gopherSignals]]). */
+case class GopherSignals(child: Expression, stopWords: Seq[String]) extends UnaryExpression {
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopWords.foreach(s.add)
+    s
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tok", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("word_len_sum", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("tg_total", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("tg_distinct", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("stop_cnt", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gopher_signals needs a string input, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.gopherSignals(input.asInstanceOf[UTF8String], stopSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.gopherSignals($c, $setRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 32-bit SimHash fingerprint of a string column. */
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -238,4 +371,8 @@ object TextFns {
     shim.column(SimHash32(shim.expression(text)))
   def nfcNormalize(text: Column): Column =
     shim.column(NfcNormalize(shim.expression(text)))
+  def bpeCount(text: Column, vocab: Seq[String]): Column =
+    shim.column(BpeCount(shim.expression(text), vocab))
+  def gopherSignals(text: Column, stopWords: Seq[String]): Column =
+    shim.column(GopherSignals(shim.expression(text), stopWords))
 }

@@ -363,9 +363,16 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val hop = java.nio.file.Files.createTempDirectory("curation_hop").toString
-    // hop 1: filter + deterministic near-dup survivor
+    // hop 1: filter + deterministic near-dup survivor.
+    // repartition BEFORE the signal projection: the file stream delivers the
+    // single-file store as ONE input split, and the Gopher signal trees are
+    // interpreted HOFs — un-spread, the whole micro-batch computed them on
+    // one core (measured 25 s vs 0.8 s for the identical batch plan; same
+    // single-split caveat DedupOps.docShingles documents for batch — a real
+    // multi-file source parallelizes with the scan and this goes away)
     val survivors = graft.ext.TextOps.withGopherSignals(
-        tableStream(spark, sfDir, "documents", documentSchema))
+        tableStream(spark, sfDir, "documents", documentSchema)
+          .repartition(col("doc_id")))
       .where(col("keep"))
       .select(col("doc_id"), graft.functions.TextFns.simhash32(col("text")).as("simhash"),
         col("n_tok"))

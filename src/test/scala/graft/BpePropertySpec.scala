@@ -36,10 +36,28 @@ class BpePropertySpec extends SparkSpec {
         }
     val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
       .withColumn("n", expr(ext.TextOps.bpeCountExpr("t")))
-    val got = df.select("id", "n").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .withColumn("nk", functions.TextFns.bpeCount(col("t"), ext.TextOps.BpeVocab))
+    val got = df.select("id", "n", "nk").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     cases.zipWithIndex.foreach { case (t, i) =>
-      assert(got(i.toLong) == refBpe(t),
-        s"case $i '${t.take(40)}': got ${got(i.toLong)}, want ${refBpe(t)}")
+      val (hof, kernel) = got(i.toLong)
+      assert(hof == refBpe(t),
+        s"case $i '${t.take(40)}': HOF got $hof, want ${refBpe(t)}")
+      assert(kernel == hof,
+        s"case $i '${t.take(40)}': compiled kernel $kernel != HOF spec $hof")
+    }
+  }
+
+  test("bpe kernel: codepoint-exact on non-ASCII (surrogates advance whole) (r7)") {
+    import spark.implicits._
+    // 中文 chars are outside every vocab entry → one token per codepoint;
+    // a supplementary char (surrogate pair) must count once, not twice
+    val cases = Seq((1L, "中文th中", 4L), (2L, "😀table", 2L), (3L, "αβ", 2L))
+    val df = cases.map { case (i, t, _) => (i, t) }.toDF("id", "t")
+      .withColumn("nk", functions.TextFns.bpeCount(col("t"), ext.TextOps.BpeVocab))
+    val m = df.select("id", "nk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (i, t, want) =>
+      assert(m(i) == want, s"'$t': got ${m(i)}, want $want")
     }
   }
 

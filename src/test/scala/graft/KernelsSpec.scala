@@ -245,4 +245,32 @@ class KernelsSpec extends SparkSpec {
       .toDF("a", "b").select(Vec.dot(col("a"), col("b"))).head()
     assert(withNull.isNullAt(0))
   }
+
+  test("GopherSignals kernel == composable HOF spec, column for column (r7)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(Seq(
+        (100001L, ""), // empty doc: n_tok 0, mean NaN-parity path
+        (100002L, "the the the"), // all-stopword, dup trigrams impossible (1 trigram)
+        (100003L, "a b a b a b a b"), // duplicated trigrams
+        (100004L, "中文 中文 的 word")) // non-ASCII codepoint lengths
+        .toDF("doc_id", "text"))
+    val cols = Seq("doc_id", "n_tok", "mean_word_len", "dup_trigram_frac",
+      "stop_cnt", "r_nwords", "r_wordlen", "r_dup3", "r_stop", "n_failed", "keep")
+    val kern = ext.TextOps.withGopherSignals(docs)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect()
+    val hof = ext.TextOps.withGopherSignalsHof(docs)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect()
+    assert(kern.length == hof.length)
+    kern.zip(hof).foreach { case (k, h) =>
+      cols.indices.foreach { i =>
+        val (kv, hv) = (k.get(i), h.get(i))
+        val eq = (kv, hv) match {
+          case (a: Double, b: Double) => (a.isNaN && b.isNaN) || a == b
+          case _ => kv == hv
+        }
+        assert(eq, s"doc ${k.get(0)} col ${cols(i)}: kernel=$kv hof=$hv")
+      }
+    }
+  }
 }
