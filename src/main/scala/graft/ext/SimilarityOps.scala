@@ -883,13 +883,25 @@ object SimilarityOps {
     * route ([[ivfTrained]]); `cell` is the quantizer's fit — shared with
     * [[graft.ext.DedupOps]]'s trained SemDeDup. The centroids ship as
     * literals (k·d ints, KBs): assignment is a shuffle-free projection. */
+  /** Memoized trained codebook per (session, store) — the round-5 reuse
+    * discipline: CONSUMERS of the fit (IVF routing, SemDeDup cells, PQ,
+    * cluster-balanced sampling) share one training run per session+corpus,
+    * while `sim_kmeans_train` itself calls [[kmeansTrainOf]] directly and
+    * keeps measuring an honest full training. Training is deterministic
+    * integer arithmetic, so the memo can never change a result — only
+    * skip recomputing an identical codebook (the bench paid it 4× per
+    * suite run, ~6 s per consumer at sf0.1). */
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Long]]]()
+
   private[graft] def trainedAssignment(spark: SparkSession, sfDir: String): DataFrame = {
     val qf = clusteredEmbeddings(spark, sfDir)
       .withColumn("qv", expr(
         s"transform(sequence(1, 64), d -> CAST(round(element_at(embedding, d) * $KmScale.0D) AS BIGINT))"))
       .select(col("vec_id"), col("cl"), col("qv"))
       .cache()
-    val cb = lloydLoop(qf, KmK, KmIters, 64)._1
+    val cb = codebookMemo.computeIfAbsent((spark, sfDir),
+      _ => lloydLoop(qf, KmK, KmIters, 64)._1)
     val cbLit = cb.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
     val dsExpr = // int L2 to every trained centroid, ordered by cell id
       s"""transform($cbLit, c -> aggregate(sequence(1, 64), CAST(0 AS BIGINT),
