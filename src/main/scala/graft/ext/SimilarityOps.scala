@@ -739,12 +739,11 @@ object SimilarityOps {
       .map(_.getSeq[Long](0).toArray)
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, String, Double)]()
     for (it <- 1 to iters) {
-      val cbLit = centroids.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+      // compiled assignment kernel: the HOF form re-materialized the k·d
+      // literal codebook per row and cost Catalyst a ~1500-node analysis
+      // per iteration (ArrayDot.scala CellDistances scaladoc)
       val assigned = q
-        .withColumn("ds", expr(
-          s"""transform($cbLit, c -> aggregate(sequence(1, $dims), CAST(0 AS BIGINT),
-             |  (a, d) -> a + (element_at(qv, d) - element_at(c, d))
-             |              * (element_at(qv, d) - element_at(c, d))))""".stripMargin))
+        .withColumn("ds", Vec.cellDistances(col("qv"), centroids.map(_.toSeq).toSeq))
         .withColumn("k", expr("CAST(array_position(ds, array_min(ds)) - 1 AS BIGINT)"))
         .withColumn("dist", expr("array_min(ds)"))
       // ONE aggregation job per iteration: the (k, true-label, dim)-keyed
@@ -902,12 +901,9 @@ object SimilarityOps {
       .cache()
     val cb = codebookMemo.computeIfAbsent((spark, sfDir),
       _ => lloydLoop(qf, KmK, KmIters, 64)._1)
-    val cbLit = cb.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
-    val dsExpr = // int L2 to every trained centroid, ordered by cell id
-      s"""transform($cbLit, c -> aggregate(sequence(1, 64), CAST(0 AS BIGINT),
-         |  (a, d) -> a + (element_at(qv, d) - element_at(c, d))
-         |              * (element_at(qv, d) - element_at(c, d))))""".stripMargin
-    qf.withColumn("ds", expr(dsExpr))
+    // int L2 to every trained centroid, ordered by cell id — compiled
+    // kernel, same exact arithmetic as the HOF form (CellDistances scaladoc)
+    qf.withColumn("ds", Vec.cellDistances(col("qv"), cb.map(_.toSeq).toSeq))
       .withColumn("cell", expr("CAST(array_position(ds, array_min(ds)) - 1 AS BIGINT)"))
   }
 

@@ -113,6 +113,59 @@ case class ArrayDot(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel for [[CellDistances]]. */
+object VecKernels {
+  /** Exact int64 L2 distance from a quantized vector to EVERY codebook
+    * centroid, in centroid order — Σ_d (qv[d]−c[d])² per centroid. */
+  def cellDistances(qv: ArrayData, cb: Array[Array[Long]]): ArrayData = {
+    val out = new Array[Any](cb.length)
+    var k = 0
+    while (k < cb.length) {
+      val c = cb(k)
+      var s = 0L
+      var d = 0
+      val n = math.min(qv.numElements(), c.length)
+      while (d < n) {
+        val diff = qv.getLong(d) - c(d)
+        s += diff * diff
+        d += 1
+      }
+      out(k) = s
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Distances from a quantized int64 vector column to every centroid of a
+  * plan-time codebook. The composable form is
+  * `transform(<512-literal array-of-arrays>, c -> aggregate(...))` — an
+  * interpreted HOF that re-materializes the literal codebook array PER ROW
+  * and hands Catalyst a ~1500-node tree to analyze per query; the kernel
+  * holds the codebook as one referenced object and runs the k·d loop
+  * compiled (same exact integer arithmetic, same oracle). */
+case class CellDistances(child: Expression, codebook: Seq[Seq[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val cb: Array[Array[Long]] = codebook.map(_.toArray).toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cell_distances needs array<bigint>, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.cellDistances(input.asInstanceOf[ArrayData], cb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", cb, "long[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.cellDistances($c, $cbRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level vector helpers built on [[ArrayDot]]. */
 object Vec {
   import org.apache.spark.sql.functions.sqrt
@@ -123,4 +176,8 @@ object Vec {
 
   /** L2 norm = sqrt(dot(v, v)) — same squared-fold the oracle uses. */
   def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Int L2 distances to every centroid of a plan-time codebook. */
+  def cellDistances(qv: Column, codebook: Seq[Seq[Long]]): Column =
+    shim.column(CellDistances(shim.expression(qv), codebook))
 }
