@@ -425,6 +425,22 @@ object SimilarityOps {
   private def pqCb(m: String, j: String, d: String) =
     s"(CAST((($m * 131 + $j * 31 + $d * 17) * 2654435761) % 1000 AS DOUBLE) / 500.0D - 1.0D)"
 
+  /** [[pqCb]] materialized driver-side for the compiled kernels — the SAME
+    * integer arithmetic (d index is 1-based in the formula, matching the
+    * `sequence(1, 8)` HOF). 8×16×8 doubles, KBs. */
+  private lazy val pqCbMat: Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(8, 16, 8) { (m, j, d0) =>
+      val d = d0 + 1
+      ((m * 131L + j * 31L + d * 17L) * 2654435761L % 1000L).toDouble / 500.0 - 1.0
+    }
+
+  /** [[pqTrainedCb]] materialized driver-side (8 centroids, d 1-based). */
+  private lazy val pqTrainedCbMat: Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(8, 8, 8) { (m, j, d0) =>
+      val g = j * 64L + (m * 8L + (d0 + 1))
+      if ((g * g * 2654435761L + g * 40503L) % 1000L < 500L) 1.0 else -1.0
+    }
+
   /** Product quantization (PQ — Jégou et al., the billion-vector ANN
     * memory path): the 64-dim vector splits into 8 subvectors, each encoded
     * as its nearest of 16 subspace centroids → 8 four-bit codes, a 64×
@@ -437,27 +453,17 @@ object SimilarityOps {
     * first-position-of-min, and every double fold runs in subspace-then-dim
     * order on both engines, so codes AND reconstruction error are
     * bit-exact against the oracle (md5 over the code string pins all 8). */
-  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
-    val sq = (x: String) => s"($x) * ($x)"
-    val diff = s"CAST(element_at(embedding, CAST(m * 8 + d AS INT)) AS DOUBLE) - ${pqCb("m", "j", "d")}"
-    val rdiff = s"CAST(element_at(embedding, CAST(m * 8 + d AS INT)) AS DOUBLE) - " +
-      pqCb("m", "CAST(element_at(codes, CAST(m + 1 AS INT)) AS BIGINT)", "d")
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    // compiled encode kernel (PqKernels.codesReconD): the HOF form built
+    // the 8×16×8 distance grid as nested interpreted lambdas per row
     Tables.embeddings(spark, sfDir)
-      .withColumn("dists", expr(
-        s"""transform(sequence(0, 7), m -> transform(sequence(0, 15), j ->
-           |  aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
-           |            (a, d) -> a + ${sq(diff)})))""".stripMargin))
-      .withColumn("codes",
-        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"))
+      .withColumn("cr", Vec.pqCodesReconD(col("embedding"), pqCbMat))
+      .withColumn("codes", col("cr.codes"))
       .select(col("vec_id"),
         expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)").as("code_sum"),
         md5(expr("array_join(transform(codes, x -> CAST(x AS STRING)), ',')")).as("code_hash"),
-        expr(
-          s"""aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, m) ->
-             |  acc + aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
-             |                  (a, d) -> a + ${sq(rdiff)}))""".stripMargin).as("recon_sse"))
+        col("cr.recon_sse").as("recon_sse"))
       .orderBy("vec_id")
-  }
 
   private val pqCodesSql = {
     def cb(j: String) =
@@ -518,26 +524,16 @@ object SimilarityOps {
     * ADC-score each against the 8 broadcast full-precision queries.
     * Columns: q_id, q_cl, qe, c_id, c_cl, adc. */
   private def adcScored(spark: SparkSession, sfDir: String): DataFrame = {
-    val sq = (x: String) => s"($x) * ($x)"
-    val diff = s"CAST(element_at(embedding, CAST(m * 8 + d AS INT)) AS DOUBLE) - ${pqTrainedCb("j", "m", "d")}"
+    // compiled encode + ADC kernels — the HOF ADC re-evaluated the
+    // codebook formula per fold STEP on every (candidate × query) row
     val enc = clusteredEmbeddings(spark, sfDir)
-      .withColumn("dists", expr(
-        s"""transform(sequence(0, 7), m -> transform(sequence(0, 7), j ->
-           |  aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
-           |            (a, d) -> a + ${sq(diff)})))""".stripMargin))
-      .withColumn("codes",
-        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"))
+      .withColumn("codes", Vec.pqCodesReconD(col("embedding"), pqTrainedCbMat)("codes"))
     val cands = enc.where(col("vec_id") >= 8)
       .select(col("vec_id").as("c_id"), col("cl").as("c_cl"), col("codes"))
     val q = clusteredEmbeddings(spark, sfDir).where(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("cl").as("q_cl"), col("embedding").as("qe"))
-    val adcDiff = s"CAST(element_at(qe, CAST(m * 8 + d AS INT)) AS DOUBLE) - " +
-      pqTrainedCb("CAST(element_at(codes, CAST(m + 1 AS INT)) AS BIGINT)", "m", "d")
     cands.join(broadcast(q))
-      .withColumn("adc", expr(
-        s"""aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, m) ->
-           |  acc + aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
-           |                  (a, d) -> a + ${sq(adcDiff)}))""".stripMargin))
+      .withColumn("adc", Vec.pqAdcD(col("qe"), col("codes"), pqTrainedCbMat))
       .select("q_id", "q_cl", "qe", "c_id", "c_cl", "adc")
   }
 
@@ -992,16 +988,15 @@ object SimilarityOps {
       .select("qv").collect().map(_.getSeq[Long](0).toArray)
     var cb: Array[Array[Array[Long]]] =
       Array.tabulate(8, 8, 8)((m, j, d) => seeds(j)(m * 8 + d))
-    def cbLit = cb.map(_.map(_.mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")).mkString("array(", ",", ")")
-    def assignExpr = // per (m, sv) row: distances to subspace m's centroids
-      s"""transform(element_at($cbLit, CAST(m + 1 AS INT)), c ->
-         |  aggregate(sequence(1, 8), CAST(0 AS BIGINT),
-         |    (a, d) -> a + ${sq("element_at(sv, d) - element_at(c, d)")}))""".stripMargin
+    def cbSeq = cb.map(_.map(_.toSeq).toSeq).toSeq
+    // compiled kernels throughout (PqKernels): the HOF forms re-built the
+    // 512-literal nested codebook array per row — and the ADC fold
+    // re-evaluated it per LAMBDA STEP — which made this query the
+    // slowest in the suite (6.7 s sf0.1 / 12.8 s sf1.0; same arithmetic,
+    // same first-min ties, same oracle)
     for (it <- 1 to PqIters) {
       val agg = subs
-        .withColumn("j", expr(
-          s"CAST(array_position(($assignExpr), array_min($assignExpr)) - 1 AS INT)"))
+        .withColumn("j", Vec.pqAssign(col("m"), col("sv"), cbSeq))
         .select(col("m"), col("j"), posexplode(col("sv")).as(Seq("d0", "x")))
         .groupBy("m", "j", "d0")
         .agg(count(lit(1)).as("cnt"), sum("x").as("s"))
@@ -1017,25 +1012,14 @@ object SimilarityOps {
       }
     }
     // READ PATH off the trained codebook — same shape as adcScored/pqRerank
-    def distsExpr(v: String) =
-      s"""transform(sequence(0, 7), m -> transform(element_at($cbLit, CAST(m + 1 AS INT)), c ->
-         |  aggregate(sequence(1, 8), CAST(0 AS BIGINT),
-         |    (a, d) -> a + ${sq(s"element_at($v, CAST(m * 8 + d AS INT)) - element_at(c, d)")})))""".stripMargin
     val cands = qf.where(col("vec_id") >= 8)
       .select(col("vec_id").as("c_id"), col("cl").as("c_cl"), col("qv").as("cv"))
-      .withColumn("codes", expr(
-        s"transform((${distsExpr("cv")}), ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"))
+      .withColumn("codes", Vec.pqCodes(col("cv"), cbSeq))
     val q = qf.where(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("cl").as("q_cl"), col("qv"))
-    val trainedC = s"element_at(element_at($cbLit, CAST(m + 1 AS INT)), " +
-      "CAST(element_at(codes, CAST(m + 1 AS INT)) + 1 AS INT))"
-    val adcExpr =
-      s"""aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, m) ->
-         |  acc + aggregate(sequence(1, 8), CAST(0 AS BIGINT),
-         |    (a, d) -> a + ${sq(s"element_at(qv, CAST(m * 8 + d AS INT)) - element_at($trainedC, d)")}))""".stripMargin
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
     val shortlist = cands.join(broadcast(q))
-      .withColumn("adc", expr(adcExpr))
+      .withColumn("adc", Vec.pqAdc(col("qv"), col("codes"), cbSeq))
       .withColumn("adc_rank", row_number().over(wAdc).cast("long"))
       .where(col("adc_rank") <= RerankS)
       .select("q_id", "q_cl", "qv", "c_id", "c_cl", "adc_rank")

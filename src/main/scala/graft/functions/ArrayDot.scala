@@ -166,6 +166,286 @@ case class CellDistances(child: Expression, codebook: Seq[Seq[Long]])
     copy(child = newChild)
 }
 
+/** Static kernels for the product-quantization read/train path. All exact
+  * int64 arithmetic; argmin ties resolve to the FIRST minimum (the
+  * `array_position(ds, array_min(ds))` rule the HOF forms and the DuckDB
+  * oracles use). */
+object PqKernels {
+  /** argmin_j Σ_d (sv[d] − cb(m)(j)(d))² — subspace assignment. */
+  def assign(m: Int, sv: ArrayData, cb: Array[Array[Array[Long]]]): Int = {
+    val cm = cb(m)
+    var best = 0
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < cm.length) {
+      val c = cm(j)
+      var s = 0L
+      var d = 0
+      while (d < c.length) { val diff = sv.getLong(d) - c(d); s += diff * diff; d += 1 }
+      if (s < bestD) { bestD = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Per-subspace codes of a full quantized vector: code m =
+    * argmin_j Σ_d (qv[m·w+d] − cb(m)(j)(d))², w = subspace width. */
+  def codes(qv: ArrayData, cb: Array[Array[Array[Long]]]): ArrayData = {
+    val msub = cb.length
+    val w = cb(0)(0).length
+    val out = new Array[Any](msub)
+    var m = 0
+    while (m < msub) {
+      val cm = cb(m)
+      var best = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < cm.length) {
+        val c = cm(j)
+        var s = 0L
+        var d = 0
+        while (d < w) { val diff = qv.getLong(m * w + d) - c(d); s += diff * diff; d += 1 }
+        if (s < bestD) { bestD = s; best = j }
+        j += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Double-precision variant of [[codes]]+reconstruction for the
+    * FORMULA-codebook PQ ops (float embeddings, double centroids): returns
+    * (codes, recon_sse) in one pass. Fold order matches the HOF forms —
+    * per (m, j) the d-ascending sum, argmin first-min, then the recon
+    * accumulates per-m partial sums in m order — so doubles are
+    * bit-identical to the interpreted expressions and the oracles. */
+  def codesReconD(emb: ArrayData, cb: Array[Array[Array[Double]]], floatElems: Boolean)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val msub = cb.length
+    val kk = cb(0).length
+    val w = cb(0)(0).length
+    val codes = new Array[Int](msub)
+    var m = 0
+    while (m < msub) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < kk) {
+        val c = cb(m)(j)
+        var s = 0.0
+        var d = 0
+        while (d < w) {
+          val e = if (floatElems) emb.getFloat(m * w + d).toDouble else emb.getDouble(m * w + d)
+          val diff = e - c(d)
+          s += diff * diff
+          d += 1
+        }
+        if (s < bestD) { bestD = s; best = j }
+        j += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    var acc = 0.0
+    m = 0
+    while (m < msub) {
+      val c = cb(m)(codes(m))
+      var s = 0.0
+      var d = 0
+      while (d < w) {
+        val e = if (floatElems) emb.getFloat(m * w + d).toDouble else emb.getDouble(m * w + d)
+        val diff = e - c(d)
+        s += diff * diff
+        d += 1
+      }
+      acc += s
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        codes.map(Int.box): Array[Any]), acc))
+  }
+
+  /** Double-precision ADC: Σ_m Σ_d (qe[m·w+d] − cb(m)(codes(m))(d))²,
+    * per-m partial sums accumulated in m order (HOF fold parity). */
+  def adcD(qe: ArrayData, codes: ArrayData, cb: Array[Array[Array[Double]]],
+      floatElems: Boolean): Double = {
+    val msub = cb.length
+    val w = cb(0)(0).length
+    var acc = 0.0
+    var m = 0
+    while (m < msub) {
+      val c = cb(m)(codes.getInt(m))
+      var s = 0.0
+      var d = 0
+      while (d < w) {
+        val e = if (floatElems) qe.getFloat(m * w + d).toDouble else qe.getDouble(m * w + d)
+        val diff = e - c(d)
+        s += diff * diff
+        d += 1
+      }
+      acc += s
+      m += 1
+    }
+    acc
+  }
+
+  /** Asymmetric distance: Σ_m Σ_d (qv[m·w+d] − cb(m)(codes(m))(d))². */
+  def adc(qv: ArrayData, codes: ArrayData, cb: Array[Array[Array[Long]]]): Long = {
+    val msub = cb.length
+    val w = cb(0)(0).length
+    var acc = 0L
+    var m = 0
+    while (m < msub) {
+      val c = cb(m)(codes.getInt(m))
+      var d = 0
+      while (d < w) { val diff = qv.getLong(m * w + d) - c(d); acc += diff * diff; d += 1 }
+      m += 1
+    }
+    acc
+  }
+}
+
+/** Subspace assignment j for a (subspace index, subvector) row against a
+  * plan-time 3-level codebook. */
+case class PqAssign(m: Expression, sv: Expression, codebook: Seq[Seq[Seq[Long]]])
+    extends BinaryExpression {
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  override def left: Expression = m
+  override def right: Expression = sv
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (m.dataType, sv.dataType) match {
+      case (IntegerType, ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_assign needs (int, array<bigint>), got $other")
+    }
+  override def nullSafeEval(mv: Any, svv: Any): Any =
+    PqKernels.assign(mv.asInstanceOf[Int], svv.asInstanceOf[ArrayData], cb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "long[][][]")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PqKernels.assign($a, $b, $cbRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(m = l, sv = r)
+}
+
+/** Per-subspace PQ codes of a full quantized vector. */
+case class PqCodes(child: Expression, codebook: Seq[Seq[Seq[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_codes needs array<bigint>, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernels.codes(input.asInstanceOf[ArrayData], cb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "long[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqKernels.codes($c, $cbRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric (query-vector vs candidate-codes) PQ distance. */
+case class PqAdc(qv: Expression, codes: Expression, codebook: Seq[Seq[Seq[Long]]])
+    extends BinaryExpression {
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  override def left: Expression = qv
+  override def right: Expression = codes
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (qv.dataType, codes.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc needs (array<bigint>, array<int>), got $other")
+    }
+  override def nullSafeEval(q: Any, c: Any): Any =
+    PqKernels.adc(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], cb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "long[][][]")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PqKernels.adc($a, $b, $cbRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(qv = l, codes = r)
+}
+
+/** (codes, recon_sse) of a float-embedding column against a plan-time
+  * double codebook — the formula-codebook PQ encode. */
+case class PqCodesReconD(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("recon_sse", DoubleType, nullable = false)))
+  private def floatElems: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_codes_recon needs array<float|double>, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernels.codesReconD(input.asInstanceOf[ArrayData], cb, floatElems)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebookD", cb, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqKernels.codesReconD($c, $cbRef, $floatElems)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Double ADC of a float query vector against candidate codes under a
+  * plan-time double codebook. */
+case class PqAdcD(qe: Expression, codes: Expression, codebook: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression {
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  override def left: Expression = qe
+  override def right: Expression = codes
+  override def dataType: DataType = DoubleType
+  private def floatElems: Boolean = qe.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (qe.dataType, codes.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_d needs (array<float|double>, array<int>), got $other")
+    }
+  override def nullSafeEval(q: Any, c: Any): Any =
+    PqKernels.adcD(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], cb, floatElems)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebookD", cb, "double[][][]")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PqKernels.adcD($a, $b, $cbRef, $floatElems)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(qe = l, codes = r)
+}
+
 /** Column-level vector helpers built on [[ArrayDot]]. */
 object Vec {
   import org.apache.spark.sql.functions.sqrt
@@ -180,4 +460,15 @@ object Vec {
   /** Int L2 distances to every centroid of a plan-time codebook. */
   def cellDistances(qv: Column, codebook: Seq[Seq[Long]]): Column =
     shim.column(CellDistances(shim.expression(qv), codebook))
+
+  def pqAssign(m: Column, sv: Column, cb: Seq[Seq[Seq[Long]]]): Column =
+    shim.column(PqAssign(shim.expression(m), shim.expression(sv), cb))
+  def pqCodes(qv: Column, cb: Seq[Seq[Seq[Long]]]): Column =
+    shim.column(PqCodes(shim.expression(qv), cb))
+  def pqAdc(qv: Column, codes: Column, cb: Seq[Seq[Seq[Long]]]): Column =
+    shim.column(PqAdc(shim.expression(qv), shim.expression(codes), cb))
+  def pqCodesReconD(emb: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    shim.column(PqCodesReconD(shim.expression(emb), cb))
+  def pqAdcD(qe: Column, codes: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    shim.column(PqAdcD(shim.expression(qe), shim.expression(codes), cb))
 }
