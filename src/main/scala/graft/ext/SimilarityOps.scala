@@ -263,9 +263,13 @@ object SimilarityOps {
        |AS DOUBLE))""".stripMargin
 
   def clusteredEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    // compiled generator (ClusteredEmbGen scaladoc): consumers that
+    // element_at this column inside another lambda (the int-quantize
+    // transform) re-ran the whole 64-lane HOF per element after collapse —
+    // re-materializing the cached frame measured 4.2 s at sf0.1
     Tables.embeddings(spark, sfDir).select("vec_id")
       .withColumn("cl", col("vec_id") % ClusterC)
-      .withColumn("embedding", expr(clusteredEmbExpr))
+      .withColumn("embedding", graft.functions.Vec.clusteredEmb(col("vec_id")))
 
   /** recall@5 AND scanned fraction of IVF multi-probe routing on the
     * clustered fixture — the oracle-pinned proof that the index mechanics

@@ -135,6 +135,45 @@ object VecKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Clustered-fixture embedding generator — see [[ClusteredEmbGen]]. */
+  def clusteredEmb(vecId: Long): ArrayData = {
+    val out = new Array[Any](64)
+    var k = 1L
+    while (k <= 64) {
+      val g = (vecId % 8) * 64 + k
+      val sign = if ((g * g * 2654435761L + g * 40503L) % 1000L < 500L) 1.0 else -1.0
+      val noise = (((vecId * 2654435761L + k * 40503L) % 1000L).toDouble / 1000.0 - 0.5) * 0.4
+      out((k - 1).toInt) = sign + noise
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Deterministic clustered-fixture embedding from a vec_id column — the
+  * compiled twin of [[graft.ext.SimilarityOps]]' `clusteredEmbExpr` HOF
+  * (same integer hash, same IEEE op order: sign ± 1.0 by cluster-seeded
+  * hash, plus a 0.4-amplitude per-lane noise term). Exists because any
+  * consumer that element_at's the HOF-generated column inside ANOTHER
+  * lambda (e.g. the int-quantize transform) re-evaluates the whole
+  * 64-lane generator per element after projection collapse — O(64²)
+  * interpreted work per row; the kernel is one compiled pass and CSE
+  * dedupes repeated calls. */
+case class ClusteredEmbGen(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"clustered_emb needs bigint, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.clusteredEmb(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.clusteredEmb($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Distances from a quantized int64 vector column to every centroid of a
@@ -460,6 +499,8 @@ object Vec {
   /** Int L2 distances to every centroid of a plan-time codebook. */
   def cellDistances(qv: Column, codebook: Seq[Seq[Long]]): Column =
     shim.column(CellDistances(shim.expression(qv), codebook))
+  def clusteredEmb(vecId: Column): Column =
+    shim.column(ClusteredEmbGen(shim.expression(vecId)))
 
   def pqAssign(m: Column, sv: Column, cb: Seq[Seq[Seq[Long]]]): Column =
     shim.column(PqAssign(shim.expression(m), shim.expression(sv), cb))
