@@ -693,7 +693,129 @@ object MultimodalOps {
       |  doc_id <> min(doc_id) OVER (PARTITION BY ph0, ph1) AS is_dup
       |FROM ph ORDER BY doc_id""".stripMargin
 
+  /** Family-structured WAV fixture for [[audioDedup]]: family
+    * `q = doc_id % 89` fixes sample count, rate and the base waveform
+    * ([[wavSample]]'s formula over q), and replica index `doc_id / 89`
+    * applies an integer GAIN `1 + (doc_id / 89) % 3` to every sample
+    * (max 3·2000 = 6000, well inside int16). Family members are therefore
+    * volume-normalized RE-ENCODES of one recording — the canonical audio
+    * near-dup an envelope hash must collapse, and byte dedup cannot. */
+  def encodeWavFam(docId: Long): Array[Byte] = {
+    val q = docId % 89
+    val gain = (1 + (docId / 89) % 3).toInt
+    val n = (200L + (q * 7L) % 300L).toInt
+    val sr = (8000L + (q % 4L) * 2000L).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((q * 31 + i.toLong * 17) % 4001) - 2000).toInt * gain
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** REAL audio near-duplicate detection via a gain-invariant envelope
+    * hash — the audio twin of [[phashDedup]]: decode real PCM through the
+    * JDK codec, split the |sample| stream into 16 equal windows, set bit w
+    * when its window is louder than the track mean. The compare is the
+    * EXACT integer cross-product `sum_w · n > total · len_w`, so a uniform
+    * gain multiplies both sides equally and cancels — [[encodeWavFam]]'s
+    * volume-replica families collapse to one (n_samples, signature) key BY
+    * CONSTRUCTION of the algorithm, while byte dedup sees distinct files.
+    * (Chromaprint-class fingerprints quantize spectral energy the same
+    * way; the envelope variant keeps the oracle closed-form.)
+    *
+    * Dup groups are exact-equal (n_samples, sig16) keys: ONE shuffle of
+    * (doc_id, int64, int64) per track regardless of track length. */
+  def audioDedup(df: DataFrame, batchSize: Int = 32): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("sig16", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val hashed = df.select(col("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val ais = wavReader.getAudioInputStream(
+            new java.io.ByteArrayInputStream(encodeWavFam(id)))
+          val bytes = ais.readAllBytes()
+          ais.close()
+          val n = bytes.length / 2
+          val absd = new Array[Long](n)
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+            absd(i) = math.abs(v)
+            total += absd(i)
+            i += 1
+          }
+          var sig = 0L
+          var w = 0
+          while (w < 16) {
+            val lo = w * n / 16
+            val hi = (w + 1) * n / 16
+            var sw = 0L
+            var j = lo
+            while (j < hi) { sw += absd(j); j += 1 }
+            if (sw * n > total * (hi - lo)) sig |= 1L << (15 - w)
+            w += 1
+          }
+          Row(id, n.toLong, sig)
+        }
+      }
+    }(enc)
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy("n_samples", "sig16")
+    hashed
+      .withColumn("group_size", count(lit(1)).over(grp).cast("long"))
+      .withColumn("canonical", min(col("doc_id")).over(grp))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical"))
+      .orderBy("doc_id")
+  }
+
+  def audioDedupQuery(spark: SparkSession, sfDir: String): DataFrame =
+    audioDedup(Tables.documents(spark, sfDir))
+
+  /** Oracle: the gain cancels out of the integer cross-product, so the
+    * signature derives from the FAMILY's gain-free |sample| stream in
+    * closed form. */
+  private val audioDedupSql =
+    """WITH d AS (SELECT doc_id, doc_id % 89 AS q FROM documents),
+      |p AS (SELECT doc_id, q, CAST(200 + (q * 7) % 300 AS BIGINT) AS n FROM d),
+      |s AS (SELECT doc_id, q, n, unnest(range(0, n)) AS i FROM p),
+      |v AS (SELECT doc_id, n, i, abs(((q * 31 + i * 17) % 4001) - 2000) AS a FROM s),
+      |t AS (SELECT doc_id, n, sum(a) AS total FROM v GROUP BY doc_id, n),
+      |w AS (SELECT doc_id, n, unnest(range(0, 16)) AS w FROM t),
+      |sw AS (SELECT w.doc_id, w.n, w.w,
+      |         (w.w * w.n) // 16 AS lo, ((w.w + 1) * w.n) // 16 AS hi
+      |       FROM w),
+      |ws AS (SELECT sw.doc_id, sw.n, sw.w, sw.hi - sw.lo AS wlen,
+      |         coalesce(sum(v.a), 0) AS s
+      |       FROM sw LEFT JOIN v ON v.doc_id = sw.doc_id AND v.i >= sw.lo AND v.i < sw.hi
+      |       GROUP BY sw.doc_id, sw.n, sw.w, sw.hi - sw.lo),
+      |b AS (SELECT ws.doc_id, ws.n, ws.w,
+      |        CASE WHEN ws.s * ws.n > t.total * ws.wlen THEN 1 ELSE 0 END AS bit
+      |      FROM ws JOIN t ON t.doc_id = ws.doc_id),
+      |sg AS (SELECT doc_id, n AS n_samples,
+      |         CAST(sum(bit * power(2, 15 - w)) AS BIGINT) AS sig16
+      |       FROM b GROUP BY doc_id, n)
+      |SELECT doc_id, n_samples, sig16,
+      |  CAST(count(*) OVER (PARTITION BY n_samples, sig16) AS BIGINT) AS group_size,
+      |  min(doc_id) OVER (PARTITION BY n_samples, sig16) AS canonical,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY n_samples, sig16) AS is_dup
+      |FROM sg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_dedup" -> (audioDedupQuery _),
     "mm_phash_dedup" -> (phashDedupQuery _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_batched_decode" -> (batchedDecode _),
@@ -704,6 +826,7 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_dedup" -> audioDedupSql,
     "mm_phash_dedup" -> phashDedupSql,
     "mm_binary_meta" -> binaryMetaSql,
     "mm_batched_decode" -> batchedDecodeSql,

@@ -1101,6 +1101,50 @@ object SimilarityOps {
        |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction —
+    * the dim-cut preprocessing step before ANN or clustering at scale
+    * (Achlioptas 2001 ±1 sign matrix): 64 → 16 dims via a plan-time sign
+    * matrix, y = P·x / √16 (√16 = 4, so the scale divide is exact IEEE on
+    * both engines). Output per vector: the original and projected squared
+    * norms and their ratio — the JL distortion, which the projection bounds
+    * in expectation (E‖y‖² = ‖x‖²); the ratio column IS the measured
+    * distortion a pipeline monitors before trusting the reduced space.
+    * Shuffle-free compiled projection ([[graft.functions.VecKernels]]
+    * jlProject); at 100 TB this is the 4× scan-width cut that makes
+    * downstream k-NN graphs and clustering affordable. */
+  def randomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("proj", graft.functions.Vec.jlProject(col("embedding"), 16))
+    e.select(col("vec_id"),
+      Vec.dot(col("embedding"), col("embedding")).as("orig_norm2"),
+      Vec.dot(col("proj"), col("proj")).as("proj_norm2"),
+      (Vec.dot(col("proj"), col("proj")) / Vec.dot(col("embedding"), col("embedding")))
+        .as("distortion"),
+      expr("element_at(proj, 1)").as("y0"))
+      .orderBy("vec_id")
+  }
+
+  private val randomProjectionSql = {
+    def sign(g: String) =
+      s"(CASE WHEN (($g) * ($g) * 2654435761 + ($g) * 40503) % 1000 < 500 THEN 1.0 ELSE -1.0 END)"
+    val proj =
+      s"""list_transform(range(0, 16), r -> list_reduce(
+         |  list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+         |    d -> ${sign("r * 64 + d")} * CAST(embedding[d] AS DOUBLE))),
+         |  (a, b) -> a + b) / 4.0)""".stripMargin
+    val dot16 = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, 17), k -> proj[k] * proj[k])), (a, b) -> a + b)"
+    s"""WITH p AS (SELECT vec_id, embedding, $proj AS proj FROM embeddings),
+       |n AS (SELECT vec_id,
+       |        ${dotSql("embedding", "embedding")} AS orig_norm2,
+       |        $dot16 AS proj_norm2,
+       |        proj[1] AS y0
+       |      FROM p)
+       |SELECT vec_id, orig_norm2, proj_norm2,
+       |  proj_norm2 / orig_norm2 AS distortion, y0
+       |FROM n ORDER BY vec_id""".stripMargin
+  }
+
   private val KnnK = 3
 
   /** k-NN GRAPH construction — the whole-corpus artifact that graph-based
@@ -1291,6 +1335,7 @@ object SimilarityOps {
       |FROM q, st ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_random_projection" -> (randomProjection _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_binary_hamming" -> (binaryHamming _),
     "sim_outlier_filter" -> (outlierFilter _),
@@ -1309,6 +1354,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_random_projection" -> randomProjectionSql,
     "sim_knn_graph" -> knnGraphSql,
     "sim_binary_hamming" -> binaryHammingSql,
     "sim_outlier_filter" -> outlierFilterSql,

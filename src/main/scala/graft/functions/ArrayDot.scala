@@ -136,6 +136,31 @@ object VecKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** ±1/√k random projection (Johnson–Lindenstrauss, Achlioptas 2001
+    * sign-matrix form): y_r = (Σ_d sign(r,d)·x_d) / √k, fold d-ascending,
+    * sign(r,d) from the repo's standard integer hash over g = r·64+d+1.
+    * √16 = 4 is exact, so the scale divide is one well-defined IEEE op
+    * mirrored by the oracle. */
+  def jlProject(emb: ArrayData, outDims: Int, floatElems: Boolean): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Any](outDims)
+    var r = 0
+    while (r < outDims) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val g = r.toLong * 64L + d + 1L
+        val sign = if ((g * g * 2654435761L + g * 40503L) % 1000L < 500L) 1.0 else -1.0
+        val x = if (floatElems) emb.getFloat(d).toDouble else emb.getDouble(d)
+        acc += sign * x
+        d += 1
+      }
+      out(r) = acc / 4.0
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Clustered-fixture embedding generator — see [[ClusteredEmbGen]]. */
   def clusteredEmb(vecId: Long): ArrayData = {
     val out = new Array[Any](64)
@@ -149,6 +174,32 @@ object VecKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** 16-dim ±1/√16 Johnson–Lindenstrauss projection of an embedding column
+  * (see [[VecKernels.jlProject]]). */
+case class JlProject(child: Expression, outDims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def floatElems: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jl_project needs array<float|double>, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.jlProject(input.asInstanceOf[ArrayData], outDims, floatElems)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecKernels.jlProject($c, $outDims, $floatElems)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Deterministic clustered-fixture embedding from a vec_id column — the
@@ -501,6 +552,8 @@ object Vec {
     shim.column(CellDistances(shim.expression(qv), codebook))
   def clusteredEmb(vecId: Column): Column =
     shim.column(ClusteredEmbGen(shim.expression(vecId)))
+  def jlProject(emb: Column, outDims: Int): Column =
+    shim.column(JlProject(shim.expression(emb), outDims))
 
   def pqAssign(m: Column, sv: Column, cb: Seq[Seq[Seq[Long]]]): Column =
     shim.column(PqAssign(shim.expression(m), shim.expression(sv), cb))

@@ -144,4 +144,28 @@ class MultimodalSpec extends SparkSpec {
     assert(distinctHashes > out.size / 30,
       s"hash space degenerate: $distinctHashes hashes for ${out.size} docs")
   }
+
+  test("mm_audio_dedup: envelope hash collapses gain replicas that byte dedup cannot (r7)") {
+    import spark.implicits._
+    // 0 and 89 are the same recording at different gain: distinct WAV
+    // bytes, identical (n_samples, envelope signature)
+    val b0 = MultimodalOps.encodeWavFam(0L)
+    val b89 = MultimodalOps.encodeWavFam(89L)
+    assert(!java.util.Arrays.equals(b0, b89), "gain replicas must differ at the byte level")
+    val out = MultimodalOps.audioDedup(Tables.documents(spark, sf))
+      .select("doc_id", "n_samples", "sig16", "canonical", "is_dup")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val fam = out.keys.filter(_ % 89 == 0).toSeq.sorted
+    assert(fam.size >= 2, "fixture must contain at least one gain family")
+    assert(fam.map(d => (out(d)._2, out(d)._3)).distinct.size == 1,
+      "family 0 must share one (n_samples, sig) key")
+    assert(fam.map(d => out(d)._4).distinct.size == 1, "one canonical per group")
+    // every group must be exactly one family (simulated discrimination
+    // holds through the real codec round-trip)
+    val byKey = out.values.groupBy(r => (r._2, r._3))
+    byKey.foreach { case (k, rs) =>
+      assert(rs.map(_._1 % 89).toSet.size == 1, s"key $k merges families")
+    }
+  }
 }

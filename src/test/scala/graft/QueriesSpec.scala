@@ -673,4 +673,16 @@ class QueriesSpec extends SparkSpec {
     // the cap must actually bind somewhere or the op degenerates to identity
     assert(cellSizes.values.exists(_ > 25L), "fixture must have at least one over-cap cell")
   }
+
+  test("sim_random_projection: JL norm preservation holds in aggregate (r7)") {
+    import spark.implicits._
+    val rows = ext.SimilarityOps.randomProjection(spark, sf)
+      .select("distortion").as[Double].collect()
+    assert(rows.nonEmpty)
+    val mean = rows.sum / rows.length
+    // E[||Px/sqrt(k)||^2] = ||x||^2: the corpus-mean distortion must sit
+    // near 1 even though per-vector variance at k=16 is wide
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion $mean outside JL expectation")
+    assert(rows.forall(d => d > 0.0 && d.isFinite))
+  }
 }
