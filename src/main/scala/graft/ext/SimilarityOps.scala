@@ -1159,12 +1159,22 @@ object SimilarityOps {
     * (src, nbr, cos) — 24-byte rows. A vector alone in both its buckets
     * has no edges (standard for LSH graphs; more tables is the recall
     * knob, the width b ∝ log N contract bounds bucket occupancy). */
-  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphAt(spark, sfDir,
+      sys.env.get("SPARK_GRAFT_EMB_BITS").map(_.toInt).getOrElse(4))
+
+  /** Width-parameterized form — the same b ∝ log N occupancy contract as
+    * [[DedupOps.embeddingCosineAt]] (same env override, never set by the
+    * oracle gate): candidate volume per vector is ~N/2ᵇ per table, so the
+    * fixture-pinned b=4 measured 11.5× on 10× vectors while b=7 restores
+    * ~linear (SCALING.md r7). */
+  def knnGraphAt(spark: SparkSession, sfDir: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"sign-hash width out of range: $bits")
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("norm", Vec.norm(col("embedding")))
-      .withColumn("bk0", expr(signBucketExpr(1)))
-      .withColumn("bk1", expr(signBucketExpr(5)))
+      .withColumn("bk0", expr(signBucketExpr(1, bits)))
+      .withColumn("bk1", expr(signBucketExpr(1 + bits, bits)))
     val stacked = e.select(col("vec_id"), col("embedding"), col("norm"),
       posexplode(array(col("bk0"), col("bk1"))).as(Seq("tbl", "bk")))
     val a = stacked.select(col("tbl"), col("bk"),
