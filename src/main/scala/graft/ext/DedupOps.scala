@@ -1183,7 +1183,83 @@ object DedupOps {
        |WHERE (split1 = 'train') <> (split2 = 'train')
        |ORDER BY train_doc, eval_doc""".stripMargin
 
+  /** Detector-agreement report — the observability artifact for CHOOSING a
+    * near-dup detector: the three pair-level detectors this library ships
+    * (MinHash-LSH at est ≥ 0.5, exact-SimHash collision, winnowing-index
+    * at jaccard ≥ 0.5) run over the same corpus and the report counts each
+    * pair set, every pairwise intersection, and the set-level Jaccard
+    * agreement. Low agreement between two detectors on YOUR corpus is the
+    * signal to audit thresholds before trusting either's drop list.
+    *
+    * Scale shape: each detector keeps its own (already scale-audited)
+    * plan; the agreement stage unions bare (doc1, doc2, detector) triples
+    * — 20 bytes/pair — into ONE groupBy on the pair key and ONE global
+    * conditional-count rollup to 3 output rows. No detector's internals
+    * are re-shuffled. */
+  def detectorAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mh = minhashLsh(spark, sfDir).where(col("est_jaccard") >= 0.5)
+      .select(col("doc1"), col("doc2"), lit("minhash").as("det"))
+    val sh0 = simhash(spark, sfDir).select("doc_id", "simhash")
+    val sh = sh0.select(col("doc_id").as("doc1"), col("simhash"))
+      .join(sh0.select(col("doc_id").as("doc2"), col("simhash")), Seq("simhash"))
+      .where(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), lit("simhash").as("det"))
+    val wn = TextOps.winnowPairs(spark, sfDir).where(col("jaccard") >= 0.5)
+      .select(col("doc1"), col("doc2"), lit("winnow").as("det"))
+    val flags = mh.unionByName(sh).unionByName(wn)
+      .groupBy("doc1", "doc2")
+      .agg(expr("bool_or(det = 'minhash')").as("m"),
+        expr("bool_or(det = 'simhash')").as("s"),
+        expr("bool_or(det = 'winnow')").as("w"))
+    val agg = flags.agg(
+      count(when(col("m"), 1)).as("pm"),
+      count(when(col("s"), 1)).as("ps"),
+      count(when(col("w"), 1)).as("pw"),
+      count(when(col("m") && col("s"), 1)).as("ms"),
+      count(when(col("m") && col("w"), 1)).as("mw"),
+      count(when(col("s") && col("w"), 1)).as("sw"))
+    val ord = Window.orderBy("det_a") // 3 rows
+    agg.select(expr(
+      """stack(3,
+        |  'minhash', 'simhash', pm, ps, ms,
+        |  'minhash', 'winnow', pm, pw, mw,
+        |  'simhash', 'winnow', ps, pw, sw)
+        |AS (det_a, det_b, pairs_a, pairs_b, shared)""".stripMargin))
+      .withColumn("agreement", col("shared").cast("double") /
+        (col("pairs_a") + col("pairs_b") - col("shared")).cast("double"))
+      .orderBy("det_a", "det_b")
+  }
+
+  private def detectorAgreementSql =
+    s"""WITH mh AS (SELECT doc1, doc2 FROM ($minhashLshSql) WHERE est_jaccard >= 0.5),
+       |sh0 AS (SELECT doc_id, simhash FROM ($simhashSql)),
+       |shp AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+       |        FROM sh0 a JOIN sh0 b ON a.simhash = b.simhash AND a.doc_id < b.doc_id),
+       |wnp AS (SELECT doc1, doc2 FROM (${TextOps.winnowPairsSql}) WHERE jaccard >= 0.5),
+       |u AS (SELECT doc1, doc2, 'minhash' AS det FROM mh
+       |      UNION ALL SELECT doc1, doc2, 'simhash' FROM shp
+       |      UNION ALL SELECT doc1, doc2, 'winnow' FROM wnp),
+       |f AS (SELECT doc1, doc2,
+       |        bool_or(det = 'minhash') AS m, bool_or(det = 'simhash') AS s,
+       |        bool_or(det = 'winnow') AS w
+       |      FROM u GROUP BY doc1, doc2),
+       |a AS (SELECT
+       |        count(*) FILTER (WHERE m) AS pm, count(*) FILTER (WHERE s) AS ps,
+       |        count(*) FILTER (WHERE w) AS pw,
+       |        count(*) FILTER (WHERE m AND s) AS ms,
+       |        count(*) FILTER (WHERE m AND w) AS mw,
+       |        count(*) FILTER (WHERE s AND w) AS sw
+       |      FROM f),
+       |r AS (SELECT 'minhash' AS det_a, 'simhash' AS det_b, pm AS pairs_a, ps AS pairs_b, ms AS shared FROM a
+       |      UNION ALL SELECT 'minhash', 'winnow', pm, pw, mw FROM a
+       |      UNION ALL SELECT 'simhash', 'winnow', ps, pw, sw FROM a)
+       |SELECT det_a, det_b, pairs_a, pairs_b, shared,
+       |  CAST(shared AS DOUBLE) / (pairs_a + pairs_b - shared) AS agreement
+       |FROM r ORDER BY det_a, det_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "report_detector_agreement" -> (detectorAgreement _),
     "split_leakage_purge" -> (splitLeakagePurge _),
     "report_lsh_tuning" -> (lshTuningReport _),
     "dedup_cdc_chunks" -> (cdcChunkDedup _),
@@ -1203,6 +1279,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "report_detector_agreement" -> detectorAgreementSql,
     "split_leakage_purge" -> splitLeakagePurgeSql,
     "report_lsh_tuning" -> lshTuningReportSql,
     "dedup_cdc_chunks" -> cdcChunkDedupSql,

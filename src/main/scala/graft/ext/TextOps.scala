@@ -1134,7 +1134,7 @@ object TextOps {
       .orderBy("doc1", "doc2")
   }
 
-  private val winnowPairsSql = {
+  private[graft] val winnowPairsSql = {
     val w = 4
     s"""WITH $winnowCtePrefix,
        |fp0 AS (SELECT DISTINCT doc_id, CAST(minc // 2147483648 AS BIGINT) AS fp_h
