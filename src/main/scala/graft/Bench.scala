@@ -79,7 +79,15 @@ object Bench {
         yield (b - a) / 1e9 / wall).getOrElse(Double.NaN)
       (wall, cpuUtil, sysLoad())
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c benches a subset (smoke/iteration aid);
+    // unset = the full inventory, which is what the driver measures.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val firstPass = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): (Double, Double, Double) = sample(fn)
       val times =
         try {
@@ -179,7 +187,26 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"queries_cpu_util":$qsCpu,"queries_sys_load":$qsLoad,"queries_retried":$retriedJson,"bench_samples":$warmSamples,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
-    println(line)
+    // Harness-parse constraint (found round 8): the driver records only the
+    // LAST ~2000 chars of stdout and parses the metric line out of that tail
+    // — rounds 1-7 all recorded `parsed: null` because the full line above
+    // carries four ~143-entry per-query maps (~17 KB) whose head is
+    // truncated out of the tail. stdout therefore gets ONE compact line
+    // (total + the slowest warm queries that fit a fixed budget); the full
+    // per-query detail (warm/cold/cpu-util/sys-load maps) stays in
+    // bench_out.json.
+    val slowest = ok.sortBy { case (_, (_, (warm, _, _))) => -warm }
+    val qBudget = new StringBuilder
+    slowest.foreach { case (k, (_, (warm, _, _))) =>
+      val frag = "\"" + k + "\":" + f"$warm%.3f"
+      if (qBudget.length + frag.length < 1100) {
+        if (qBudget.nonEmpty) qBudget.append(',')
+        qBudget.append(frag)
+      }
+    }
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{$qBudget},"n_queries":${ok.size},"total_cold":${f"$totalCold%.3f"},"queries_shown":"slowest-first subset; full detail in bench_out.json","bench_samples":$warmSamples,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"failed":$failedJson,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

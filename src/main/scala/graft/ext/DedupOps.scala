@@ -1120,14 +1120,14 @@ object DedupOps {
     * 0-7 train, 8 val, 9 test. Same seed, same arithmetic — so this op
     * composes with that split, not a parallel notion of it. */
   private def splitOf(id: Column): Column = {
-    val bucket = conv(substring(md5(concat(lit("graft-sample-1|"), id.cast("string"))), 1, 2),
+    val bucket = conv(substring(md5(concat(lit(SamplingOps.Seed + "|"), id.cast("string"))), 1, 2),
       16, 10).cast("long") % 10
     when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
   }
 
   private def splitSql(idCol: String): String = {
     def nib(i: Int) =
-      s"(strpos('0123456789abcdef', substr(md5('graft-sample-1|' || CAST($idCol AS VARCHAR)), $i, 1)) - 1)"
+      s"(strpos('0123456789abcdef', substr(md5('${SamplingOps.Seed}|' || CAST($idCol AS VARCHAR)), $i, 1)) - 1)"
     s"CASE WHEN (16 * ${nib(1)} + ${nib(2)}) % 10 < 8 THEN 'train' " +
       s"WHEN (16 * ${nib(1)} + ${nib(2)}) % 10 = 8 THEN 'val' ELSE 'test' END"
   }
@@ -1219,7 +1219,6 @@ object DedupOps {
       count(when(col("m") && col("s"), 1)).as("ms"),
       count(when(col("m") && col("w"), 1)).as("mw"),
       count(when(col("s") && col("w"), 1)).as("sw"))
-    val ord = Window.orderBy("det_a") // 3 rows
     agg.select(expr(
       """stack(3,
         |  'minhash', 'simhash', pm, ps, ms,

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object SamplingOps {
 
-  private val Seed = "graft-sample-1"
+  // private[graft]: DedupOps' split-composing ops (splitOf/splitSql) must
+  // reference THIS constant, not re-literal it — a seed change must move
+  // every split consumer together (round-7 advice).
+  private[graft] val Seed = "graft-sample-1"
   private val PerStratum = 20
 
   /** Exactly `PerStratum` docs per source, by seeded-md5 order. */

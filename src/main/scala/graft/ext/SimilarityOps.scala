@@ -890,8 +890,32 @@ object SimilarityOps {
     * integer arithmetic, so the memo can never change a result — only
     * skip recomputing an identical codebook (the bench paid it 4× per
     * suite run, ~6 s per consumer at sf0.1). */
-  private val codebookMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Long]]]()
+    /* Sessions are WEAKLY keyed — a static strong map would retain every
+     * stopped SparkSession forever — and the store key carries a filesystem
+     * fingerprint (name:size:mtime of embeddings.parquet, per file) so a
+     * store regenerated in-place re-trains instead of silently serving the
+     * previous corpus's codebook (both round-7 advice findings). */
+  private val codebookMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]]())
+
+  private def storeFingerprint(sfDir: String): String = {
+    import java.nio.file.{Files => JF, Paths => JP, Path => JPath}
+    def sig(f: JPath) =
+      s"${f.getFileName}:${JF.size(f)}:${JF.getLastModifiedTime(f).toMillis}"
+    val p = JP.get(sfDir, "embeddings.parquet")
+    try {
+      if (JF.isDirectory(p)) {
+        val s = JF.list(p)
+        try {
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          s.forEach(f => b += sig(f))
+          b.sorted.mkString(",")
+        } finally s.close()
+      } else if (JF.exists(p)) sig(p)
+      else "absent"
+    } catch { case _: java.io.IOException => "unreadable" }
+  }
 
   private[graft] def trainedAssignment(spark: SparkSession, sfDir: String): DataFrame = {
     val qf = clusteredEmbeddings(spark, sfDir)
@@ -899,8 +923,11 @@ object SimilarityOps {
         s"transform(sequence(1, 64), d -> CAST(round(element_at(embedding, d) * $KmScale.0D) AS BIGINT))"))
       .select(col("vec_id"), col("cl"), col("qv"))
       .cache()
-    val cb = codebookMemo.computeIfAbsent((spark, sfDir),
-      _ => lloydLoop(qf, KmK, KmIters, 64)._1)
+    val cb = codebookMemo
+      .computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]())
+      .computeIfAbsent(s"$sfDir|${storeFingerprint(sfDir)}",
+        _ => lloydLoop(qf, KmK, KmIters, 64)._1)
     // int L2 to every trained centroid, ordered by cell id — compiled
     // kernel, same exact arithmetic as the HOF form (CellDistances scaladoc)
     qf.withColumn("ds", Vec.cellDistances(col("qv"), cb.map(_.toSeq).toSeq))

@@ -143,19 +143,24 @@ object VecKernels {
     * mirrored by the oracle. */
   def jlProject(emb: ArrayData, outDims: Int, floatElems: Boolean): ArrayData = {
     val n = emb.numElements()
+    // Derive the seed stride from the INPUT length and the scale from
+    // outDims (round-7 advice: the hardwired 64/÷4.0 silently mis-scaled
+    // any other shape). At the shipped 64→16 shape both are bit-identical
+    // to the old literals: r·64+d+1, and √16 = 4 exactly in IEEE.
+    val scale = math.sqrt(outDims.toDouble)
     val out = new Array[Any](outDims)
     var r = 0
     while (r < outDims) {
       var acc = 0.0
       var d = 0
       while (d < n) {
-        val g = r.toLong * 64L + d + 1L
+        val g = r.toLong * n + d + 1L
         val sign = if ((g * g * 2654435761L + g * 40503L) % 1000L < 500L) 1.0 else -1.0
         val x = if (floatElems) emb.getFloat(d).toDouble else emb.getDouble(d)
         acc += sign * x
         d += 1
       }
-      out(r) = acc / 4.0
+      out(r) = acc / scale
       r += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
