@@ -672,8 +672,44 @@ object Relational {
     """SELECT doc_id, source, lang, n_chars FROM documents
       |WHERE lang = 'en' AND source = 'src3' ORDER BY doc_id""".stripMargin
 
+  /** Bucketed co-located fact-fact join — the 100 TB layout story for
+    * JOINS (the complement of [[layoutPrunedScan]]'s partition pruning for
+    * scans): lineitem and orders are written `bucketBy(orderkey)` +
+    * `sortBy` ONCE, and every subsequent join on orderkey consumes the
+    * buckets directly — no exchange and no per-query sort on either fact
+    * side (BucketingSpec pins that plan shape on this exact query). At
+    * 100 TB the write-time shuffle amortizes across every downstream join;
+    * broadcast covers dims, bucketing covers fact-fact. The oracle gate
+    * additionally covers round-trip fidelity through the bucketed layout
+    * (saveAsTable + catalog read-back, all columns and types restored). */
+  def layoutBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val db = s"graft_buckets_${new java.io.File(sfDir).getName.replace('.', '_')}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Tables.lineitem(spark, sfDir).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"$db.li_b")
+    Tables.orders(spark, sfDir).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"$db.ord_b")
+    val discPrice = dec(col("l_extendedprice")) * rate1m(col("l_discount"))
+    spark.table(s"$db.li_b")
+      .join(spark.table(s"$db.ord_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        decOut(sum(discPrice)).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val layoutBucketedJoinSql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_pruned_scan" -> (layoutPrunedScan _),
+    "layout_bucketed_join" -> (layoutBucketedJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_topk" -> (q3ShippingTopk _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -703,6 +739,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "layout_pruned_scan" -> layoutPrunedScanSql,
+    "layout_bucketed_join" -> layoutBucketedJoinSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_topk" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

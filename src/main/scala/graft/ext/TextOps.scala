@@ -128,6 +128,36 @@ object TextOps {
        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window token chunking with overlap — the corpus →
+    * training-example (and RAG-index) preparation step: CHUNK=32 tokens,
+    * OVERLAP=8, stride 24. Starts are 0, 24, 48, … while start ≤ n−9, so a
+    * final fragment already fully contained in the previous chunk is not
+    * re-emitted (an empty document still yields its one empty chunk — the
+    * downstream length filter owns that policy, not the chunker). The op
+    * is a shuffle-free explode: chunks stay in their document's partition,
+    * a map-only pass at any corpus size. */
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", expr("size(toks)").cast("long"))
+      .withColumn("start", explode(expr("sequence(0L, greatest(n_tokens - 9, 0L), 24L)")))
+      .select(col("doc_id"),
+        expr("CAST(start DIV 24 AS BIGINT)").as("chunk_id"),
+        col("n_tokens"),
+        expr("CAST(size(slice(toks, CAST(start + 1 AS INT), 32)) AS BIGINT)").as("chunk_tokens"),
+        expr("array_join(slice(toks, CAST(start + 1 AS INT), 32), ' ')").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkOverlapSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    unnest(generate_series(0, greatest(CAST(len(toks) AS BIGINT) - 9, 0), 24)) AS start
+       |  FROM t)
+       |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id, n_tokens,
+       |  CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS chunk_tokens,
+       |  array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Deterministic subword vocabulary for [[bpeTokenCount]] — a synthetic
     * merge table (zero-egress stand-in for a trained BPE/WordPiece vocab):
     * corpus words plus high-frequency English bigrams. Tokenization is
@@ -1288,6 +1318,7 @@ object TextOps {
     "text_langid" -> (langId _),
     "text_quality_score" -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
+    "text_chunk_overlap" -> (chunkOverlap _),
     "text_bpe_count" -> (bpeTokenCount _),
     "text_fingerprint" -> (fingerprint _),
     "text_pii_scrub" -> (piiScrub _),
@@ -1312,6 +1343,7 @@ object TextOps {
     "text_langid" -> langIdSql,
     "text_quality_score" -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
+    "text_chunk_overlap" -> chunkOverlapSql,
     "text_bpe_count" -> bpeTokenCountSql,
     "text_fingerprint" -> fingerprintSql,
     "text_pii_scrub" -> piiScrubSql,

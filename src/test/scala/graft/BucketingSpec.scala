@@ -4,41 +4,29 @@ import org.apache.spark.sql.functions._
 
 /** Co-located joins via bucketing: pre-shuffling the fact tables on the join
   * key at write time removes the per-query shuffle entirely — the standard
-  * 100 TB technique for repeated fact-fact joins (SCALING.md). */
+  * 100 TB technique for repeated fact-fact joins (SCALING.md). Pins the plan
+  * of the SHIPPED `layout_bucketed_join` query, not a lookalike. */
 class BucketingSpec extends SparkSpec {
 
-  test("bucketed fact-fact join plans without an exchange on the bucketed key") {
-    // warehouse.dir is a static conf; the shared session's default
-    // (./spark-warehouse) is fine — the database is dropped afterwards.
-    val db = "bucketdemo"
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+  test("layout_bucketed_join plans without an exchange on the bucketed key") {
+    // broadcast off: at toy SF orders would broadcast and hide the shape
+    // under test — at 100 TB both fact sides are far past any threshold
+    // and the bucketed SortMergeJoin below is the plan that runs.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Tables.lineitem(spark, sf)
-        .write.mode("overwrite")
-        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(s"$db.li_bucketed")
-      Tables.orders(spark, sf)
-        .write.mode("overwrite")
-        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(s"$db.ord_bucketed")
-
-      val joined = spark.table(s"$db.li_bucketed")
-        .join(spark.table(s"$db.ord_bucketed"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderstatus").count()
-
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val plan = joined.queryExecution.executedPlan.toString
-        // the join itself must not re-shuffle its inputs: no Exchange
-        // between the scans and the SortMergeJoin
-        val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
-        assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"), plan)
-        assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"), plan)
-        // and the result is right
-        val n = joined.agg(sum("count")).head().getLong(0)
-        assert(n == Tables.lineitem(spark, sf).count())
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      val q = graft.ext.Relational.layoutBucketedJoin(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the join itself must not re-shuffle its inputs: no Exchange between
+      // the bucketed scans and the SortMergeJoin (the aggregation above the
+      // join prints BEFORE the join in the plan string, so the substring
+      // isolates the join subtree)
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"), plan)
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"), plan)
+      // and the result is right: every lineitem row joins exactly one order
+      val n = q.agg(sum("n_items")).head().getLong(0)
+      assert(n == Tables.lineitem(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 }
