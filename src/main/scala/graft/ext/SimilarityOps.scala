@@ -921,7 +921,7 @@ object SimilarityOps {
     val qf = clusteredEmbeddings(spark, sfDir)
       .withColumn("qv", expr(
         s"transform(sequence(1, 64), d -> CAST(round(element_at(embedding, d) * $KmScale.0D) AS BIGINT))"))
-      .select(col("vec_id"), col("cl"), col("qv"))
+      .select(col("vec_id"), col("cl"), col("embedding"), col("qv"))
       .cache()
     val cb = codebookMemo
       .computeIfAbsent(spark,
