@@ -197,15 +197,26 @@ object Bench {
     // bench_out.json.
     val slowest = ok.sortBy { case (_, (_, (warm, _, _))) => -warm }
     val qBudget = new StringBuilder
+    // break on first overflow so the subset is strictly slowest-first (a
+    // shorter name sneaking in after a skip would misrepresent the tail)
+    var qFull = false
     slowest.foreach { case (k, (_, (warm, _, _))) =>
       val frag = "\"" + k + "\":" + f"$warm%.3f"
-      if (qBudget.length + frag.length < 1100) {
+      if (!qFull && qBudget.length + frag.length < 1100) {
         if (qBudget.nonEmpty) qBudget.append(',')
         qBudget.append(frag)
-      }
+      } else qFull = true
+    }
+    // failures must survive the driver's ~2000-char stdout tail even when
+    // there are many of them: count + first few names here, full list in
+    // bench_out.json
+    val failedCompact = {
+      val names = failed.sorted
+      val shown = names.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"n":${names.size},"first":$shown}"""
     }
     val compact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{$qBudget},"n_queries":${ok.size},"total_cold":${f"$totalCold%.3f"},"queries_shown":"slowest-first subset; full detail in bench_out.json","bench_samples":$warmSamples,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{$qBudget},"n_queries":${ok.size},"total_cold":${f"$totalCold%.3f"},"queries_shown":"slowest-first subset; full detail in bench_out.json","bench_samples":$warmSamples,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"failed":$failedCompact,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -684,7 +684,17 @@ object Relational {
     * (saveAsTable + catalog read-back, all columns and types restored). */
   def layoutBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val db = s"graft_buckets_${new java.io.File(sfDir).getName.replace('.', '_')}"
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // Cross-SESSION idempotency: the warehouse directory outlives the
+    // (in-memory) catalog, so a fresh session's CREATE DATABASE would hit
+    // LOCATION_ALREADY_EXISTS on the previous run's `$db.db` dir. Drop any
+    // catalog entry AND the on-disk location before recreating — overwrite
+    // mode only covers the case where the catalog still knows the tables.
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+    val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbLoc)) fs.delete(dbLoc, true)
+    spark.sql(s"CREATE DATABASE $db")
     Tables.lineitem(spark, sfDir).write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(s"$db.li_b")

@@ -899,7 +899,14 @@ object SimilarityOps {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]]())
 
-  private def storeFingerprint(sfDir: String): String = {
+  /** None when the store can't be fingerprinted (momentarily unreadable,
+    * racing a rewrite): the caller must then TRAIN FRESH rather than
+    * memoize — a constant "unreadable" sentinel would collide across
+    * regenerations and serve the previous corpus's codebook, the exact
+    * staleness the fingerprint exists to prevent. Catches Exception, not
+    * just IOException — Files.list's stream iteration throws
+    * UncheckedIOException. */
+  private def storeFingerprint(sfDir: String): Option[String] = {
     import java.nio.file.{Files => JF, Paths => JP, Path => JPath}
     def sig(f: JPath) =
       s"${f.getFileName}:${JF.size(f)}:${JF.getLastModifiedTime(f).toMillis}"
@@ -910,24 +917,29 @@ object SimilarityOps {
         try {
           val b = scala.collection.mutable.ArrayBuffer.empty[String]
           s.forEach(f => b += sig(f))
-          b.sorted.mkString(",")
+          Some(b.sorted.mkString(","))
         } finally s.close()
-      } else if (JF.exists(p)) sig(p)
-      else "absent"
-    } catch { case _: java.io.IOException => "unreadable" }
+      } else if (JF.exists(p)) Some(sig(p))
+      else Some("absent")
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private[graft] def trainedAssignment(spark: SparkSession, sfDir: String): DataFrame = {
     val qf = clusteredEmbeddings(spark, sfDir)
       .withColumn("qv", expr(
         s"transform(sequence(1, 64), d -> CAST(round(element_at(embedding, d) * $KmScale.0D) AS BIGINT))"))
-      .select(col("vec_id"), col("cl"), col("embedding"), col("qv"))
+      .select(col("vec_id"), col("cl"), col("qv"))
       .cache()
-    val cb = codebookMemo
-      .computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]())
-      .computeIfAbsent(s"$sfDir|${storeFingerprint(sfDir)}",
-        _ => lloydLoop(qf, KmK, KmIters, 64)._1)
+    val cb = storeFingerprint(sfDir) match {
+      case Some(fp) =>
+        codebookMemo
+          .computeIfAbsent(spark,
+            _ => new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]())
+          .computeIfAbsent(s"$sfDir|$fp",
+            _ => lloydLoop(qf, KmK, KmIters, 64)._1)
+      case None => // unfingerprintable store: never memoize, train fresh
+        lloydLoop(qf, KmK, KmIters, 64)._1
+    }
     // int L2 to every trained centroid, ordered by cell id — compiled
     // kernel, same exact arithmetic as the HOF form (CellDistances scaladoc)
     qf.withColumn("ds", Vec.cellDistances(col("qv"), cb.map(_.toSeq).toSeq))

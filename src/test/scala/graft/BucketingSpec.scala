@@ -27,6 +27,17 @@ class BucketingSpec extends SparkSpec {
       // and the result is right: every lineitem row joins exactly one order
       val n = q.agg(sum("n_items")).head().getLong(0)
       assert(n == Tables.lineitem(spark, sf).count())
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      // leave no warehouse state behind: a leftover graft_buckets_*.db dir
+      // under the repo's spark-warehouse is exactly the stale location the
+      // shipped query must defend against (and shouldn't get to rely on)
+      val db = s"graft_buckets_${new java.io.File(sf).getName.replace('.', '_')}"
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
   }
 }
