@@ -80,6 +80,80 @@ object SamplingOps {
        |FROM s GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  /** Weighted sampling without replacement by PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup): each doc gets priority q = w / u with
+    * weight w = n_chars and u a seeded-md5 uniform in (0, 1]; the sample
+    * is the top-k by priority, and with τ the (k+1)-th priority the
+    * estimator weight max(w, τ) makes any subset-sum unbiased — the
+    * standard way to downsample a weighted corpus while keeping totals
+    * estimable (vs [[importanceSample]]'s per-doc coin flips, which hit
+    * no exact sample size).
+    *
+    * Bit discipline: u is derived from 12 md5 hex chars as the exact
+    * integer u1 ∈ [1, 2^48] (both engines agree on md5 and on nibble
+    * arithmetic), and the priority is (w · 2^48) / u1 computed in doubles
+    * — w < 2^14 so w · 2^48 is EXACT (a shifted small integer), and the
+    * single IEEE division is correctly rounded identically in both
+    * engines. No transcendental anywhere (the exponential-key
+    * Efraimidis–Spirakis form needs ln(u), which is libm-dependent — the
+    * same measured cross-engine hazard [[graft.ext.TextOps]]' BM25 op
+    * documents).
+    *
+    * Scale shape: priorities are a shuffle-free projection on the scan;
+    * the top-(k+1) cut is a distributed TakeOrdered (per-partition top-k
+    * then a k-sized merge at the driver — never a global sort); the rank
+    * window and τ extraction run on the already-k+1-row result. */
+  private val PriK = 100
+
+  def prioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u1 = conv(substring(md5(concat(lit(Seed + "|pri|"), col("doc_id").cast("string"))), 1, 12),
+      16, 10).cast("long") + 1
+    val top = Tables.documents(spark, sfDir)
+      .withColumn("u1", u1)
+      .withColumn("prio",
+        (col("n_chars").cast("double") * lit(281474976710656.0)) / col("u1").cast("double"))
+      .select("doc_id", "source", "n_chars", "prio")
+      .orderBy(col("prio").desc, col("doc_id"))
+      .limit(PriK + 1)
+    // everything below runs on k+1 rows: the single-partition windows are
+    // driver-scale by construction, not a corpus-wide sort
+    val w = Window.orderBy(col("prio").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("tau",
+        max(when(col("rank") === PriK + 1, col("prio")))
+          .over(Window.partitionBy(lit(1))))
+      .where(col("rank") <= PriK)
+      .withColumn("est_w", greatest(col("n_chars").cast("double"), coalesce(col("tau"), lit(0.0))))
+      .select("rank", "doc_id", "source", "n_chars", "est_w")
+      .orderBy("rank")
+  }
+
+  private val prioritySampleSql = {
+    // 12 md5 hex chars → exact integer in [0, 2^48) via nibble math (the
+    // trainValTestSplit pattern, widened), then +1 so u ∈ (0, 1]
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u0 = (1 to 12)
+      .map(i => s"CAST(${java.math.BigInteger.valueOf(16).pow(12 - i)} AS BIGINT) * ${nib(i)}")
+      .mkString(" + ")
+    s"""WITH hh AS (
+       |  SELECT doc_id, source, n_chars,
+       |    md5('$Seed|pri|' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, n_chars,
+       |    (CAST(n_chars AS DOUBLE) * CAST(281474976710656 AS DOUBLE)) /
+       |      CAST(($u0) + 1 AS DOUBLE) AS prio
+       |  FROM hh),
+       |r AS (SELECT *, CAST(row_number() OVER (ORDER BY prio DESC, doc_id) AS BIGINT) AS rank
+       |      FROM p),
+       |tau AS (SELECT coalesce(max(prio), CAST(0 AS DOUBLE)) AS tv FROM r WHERE rank = ${PriK + 1})
+       |SELECT rank, doc_id, source, n_chars,
+       |  greatest(CAST(n_chars AS DOUBLE), tau.tv) AS est_w
+       |FROM r CROSS JOIN tau WHERE rank <= $PriK ORDER BY rank""".stripMargin
+  }
+
   private val CtxTokens = 512L
 
   /** Sequence packing (concat-and-chunk) — the assembly step between a
@@ -491,6 +565,7 @@ object SamplingOps {
     "split_train_val_test" -> (trainValTestSplit _),
     "pack_sequences" -> (packSequencesQuery _),
     "sample_importance" -> (importanceSample _),
+    "sample_priority" -> (prioritySample _),
     "sample_mixture" -> (mixtureSample _),
     "sample_temperature" -> (temperatureSample _),
   )
@@ -504,6 +579,7 @@ object SamplingOps {
     "split_train_val_test" -> trainValTestSplitSql,
     "pack_sequences" -> packSequencesSql,
     "sample_importance" -> importanceSampleSql,
+    "sample_priority" -> prioritySampleSql,
     "sample_mixture" -> mixtureSampleSql,
     "sample_temperature" -> temperatureSampleSql,
   )

@@ -780,6 +780,118 @@ object TextOps {
        |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25 document retrieval — top-10 docs per query for a small query
+    * set, Okapi scoring with tf saturation (k1 = 1.2) and document-length
+    * normalization (b = 0.75), the scoring function behind classic sparse
+    * retrieval (and the lexical half of hybrid RAG retrieval stacks).
+    *
+    * Cross-engine bit discipline: idf uses the RATIONAL odds form
+    * 1 + (N - df + 0.5) / (df + 0.5) rather than its logarithm. This is
+    * now a measured constraint, not caution: enumerating the ENTIRE idf
+    * input domain for every gate scale (df ∈ 1..N, N ∈ {500 … 500k};
+    * 622,100 inputs) found 629 inputs where the JVM's `Math.log` and the
+    * oracle engine's libm `ln` differ in the final bit — so a log-form
+    * score is not oracle-hashable, while the odds form (and every other
+    * term of BM25) is pure IEEE +,-,×,÷, which both engines round
+    * identically. Same parenthesization on both sides; constants that
+    * engines might fold differently (k1+1, 1-b) are pre-folded literals.
+    * Per-document summation order is pinned by folding term contributions
+    * in sorted-term order (array_sort + fold here, list(ORDER BY) +
+    * list_reduce in the oracle) — double addition is not associative, so
+    * an unordered SUM would be partitioning-dependent.
+    *
+    * Scale shape: the query set is a BROADCAST (real query workloads are
+    * thousands of rows — still KBs); tf is the one (doc, term) shuffle,
+    * shrunk to query terms BEFORE the shuffle by the broadcast semi-join;
+    * document frequencies are a tiny per-term aggregate joined back
+    * broadcast; N/avgdl is a 1-row broadcast. The per-query top-10 window
+    * partitions by query_id — at extreme scale (few queries × billions of
+    * scored docs) the production variant replaces it with a per-partition
+    * top-k + merge (the [[graft.ext.Relational]] topk discipline); at
+    * realistic query-set sizes the window parallelizes across queries. */
+  private[graft] val Bm25K = 10
+  private[graft] val Bm25QueryTerms: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "join",
+    1L -> "window", 1L -> "agg", 1L -> "merge",
+    2L -> "hash", 2L -> "scan", 2L -> "slow",
+    3L -> "vector", 3L -> "stream")
+
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopkOf(spark, Tables.documents(spark, sfDir))
+
+  private[graft] def bm25TopkOf(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = spark.createDataFrame(Bm25QueryTerms).toDF("query_id", "term")
+    // doc length rides THROUGH the explode as size(toks) — a shuffle-free
+    // projection — so no corpus-wide (doc_id) aggregation ever happens; the
+    // broadcast semi-join shrinks the token stream to query terms BEFORE
+    // the one (query, doc, term) shuffle
+    val qtok = documents
+      .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("len"),
+        explode(expr(toksExpr)).as("term"))
+      .join(broadcast(q), Seq("term"))
+      .cache()
+    // dfq feeds a broadcast subtree: localCheckpoint (eager) so the
+    // broadcast build can't race the main job into recomputing qtok
+    // (the report_source_overlap discipline); it lands the qtok cache too
+    val dfq = qtok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("dfc"))
+      .localCheckpoint()
+    val tf = qtok.groupBy("query_id", "doc_id", "term", "len")
+      .agg(count(lit(1)).as("tfc"))
+    val stats = documents
+      .agg(count(lit(1)).as("nd"), sum(size(expr(toksExpr)).cast("long")).as("tl"))
+      .withColumn("avgdl", col("tl").cast("double") / col("nd").cast("double"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(dfq), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("idf",
+        lit(1.0) + ((col("nd") - col("dfc")).cast("double") + lit(0.5)) /
+          (col("dfc").cast("double") + lit(0.5)))
+      .withColumn("c",
+        col("idf") * ((col("tfc").cast("double") * lit(2.2)) /
+          (col("tfc").cast("double") + lit(1.2) *
+            (lit(0.25) + (lit(0.75) * col("len").cast("double")) / col("avgdl")))))
+      .groupBy("query_id", "doc_id")
+      .agg(expr("aggregate(array_sort(collect_list(struct(term, c))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.c)").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= Bm25K)
+      .select("query_id", "rank", "doc_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  private val bm25TopkSql = {
+    val values = Bm25QueryTerms.zipWithIndex.map { case ((qid, t), i) =>
+      if (i == 0) s"(CAST($qid AS BIGINT), '$t')" else s"($qid, '$t')"
+    }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, len(toks) AS dlen, unnest(toks) AS term FROM t),
+       |q(query_id, term) AS (VALUES $values),
+       |qtok AS (SELECT q.query_id, tok.doc_id, tok.term, tok.dlen
+       |         FROM tok JOIN q ON tok.term = q.term),
+       |tf AS (SELECT query_id, doc_id, term, dlen, count(*) AS tfc
+       |       FROM qtok GROUP BY 1, 2, 3, 4),
+       |dfq AS (SELECT term, count(*) AS dfc
+       |        FROM (SELECT DISTINCT doc_id, term FROM qtok) GROUP BY term),
+       |st AS (SELECT count(*) AS nd, sum(len(toks)) AS tl FROM t),
+       |sc AS (SELECT tf.query_id, tf.doc_id, tf.term,
+       |    (CAST(1 AS DOUBLE) + (CAST(st.nd - dfq.dfc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+       |       (CAST(dfq.dfc AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |    * ((CAST(tf.tfc AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+       |       (CAST(tf.tfc AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |         (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * CAST(tf.dlen AS DOUBLE)) /
+       |           (CAST(st.tl AS DOUBLE) / CAST(st.nd AS DOUBLE))))) AS c
+       |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+       |s AS (SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY term)),
+       |      (a, b) -> a + b) AS score
+       |  FROM sc GROUP BY query_id, doc_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM s)
+       |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= $Bm25K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Unigram-rank LM score — the bit-exact stand-in for perplexity-based
     * quality filtering (CCNet/Gopher filter on LM perplexity; a log-prob
     * is a libm call with no cross-engine bit guarantee, so this op ranks
@@ -1311,6 +1423,7 @@ object TextOps {
     "text_contamination" -> (contamination _),
     "text_contamination_bloom" -> (contaminationBloom _),
     "text_tfidf_topk" -> (tfidfTopk _),
+    "text_bm25_topk" -> (bm25Topk _),
     "text_lm_rank_score" -> (lmRankScore _),
     "text_repetition" -> (repetition _),
     "text_gopher_rules" -> (gopherRules _),
@@ -1336,6 +1449,7 @@ object TextOps {
     "text_contamination" -> contaminationSql,
     "text_contamination_bloom" -> contaminationSql,
     "text_tfidf_topk" -> tfidfTopkSql,
+    "text_bm25_topk" -> bm25TopkSql,
     "text_lm_rank_score" -> lmRankScoreSql,
     "text_repetition" -> repetitionSql,
     "text_gopher_rules" -> gopherRulesSql,

@@ -685,4 +685,47 @@ class QueriesSpec extends SparkSpec {
     assert(mean > 0.8 && mean < 1.2, s"mean distortion $mean outside JL expectation")
     assert(rows.forall(d => d > 0.0 && d.isFinite))
   }
+
+  test("bm25: tf grows score, tf SATURATES, length normalizes, non-matches absent (r9)") {
+    import spark.implicits._
+    def doc(n: Long, sparks: Int, pads: Int) =
+      (n, (Seq.fill(sparks)("spark") ++ Seq.fill(pads)("pad")).mkString(" "))
+    // all len 20 except e (len 40) — isolates each BM25 property
+    val docs = Seq(
+      doc(1, 1, 19), doc(2, 2, 18), doc(3, 10, 10), doc(4, 11, 9),
+      doc(5, 1, 39), // same tf as doc 1, twice the length
+      (6L, "pad pad pad") // no query term at all
+    ).toDF("doc_id", "text")
+    val out = ext.TextOps.bm25TopkOf(spark, docs)
+      .where($"query_id" === 0L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(!out.contains(6L), "doc without any query term must not be scored")
+    assert(out(2L) > out(1L), "more occurrences must score higher at equal length")
+    assert(out(1L) > out(5L), "equal tf must score higher in the shorter doc")
+    // Okapi saturation: the 1->2 gain dwarfs the 10->11 gain
+    assert(out(2L) - out(1L) > (out(4L) - out(3L)) * 2,
+      s"tf gain must saturate: ${out(2L) - out(1L)} vs ${out(4L) - out(3L)}")
+  }
+
+  test("sample_priority: exact k, single shared threshold, weight floor, w>tau certainty (r9)") {
+    val out = ext.SamplingOps.prioritySample(spark, sf).collect()
+    assert(out.length == 100)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to 100L))
+    // estimator floor: est_w = max(w, tau) — never below the true weight
+    assert(out.forall(r => r.getAs[Double]("est_w") >= r.getAs[Long]("n_chars").toDouble))
+    // every est_w that isn't the doc's own weight must be the ONE shared tau
+    val taus = out.filter(r => r.getAs[Double]("est_w") != r.getAs[Long]("n_chars").toDouble)
+      .map(_.getAs[Double]("est_w")).distinct
+    assert(taus.length <= 1, s"expected one shared threshold, got ${taus.toSeq}")
+    // priority sampling's certainty property: any doc heavier than tau has
+    // priority w/u >= w > tau and MUST be in the sample
+    taus.headOption.foreach { tau =>
+      val sampled = out.map(_.getAs[Long]("doc_id")).toSet
+      import spark.implicits._
+      val heavy = Tables.documents(spark, sf)
+        .where($"n_chars".cast("double") > tau)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(heavy.forall(sampled), "every doc with w > tau must be sampled")
+    }
+  }
 }
