@@ -860,11 +860,14 @@ object TextOps {
       .orderBy("query_id", "rank")
   }
 
-  private val bm25TopkSql = {
+  /** The BM25 pipeline as reusable CTEs ending in `r` (query_id, doc_id,
+    * score, rank) — shared verbatim between [[bm25Topk]]'s oracle and the
+    * hybrid-RRF oracle so the lexical leg cannot drift between the two. */
+  private val bm25Ctes = {
     val values = Bm25QueryTerms.zipWithIndex.map { case ((qid, t), i) =>
       if (i == 0) s"(CAST($qid AS BIGINT), '$t')" else s"($qid, '$t')"
     }.mkString(", ")
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |tok AS (SELECT doc_id, len(toks) AS dlen, unnest(toks) AS term FROM t),
        |q(query_id, term) AS (VALUES $values),
        |qtok AS (SELECT q.query_id, tok.doc_id, tok.term, tok.dlen
@@ -887,9 +890,89 @@ object TextOps {
        |      (a, b) -> a + b) AS score
        |  FROM sc GROUP BY query_id, doc_id),
        |r AS (SELECT *, CAST(row_number() OVER (
-       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM s)
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM s)""".stripMargin
+  }
+
+  private val bm25TopkSql =
+    s"""WITH $bm25Ctes
        |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= $Bm25K
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Hybrid retrieval — BM25 (lexical) and embedding-cosine (dense) lists
+    * fused by Reciprocal Rank Fusion: rrf(d) = Σ_lists 1/(60 + rank_d),
+    * the standard fusion behind hybrid RAG stacks (Cormack et al.'s k=60).
+    * RRF is the bit-discipline sweet spot: it consumes only RANKS, so the
+    * fused score is a sum of two exact IEEE divisions in fixed order — no
+    * score normalization across heterogeneous scales (the usual hybrid
+    * headache) and nothing transcendental.
+    *
+    * The dense leg follows [[graft.ext.SimilarityOps]]' query convention
+    * (vec_id < 8 are the query vectors; candidates are vec_id ≥ 8):
+    * queries 0..3 pair with the SAME query_id's BM25 term list. Docs
+    * without an embedding (the embeddings table covers a corpus subset at
+    * sf0.1 — realistic) simply get no dense contribution; docs outside
+    * the lexical top-K get none from BM25.
+    *
+    * Scale shape: each leg is its own scale-correct pipeline (BM25 above;
+    * dense = broadcast 4-query × candidate scan, the brute leg — swap in
+    * the IVF/PQ leg at corpus scale, same rank contract); fusion joins two
+    * ≤(K × queries)-row frames — driver-scale by construction. */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Vec
+    val lex = bm25Topk(spark, sfDir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val e = Tables.embeddings(spark, sfDir).withColumn("norm", Vec.norm(col("embedding")))
+    val q = e.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
+    val c = e.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("ce"), col("norm").as("cn"))
+    val wd = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("doc_id"))
+    val dense = c.join(broadcast(q))
+      .withColumn("cos_sim", Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("dense_rank", row_number().over(wd).cast("long"))
+      .where(col("dense_rank") <= Bm25K)
+      .select("query_id", "doc_id", "dense_rank")
+    val wr = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60L) + col("lex_rank")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("dense_rank")).cast("double"), lit(0.0)))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= Bm25K)
+      .select("query_id", "rank", "doc_id", "rrf", "lex_rank", "dense_rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private val hybridRrfSql = {
+    import graft.ext.SimilarityOps.dotSql
+    s"""WITH $bm25Ctes,
+       |lex AS (SELECT query_id, doc_id, rank AS lex_rank FROM r WHERE rank <= $Bm25K),
+       |e AS (SELECT vec_id, embedding,
+       |        sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |dp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < 4 AND c.vec_id >= 8),
+       |dr AS (SELECT query_id, doc_id, dense_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS dense_rank
+       |    FROM dp) WHERE dense_rank <= $Bm25K),
+       |f AS (
+       |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+       |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |         l.lex_rank, d.dense_rank
+       |  FROM lex l FULL OUTER JOIN dr d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+       |hs AS (
+       |  SELECT *,
+       |    coalesce(CAST(1 AS DOUBLE) / CAST(60 + lex_rank AS DOUBLE), CAST(0 AS DOUBLE)) +
+       |      coalesce(CAST(1 AS DOUBLE) / CAST(60 + dense_rank AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM f),
+       |hr AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM hs)
+       |SELECT query_id, rank, doc_id, rrf, lex_rank, dense_rank
+       |FROM hr WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
   }
 
   /** Unigram-rank LM score — the bit-exact stand-in for perplexity-based
@@ -1424,6 +1507,7 @@ object TextOps {
     "text_contamination_bloom" -> (contaminationBloom _),
     "text_tfidf_topk" -> (tfidfTopk _),
     "text_bm25_topk" -> (bm25Topk _),
+    "text_hybrid_rrf" -> (hybridRrf _),
     "text_lm_rank_score" -> (lmRankScore _),
     "text_repetition" -> (repetition _),
     "text_gopher_rules" -> (gopherRules _),
@@ -1450,6 +1534,7 @@ object TextOps {
     "text_contamination_bloom" -> contaminationSql,
     "text_tfidf_topk" -> tfidfTopkSql,
     "text_bm25_topk" -> bm25TopkSql,
+    "text_hybrid_rrf" -> hybridRrfSql,
     "text_lm_rank_score" -> lmRankScoreSql,
     "text_repetition" -> repetitionSql,
     "text_gopher_rules" -> gopherRulesSql,

@@ -217,6 +217,7 @@ class PlanSpec extends SparkSpec {
       "sim_ivf_ann",      // routing: 8 queries × broadcast representative set (both tiny; SimilarityOps:155)
       "text_tfidf_topk",  // 1-row corpus doc-count broadcast for the idf term (TextOps:401)
       "text_bm25_topk",   // 1-row (nd, tl, avgdl) stats aggregate broadcast onto the scored rows
+      "text_hybrid_rrf",  // bm25 stats row + 4-row dense-query side broadcast against candidates BY DESIGN
       "sim_outlier_filter", // 1-row (n, s, ss) stats aggregate broadcast onto the scan
       "sim_clustered_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted

@@ -707,6 +707,27 @@ class QueriesSpec extends SparkSpec {
       s"tf gain must saturate: ${out(2L) - out(1L)} vs ${out(4L) - out(3L)}")
   }
 
+  test("hybrid RRF: fused score re-derives from the two leg ranks exactly (r9)") {
+    val out = ext.TextOps.hybridRrf(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      val lex = Option(row.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val den = Option(row.getAs[java.lang.Long]("dense_rank")).map(_.toLong)
+      assert(lex.isDefined || den.isDefined, "a fused doc must come from at least one leg")
+      val expect = lex.map(r => 1.0 / (60L + r).toDouble).getOrElse(0.0) +
+        den.map(r => 1.0 / (60L + r).toDouble).getOrElse(0.0)
+      assert(row.getAs[Double]("rrf") == expect, s"rrf must re-derive from ranks: $row")
+    }
+    // within each query the fused list is sorted by rrf desc (doc_id ties)
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getAs[Double]("rrf") >= b.getAs[Double]("rrf")
+        case _ => true
+      })
+    }
+  }
+
   test("sample_priority: exact k, single shared threshold, weight floor, w>tau certainty (r9)") {
     val out = ext.SamplingOps.prioritySample(spark, sf).collect()
     assert(out.length == 100)
