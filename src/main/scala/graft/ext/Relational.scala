@@ -143,6 +143,39 @@ object Relational {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  /** Grouped top-k via the bounded [[graft.functions.TopKByDesc]]
+    * aggregate — the SCALE-correct complement of [[winTopkPerGroup]]'s
+    * window form. The window must shuffle and sort every order row per
+    * customer before discarding all but 3; the aggregate reduces each map
+    * partition to ≤ 3 entries per customer BEFORE the exchange (map-side
+    * partial ObjectHashAggregate, heap maintenance O(log k) per row), so
+    * the shuffle carries O(k) rows per (customer, partition) and nothing
+    * sorts globally — the shape that survives a 100 TB fact table.
+    * Ordering key is the price as a double (exact conversion —
+    * DECIMAL(12,2) unscaled < 2^53) with the unique orderkey as tie, so
+    * the kept set is value-deterministic under any partitioning and merge
+    * order; the oracle mirrors the same (double DESC, orderkey) order.
+    * PlanSpec pins the no-Window, partial-aggregate plan shape. */
+  def topkAggPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Vec
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(Vec.topkBy(col("o_totalprice").cast("double"), col("o_orderkey"),
+        struct(col("o_orderkey"), col("o_totalprice")), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("o_custkey"), (col("i") + 1).cast("long").as("rn"),
+        col("s.o_orderkey").as("o_orderkey"), col("s.o_totalprice").as("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val topkAggSql =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
   /** Running-sum window (exact decimal accumulation — deterministic under
     * any partitioning). */
   def winRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
@@ -724,6 +757,7 @@ object Relational {
     "q3_shipping_topk" -> (q3ShippingTopk _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "win_topk_per_group" -> (winTopkPerGroup _),
+    "agg_topk_bounded" -> (topkAggPerGroup _),
     "win_running_sum" -> (winRunningSum _),
     "win_trailing_range" -> (winTrailingRange _),
     "time_window_tumbling" -> (timeWindowTumbling _),
@@ -754,6 +788,7 @@ object Relational {
     "q3_shipping_topk" -> q3Sql,
     "q5_local_supplier" -> q5Sql,
     "win_topk_per_group" -> winTopkSql,
+    "agg_topk_bounded" -> topkAggSql,
     "win_running_sum" -> winRunningSumSql,
     "win_trailing_range" -> winTrailingRangeSql,
     "time_window_tumbling" -> timeWindowSql,

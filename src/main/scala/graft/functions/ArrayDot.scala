@@ -570,4 +570,10 @@ object Vec {
     shim.column(PqCodesReconD(shim.expression(emb), cb))
   def pqAdcD(qe: Column, codes: Column, cb: Seq[Seq[Seq[Double]]]): Column =
     shim.column(PqAdcD(shim.expression(qe), shim.expression(codes), cb))
+
+  /** Bounded grouped top-k ([[TopKByDesc]]): k best payload structs by
+    * (key DESC, tie ASC), as an aggregate — map-side partial, no window. */
+  def topkBy(key: Column, tie: Column, payload: Column, k: Int): Column =
+    shim.column(TopKByDesc(shim.expression(key), shim.expression(tie),
+      shim.expression(payload), k).toAggregateExpression())
 }

@@ -36,6 +36,9 @@ object GraftFunctions {
     "evm_int" -> (es => EvmInt(es(0))),
     "evm_bool" -> (es => EvmBool(es(0))),
     "evm_encode_uint" -> (es => EvmEncodeUint(es(0))),
+    // aggregate: the analyzer wraps a bare AggregateFunction returned from
+    // a registry builder in its AggregateExpression itself
+    "topk_by_desc" -> (es => TopKByDesc(es(0), es(1), es(2), intArg(es(3), "k"))),
     // the reference DSL's scalar functions by name, so HCL-translated (and
     // plain spark.sql) expressions resolve them (dsl/functions.go:15-21).
     // Pure catalyst trees — a Column-API round-trip would wrap unresolved

@@ -430,15 +430,71 @@ object Streams {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Streaming weighted sampling without replacement — the streaming form
+    * of [[graft.ext.SamplingOps]]' priority sampling, powered by the
+    * bounded [[graft.functions.TopKByDesc]] aggregate under complete-mode
+    * aggregation: the state-store row is the serialized k-sized heap,
+    * bounded by k for ANY stream length (a window over a stream has no
+    * such bound, and collect-then-sort state grows with the stream). Each
+    * event's priority w/u is the same exact arithmetic as the batch op
+    * (w = the props payload's k value + 1, u an exact 48-bit md5 uniform,
+    * one IEEE division), so a bounded AvailableNow run must equal the
+    * batch top-k — the parity the oracle asserts. Merge order across
+    * micro-batches is irrelevant by the aggregate's total (key, tie)
+    * order. */
+  def prioritySampleStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Vec
+    val pr = eventStream(spark, sfDir)
+      .withColumn("w",
+        expr("CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) + 1L"))
+      .withColumn("u1",
+        conv(substring(md5(concat(lit("graft-stream-pri|"), col("event_id").cast("string"))), 1, 12),
+          16, 10).cast("long") + 1)
+      .withColumn("prio",
+        (col("w").cast("double") * lit(281474976710656.0)) / col("u1").cast("double"))
+    val agg = pr.groupBy()
+      .agg(Vec.topkBy(col("prio"), col("event_id"),
+        struct(col("event_id"), col("w")), 100).as("top"))
+    runToTable(agg, "pri_sample_sink", "complete")
+      .select(posexplode(col("top")).as(Seq("i", "s")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        col("s.event_id").as("event_id"), col("s.w").as("w"))
+      .orderBy("rank")
+  }
+
+  private val prioritySampleStreamSql = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u0 = (1 to 12)
+      .map(i => s"CAST(${java.math.BigInteger.valueOf(16).pow(12 - i)} AS BIGINT) * ${nib(i)}")
+      .mkString(" + ")
+    s"""WITH hh AS (
+       |  SELECT event_id,
+       |    CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) + 1 AS w,
+       |    md5('graft-stream-pri|' || CAST(event_id AS VARCHAR)) AS h
+       |  FROM events),
+       |p AS (
+       |  SELECT event_id, w,
+       |    (CAST(w AS DOUBLE) * CAST(281474976710656 AS DOUBLE)) /
+       |      CAST(($u0) + 1 AS DOUBLE) AS prio
+       |  FROM hh),
+       |r AS (SELECT event_id, w,
+       |    CAST(row_number() OVER (ORDER BY prio DESC, event_id) AS BIGINT) AS rank
+       |  FROM p)
+       |SELECT rank, event_id, w FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_curation_parity" -> (curationStream _),
     "s3_stream_batch_parity" -> (streamBatchParity _),
     "stream_neardup_dedup" -> (nearDupDedupStream _),
     "stream_session_parity" -> (streamSessionParity _),
+    "stream_priority_sample" -> (prioritySampleStream _),
     "stream_join_parity" -> (streamJoinParity _))
 
   val oracles: Map[String, String] = Map(
     "stream_curation_parity" -> curationParitySql,
+    "stream_priority_sample" -> prioritySampleStreamSql,
     "stream_session_parity" -> graft.ext.Relational.sessionWindowsSql,
     "s3_stream_batch_parity" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,

@@ -91,6 +91,18 @@ class KernelsSpec extends SparkSpec {
     viaAgg.foreach { case (k, v) => assert(v == viaWindow(k), s"custkey $k") }
   }
 
+  test("topk_by_desc registers for the SQL surface; analyzer wraps the bare aggregate") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, 5.0, 10L), (1L, 7.0, 11L), (1L, 6.0, 12L)).toDF("g", "v", "id")
+      .createOrReplaceTempView("tk_sql")
+    val top = spark.sql(
+      "SELECT topk_by_desc(v, id, struct(id, v), 2) AS top FROM tk_sql GROUP BY g")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getLong(0)) == Seq(11L, 12L), top)
+    assert(top.map(_.getDouble(1)) == Seq(7.0, 6.0), top)
+  }
+
   test("custom expressions register for the SQL surface (GraftFunctions)") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

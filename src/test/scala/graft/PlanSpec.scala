@@ -180,6 +180,16 @@ class PlanSpec extends SparkSpec {
     assert(viaAgg.except(viaJoin).count() == 0)
   }
 
+  test("agg_topk_bounded: map-side partial aggregate, no window, no global sort of the fact (r9)") {
+    val plan = ext.Relational.topkAggPerGroup(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the whole point vs the window form: the per-group cut happens in an
+    // aggregate with a partial (pre-shuffle) stage, never a Window sort
+    assert(!plan.contains("Window"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate pair:\n$plan")
+  }
+
   test("INVENTORY-WIDE plan audit: no cartesian product anywhere; BNLJ only where justified (r6)") {
     // The targeted asserts above pin known-risky shapes; this sweep closes
     // the rest of the inventory: every BATCH query's physical plan is
@@ -192,6 +202,7 @@ class PlanSpec extends SparkSpec {
       "s7_realtime_event_methods", "s7_realtime_negative_offset",
       "s7_realtime_positive_offset", "mempool_monitor", "dsl_stream_aggregate",
       "stream_join_parity", "stream_neardup_dedup", "raw_stream_passthrough",
+      "stream_priority_sample",
       "dedup_cluster_canonical", "dedup_best_survivor", "curation_pipeline",
       "dedup_semantic", // reuses the memoized cluster fixtures
       "s9_block_dater") // driver-side binary-search refinement

@@ -707,6 +707,27 @@ class QueriesSpec extends SparkSpec {
       s"tf gain must saturate: ${out(2L) - out(1L)} vs ${out(4L) - out(3L)}")
   }
 
+  test("topk_by_desc aggregate: equals window top-k, invariant to partitioning (r9)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{struct, posexplode, row_number}
+    // deliberate key collisions (v mod 1000 over 5000 rows) exercise the
+    // (key, tie) total order that makes update/merge order irrelevant
+    val df = (1 to 5000).map(i =>
+      (i % 13L, ((i * 2654435761L) % 1000L).toDouble, i.toLong)).toDF("g", "v", "id")
+    def viaAgg(d: org.apache.spark.sql.DataFrame) = d.groupBy("g")
+      .agg(graft.functions.Vec.topkBy($"v", $"id", struct($"id", $"v"), 5).as("top"))
+      .select($"g", posexplode($"top").as(Seq("i", "s")))
+      .select($"g", ($"i" + 1).cast("long").as("rk"), $"s.id".as("id"), $"s.v".as("v"))
+      .collect().toSet
+    val w = Window.partitionBy("g").orderBy($"v".desc, $"id")
+    val viaWindow = df.withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= 5).select("g", "rk", "id", "v").collect().toSet
+    val shuffled = viaAgg(df.repartition(17, $"id"))
+    assert(shuffled == viaWindow, "aggregate top-k must equal the window form")
+    assert(shuffled == viaAgg(df.coalesce(1)), "result must not depend on partitioning")
+  }
+
   test("hybrid RRF: fused score re-derives from the two leg ranks exactly (r9)") {
     val out = ext.TextOps.hybridRrf(spark, sf).collect()
     assert(out.nonEmpty)
