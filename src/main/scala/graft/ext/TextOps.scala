@@ -247,6 +247,99 @@ object TextOps {
        |  CAST(length(t) AS DOUBLE) / bpec.bpe_tokens AS chars_per_token
        |FROM t0 JOIN bpec USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** BPE merge TRAINING — the tokenizer-construction step upstream of
+    * [[bpeTokenCount]]'s fixed merge table: learn the first `BpeTrainMerges`
+    * byte-pair merges from the corpus (Sennrich et al.: repeatedly merge
+    * the most frequent adjacent symbol pair), in exact integer counts.
+    *
+    * Distributed shape (the Lloyd's-loop discipline of
+    * [[graft.ext.SimilarityOps]]' k-means trainer): the ONE corpus-scale
+    * pass is the (word, count) aggregate — real BPE trainers run on the
+    * word-count table, not the raw corpus — and it is localCheckpoint'ed
+    * (tiny: distinct words) so each of the M iterations pays one small
+    * aggregate over it, never a corpus re-scan. Per iteration: every
+    * word's current segmentation is re-derived by applying the learned
+    * merges IN ORDER as plain string `replace` calls over a
+    * delimiter-framed form (`|s|p|a|r|k|` — framing makes the pair
+    * pattern `|a|b|` boundary-safe, and left-to-right non-overlapping
+    * replace IS BPE's greedy leftmost-first merge), adjacent pairs
+    * explode weighted by word count, one (pair)-keyed rollup, and the
+    * argmax ships to the driver — 1 row per iteration, the bounded
+    * driver-scalar pattern. Determinism: ties on count break by the pair
+    * string (binary compare, identical in both engines); the ENTIRE
+    * training — all M argmaxes — re-derives in the DuckDB oracle as
+    * unrolled per-iteration CTEs, so trained provenance is gate-checked,
+    * exactly like the k-means codebook. */
+  private[graft] val BpeTrainMerges = 6
+
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainOf(spark, Tables.documents(spark, sfDir))
+
+  private[graft] def bpeTrainOf(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val wc = documents
+      .select(explode(expr(toksExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def segSql(merges: Seq[(String, String)]): String = {
+      val base = "concat('|', concat_ws('|', " +
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))), '|')"
+      merges.foldLeft(base) { case (s, (a, b)) =>
+        s"replace($s, '|$a|$b|', '|$a$b|')"
+      }
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (!exhausted && merges.size < BpeTrainMerges) {
+      val seg = segSql(merges.map(m => (m._1, m._2)).toSeq)
+      val best = wc
+        .select(col("cnt"), expr(s"filter(split($seg, '[|]'), x -> x != '')").as("syms"))
+        .select(col("cnt"), explode(expr(
+          """CASE WHEN size(syms) > 1
+            |  THEN transform(sequence(1, size(syms) - 1),
+            |         i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))
+            |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged: stop, like the oracle's empty CTEs
+      else {
+        val Array(a, b) = best(0).getAs[String]("pair").split(" ")
+        merges += ((a, b, best(0).getAs[Long]("n")))
+      }
+    }
+    spark.createDataFrame(
+      merges.toSeq.zipWithIndex.map { case ((a, b, n), i) => (i + 1L, a, b, n) })
+      .toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy("step")
+  }
+
+  private val bpeTrainSql = {
+    val seg0 =
+      "'|' || array_to_string(list_transform(range(1, strlen(word) + 1), i -> word[i]), '|') || '|'"
+    def segAfter(k: Int): String =
+      (1 to k).foldLeft(seg0) { (s, j) =>
+        s"replace($s, '|' || (SELECT a FROM m$j) || '|' || (SELECT b FROM m$j) || '|', " +
+          s"'|' || (SELECT a FROM m$j) || (SELECT b FROM m$j) || '|')"
+      }
+    def iter(k: Int): String =
+      s"""p$k AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |  SELECT cnt, unnest(CASE WHEN len(syms) > 1
+         |      THEN list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS pair
+         |  FROM (SELECT cnt, list_filter(string_split(${segAfter(k - 1)}, '|'), x -> x <> '') AS syms
+         |        FROM wc)) GROUP BY pair),
+         |m$k AS (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, n
+         |        FROM p$k ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+    val union = (1 to BpeTrainMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, a AS left_sym, b AS right_sym, n AS pair_count FROM m$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH wc AS (SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest($toksSql) AS word FROM documents) GROUP BY word),
+       |${(1 to BpeTrainMerges).map(iter).mkString(",\n")}
+       |SELECT step, left_sym, right_sym, pair_count FROM (
+       |  $union) ORDER BY step""".stripMargin
+  }
+
   /** Fingerprinting: canonical form (sorted distinct tokens) → md5, plus a
     * 31-polynomial rolling hash mod 1e9+7 over the canonical chars. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
@@ -1517,6 +1610,7 @@ object TextOps {
     "text_token_count" -> (tokenCount _),
     "text_chunk_overlap" -> (chunkOverlap _),
     "text_bpe_count" -> (bpeTokenCount _),
+    "text_bpe_train" -> (bpeTrain _),
     "text_fingerprint" -> (fingerprint _),
     "text_pii_scrub" -> (piiScrub _),
   )
@@ -1544,6 +1638,7 @@ object TextOps {
     "text_token_count" -> tokenCountSql,
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_bpe_count" -> bpeTokenCountSql,
+    "text_bpe_train" -> bpeTrainSql,
     "text_fingerprint" -> fingerprintSql,
     "text_pii_scrub" -> piiScrubSql,
   )

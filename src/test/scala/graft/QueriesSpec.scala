@@ -707,6 +707,20 @@ class QueriesSpec extends SparkSpec {
       s"tf gain must saturate: ${out(2L) - out(1L)} vs ${out(4L) - out(3L)}")
   }
 
+  test("BPE training: hand-computed merges, second-order merge, early stop when exhausted (r9)") {
+    import spark.implicits._
+    // corpus 'aaab'×3 + 'ab'×1:
+    //   iter1 pairs (a,a)=6 (a,b)=4        → merge (a,a)
+    //   iter2 '|aa|a|b|' gives (a,b)=4 (aa,a)=3 → merge (a,b)
+    //   iter3 '|aa|ab|' gives (aa,ab)=3        → SECOND-ORDER merge
+    //   iter4 'aaab' fully merged, 'ab' a single symbol → no pairs → stop
+    val docs = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+    val out = ext.TextOps.bpeTrainOf(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, "a", "a", 6L), (2L, "a", "b", 4L), (3L, "aa", "ab", 3L)),
+      s"got $out")
+  }
+
   test("topk_by_desc aggregate: equals window top-k, invariant to partitioning (r9)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
