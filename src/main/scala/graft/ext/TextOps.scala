@@ -340,6 +340,107 @@ object TextOps {
        |  $union) ORDER BY step""".stripMargin
   }
 
+  /** Distributed QUALITY-CLASSIFIER training — a nearest-centroid
+    * (Rocchio) classifier over hashed bag-of-words features in FIXED-POINT
+    * integer arithmetic (the role a fastText-style quality filter plays in
+    * CCNet-class pipelines, restated without transcendentals: logistic
+    * loss needs exp/log — the measured libm hazard — while centroid
+    * training is pure integer sums and the decision rule is an integer
+    * quadratic comparison, so the whole train→predict loop is bit-stable
+    * and oracle-replayable).
+    *
+    * Teacher rule: y = +1 iff the doc has ≥ 40 tokens (a self-labeling
+    * heuristic — the demonstration is the TRAINING MECHANICS at scale,
+    * the label source is pluggable). Features: 16-bin hashed token counts
+    * (md5 second nibble). Training is ONE map-side-combined aggregate
+    * (per-class per-dim sums + class counts, a single 34-column row to
+    * the driver); centroids become Q10 fixed-point integers
+    * c_d = ⌊1024·S_d/n⌋ (floor on non-negative operands — identical in
+    * both engines), and the nearest-centroid rule expands to the integer
+    * comparison 2048·(x·w) > θ with w = c⁺−c⁻, θ = Σ(c⁺²−c⁻²) — no
+    * rationals survive to runtime, no libm anywhere. A batch PERCEPTRON
+    * was tried first and measured oscillating at exactly the majority
+    * share for 3–10 iterations on this geometry (summed updates
+    * overshoot; the bias can't catch the feature scale) — the one-pass
+    * centroid form measures 0.90–0.91 accuracy against a 0.66–0.69
+    * majority share at every gate SF. A second aggregate scores the
+    * training set with the trained rule (n_correct, gate-checked).
+    * Output: (dim 0..15 → w_d, 16 → θ, 17 → n_correct). */
+  private[graft] val QtDims = 16
+  private[graft] val QtScale = 1024L
+
+  def qualityTrain(spark: SparkSession, sfDir: String): DataFrame =
+    qualityTrainOf(spark, Tables.documents(spark, sfDir))
+
+  private[graft] def qualityTrainOf(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val base = qualityTrainFeatures(documents).cache()
+    val aggs = (0 until QtDims).flatMap(d => Seq(
+      sum(when(col("y") === 1L, expr(s"element_at(feats, ${d + 1})")).otherwise(0L)).as(s"sp$d"),
+      sum(when(col("y") === -1L, expr(s"element_at(feats, ${d + 1})")).otherwise(0L)).as(s"sn$d"))) ++ Seq(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
+    val r = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val np = r.getAs[Long]("np")
+    val nn = r.getAs[Long]("nn")
+    require(np > 0 && nn > 0, s"quality training needs both classes, got +$np/-$nn")
+    val cp = (0 until QtDims).map(d => r.getAs[Long](s"sp$d") * QtScale / np)
+    val cn = (0 until QtDims).map(d => r.getAs[Long](s"sn$d") * QtScale / nn)
+    val w = (0 until QtDims).map(d => cp(d) - cn(d))
+    val theta = (0 until QtDims).map(d => cp(d) * cp(d) - cn(d) * cn(d)).sum
+    val dotE = (0 until QtDims).map(d => s"${w(d)}L * element_at(feats, ${d + 1})").mkString(" + ")
+    val nCorrect = base
+      .where(expr(s"y * (CASE WHEN ${2 * QtScale}L * ($dotE) - ${theta}L > 0 THEN 1 ELSE -1 END) > 0"))
+      .count()
+    spark.createDataFrame(
+      (0 until QtDims).map(d => (d.toLong, w(d))) ++
+        Seq((QtDims.toLong, theta), (QtDims + 1L, nCorrect)))
+      .toDF("dim", "weight").orderBy("dim")
+  }
+
+  /** (doc_id, y, feats) — shared by training and the spec's independent
+    * local replay. */
+  private[graft] def qualityTrainFeatures(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("y", when(expr("size(toks)") >= 40, 1L).otherwise(-1L))
+      .withColumn("feats", expr(
+        s"""transform(sequence(0, ${QtDims - 1}),
+           |  j -> CAST(size(filter(toks,
+           |         t -> CAST(conv(substring(md5(t), 2, 1), 16, 10) AS INT) = j)) AS BIGINT))""".stripMargin))
+      .select("doc_id", "y", "feats")
+
+  private val qualityTrainSql = {
+    val dims = 0 until QtDims
+    val sums = dims.flatMap(d => Seq(
+      s"CAST(sum(CASE WHEN y = 1 THEN feats[${d + 1}] ELSE 0 END) AS BIGINT) AS sp$d",
+      s"CAST(sum(CASE WHEN y = -1 THEN feats[${d + 1}] ELSE 0 END) AS BIGINT) AS sn$d")) ++ Seq(
+      "CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np",
+      "CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn")
+    val cents = dims.flatMap(d => Seq(
+      s"(sp$d * $QtScale) // np AS cp$d",
+      s"(sn$d * $QtScale) // nn AS cn$d"))
+    val ws = dims.map(d => s"cp$d - cn$d AS w$d") :+
+      dims.map(d => s"cp$d * cp$d - cn$d * cn$d").mkString(" + ") + " AS theta"
+    val dot = dims.map(d => s"w.w$d * feats[${d + 1}]").mkString(" + ")
+    val rows = dims.map(d =>
+      s"SELECT CAST($d AS BIGINT) AS dim, CAST(w$d AS BIGINT) AS weight FROM w") ++ Seq(
+      s"SELECT CAST($QtDims AS BIGINT) AS dim, CAST(theta AS BIGINT) AS weight FROM w",
+      s"SELECT CAST(${QtDims + 1} AS BIGINT) AS dim, nc AS weight FROM acc")
+    s"""WITH f AS (SELECT doc_id,
+       |    CASE WHEN len(toks) >= 40 THEN 1 ELSE -1 END AS y,
+       |    list_transform(range(0, $QtDims),
+       |      j -> CAST(len(list_filter(toks,
+       |             t -> (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) = j)) AS BIGINT)) AS feats
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |s AS (SELECT ${sums.mkString(",\n    ")} FROM f),
+       |c AS (SELECT ${cents.mkString(",\n    ")}, np, nn FROM s),
+       |w AS (SELECT ${ws.mkString(",\n    ")} FROM c),
+       |acc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM f CROSS JOIN w
+       |        WHERE y * (CASE WHEN ${2 * QtScale} * ($dot) - w.theta > 0 THEN 1 ELSE -1 END) > 0)
+       |SELECT dim, weight FROM (
+       |  ${rows.mkString("\n  UNION ALL ")}) ORDER BY dim""".stripMargin
+  }
+
   /** Fingerprinting: canonical form (sorted distinct tokens) → md5, plus a
     * 31-polynomial rolling hash mod 1e9+7 over the canonical chars. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
@@ -1611,6 +1712,7 @@ object TextOps {
     "text_chunk_overlap" -> (chunkOverlap _),
     "text_bpe_count" -> (bpeTokenCount _),
     "text_bpe_train" -> (bpeTrain _),
+    "text_quality_train" -> (qualityTrain _),
     "text_fingerprint" -> (fingerprint _),
     "text_pii_scrub" -> (piiScrub _),
   )
@@ -1639,6 +1741,7 @@ object TextOps {
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_bpe_count" -> bpeTokenCountSql,
     "text_bpe_train" -> bpeTrainSql,
+    "text_quality_train" -> qualityTrainSql,
     "text_fingerprint" -> fingerprintSql,
     "text_pii_scrub" -> piiScrubSql,
   )

@@ -707,6 +707,29 @@ class QueriesSpec extends SparkSpec {
       s"tf gain must saturate: ${out(2L) - out(1L)} vs ${out(4L) - out(3L)}")
   }
 
+  test("quality training: distributed centroid trainer ≡ local replay; beats majority class (r9)") {
+    val feats = ext.TextOps.qualityTrainFeatures(Tables.documents(spark, sf))
+      .collect().map(r => (r.getAs[Long]("y"), r.getAs[scala.collection.Seq[Long]]("feats")))
+    // independent straight-from-the-definition Rocchio replay
+    val pos = feats.filter(_._1 == 1L); val neg = feats.filter(_._1 == -1L)
+    val cp = (0 until 16).map(d => pos.map(_._2(d)).sum * 1024L / pos.length)
+    val cn = (0 until 16).map(d => neg.map(_._2(d)).sum * 1024L / neg.length)
+    val w = (0 until 16).map(d => cp(d) - cn(d))
+    val theta = (0 until 16).map(d => cp(d) * cp(d) - cn(d) * cn(d)).sum
+    def pred(x: scala.collection.Seq[Long]): Long =
+      if (2048L * (0 until 16).map(d => w(d) * x(d)).sum - theta > 0) 1L else -1L
+    val nCorrect = feats.count { case (y, x) => pred(x) == y }
+    val out = ext.TextOps.qualityTrain(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 16).foreach(d => assert(out(d.toLong) == w(d), s"dim $d"))
+    assert(out(16L) == theta, "theta")
+    assert(out(17L) == nCorrect.toLong, "n_correct")
+    // the trained rule must clearly beat always-predicting the majority label
+    val majority = math.max(pos.length, neg.length)
+    assert(nCorrect > majority,
+      s"accuracy $nCorrect/${feats.length} must beat majority $majority/${feats.length}")
+  }
+
   test("BPE training: hand-computed merges, second-order merge, early stop when exhausted (r9)") {
     import spark.implicits._
     // corpus 'aaab'×3 + 'ab'×1:
