@@ -275,22 +275,36 @@ object TextOps {
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
     bpeTrainOf(spark, Tables.documents(spark, sfDir))
 
+  /** The per-word segmentation expression after the given merges, applied
+    * in learned order over the delimiter-framed char form — shared by
+    * training and [[bpeApply]] so the apply path can never drift from the
+    * trainer's own segmentation. References a `word` column. */
+  private def bpeSegSql(merges: Seq[(String, String)]): String = {
+    val base = "concat('|', concat_ws('|', " +
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))), '|')"
+    merges.foldLeft(base) { case (s, (a, b)) =>
+      s"replace($s, '|$a|$b|', '|$a$b|')"
+    }
+  }
+
   private[graft] def bpeTrainOf(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val merges = bpeTrainMergeList(spark, documents)
+    spark.createDataFrame(
+      merges.zipWithIndex.map { case ((a, b, n), i) => (i + 1L, a, b, n) })
+      .toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy("step")
+  }
+
+  private[graft] def bpeTrainMergeList(
+      spark: SparkSession, documents: DataFrame): Seq[(String, String, Long)] = {
     val wc = documents
       .select(explode(expr(toksExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    def segSql(merges: Seq[(String, String)]): String = {
-      val base = "concat('|', concat_ws('|', " +
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))), '|')"
-      merges.foldLeft(base) { case (s, (a, b)) =>
-        s"replace($s, '|$a|$b|', '|$a$b|')"
-      }
-    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     while (!exhausted && merges.size < BpeTrainMerges) {
-      val seg = segSql(merges.map(m => (m._1, m._2)).toSeq)
+      val seg = bpeSegSql(merges.map(m => (m._1, m._2)).toSeq)
       val best = wc
         .select(col("cnt"), expr(s"filter(split($seg, '[|]'), x -> x != '')").as("syms"))
         .select(col("cnt"), explode(expr(
@@ -307,38 +321,80 @@ object TextOps {
         merges += ((a, b, best(0).getAs[Long]("n")))
       }
     }
-    spark.createDataFrame(
-      merges.toSeq.zipWithIndex.map { case ((a, b, n), i) => (i + 1L, a, b, n) })
-      .toDF("step", "left_sym", "right_sym", "pair_count")
-      .orderBy("step")
+    merges.toSeq
   }
 
-  private val bpeTrainSql = {
+  /** Tokenize WITH the trained merges — the train→apply loop closed as one
+    * gated query (the tokenizer analogue of wiring `kmeansTrain` into the
+    * PQ/IVF read paths): [[bpeTrainMergeList]] learns the merge table,
+    * then every document's tokens segment under [[bpeSegSql]] — the
+    * trainer's OWN segmentation expression, so apply cannot drift from
+    * training — and per-doc subword counts aggregate in one (doc_id)
+    * shuffle. The oracle re-derives the training (unrolled CTEs) and the
+    * application in the same statement. Production trains once and applies
+    * many (the memo seam of the k-means consumers); the gated query keeps
+    * the honest train-then-apply cost. */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = bpeTrainMergeList(spark, docs).map(m => (m._1, m._2))
+    val seg = bpeSegSql(merges)
+    docs.select(col("doc_id"), explode(expr(toksExpr)).as("word"))
+      .select(col("doc_id"),
+        expr(s"size(filter(split($seg, '[|]'), x -> x != ''))").cast("long").as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("bpe_trained_tokens"), count(lit(1)).as("ws_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private def bpeOracleSegAfter(k: Int): String = {
     val seg0 =
       "'|' || array_to_string(list_transform(range(1, strlen(word) + 1), i -> word[i]), '|') || '|'"
-    def segAfter(k: Int): String =
-      (1 to k).foldLeft(seg0) { (s, j) =>
-        s"replace($s, '|' || (SELECT a FROM m$j) || '|' || (SELECT b FROM m$j) || '|', " +
-          s"'|' || (SELECT a FROM m$j) || (SELECT b FROM m$j) || '|')"
-      }
+    (1 to k).foldLeft(seg0) { (s, j) =>
+      s"replace($s, '|' || (SELECT a FROM m$j) || '|' || (SELECT b FROM m$j) || '|', " +
+        s"'|' || (SELECT a FROM m$j) || (SELECT b FROM m$j) || '|')"
+    }
+  }
+
+  /** The unrolled-training CTE chain (wc, p1/m1 … pM/mM) — shared between
+    * the train oracle and the apply oracle so trained provenance is the
+    * same SQL in both. Every CTE is MATERIALIZED: the per-iteration seg
+    * expressions reference earlier merges as scalar subqueries, and an
+    * inlined (non-materialized) m_k re-derives its whole ancestry PER ROW
+    * — measured >120 s for the apply oracle at sf0.01 vs 0.1 s
+    * materialized. */
+  private val bpeTrainCtes: String = {
     def iter(k: Int): String =
-      s"""p$k AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+      s"""p$k AS MATERIALIZED (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
          |  SELECT cnt, unnest(CASE WHEN len(syms) > 1
          |      THEN list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])
          |      ELSE CAST([] AS VARCHAR[]) END) AS pair
-         |  FROM (SELECT cnt, list_filter(string_split(${segAfter(k - 1)}, '|'), x -> x <> '') AS syms
+         |  FROM (SELECT cnt, list_filter(string_split(${bpeOracleSegAfter(k - 1)}, '|'), x -> x <> '') AS syms
          |        FROM wc)) GROUP BY pair),
-         |m$k AS (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, n
+         |m$k AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, n
          |        FROM p$k ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+    s"""wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest($toksSql) AS word FROM documents) GROUP BY word),
+       |${(1 to BpeTrainMerges).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeTrainSql = {
     val union = (1 to BpeTrainMerges)
       .map(k => s"SELECT CAST($k AS BIGINT) AS step, a AS left_sym, b AS right_sym, n AS pair_count FROM m$k")
       .mkString("\n  UNION ALL ")
-    s"""WITH wc AS (SELECT word, count(*) AS cnt FROM (
-       |    SELECT unnest($toksSql) AS word FROM documents) GROUP BY word),
-       |${(1 to BpeTrainMerges).map(iter).mkString(",\n")}
+    s"""WITH $bpeTrainCtes
        |SELECT step, left_sym, right_sym, pair_count FROM (
        |  $union) ORDER BY step""".stripMargin
   }
+
+  private val bpeApplySql =
+    s"""WITH $bpeTrainCtes,
+       |tok AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+       |sg AS (SELECT doc_id,
+       |    len(list_filter(string_split(${bpeOracleSegAfter(BpeTrainMerges)}, '|'), x -> x <> '')) AS n
+       |  FROM tok)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_trained_tokens,
+       |  CAST(count(*) AS BIGINT) AS ws_tokens
+       |FROM sg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Distributed QUALITY-CLASSIFIER training — a nearest-centroid
     * (Rocchio) classifier over hashed bag-of-words features in FIXED-POINT
@@ -1712,6 +1768,7 @@ object TextOps {
     "text_chunk_overlap" -> (chunkOverlap _),
     "text_bpe_count" -> (bpeTokenCount _),
     "text_bpe_train" -> (bpeTrain _),
+    "text_bpe_apply" -> (bpeApply _),
     "text_quality_train" -> (qualityTrain _),
     "text_fingerprint" -> (fingerprint _),
     "text_pii_scrub" -> (piiScrub _),
@@ -1741,6 +1798,7 @@ object TextOps {
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_bpe_count" -> bpeTokenCountSql,
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_apply" -> bpeApplySql,
     "text_quality_train" -> qualityTrainSql,
     "text_fingerprint" -> fingerprintSql,
     "text_pii_scrub" -> piiScrubSql,

@@ -744,6 +744,23 @@ class QueriesSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("BPE apply: per-doc subword counts sit between word count and char count; merges bite (r9)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val out = ext.TextOps.bpeApply(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val chars = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr(
+        "aggregate(filter(split(lower(text), ' '), t -> t != ''), 0L, (a, t) -> a + length(t))").as("tc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (doc, (bpe, ws)) =>
+      assert(bpe >= ws, s"doc $doc: a word is at least one subword ($bpe < $ws)")
+      assert(bpe <= chars(doc), s"doc $doc: a subword is at least one char ($bpe > ${chars(doc)})")
+    }
+    // six learned merges must actually compress: strictly fewer subwords
+    // than characters corpus-wide
+    assert(out.values.map(_._1).sum < chars.values.sum)
+  }
+
   test("topk_by_desc aggregate: equals window top-k, invariant to partitioning (r9)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
