@@ -129,6 +129,56 @@ object SamplingOps {
       .orderBy("rank")
   }
 
+  /** Per-STRATUM weighted sampling without replacement — [[prioritySample]]'s
+    * priority arithmetic composed with the bounded
+    * [[graft.functions.TopKByDesc]] aggregate, keyed by source: the top-20
+    * priorities per source in ONE ObjectHashAggregate whose map-side
+    * partials reduce each partition to ≤ 20 entries per source BEFORE the
+    * exchange — the stratified form never sorts a stratum, and the
+    * per-source heaps are how a 100 TB corpus samples per-domain quotas in
+    * a single pass. Priorities are the SAME seeded exact arithmetic as the
+    * global op (one shared u per doc), so a doc's priority is consistent
+    * across both queries. */
+  private val PriPerSource = 20
+
+  def prioritySampleGrouped(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Vec
+    val u1 = conv(substring(md5(concat(lit(Seed + "|pri|"), col("doc_id").cast("string"))), 1, 12),
+      16, 10).cast("long") + 1
+    Tables.documents(spark, sfDir)
+      .withColumn("prio",
+        (col("n_chars").cast("double") * lit(281474976710656.0)) / u1.cast("double"))
+      .groupBy("source")
+      .agg(Vec.topkBy(col("prio"), col("doc_id"),
+        struct(col("doc_id"), col("n_chars")), PriPerSource).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("source"), (col("i") + 1).cast("long").as("rank"),
+        col("s.doc_id").as("doc_id"), col("s.n_chars").as("n_chars"))
+      .orderBy("source", "rank")
+  }
+
+  private val prioritySampleGroupedSql = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u0 = (1 to 12)
+      .map(i => s"CAST(${java.math.BigInteger.valueOf(16).pow(12 - i)} AS BIGINT) * ${nib(i)}")
+      .mkString(" + ")
+    s"""WITH hh AS (
+       |  SELECT doc_id, source, n_chars,
+       |    md5('$Seed|pri|' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, n_chars,
+       |    (CAST(n_chars AS DOUBLE) * CAST(281474976710656 AS DOUBLE)) /
+       |      CAST(($u0) + 1 AS DOUBLE) AS prio
+       |  FROM hh),
+       |r AS (SELECT source, doc_id, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY prio DESC, doc_id) AS BIGINT) AS rank
+       |  FROM p)
+       |SELECT source, rank, doc_id, n_chars FROM r
+       |WHERE rank <= $PriPerSource ORDER BY source, rank""".stripMargin
+  }
+
   private val prioritySampleSql = {
     // 12 md5 hex chars → exact integer in [0, 2^48) via nibble math (the
     // trainValTestSplit pattern, widened), then +1 so u ∈ (0, 1]
@@ -566,6 +616,7 @@ object SamplingOps {
     "pack_sequences" -> (packSequencesQuery _),
     "sample_importance" -> (importanceSample _),
     "sample_priority" -> (prioritySample _),
+    "sample_priority_grouped" -> (prioritySampleGrouped _),
     "sample_mixture" -> (mixtureSample _),
     "sample_temperature" -> (temperatureSample _),
   )
@@ -580,6 +631,7 @@ object SamplingOps {
     "pack_sequences" -> packSequencesSql,
     "sample_importance" -> importanceSampleSql,
     "sample_priority" -> prioritySampleSql,
+    "sample_priority_grouped" -> prioritySampleGroupedSql,
     "sample_mixture" -> mixtureSampleSql,
     "sample_temperature" -> temperatureSampleSql,
   )
