@@ -459,10 +459,14 @@ object TextOps {
     documents
       .withColumn("toks", expr(toksExpr))
       .withColumn("y", when(expr("size(toks)") >= 40, 1L).otherwise(-1L))
+      // hash each token ONCE, then bin-count the small int array — the
+      // filter-inside-transform form re-evaluates md5 QtDims× per token
+      // (gate-scale wall time is plan-fixed either way; the 16× md5 is
+      // the 100 TB data-path cost this removes)
+      .withColumn("hs", expr(
+        "transform(toks, t -> CAST(conv(substring(md5(t), 2, 1), 16, 10) AS INT))"))
       .withColumn("feats", expr(
-        s"""transform(sequence(0, ${QtDims - 1}),
-           |  j -> CAST(size(filter(toks,
-           |         t -> CAST(conv(substring(md5(t), 2, 1), 16, 10) AS INT) = j)) AS BIGINT))""".stripMargin))
+        s"transform(sequence(0, ${QtDims - 1}), j -> CAST(size(filter(hs, h -> h = j)) AS BIGINT))"))
       .select("doc_id", "y", "feats")
 
   private val qualityTrainSql = {
