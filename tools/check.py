@@ -9,7 +9,11 @@ import duckdb
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.sql(f"CREATE VIEW {t} AS FROM '{sfdir}/{t}.parquet'")
+    p = f"{sfdir}/{t}.parquet"
+    # GenScale writes Spark directory-layout stores; the testdata ships
+    # single files — register either
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {t} AS FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails, passes, skips = [], [], []
