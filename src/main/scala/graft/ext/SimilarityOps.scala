@@ -1207,7 +1207,14 @@ object SimilarityOps {
     * oracle gate): candidate volume per vector is ~N/2ᵇ per table, so the
     * fixture-pinned b=4 measured 11.5× on 10× vectors while b=7 restores
     * ~linear (SCALING.md r7). */
-  def knnGraphAt(spark: SparkSession, sfDir: String, bits: Int): DataFrame = {
+  def knnGraphAt(spark: SparkSession, sfDir: String, bits: Int): DataFrame =
+    knnRankedAt(spark, sfDir, bits)
+      .select("src", "rank", "nbr", "cos_sim")
+      .orderBy("src", "rank")
+
+  /** The unsorted top-[[KnnK]] edge frame both [[knnGraphAt]] and
+    * [[pagerankAt]] build on — (src, rank, nbr, cos_sim), rank ≤ KnnK. */
+  private def knnRankedAt(spark: SparkSession, sfDir: String, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 32, s"sign-hash width out of range: $bits")
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, sfDir)
@@ -1227,12 +1234,13 @@ object SimilarityOps {
       .select("src", "nbr", "cos_sim").distinct() // both-table collisions emit twice
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= KnnK)
-      .select("src", "rank", "nbr", "cos_sim")
-      .orderBy("src", "rank")
   }
 
-  private val knnGraphSql =
-    s"""WITH e AS (
+  /** The kNN-graph CTE chain shared verbatim between [[knnGraphSql]] and the
+    * PageRank oracle (the BM25/hybrid shared-CTE discipline): `r` holds every
+    * candidate edge with its per-src rank. */
+  private val knnCtes =
+    s"""e AS (
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm,
        |    ${signBucketSql(1)} AS bk0, ${signBucketSql(5)} AS bk1
        |  FROM embeddings),
@@ -1245,9 +1253,97 @@ object SimilarityOps {
        |      FROM cand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.nbr),
        |r AS (SELECT *,
        |        CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rank
-       |      FROM s)
+       |      FROM s)""".stripMargin
+
+  private val knnGraphSql =
+    s"""WITH $knnCtes
        |SELECT src, rank, nbr, cos_sim FROM r WHERE rank <= $KnnK
        |ORDER BY src, rank""".stripMargin
+
+  private val PrIters = 3
+  private val PrScale = 1000000000000L // Q12 fixed point: 1.0 == 10^12
+
+  /** PAGERANK over the kNN similarity graph — graph-based authority scoring
+    * for curation (the centrality signal web-scale corpus pipelines compute
+    * over their link graph; here the link graph is the [[knnGraphAt]] edge
+    * set, so well-connected documents in embedding space score high and
+    * isolated outliers decay toward the teleport floor).
+    *
+    * Semantics: standard damped PageRank, d = 17/20, [[PrIters]] synchronous
+    * iterations from the uniform vector, dangling mass redistributed
+    * uniformly. ALL arithmetic is Q12 integer fixed point with floor
+    * division — bit-stable under any partitioning and engine (the 2-sigma
+    * integer-parity discipline), so the oracle can unroll the iterations as
+    * CTEs and hash-match exactly.
+    *
+    * Scale shape (the Pregel pattern on DataFrames): per iteration ONE
+    * equi-join ranks→edges on src (both hash-partitioned on the same key at
+    * a cluster), ONE map-side-combined groupBy(nbr) whose shuffle rows are
+    * (nbr, long), and a 1-row dangling aggregate that rides back as a
+    * broadcast — no driver round-trip beyond the |V| count every PageRank
+    * base term needs. Lineage truncates per iteration (localCheckpoint —
+    * the round-2 iterative-frame discipline); edges checkpoint once and
+    * feed all iterations. */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame =
+    pagerankAt(spark, sfDir,
+      sys.env.get("SPARK_GRAFT_EMB_BITS").map(_.toInt).getOrElse(4))
+
+  def pagerankAt(spark: SparkSession, sfDir: String, bits: Int): DataFrame = {
+    val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    val n = nodes.count() // bounded driver scalar: |V|, in every base term
+    val edges = knnRankedAt(spark, sfDir, bits)
+      .select("src", "nbr").localCheckpoint()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val base = (3L * PrScale) / (20L * n) // (1-d)/N in Q12, floor
+    var pr = nodes.withColumn("pr", lit(PrScale / n))
+    for (_ <- 1 to PrIters) {
+      val withOut = pr.join(outdeg, pr("vec_id") === outdeg("src"), "left")
+        .select(col("vec_id"), col("pr"), col("od"))
+      val contrib = withOut.where(col("od").isNotNull)
+        .join(edges.withColumnRenamed("src", "esrc"), col("esrc") === col("vec_id"))
+        .select(col("nbr"), expr("pr div od").as("c"))
+      val sumc = contrib.groupBy(col("nbr"))
+        .agg(sum(col("c")).cast("long").as("sc"))
+      val dang = withOut.where(col("od").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0L)).cast("long").as("dang"))
+      pr = nodes
+        .join(sumc, nodes("vec_id") === sumc("nbr"), "left")
+        .crossJoin(broadcast(dang))
+        .select(nodes("vec_id"),
+          (lit(base) + expr(s"(17 * (coalesce(sc, 0L) + (dang div $n))) div 20"))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("vec_id"), col("pr").as("pr_q12")).orderBy("vec_id")
+  }
+
+  /** Oracle: the same [[PrIters]] iterations unrolled as CTE triples
+    * (contribution rollup, dangling sum, update) over the shared kNN edge
+    * CTEs — trained-provenance gating, like the BPE and k-means oracles. */
+  private val pagerankSql = {
+    val iters = (1 to PrIters).map { i =>
+      val p = s"p${i - 1}"
+      s"""c$i AS (SELECT e.nbr AS v, CAST(sum(p.pr // o.od) AS BIGINT) AS sc
+         |        FROM $p p JOIN outdeg o ON o.src = p.vec_id
+         |        JOIN edges e ON e.src = p.vec_id GROUP BY e.nbr),
+         |d$i AS (SELECT CAST(COALESCE(sum(p.pr), 0) AS BIGINT) AS dang
+         |        FROM $p p LEFT JOIN outdeg o ON o.src = p.vec_id
+         |        WHERE o.src IS NULL),
+         |p$i AS (SELECT nd.vec_id,
+         |          CAST(((3 * $PrScale) // (20 * n))
+         |            + ((17 * (COALESCE(c.sc, 0) + (d.dang // n))) // 20) AS BIGINT) AS pr
+         |        FROM nodes nd CROSS JOIN nn CROSS JOIN d$i d
+         |        LEFT JOIN c$i c ON c.v = nd.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnCtes,
+       |edges AS (SELECT src, nbr FROM r WHERE rank <= $KnnK),
+       |nodes AS (SELECT vec_id FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+       |p0 AS (SELECT vec_id, CAST($PrScale // n AS BIGINT) AS pr FROM nodes, nn),
+       |$iters
+       |SELECT vec_id, pr AS pr_q12 FROM p$PrIters ORDER BY vec_id""".stripMargin
+  }
 
   private val HamS = 50 // Hamming shortlist size before the exact re-rank
 
@@ -1386,6 +1482,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_random_projection" -> (randomProjection _),
     "sim_knn_graph" -> (knnGraph _),
+    "sim_pagerank" -> (pagerank _),
     "sim_binary_hamming" -> (binaryHamming _),
     "sim_outlier_filter" -> (outlierFilter _),
     "sim_pq_trained" -> (pqTrained _),
@@ -1405,6 +1502,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "sim_random_projection" -> randomProjectionSql,
     "sim_knn_graph" -> knnGraphSql,
+    "sim_pagerank" -> pagerankSql,
     "sim_binary_hamming" -> binaryHammingSql,
     "sim_outlier_filter" -> outlierFilterSql,
     "sim_pq_trained" -> pqTrainedSql,

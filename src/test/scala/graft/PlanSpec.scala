@@ -205,6 +205,7 @@ class PlanSpec extends SparkSpec {
       "stream_priority_sample",
       "dedup_cluster_canonical", "dedup_best_survivor", "curation_pipeline",
       "dedup_semantic", // reuses the memoized cluster fixtures
+      "sim_pagerank",   // Pregel-style loop: localCheckpoint per iteration
       "s9_block_dater") // driver-side binary-search refinement
     // BroadcastNestedLoopJoin is legitimate ONLY against a broadcast
     // one-row (or few-row constant) side — the documented crossJoin uses

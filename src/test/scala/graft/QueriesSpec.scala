@@ -824,4 +824,21 @@ class QueriesSpec extends SparkSpec {
       assert(heavy.forall(sampled), "every doc with w > tau must be sampled")
     }
   }
+
+  test("pagerank: Q12 mass conserved within floor loss; teleport floor; ranks differentiate (r9)") {
+    import org.apache.spark.sql.functions._
+    val pr = ext.SimilarityOps.pagerank(spark, sf)
+    val scale = 1000000000000L // Q12: 1.0 == 10^12 (PrScale)
+    val rows = pr.agg(count(lit(1)), sum("pr_q12"), min("pr_q12")).head
+    val (n, total, minPr) = (rows.getLong(0), rows.getLong(1), rows.getLong(2))
+    // exact arithmetic conserves mass; the only leak is floor division —
+    // bounded per iteration by E (pr div od) + n (dang div n) + n (div 20)
+    // + n (base), E <= KnnK*n = 3n, so 3 iterations lose < 18n units
+    assert(total <= scale, s"mass above 1.0: $total")
+    assert(total >= scale - 18L * n, s"floor loss exceeds bound: ${scale - total} > ${18L * n}")
+    // damped walk's teleport floor: every node holds at least (1-d)/N
+    assert(minPr >= (3L * scale) / (20L * n), s"below teleport floor: $minPr")
+    // the kNN graph structure must actually differentiate authority
+    assert(pr.select("pr_q12").distinct().count() > 1)
+  }
 }
