@@ -1257,6 +1257,72 @@ object DedupOps {
        |  CAST(shared AS DOUBLE) / (pairs_a + pairs_b - shared) AS agreement
        |FROM r ORDER BY det_a, det_b""".stripMargin
 
+  /** Title length, segment width, and edit-distance threshold for
+    * [[fuzzyTitle]]. 4 segments of [[SegW]] cover the [[TitleLen]]-char
+    * title; by pigeonhole, two titles within substitution distance 3 agree
+    * on at least one aligned segment, so segment-equality blocking is
+    * EXACT for that edit model (insertions/deletions that shift alignment
+    * are best-effort, like any blocked fuzzy join — the LSH recall-contract
+    * discipline). */
+  private val TitleLen = 48
+  private val SegW = 12
+  private val FuzzyMaxDist = 3
+
+  /** Fuzzy-title near-dup pairs via PassJoin-style segment blocking + exact
+    * edit distance (Li et al., PVLDB 2011 — ICDE "PassJoin" family; the
+    * ed-join pattern dedup pipelines use for titles/URLs where token
+    * shingles are too coarse).
+    *
+    * Scale shape: the ONLY shuffle keyed on pair identity is the
+    * (si, sv) segment equi-join — never all pairs. Segment width is the
+    * selectivity knob (12 lowercase chars ≈ 2 words): identical windows
+    * across unrelated docs are rare, so buckets stay near-dup-sized
+    * (measured max 13 docs at sf0.1); widen SegW with corpus growth the
+    * way LSH widens b ∝ log N. The O(len²) Levenshtein DP runs ONCE per
+    * DISTINCT candidate pair, after the dedup, never per segment match.
+    * Both engines' `levenshtein` is the standard unit-cost DP — exact
+    * integer parity. */
+  def fuzzyTitle(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(lower(col("text")), 1, TitleLen).as("title"))
+    // cache: segs feeds both sides of the self-join (BUILDLOG r6.3 — an
+    // uncached frame upstream of a self-join computes twice)
+    val segs = (1 to 4).map { i =>
+      t.select(col("doc_id"), col("title"), lit(i).as("si"),
+        substring(col("title"), (i - 1) * SegW + 1, SegW).as("sv"))
+    }.reduce(_ unionAll _)
+      // short docs yield truncated trailing segments; a width-SegW block
+      // key is the contract (an 11-char tail would bucket every 47-char
+      // doc together) — drop them, mirrored in the oracle
+      .where(length(col("sv")) === SegW)
+      .cache()
+    val cand = segs.as("a").join(segs.as("b"),
+        col("a.si") === col("b.si") && col("a.sv") === col("b.sv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.title").as("ta"), col("b.title").as("tb"))
+      .distinct() // pairs agreeing on several segments DP once
+    cand.withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .where(col("dist") <= FuzzyMaxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val fuzzyTitleSql = {
+    val segCtes = (1 to 4).map { i =>
+      s"SELECT doc_id, title, $i AS si, substr(title, ${(i - 1) * SegW + 1}, $SegW) AS sv FROM t"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, substr(lower(text), 1, $TitleLen) AS title FROM documents),
+       |s AS (SELECT * FROM ($segCtes) WHERE len(sv) = $SegW),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           a.title AS ta, b.title AS tb
+       |         FROM s a JOIN s b ON a.si = b.si AND a.sv = b.sv
+       |           AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(ta, tb) <= $FuzzyMaxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "report_detector_agreement" -> (detectorAgreement _),
     "split_leakage_purge" -> (splitLeakagePurge _),
@@ -1275,6 +1341,7 @@ object DedupOps {
     "dedup_best_survivor" -> (bestSurvivor _),
     "curation_pipeline" -> (curationPipeline _),
     "dedup_incremental" -> (incrementalDedup _),
+    "dedup_fuzzy_title" -> (fuzzyTitle _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1295,5 +1362,6 @@ object DedupOps {
     "dedup_best_survivor" -> bestSurvivorSql,
     "curation_pipeline" -> curationPipelineSql,
     "dedup_incremental" -> incrementalDedupSql,
+    "dedup_fuzzy_title" -> fuzzyTitleSql,
   )
 }

@@ -750,9 +750,150 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Time-bucket width for [[joinRangeBucketed]], seconds. */
+  private val RjBucket = 3600L
+
+  /** Interval-CONTAINMENT join via time bucketing — point probes against an
+    * interval table, the range-join shape Catalyst has no native operator
+    * for (a raw `p.t BETWEEN s.lo AND s.hi` join plans as BNLJ; engines
+    * that special-case it — Databricks range-join hints, DuckDB's IEJoin —
+    * are doing this bucketization internally). Purchases are joined into
+    * the CLICK session (30-min gap) of the same user that contains them:
+    * attribution — "which browsing session did this purchase land in"
+    * (purchases outside any click session drop, so containment is real,
+    * not key-coequal).
+    *
+    * Scale shape: each interval EXPLODES to the [[RjBucket]]-wide buckets
+    * it overlaps (bounded by session length, not corpus size); each probe
+    * has exactly one bucket; the join is then a plain (user, bucket)
+    * EQUI-join — shuffle-partitionable, AQE-skew-splittable, broadcastable
+    * — with the exact containment predicate as a post-filter. Disjoint
+    * per-user sessions mean ≤1 match per probe, no dedup step. Times
+    * compare as epoch-second BIGINTs (the cross-engine timestamp rule). */
+  def joinRangeBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val sess = ev.where(col("event_type") === "click")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("s_start"),
+        unix_timestamp(col("session_window.end")).as("s_end"),
+        col("n_clicks"))
+    val sessB = sess.withColumn("bucket",
+        explode(sequence(expr(s"s_start div $RjBucket"), expr(s"(s_end - 1) div $RjBucket"))))
+    val probes = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        unix_timestamp(col("ts")).as("es"))
+      .withColumn("bucket", expr(s"es div $RjBucket"))
+    probes.join(sessB,
+        probes("bucket") === sessB("bucket") && probes("p_user") === sessB("user_id") &&
+          col("es") >= col("s_start") && col("es") < col("s_end"))
+      .select(col("event_id"), col("p_user").as("user_id"), col("es"),
+        col("s_start"), col("s_end"), col("n_clicks"))
+      .orderBy("event_id")
+  }
+
+  private val joinRangeBucketedSql =
+    """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      |marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess0 AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |sess AS (
+      |  SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+      |    CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS s_end,
+      |    count(*) AS n_clicks
+      |  FROM sess0 GROUP BY user_id, sid),
+      |p AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.es, s.s_start, s.s_end, s.n_clicks
+      |FROM p JOIN sess s ON p.user_id = s.user_id
+      |  AND p.es >= s.s_start AND p.es < s.s_end
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Bit width per dimension for [[zval]]: covers user_id < 2^11 = 2048 and
+    * floor(value) < 2048 at every SF (max observed 1499 / 560). */
+  private val ZBits = 11
+
+  /** Morton (Z-order) key: interleave the low [[ZBits]] bits of two
+    * dimensions — bit i of `u` lands at position 2i+1, bit i of `v` at 2i.
+    * Pure bitwise Column arithmetic (shift/and/or), whole-stage codegen. */
+  private[graft] def zval(u: Column, v: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(u, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(v, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Write `events` clustered by the Z-order of (user_id, floor(value)).
+    * Each dimension is min/max-normalized to the full [[ZBits]] range
+    * before interleaving (the Delta OPTIMIZE ZORDER range-id step):
+    * raw-bit interleave aligns domains by BIT POSITION, so a 4-bit
+    * user domain against a 9-bit value domain would degenerate into a
+    * plain value sort. The z key shapes only the physical layout — it is
+    * dropped before write and never enters a compared result, so double
+    * scaling needs no cross-engine parity. */
+  private[graft] def writeZorder(events: DataFrame, dir: String): Unit = {
+    val r = events.agg(
+      min(col("user_id")), max(col("user_id")),
+      floor(min(col("value"))), floor(max(col("value")))).head()
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      floor((c - lit(lo)).cast("double") * ((1 << ZBits) - 1) /
+        math.max(hi - lo, 1L).toDouble).cast("long")
+    events
+      .withColumn("zv", zval(
+        norm(col("user_id"), r.getLong(0), r.getLong(1)),
+        norm(floor(col("value")).cast("long"), r.getLong(2), r.getLong(3))))
+      .repartitionByRange(32, col("zv"))
+      .sortWithinPartitions("zv")
+      .drop("zv")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Z-ORDER clustered layout + a 2-D box read — the third leg of the
+    * 100 TB layout story (partition pruning for low-cardinality scans
+    * [[layoutPrunedScan]], bucketing for co-located joins
+    * [[layoutBucketedJoin]], and Z-ordering for MULTI-dimensional range
+    * predicates, the Delta/Iceberg OPTIMIZE ZORDER pattern). A single-column
+    * sort gives perfect row-group stats on that column and NONE on any
+    * other; interleaving the bits of both dimensions keeps every file's
+    * (user_id, value) min/max box small, so parquet row-group stats prune
+    * on EITHER dimension from one layout — PlanSpec measures exactly
+    * that via per-file min/max: a value-only predicate touches every file
+    * of a user-sorted layout but a bounded fraction of the Z-ordered one.
+    * The gated query reads one 2-D box back through the layout (round-trip
+    * fidelity; both predicates reach PushedFilters). */
+  def layoutZorderScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_zorder_${new java.io.File(sfDir).getName}").getAbsolutePath
+    val ev = Tables.events(spark, sfDir)
+    writeZorder(ev, dir)
+    // the user_id domain scales with SF — the box is a fixed FRACTION of
+    // it, derived by one bounded driver scalar (the slice-bounds
+    // precedent) in exact integer arithmetic mirrored by the oracle's CTE
+    val maxU = ev.agg(max(col("user_id"))).head().getLong(0)
+    spark.read.parquet(dir)
+      .where(col("user_id").between(maxU / 7, maxU / 4) &&
+        col("value") >= 100.0 && col("value") < 164.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+  }
+
+  private val layoutZorderScanSql =
+    """WITH m AS (SELECT max(user_id) AS mu FROM events)
+      |SELECT event_id, user_id, value FROM events, m
+      |WHERE user_id BETWEEN mu // 7 AND mu // 4 AND value >= 100 AND value < 164
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_pruned_scan" -> (layoutPrunedScan _),
     "layout_bucketed_join" -> (layoutBucketedJoin _),
+    "layout_zorder_scan" -> (layoutZorderScan _),
+    "join_range_bucketed" -> (joinRangeBucketed _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_topk" -> (q3ShippingTopk _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -784,6 +925,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "layout_pruned_scan" -> layoutPrunedScanSql,
     "layout_bucketed_join" -> layoutBucketedJoinSql,
+    "layout_zorder_scan" -> layoutZorderScanSql,
+    "join_range_bucketed" -> joinRangeBucketedSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_topk" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

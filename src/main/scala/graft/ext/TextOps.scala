@@ -1017,6 +1017,68 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
+  /** Collocation mining: top-[[PmiTopK]] adjacent-word pairs by PMI LIFT —
+    * the phrase-discovery pass (word2vec's phrase pass, Mikolov et al. 2013;
+    * Church & Hanks 1990) a corpus pipeline runs before tokenizer/vocab
+    * decisions. Ranked by the RATIO p(x,y)/(p(x)p(y)) rather than its log:
+    * log is monotone, so the ranking is identical and nothing transcendental
+    * enters the oracle-compared path (the round-9 libm lesson — ln parity
+    * failed on 629 of 622k enumerated inputs). The ratio is one fixed IEEE
+    * expression tree, identical text in both engines.
+    *
+    * Scale shape: bigrams come from lead() over (doc, pos) — ONE shuffle by
+    * doc_id; pair counts ONE shuffle by (x, y); the unigram table is
+    * vocab-sized and broadcasts onto the pair counts; corpus totals are two
+    * 1-row broadcast aggregates. Nothing pairwise, nothing quadratic; the
+    * final top-k sorts only pairs past the [[PmiMinCount]] support floor
+    * (vocab²-bounded, not corpus-bounded). */
+  def pmiPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "w")))
+    val bg = tok
+      .withColumn("y", lead("w", 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .where(col("y").isNotNull)
+      .select(col("w").as("x"), col("y"))
+      .cache() // feeds pair counts AND the 1-row bigram total
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nu = tok.agg(count(lit(1)).as("nu"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= PmiMinCount)
+      .join(broadcast(uni.select(col("w").as("x"), col("c").as("cx"))), Seq("x"))
+      .join(broadcast(uni.select(col("w").as("y"), col("c").as("cy"))), Seq("y"))
+      .join(broadcast(nu)).join(broadcast(nb))
+      .withColumn("lift",
+        col("c_xy").cast("double") * col("nu").cast("double") * col("nu").cast("double") /
+          (col("cx").cast("double") * col("cy").cast("double") * col("nb").cast("double")))
+      .select("x", "y", "c_xy", "lift")
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(PmiTopK)
+  }
+
+  private val pmiPairsSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+       |bg0 AS (SELECT unnest(list_transform(range(1, len(toks)),
+       |          i -> toks[i] || ' ' || toks[i+1])) AS p FROM t),
+       |bg AS (SELECT string_split(p, ' ')[1] AS x, string_split(p, ' ')[2] AS y FROM bg0),
+       |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       |nu AS (SELECT count(*) AS nu FROM tok),
+       |nb AS (SELECT count(*) AS nb FROM bg),
+       |cc AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY x, y
+       |       HAVING count(*) >= $PmiMinCount)
+       |SELECT cc.x, cc.y, cc.c_xy,
+       |  CAST(cc.c_xy AS DOUBLE) * CAST(nu.nu AS DOUBLE) * CAST(nu.nu AS DOUBLE) /
+       |    (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE) * CAST(nb.nb AS DOUBLE)) AS lift
+       |FROM cc JOIN uni ux ON ux.w = cc.x JOIN uni uy ON uy.w = cc.y
+       |CROSS JOIN nu CROSS JOIN nb
+       |ORDER BY lift DESC, x, y LIMIT $PmiTopK""".stripMargin
+
   private val tfidfTopkSql =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
@@ -1760,6 +1822,7 @@ object TextOps {
     "text_contamination" -> (contamination _),
     "text_contamination_bloom" -> (contaminationBloom _),
     "text_tfidf_topk" -> (tfidfTopk _),
+    "text_pmi_pairs" -> (pmiPairs _),
     "text_bm25_topk" -> (bm25Topk _),
     "text_hybrid_rrf" -> (hybridRrf _),
     "text_lm_rank_score" -> (lmRankScore _),
@@ -1790,6 +1853,7 @@ object TextOps {
     "text_contamination" -> contaminationSql,
     "text_contamination_bloom" -> contaminationSql,
     "text_tfidf_topk" -> tfidfTopkSql,
+    "text_pmi_pairs" -> pmiPairsSql,
     "text_bm25_topk" -> bm25TopkSql,
     "text_hybrid_rrf" -> hybridRrfSql,
     "text_lm_rank_score" -> lmRankScoreSql,

@@ -231,6 +231,7 @@ class PlanSpec extends SparkSpec {
       "text_bm25_topk",   // 1-row (nd, tl, avgdl) stats aggregate broadcast onto the scored rows
       "text_hybrid_rrf",  // bm25 stats row + 4-row dense-query side broadcast against candidates BY DESIGN
       "sim_outlier_filter", // 1-row (n, s, ss) stats aggregate broadcast onto the scan
+      "text_pmi_pairs",   // two 1-row corpus-total aggregates broadcast onto the pair counts
       "sim_clustered_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(executesOnBuild)
@@ -244,6 +245,36 @@ class PlanSpec extends SparkSpec {
         else None
       }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("layout_zorder_scan: ONE Z-layout prunes on BOTH dimensions; a 1-D sort cannot (r9)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val zdir = new java.io.File(sys.props("java.io.tmpdir"), "graft_ztest_z").getAbsolutePath
+    val udir = new java.io.File(sys.props("java.io.tmpdir"), "graft_ztest_u").getAbsolutePath
+    ext.Relational.writeZorder(ev, zdir)
+    ev.repartitionByRange(32, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(udir)
+    // per-file min/max IS what parquet row-group stats pruning consults
+    def fileStats(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("value").as("vlo"), max("value").as("vhi"))
+      .collect()
+    val (zs, us) = (fileStats(zdir), fileStats(udir))
+    val maxU = ev.agg(max("user_id")).head.getLong(0)
+    // value-only predicate [100, 164): sorted-by-user files all straddle it
+    def vHit(r: org.apache.spark.sql.Row) =
+      r.getAs[Double]("vhi") >= 100.0 && r.getAs[Double]("vlo") < 164.0
+    val (zv, uv) = (zs.count(vHit), us.count(vHit))
+    assert(uv * 10 >= us.length * 9, s"user-sorted layout should not prune on value: $uv/${us.length}")
+    assert(zv * 10 <= zs.length * 7, s"z-layout should skip >=30% of files on value: $zv/${zs.length}")
+    assert(zv < uv, s"z-layout must beat the 1-D sort on the value box: $zv vs $uv")
+    // user-only predicate (the SAME box the gated query uses): still prunes
+    def uHit(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("uhi") >= maxU / 7 && r.getAs[Long]("ulo") <= maxU / 4
+    val zu = zs.count(uHit)
+    assert(zu * 10 <= zs.length * 7, s"z-layout should skip >=30% of files on user: $zu/${zs.length}")
   }
 
   test("layout_pruned_scan: lang is a PARTITION filter, not a data filter (r7)") {
