@@ -1258,13 +1258,12 @@ object DedupOps {
        |FROM r ORDER BY det_a, det_b""".stripMargin
 
   /** Title length, segment width, and edit-distance threshold for
-    * [[fuzzyTitle]]. 4 segments of [[SegW]] cover the [[TitleLen]]-char
+    * [[fuzzyTitle]]. 4 segments of [[SegW]] cover the 4·SegW-char
     * title; by pigeonhole, two titles within substitution distance 3 agree
     * on at least one aligned segment, so segment-equality blocking is
     * EXACT for that edit model (insertions/deletions that shift alignment
     * are best-effort, like any blocked fuzzy join — the LSH recall-contract
     * discipline). */
-  private val TitleLen = 48
   private val SegW = 12
   private val FuzzyMaxDist = 3
 
@@ -1278,23 +1277,34 @@ object DedupOps {
     * selectivity knob (12 lowercase chars ≈ 2 words): identical windows
     * across unrelated docs are rare, so buckets stay near-dup-sized
     * (measured max 13 docs at sf0.1); widen SegW with corpus growth the
-    * way LSH widens b ∝ log N. The O(len²) Levenshtein DP runs ONCE per
-    * DISTINCT candidate pair, after the dedup, never per segment match.
-    * Both engines' `levenshtein` is the standard unit-cost DP — exact
-    * integer parity. */
-  def fuzzyTitle(spark: SparkSession, sfDir: String): DataFrame = {
+    * way LSH widens b ∝ log N — MEASURED: the fixture-pinned segw=12
+    * candidate volume grew 33× on 10× docs (common first-words pile up
+    * ∝ N, pairs ∝ N²/V) while segw=18 at the 10× store is exactly linear
+    * (36k ≈ 4× the sf0.1 9k pairs, max bucket 11; SCALING.md r9.2). The
+    * O(len²) Levenshtein DP runs ONCE per DISTINCT candidate pair, after
+    * the dedup, never per segment match. Both engines' `levenshtein` is
+    * the standard unit-cost DP — exact integer parity. */
+  def fuzzyTitle(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyTitleAt(spark, sfDir,
+      sys.env.get("SPARK_GRAFT_FUZZY_SEGW").map(_.toInt).getOrElse(SegW))
+
+  /** [[fuzzyTitle]] with the segment width (= title/4) as the scale knob;
+    * the oracle gate stays pinned at the fixture's [[SegW]]. */
+  def fuzzyTitleAt(spark: SparkSession, sfDir: String, segw: Int): DataFrame = {
+    require(segw >= 4 && segw <= 64, s"segment width out of range: $segw")
+    val titleLen = 4 * segw
     val t = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), substring(lower(col("text")), 1, TitleLen).as("title"))
+      .select(col("doc_id"), substring(lower(col("text")), 1, titleLen).as("title"))
     // cache: segs feeds both sides of the self-join (BUILDLOG r6.3 — an
     // uncached frame upstream of a self-join computes twice)
     val segs = (1 to 4).map { i =>
       t.select(col("doc_id"), col("title"), lit(i).as("si"),
-        substring(col("title"), (i - 1) * SegW + 1, SegW).as("sv"))
+        substring(col("title"), (i - 1) * segw + 1, segw).as("sv"))
     }.reduce(_ unionAll _)
-      // short docs yield truncated trailing segments; a width-SegW block
+      // short docs yield truncated trailing segments; a full-width block
       // key is the contract (an 11-char tail would bucket every 47-char
       // doc together) — drop them, mirrored in the oracle
-      .where(length(col("sv")) === SegW)
+      .where(length(col("sv")) === segw)
       .cache()
     val cand = segs.as("a").join(segs.as("b"),
         col("a.si") === col("b.si") && col("a.sv") === col("b.sv") &&
@@ -1312,7 +1322,7 @@ object DedupOps {
     val segCtes = (1 to 4).map { i =>
       s"SELECT doc_id, title, $i AS si, substr(title, ${(i - 1) * SegW + 1}, $SegW) AS sv FROM t"
     }.mkString("\n      UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, substr(lower(text), 1, $TitleLen) AS title FROM documents),
+    s"""WITH t AS (SELECT doc_id, substr(lower(text), 1, ${4 * SegW}) AS title FROM documents),
        |s AS (SELECT * FROM ($segCtes) WHERE len(sv) = $SegW),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |           a.title AS ta, b.title AS tb
