@@ -1290,10 +1290,13 @@ object DedupOps {
 
   /** [[fuzzyTitle]] with the segment width (= title/4) as the scale knob;
     * the oracle gate stays pinned at the fixture's [[SegW]]. */
-  def fuzzyTitleAt(spark: SparkSession, sfDir: String, segw: Int): DataFrame = {
+  def fuzzyTitleAt(spark: SparkSession, sfDir: String, segw: Int): DataFrame =
+    fuzzyTitleOf(Tables.documents(spark, sfDir), segw)
+
+  private[graft] def fuzzyTitleOf(documents: DataFrame, segw: Int): DataFrame = {
     require(segw >= 4 && segw <= 64, s"segment width out of range: $segw")
     val titleLen = 4 * segw
-    val t = Tables.documents(spark, sfDir)
+    val t = documents
       .select(col("doc_id"), substring(lower(col("text")), 1, titleLen).as("title"))
     // cache: segs feeds both sides of the self-join (BUILDLOG r6.3 — an
     // uncached frame upstream of a self-join computes twice)

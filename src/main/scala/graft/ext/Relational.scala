@@ -770,8 +770,10 @@ object Relational {
     * — with the exact containment predicate as a post-filter. Disjoint
     * per-user sessions mean ≤1 match per probe, no dedup step. Times
     * compare as epoch-second BIGINTs (the cross-engine timestamp rule). */
-  def joinRangeBucketed(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def joinRangeBucketed(spark: SparkSession, sfDir: String): DataFrame =
+    joinRangeBucketedOf(Tables.events(spark, sfDir))
+
+  private[graft] def joinRangeBucketedOf(ev: DataFrame): DataFrame = {
     val sess = ev.where(col("event_type") === "click")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_clicks"))

@@ -1035,9 +1035,12 @@ object TextOps {
     * 1-row broadcast aggregates. Nothing pairwise, nothing quadratic; the
     * final top-k sorts only pairs past the [[PmiMinCount]] support floor
     * (vocab²-bounded, not corpus-bounded). */
-  def pmiPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def pmiPairs(spark: SparkSession, sfDir: String): DataFrame =
+    pmiPairsOf(Tables.documents(spark, sfDir))
+
+  private[graft] def pmiPairsOf(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(spark, sfDir)
+    val tok = documents
       .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "w")))
     val bg = tok
       .withColumn("y", lead("w", 1).over(

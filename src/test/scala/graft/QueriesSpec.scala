@@ -825,6 +825,62 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy-title join: blocking survives a FIRST-segment edit; threshold excludes dist 4 (r9.2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog in fog" // ≥48 chars
+    def sub(s: String, at: Int, c: Char) = s.updated(at, c)
+    val docs = Seq(
+      (1L, base),
+      (2L, sub(sub(base, 15, 'x'), 27, 'y')),          // 2 subs in segs 2,3 → cand, dist 2
+      (3L, sub(sub(sub(base, 5, 'q'), 15, 'x'), 27, 'y')), // 3 subs in segs 1,2,3; seg4 free → cand, dist 3
+      (4L, sub(sub(sub(sub(base, 13, 'a'), 15, 'b'), 17, 'c'), 19, 'd')), // 4 subs in ONE segment → cand, dist 4 → dropped by threshold
+      (5L, sub(base, 0, 'x'))                           // position-0 edit: seg1 differs, segs 2-4 carry → cand, dist 1
+    ).toDF("doc_id", "text")
+    val out = ext.DedupOps.fuzzyTitleOf(docs, 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.get((1L, 2L)).contains(2L))
+    assert(out.get((1L, 3L)).contains(3L))
+    assert(out.get((1L, 5L)).contains(1L), "a first-character edit must not defeat the blocking")
+    assert(!out.contains((1L, 4L)), "dist 4 must fail the threshold even as a candidate")
+    assert(out.keys.forall { case (a, b) => a < b })
+    assert(out.values.forall(_ <= 3L))
+  }
+
+  test("pmi: always-adjacent pair ranks with the exact lift; co-frequent non-adjacent pair absent (r9.2)") {
+    import spark.implicits._
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "zig zag pad")) ++
+      (11 to 20).map(i => (i.toLong, "red mid blue"))
+    ).toDF("doc_id", "text")
+    // NU=60, NB=40; c(zig)=c(zag)=10, c_xy=10 → lift = 10·60·60/(10·10·40) = 9.0 exact
+    val byPair = ext.TextOps.pmiPairsOf(docs).select("x", "y", "c_xy", "lift").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(byPair.get(("zig", "zag")).contains((10L, 9.0)))
+    assert(!byPair.contains(("red", "blue")),
+      "co-frequent but never-adjacent words are not a collocation")
+  }
+
+  test("range join: purchases attribute only into the CONTAINING click session; end exclusive (r9.2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, 1L, "click", "2024-01-01 00:00:00"),
+      (2L, 1L, "click", "2024-01-01 00:10:00"),
+      (3L, 1L, "purchase", "2024-01-01 00:20:00"), // inside [00:00, 00:40)
+      (4L, 1L, "purchase", "2024-01-01 00:40:00"), // AT the exclusive end → out
+      (5L, 1L, "purchase", "2024-01-01 02:00:00"), // far outside → out
+      (6L, 2L, "purchase", "2024-01-01 00:20:00")  // right time, session-less user → out
+    ).toDF("event_id", "user_id", "event_type", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = ext.Relational.joinRangeBucketedOf(rows).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getAs[Long]("event_id") == 3L)
+    assert(r.getAs[Long]("n_clicks") == 2L)
+    assert(r.getAs[Long]("s_end") - r.getAs[Long]("s_start") == 2400L) // 10 min span + 30 min gap
+  }
+
   test("pagerank: Q12 mass conserved within floor loss; teleport floor; ranks differentiate (r9)") {
     import org.apache.spark.sql.functions._
     val pr = ext.SimilarityOps.pagerank(spark, sf)
