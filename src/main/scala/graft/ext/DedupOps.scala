@@ -1257,6 +1257,34 @@ object DedupOps {
        |  CAST(shared AS DOUBLE) / (pairs_a + pairs_b - shared) AS agreement
        |FROM r ORDER BY det_a, det_b""".stripMargin
 
+  /** Stacked (doc_id, band_idx, bk) band rows over an ARBITRARY documents
+    * frame — the per-batch half of streaming index maintenance
+    * ([[graft.streaming.Streams]] `stream_index_upsert`): same compiled
+    * shingle/minhash kernels and band construction as the batch pipeline,
+    * so the streamed index is bit-identical to what a batch build writes.
+    * Null buckets (docs under [[K]] tokens) are dropped here, mirroring
+    * the join-never-matches-null semantics both engines share. */
+  private[graft] def bandRowsOf(documents: DataFrame): DataFrame = {
+    val sig = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextFns.wordShingles(col("text"), K).as("shs"))
+      .withColumn("sigs", TextFns.minhashSignature(col("shs"), NumPerm))
+      .select((Seq(col("doc_id")) ++ (0 until NumPerm).map(i =>
+        element_at(col("sigs"), i + 1).as(s"mh$i"))): _*)
+    banded(sig).select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)).as(Seq("band_idx", "bk")))
+      .where(col("bk").isNotNull)
+  }
+
+  /** Oracle CTE chain ending in `stk` = the same stacked band rows. */
+  private[graft] val bandStackCtes =
+    s"""$shinglesCte,
+       |$signaturesCte,
+       |$bandedCte,
+       |stk AS (SELECT doc_id, band_idx, bk FROM (${(0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band_idx, b$b AS bk FROM band")
+      .mkString(" UNION ALL ")}) WHERE bk IS NOT NULL)""".stripMargin
+
   /** Title length, segment width, and edit-distance threshold for
     * [[fuzzyTitle]]. 4 segments of [[SegW]] cover the 4·SegW-char
     * title; by pigeonhole, two titles within substitution distance 3 agree

@@ -484,7 +484,96 @@ object Streams {
        |SELECT rank, event_id, w FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
   }
 
+  private val UpsertShards = 4
+
+  /** Streaming maintenance of the at-rest LSH band index — the production
+    * loop `dedup_incremental` ASSUMES ("the corpus index is computed once
+    * at ingest and stored"), now actually run by the stream: each
+    * micro-batch (1) probes its docs' band rows against the index built by
+    * ALL PRIOR batches — emitting, per new doc with a collision, the
+    * minimum earlier doc id as its match — and then (2) APPENDS its own
+    * band rows to the index, the foreachBatch upsert pattern (probe
+    * strictly-before append = a doc can only match PRIOR arrivals, never
+    * its own batch). Band rows come from the SAME compiled kernels as the
+    * batch pipeline ([[graft.ext.DedupOps.bandRowsOf]]) so the streamed
+    * index is bit-identical to a batch build.
+    *
+    * Determinism for the gate: the corpus is pre-sharded by
+    * doc_id % [[UpsertShards]] into one file per shard with synthetic
+    * ascending mtimes — the file source replays oldest-first, so arrival
+    * order IS shard order and the oracle states the same rule as SQL
+    * (match iff the candidate's shard is strictly smaller). At production
+    * the order is real arrival order and the semantics carry unchanged.
+    *
+    * Scale shape: per batch, the ONLY shuffle is the (band_idx, bk)
+    * equi-join of the BATCH's band rows against the index — the corpus
+    * never reshuffles for an ingest batch (the `dedup_incremental`
+    * property, now held batch-after-batch); the index grows append-only
+    * and a real deployment compacts it bucketed by (band_idx, bk) so the
+    * probe side arrives pre-partitioned. */
+  def indexUpsertStream(spark: SparkSession, sfDir: String): DataFrame =
+    indexUpsertStreamOf(spark, graft.Tables.documents(spark, sfDir), UpsertShards)
+
+  private[graft] def indexUpsertStreamOf(
+      spark: SparkSession, docs: DataFrame, shards: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val tmp = Files.createTempDirectory("graft_idx_upsert").toString
+    val inDir = Paths.get(tmp, "in")
+    Files.createDirectories(inDir)
+    val idxDir = s"$tmp/index"
+    val outDir = s"$tmp/matches"
+    (0 until shards).foreach { i =>
+      val shardTmp = s"$tmp/shard_$i"
+      docs.where(pmod(col("doc_id"), lit(shards)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(shardTmp)
+      val part = new java.io.File(shardTmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      val dst = inDir.resolve(f"shard_$i%02d.parquet")
+      Files.move(part.toPath, dst)
+      // oldest-first replay: distinct synthetic mtimes make arrival order
+      // = shard order, deterministically (a mass copy-in can land inside
+      // one mtime granule and tie)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1600000000000L + i * 60000L))
+    }
+    val matchSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("match_id", LongType)))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // cache: the band rows feed the probe join AND the index append
+        val bands = graft.ext.DedupOps.bandRowsOf(batch.toDF()).cache()
+        val matches =
+          if (new java.io.File(idxDir).exists())
+            bands.join(
+              spark.read.parquet(idxDir)
+                .select(col("doc_id").as("match_cand"), col("band_idx"), col("bk")),
+              Seq("band_idx", "bk"))
+              .groupBy("doc_id").agg(min("match_cand").as("match_id"))
+          else
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], matchSchema)
+        matches.write.mode("append").parquet(outDir)
+        bands.write.mode("append").parquet(idxDir)
+        bands.unpersist()
+        ()
+    }.option("checkpointLocation", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
+  private val indexUpsertSql =
+    s"""WITH ${graft.ext.DedupOps.bandStackCtes},
+       |m AS (SELECT a.doc_id, min(c.doc_id) AS match_id
+       |      FROM stk a JOIN stk c ON a.band_idx = c.band_idx AND a.bk = c.bk
+       |        AND (c.doc_id % $UpsertShards) < (a.doc_id % $UpsertShards)
+       |      GROUP BY a.doc_id)
+       |SELECT doc_id, match_id FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_index_upsert" -> (indexUpsertStream _),
     "stream_curation_parity" -> (curationStream _),
     "s3_stream_batch_parity" -> (streamBatchParity _),
     "stream_neardup_dedup" -> (nearDupDedupStream _),
@@ -493,6 +582,7 @@ object Streams {
     "stream_join_parity" -> (streamJoinParity _))
 
   val oracles: Map[String, String] = Map(
+    "stream_index_upsert" -> indexUpsertSql,
     "stream_curation_parity" -> curationParitySql,
     "stream_priority_sample" -> prioritySampleStreamSql,
     "stream_session_parity" -> graft.ext.Relational.sessionWindowsSql,

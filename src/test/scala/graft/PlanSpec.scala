@@ -202,7 +202,7 @@ class PlanSpec extends SparkSpec {
       "s7_realtime_event_methods", "s7_realtime_negative_offset",
       "s7_realtime_positive_offset", "mempool_monitor", "dsl_stream_aggregate",
       "stream_join_parity", "stream_neardup_dedup", "raw_stream_passthrough",
-      "stream_priority_sample",
+      "stream_priority_sample", "stream_index_upsert",
       "dedup_cluster_canonical", "dedup_best_survivor", "curation_pipeline",
       "dedup_semantic", // reuses the memoized cluster fixtures
       "sim_pagerank",   // Pregel-style loop: localCheckpoint per iteration

@@ -602,4 +602,31 @@ class StreamingSpec extends SparkSpec {
     assert(df.isStreaming)
     assert(df.columns.contains("sample_ts") && df.columns.contains("value"))
   }
+
+  test("index upsert: a doc matches only PRIOR batches — later and same-batch twins invisible (r9.2)") {
+    import spark.implicits._
+    // shards = doc_id % 4 → arrival order 0,1,2,3. Twin pairs:
+    //  (0, 1): doc 1 arrives AFTER doc 0's bands are indexed → match (1→0)
+    //  (2, 6): both shard 2, SAME batch → probe-before-append hides them
+    //  (7, 4): doc 7 (shard 3) matches doc 4 (shard 0) — min earlier id
+    //          even though doc 3 (shard 3) shares its batch
+    val same1 = "alpha beta gamma delta epsilon"
+    val same2 = "zeta eta theta iota kappa"
+    val same3 = "lambda mu nu xi omicron"
+    val docs = Seq(
+      (0L, same1), (1L, same1),
+      (2L, same2), (6L, same2),
+      (4L, same3), (7L, same3), (3L, same3),
+      (5L, "unique words only here nothing shared")
+    ).toDF("doc_id", "text")
+    val out = Streams.indexUpsertStreamOf(spark, docs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.get(1L).contains(0L), s"cross-batch twin must match: $out")
+    assert(!out.contains(2L) && !out.contains(6L),
+      "same-batch twins must NOT match (probe runs before append)")
+    assert(out.get(7L).contains(4L), "min over EARLIER shards only")
+    assert(out.get(3L).contains(4L),
+      s"doc 3 matches the shard-0 twin, never batch-mate 7: $out")
+    assert(!out.contains(0L) && !out.contains(4L) && !out.contains(5L))
+  }
 }
