@@ -396,6 +396,47 @@ object TextOps {
        |  CAST(count(*) AS BIGINT) AS ws_tokens
        |FROM sg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer FERTILITY report — subword tokens per whitespace word, by
+    * source, under the TRAINED merge table (the tokenizer-evaluation
+    * metric teams track when choosing vocab size / merge count: fertility
+    * near 1.0 means the tokenizer compresses this domain well; high
+    * fertility flags domains the merges were not trained for and predicts
+    * context-window waste). Composes [[bpeApply]]'s trained segmentation
+    * with a per-source rollup: exact integer token sums, ONE IEEE division
+    * at the output boundary. Fertility here is ≤ mean word length and ≥ 1
+    * by construction (merges only fuse; QueriesSpec pins the bounds).
+    * Scale: the segmentation is a per-word projection; the rollup is a
+    * map-side-combined aggregate into |sources| groups. */
+  def bpeFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = bpeTrainMergeList(spark, docs).map(m => (m._1, m._2))
+    val seg = bpeSegSql(merges)
+    docs.select(col("source"), explode(expr(toksExpr)).as("word"))
+      .select(col("source"),
+        expr(s"size(filter(split($seg, '[|]'), x -> x != ''))").cast("long").as("n"),
+        length(col("word")).cast("long").as("wlen"))
+      .groupBy("source")
+      .agg(sum("n").as("bpe_tokens"), count(lit(1)).as("ws_tokens"),
+        sum("wlen").as("n_word_chars"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+      .select("source", "bpe_tokens", "ws_tokens", "n_word_chars", "fertility")
+      .orderBy("source")
+  }
+
+  private val bpeFertilitySql =
+    s"""WITH $bpeTrainCtes,
+       |tok AS (SELECT source, unnest($toksSql) AS word FROM documents),
+       |sg AS (SELECT source,
+       |    len(list_filter(string_split(${bpeOracleSegAfter(BpeTrainMerges)}, '|'), x -> x <> '')) AS n,
+       |    CAST(length(word) AS BIGINT) AS wlen
+       |  FROM tok)
+       |SELECT source, CAST(sum(n) AS BIGINT) AS bpe_tokens,
+       |  CAST(count(*) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(wlen) AS BIGINT) AS n_word_chars,
+       |  CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS fertility
+       |FROM sg GROUP BY source ORDER BY source""".stripMargin
+
   /** Distributed QUALITY-CLASSIFIER training — a nearest-centroid
     * (Rocchio) classifier over hashed bag-of-words features in FIXED-POINT
     * integer arithmetic (the role a fastText-style quality filter plays in
@@ -1839,6 +1880,7 @@ object TextOps {
     "text_bpe_count" -> (bpeTokenCount _),
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_apply" -> (bpeApply _),
+    "report_bpe_fertility" -> (bpeFertility _),
     "text_quality_train" -> (qualityTrain _),
     "text_fingerprint" -> (fingerprint _),
     "text_pii_scrub" -> (piiScrub _),
@@ -1870,6 +1912,7 @@ object TextOps {
     "text_bpe_count" -> bpeTokenCountSql,
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_apply" -> bpeApplySql,
+    "report_bpe_fertility" -> bpeFertilitySql,
     "text_quality_train" -> qualityTrainSql,
     "text_fingerprint" -> fingerprintSql,
     "text_pii_scrub" -> piiScrubSql,

@@ -881,6 +881,22 @@ class QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("s_end") - r.getAs[Long]("s_start") == 2400L) // 10 min span + 30 min gap
   }
 
+  test("bpe fertility: bounded by [1, mean word length]; totals cross-check bpe apply (r9.2)") {
+    val out = ext.TextOps.bpeFertility(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val f = r.getAs[Double]("fertility")
+      val meanLen = r.getAs[Long]("n_word_chars").toDouble / r.getAs[Long]("ws_tokens")
+      assert(f >= 1.0 && f <= meanLen, s"fertility $f outside [1, $meanLen]")
+    }
+    // the per-source rollup and the per-doc op segment identically
+    import org.apache.spark.sql.functions._
+    val bySource = out.map(_.getAs[Long]("bpe_tokens")).sum
+    val byDoc = ext.TextOps.bpeApply(spark, sf)
+      .agg(sum("bpe_trained_tokens")).head().getLong(0)
+    assert(bySource == byDoc, s"$bySource != $byDoc")
+  }
+
   test("pagerank: Q12 mass conserved within floor loss; teleport floor; ranks differentiate (r9)") {
     import org.apache.spark.sql.functions._
     val pr = ext.SimilarityOps.pagerank(spark, sf)
