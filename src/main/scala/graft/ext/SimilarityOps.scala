@@ -59,6 +59,49 @@ object SimilarityOps {
        |SELECT q_id, rank, c_id, cos_sim FROM r WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Maximum-INNER-PRODUCT top-5 (MIPS) — the recommender/retrieval scoring
+    * where magnitude MATTERS (user·item affinities, un-normalized rerankers):
+    * cosine's normalization erases exactly the signal MIPS keeps, so this is
+    * a distinct query family, not a cosine variant. Same scan shape as
+    * [[bruteTopk]]: 8 broadcast queries stream against the candidate scan,
+    * per-query top-k window — the exact baseline. The documented sublinear
+    * path is the Shrivastava–Li/Neyshabur–Srebro reduction: append
+    * sqrt(M² − ‖x‖²) to every candidate (M = max norm) and 0 to every
+    * query, which makes augmented-cosine order ≡ inner-product order — the
+    * existing sign-bucket LSH then applies unchanged to the augmented
+    * vectors; at 8 fixture queries the broadcast scan IS the right plan
+    * (the ANN machinery pays off on query volume, `sim_lsh_ann` shows the
+    * mechanics). The gate fixture is unit-norm, where MIPS and cosine
+    * orders coincide — the family distinction and the reduction are
+    * pinned on varying-norm vectors in QueriesSpec. */
+  def mipsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = e.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id"))
+    c.join(broadcast(q))
+      .withColumn("dot", Vec.dot(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("q_id", "rank", "c_id", "dot")
+      .orderBy("q_id", "rank")
+  }
+
+  private val mipsTopkSql =
+    s"""WITH p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${dotSql("q.embedding", "c.embedding")} AS dot
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id >= 8),
+       |r AS (
+       |  SELECT q_id, c_id, dot,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS BIGINT) AS rank
+       |  FROM p)
+       |SELECT q_id, rank, c_id, dot FROM r WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Sign-bit LSH bucket id from 4 consecutive components starting at
     * `startDim` (1-based) — axis-aligned random-hyperplane LSH. Shared with
     * [[DedupOps.embeddingCosine]]'s multi-table candidate generation. */
@@ -1483,6 +1526,7 @@ object SimilarityOps {
     "sim_random_projection" -> (randomProjection _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_pagerank" -> (pagerank _),
+    "sim_mips_topk" -> (mipsTopk _),
     "sim_binary_hamming" -> (binaryHamming _),
     "sim_outlier_filter" -> (outlierFilter _),
     "sim_pq_trained" -> (pqTrained _),
@@ -1503,6 +1547,7 @@ object SimilarityOps {
     "sim_random_projection" -> randomProjectionSql,
     "sim_knn_graph" -> knnGraphSql,
     "sim_pagerank" -> pagerankSql,
+    "sim_mips_topk" -> mipsTopkSql,
     "sim_binary_hamming" -> binaryHammingSql,
     "sim_outlier_filter" -> outlierFilterSql,
     "sim_pq_trained" -> pqTrainedSql,

@@ -222,6 +222,7 @@ class PlanSpec extends SparkSpec {
       "s5_method_timeseries", "s5_method_grid_compiled", // tick grid × contract list (both tiny, Sources.scala:86)
       "template_aave", "template_compound", "template_makerdao", // the same S5 grid shape
       "sim_brute_topk", "sim_ann_recall", // brute-force baseline: queries (8 rows) broadcast against candidates BY DESIGN
+      "sim_mips_topk",    // same 8-row broadcast scan, inner-product scoring
       "sim_pq_ann",       // ADC scan: 8-row query side broadcast against the codes column BY DESIGN
       "sim_pq_rerank",    // same ADC scan shape feeding the shortlist; the fetch itself is an equi-join
       "sim_pq_trained",   // same ADC scan (8-row query side broadcast) off the TRAINED codebook

@@ -881,6 +881,27 @@ class QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("s_end") - r.getAs[Long]("s_start") == 2400L) // 10 min span + 30 min gap
   }
 
+  test("MIPS: augmented-cosine order ≡ dot order; raw cosine DISAGREES when norms vary (r9.2)") {
+    // the Neyshabur–Srebro reduction sim_mips_topk documents, pinned on
+    // vectors with varying norms (the gate fixture is unit-norm, where
+    // MIPS and cosine coincide — this spec is where the distinction lives)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(p => p._1 * p._2).sum
+    def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val q = Array(1.0, 0.2)
+    val cands = Map("c1" -> Array(0.9, 0.1), "c2" -> Array(3.0, -1.0), "c3" -> Array(0.5, 0.5))
+    val m = cands.values.map(norm).max
+    def aug(c: Array[Double]) = c :+ math.sqrt(m * m - dot(c, c))
+    val qa = q :+ 0.0
+    val byDot = cands.toSeq.sortBy { case (id, c) => (-dot(q, c), id) }.map(_._1)
+    val byAugCos = cands.toSeq.sortBy { case (id, c) =>
+      (-dot(qa, aug(c)) / (norm(qa) * norm(aug(c))), id) }.map(_._1)
+    val byRawCos = cands.toSeq.sortBy { case (id, c) =>
+      (-dot(q, c) / (norm(q) * norm(c)), id) }.map(_._1)
+    assert(byAugCos == byDot, s"augmentation must preserve MIPS order: $byAugCos vs $byDot")
+    assert(byRawCos != byDot, "raw cosine must rank differently when magnitudes differ")
+    cands.values.foreach(c => assert(math.abs(norm(aug(c)) - m) < 1e-12)) // all augmented norms = M
+  }
+
   test("bpe fertility: bounded by [1, mean word length]; totals cross-check bpe apply (r9.2)") {
     val out = ext.TextOps.bpeFertility(spark, sf).collect()
     assert(out.nonEmpty)
