@@ -248,6 +248,48 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("AQE splits the hot-key JOIN at runtime — the join-side complement of salted aggs (r9.2)") {
+    import org.apache.spark.sql.functions._
+    // ~90% of BOTH sides fold onto key 0 (the skew_asof_sliced shape); a
+    // static plan sends that key's entire join to one reducer. The claim
+    // the skew ops' scaladocs make — "AQE skew-join handles the join-side
+    // equivalent" — executed and checked, not assumed.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256b",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128b",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val ev = Tables.events(spark, sf)
+      val hot = when(col("event_id") % 10 < 9, lit(0L)).otherwise(col("user_id"))
+      // repartition(8) first: the single-file fixture yields ONE map task
+      // per side, and a skewed reduce partition made of one shuffle block
+      // has no map boundaries for AQE to split at — multi-split inputs are
+      // the production shape
+      val l = ev.where(col("event_type") === "purchase")
+        .select(hot.as("k"), col("event_id").as("l_id"), col("value").as("l_v"))
+        .repartition(8)
+      val r = ev.where(col("event_type") === "click")
+        .select(hot.as("k"), col("event_id").as("r_id"), col("value").as("r_v"))
+        .repartition(8)
+      val j = l.join(r, "k")
+      // execute THIS frame: count() would spawn its own query execution and
+      // leave j's adaptive plan un-run
+      assert(j.collect().nonEmpty)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the hot-key join skewed at runtime:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("layout_zorder_scan: ONE Z-layout prunes on BOTH dimensions; a 1-D sort cannot (r9)") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
