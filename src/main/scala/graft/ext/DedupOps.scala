@@ -1305,13 +1305,15 @@ object DedupOps {
     * selectivity knob (12 lowercase chars ≈ 2 words): identical windows
     * across unrelated docs are rare, so buckets stay near-dup-sized
     * (measured max 13 docs at sf0.1); widen SegW with corpus growth the
-    * way LSH widens b ∝ log N — MEASURED: the fixture-pinned segw=12
-    * candidate volume grew 33× on 10× docs (common first-words pile up
-    * ∝ N, pairs ∝ N²/V) while segw=18 at the 10× store is exactly linear
-    * (36k ≈ 4× the sf0.1 9k pairs, max bucket 11; SCALING.md r9.2). The
-    * O(len²) Levenshtein DP runs ONCE per DISTINCT candidate pair, after
-    * the dedup, never per segment match. Both engines' `levenshtein` is
-    * the standard unit-cost DP — exact integer parity. */
+    * way LSH widens b ∝ log N — MEASURED over two decades: the
+    * fixture-pinned segw=12 candidate volume grew 33× on 10× docs (common
+    * first-words pile up ∝ N, pairs ∝ N²/V) while at-contract widths stay
+    * linear — segw=18 at 10× is 36k pairs (≈ 4× the sf0.1 9k, max bucket
+    * 11) and segw=24 at 100× measures 1.9× wall per decade (SCALING.md
+    * r9.2/r9.3). The O(len²) Levenshtein DP runs ONCE per DISTINCT
+    * candidate pair, after the dedup, never per segment match. Both
+    * engines' `levenshtein` is the standard unit-cost DP — exact integer
+    * parity. */
   def fuzzyTitle(spark: SparkSession, sfDir: String): DataFrame =
     fuzzyTitleAt(spark, sfDir,
       sys.env.get("SPARK_GRAFT_FUZZY_SEGW").map(_.toInt).getOrElse(SegW))
@@ -1324,26 +1326,38 @@ object DedupOps {
   private[graft] def fuzzyTitleOf(documents: DataFrame, segw: Int): DataFrame = {
     require(segw >= 4 && segw <= 64, s"segment width out of range: $segw")
     val titleLen = 4 * segw
+    // EAGER title materialization (localCheckpoint, the round-7 broadcast
+    // -race fix): a lazily-cached frame feeding both sides of a self-join
+    // gets computed CONCURRENTLY by the two shuffle stages — each side
+    // re-scans the full `text` column (the dominant I/O, ~1 KB/doc) and
+    // re-lowercases it. Checkpointing the ~100 B/doc (doc_id, title)
+    // projection scans text ONCE; everything downstream derives from the
+    // narrow checkpoint.
     val t = documents
       .select(col("doc_id"), substring(lower(col("text")), 1, titleLen).as("title"))
-    // cache: segs feeds both sides of the self-join (BUILDLOG r6.3 — an
-    // uncached frame upstream of a self-join computes twice)
+      .localCheckpoint()
+    // The self-join ships only (doc_id, si, sv) — titles do NOT ride the
+    // segment shuffle (4 copies of a 4·segw-char title per doc, the widest
+    // column, for a join that only needs the segment key). Candidates fetch
+    // their two titles back by doc_id equi-join afterwards — pair volume is
+    // near-dup-sized, so two narrow joins beat one wide shuffle.
     val segs = (1 to 4).map { i =>
-      t.select(col("doc_id"), col("title"), lit(i).as("si"),
+      t.select(col("doc_id"), lit(i).as("si"),
         substring(col("title"), (i - 1) * segw + 1, segw).as("sv"))
     }.reduce(_ unionAll _)
       // short docs yield truncated trailing segments; a full-width block
       // key is the contract (an 11-char tail would bucket every 47-char
       // doc together) — drop them, mirrored in the oracle
       .where(length(col("sv")) === segw)
-      .cache()
     val cand = segs.as("a").join(segs.as("b"),
         col("a.si") === col("b.si") && col("a.sv") === col("b.sv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.title").as("ta"), col("b.title").as("tb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct() // pairs agreeing on several segments DP once
-    cand.withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("title").as("ta")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("title").as("tb")), Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
       .where(col("dist") <= FuzzyMaxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
       .orderBy("doc_a", "doc_b")

@@ -1080,22 +1080,31 @@ object TextOps {
     pmiPairsOf(Tables.documents(spark, sfDir))
 
   private[graft] def pmiPairsOf(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = documents
-      .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "w")))
-    val bg = tok
-      .withColumn("y", lead("w", 1).over(
-        Window.partitionBy("doc_id").orderBy("pos")))
-      .where(col("y").isNotNull)
-      .select(col("w").as("x"), col("y"))
+    // Bigrams are built IN-ROW (zip each token with its successor inside the
+    // token array, then one explode) — the shape the DuckDB oracle always
+    // used. The original lead()-window form shuffled EVERY token by
+    // (doc_id, pos) just to pair adjacent words; the sf10 probe measured it
+    // 3.3× on 10× rows and this rewrite removes that shuffle entirely.
+    val toks = documents.select(expr(toksExpr).as("toks"))
+    val tok = toks.select(explode(col("toks")).as("w"))
+    val bg = toks
+      .select(explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (t, i) -> struct(t AS x, toks[i + 1] AS y))")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
       .cache() // feeds pair counts AND the 1-row bigram total
     val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val nu = tok.agg(count(lit(1)).as("nu"))
+      .cache() // vocab rollup feeds nu + both join sides — compute once
+    val nu = uni.agg(sum(col("c")).cast("long").as("nu")) // Σ vocab counts — no third corpus scan
     val nb = bg.agg(count(lit(1)).as("nb"))
+    // The vocab rollup `uni` is NOT broadcast: under corpus growth the vocab
+    // grows too (linearly in the GenScale stores, Heaps-law sublinearly in
+    // real corpora), so forcing it onto the driver is the side that breaks
+    // at 100 TB. The min-count-filtered pair table is the genuinely small
+    // side — plain equi-joins let AQE broadcast whichever side fits.
     bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       .where(col("c_xy") >= PmiMinCount)
-      .join(broadcast(uni.select(col("w").as("x"), col("c").as("cx"))), Seq("x"))
-      .join(broadcast(uni.select(col("w").as("y"), col("c").as("cy"))), Seq("y"))
+      .join(uni.select(col("w").as("x"), col("c").as("cx")), Seq("x"))
+      .join(uni.select(col("w").as("y"), col("c").as("cy")), Seq("y"))
       .join(broadcast(nu)).join(broadcast(nb))
       .withColumn("lift",
         col("c_xy").cast("double") * col("nu").cast("double") * col("nu").cast("double") /

@@ -33,9 +33,17 @@ object ScaleProbe {
     // store-sized count separates genuine plan super-linearity from
     // fat-partition spill.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Scan-split override, the SCAN-side analogue of SPARK_GRAFT_SHUFFLE:
+    // the default 128m split bins a ~1 GB store into ~12 scan tasks — under
+    // 32 cores a linear scan-agg reads as super-linear wall (q1 measured
+    // 4.5× on 10× rows; 32m splits restore saturation and the ratio
+    // collapses). On a cluster input splits scale with the data, so this
+    // regime is local-mode-only; the knob separates it from real plan cost.
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAXPART", "128m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
