@@ -1863,8 +1863,234 @@ object TextOps {
        |  coalesce(lag(n_docs) OVER (ORDER BY stage_idx) - n_docs, 0) AS n_dropped
        |FROM u ORDER BY stage_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Kneser-Ney bigram LM — train on a clean subcorpus, score everything
+  // (the CCNet pattern: Wenzek et al., LREC 2020 — train a small LM on
+  // target-domain text, score the whole crawl, keep the head percentiles;
+  // smoothing per Kneser & Ney 1995 / Chen & Goodman 1998, absolute
+  // discount D = 3/4).
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point scale (2^20) for per-token KN probabilities. A per-doc LM
+    * score sums per-token probabilities; raw double sums are
+    * order-dependent under partitioning, and log-probs are libm calls with
+    * no cross-engine bit guarantee (the [[lmRankScore]] finding). Every
+    * per-token probability here is an exact RATIONAL (the D=3/4 discount
+    * multiplies through to integer quarters), integerized as
+    * floor(p·2^20) in pure BIGINT arithmetic — so the per-doc sum is
+    * exact-integer, bit-stable under any partitioning and any engine, and
+    * divided ONCE into IEEE at the end. Headroom: the widest intermediate
+    * is p_num·2^20 ≤ 4·c(x·)·N1p(··)·2^20, fine through ~1e9-token
+    * corpora with bounded vocab; past that, production scoring switches
+    * the score column to the one-division double form (same ranking). */
+  private val KnQ = 1048576L
+
+  /** In-row bigram zip over a `toks` array column — each token paired with
+    * its successor without leaving the row (no per-token shuffle; the
+    * [[pmiPairsOf]] shape). */
+  private val knBigramZip =
+    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (t, i) -> struct(t AS x, toks[i + 1] AS y))"
+
+  /** The four KN sufficient-statistic frames for a training corpus:
+    * bigram-type counts c(x,y), context totals c(x·) with continuation
+    * fan-out N1+(x·), continuation counts N1+(·y), and the 1-row bigram
+    * -type total N1+(··). ONE corpus-sized aggregation (the (x,y) rollup,
+    * map-side combined, bounded by vocab² rows) feeds every other stat and
+    * the scoring join, so it is eagerly `localCheckpoint`ed — the same
+    * multi-consumer discipline as [[graft.ext.DedupOps]]'s fuzzy-title
+    * titles (a lazily-shared frame recomputes per consuming subtree). */
+  private def knStats(train: DataFrame) = {
+    val bg = train.select(expr(toksExpr).as("toks"))
+      .select(explode(expr(knBigramZip)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val cxy = bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy")).localCheckpoint()
+    val cx = cxy.groupBy("x")
+      .agg(sum(col("c_xy")).cast("long").as("c_x"), count(lit(1)).as("n1p_x"))
+    val cy = cxy.groupBy("y").agg(count(lit(1)).as("n1p_y"))
+    val nbb = cxy.agg(count(lit(1)).as("n_bb"))
+    (cxy, cx, cy, nbb)
+  }
+
+  /** The trained LM artifact: every seen bigram with its interpolated-KN
+    * probability P(y|x) = max(c(xy)−D, 0)/c(x·) + D·N1+(x·)/c(x·) ·
+    * N1+(·y)/N1+(··), D = 3/4 — emitted as the exact rational
+    * (p_num, p_den) = ((4·c(xy)−3)·N1+(··) + 3·N1+(x·)·N1+(·y),
+    * 4·c(x·)·N1+(··)) plus the one-division double. Trained on the
+    * `lang = 'en'` subcorpus (the CCNet target-domain LM). Scale shape:
+    * the (x,y) rollup is the only corpus-sized job; the stat joins are
+    * vocab-sized and plain equi-joins (vocab grows Heaps-law with the
+    * corpus, so nothing here is hint-broadcast — AQE decides). */
+  def knLmTrain(spark: SparkSession, sfDir: String): DataFrame =
+    knLmTrainOf(Tables.documents(spark, sfDir))
+
+  private[graft] def knLmTrainOf(documents: DataFrame): DataFrame = {
+    val (cxy, cx, cy, nbb) = knStats(documents.where(col("lang") === "en"))
+    cxy.join(cx, Seq("x")).join(cy, Seq("y")).crossJoin(broadcast(nbb))
+      .withColumn("p_num",
+        (lit(4L) * col("c_xy") - lit(3L)) * col("n_bb") +
+          lit(3L) * col("n1p_x") * col("n1p_y"))
+      .withColumn("p_den", lit(4L) * col("c_x") * col("n_bb"))
+      .withColumn("p_kn", col("p_num").cast("double") / col("p_den").cast("double"))
+      .select("x", "y", "c_xy", "p_num", "p_den", "p_kn")
+      .orderBy("x", "y")
+  }
+
+  /** Integerized per-token KN probability (see [[KnQ]]) with the scoring
+    * backoff ladder: seen bigram → full interpolated P; seen context only
+    * → the interpolation term (exactly P at c(xy)=0); unseen context →
+    * continuation probability alone. `greatest(coalesce(N1+(·y),0),1)`
+    * floors an out-of-vocabulary continuation at one type so no token
+    * scores an exact zero (add-one on the continuation count, applied
+    * identically in both engines). */
+  private val knQExpr =
+    s"""CASE
+       |  WHEN c_xy IS NOT NULL THEN
+       |    (((4*c_xy - 3)*n_bb + 3*n1p_x*greatest(coalesce(n1p_y, 0), 1)) * $KnQ)
+       |      div (4*c_x*n_bb)
+       |  WHEN c_x IS NOT NULL THEN
+       |    ((3*n1p_x*greatest(coalesce(n1p_y, 0), 1)) * $KnQ) div (4*c_x*n_bb)
+       |  ELSE (greatest(coalesce(n1p_y, 0), 1) * $KnQ) div n_bb
+       |END""".stripMargin
+
+  /** Per-document LM score over the WHOLE corpus with the en-trained LM:
+    * mean per-bigram KN probability (fixed-point-exact, see [[KnQ]]) plus
+    * the backoff count — the CCNet quality signal (in-domain prose scores
+    * high, out-of-domain/garbled text hits backoff and scores low).
+    * Documents with fewer than two tokens have no bigrams and are absent,
+    * mirrored in the oracle.
+    *
+    * Scale shape: the doc-bigram explode is in-row; the only data-sized
+    * shuffles are the (x,y)/(x)/(y) stat equi-joins (stat sides are
+    * vocab-bounded — AQE broadcasts them when they fit) and the final
+    * doc_id rollup, map-side combined with exact-integer partials. */
+  def knScore(spark: SparkSession, sfDir: String): DataFrame =
+    knScoreOf(Tables.documents(spark, sfDir))
+
+  private[graft] def knScoreOf(documents: DataFrame): DataFrame = {
+    val (cxy, cx, cy, nbb) = knStats(documents.where(col("lang") === "en"))
+    val docBg = documents.select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(knBigramZip)).as("p"))
+      .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+    docBg.join(cxy, Seq("x", "y"), "left")
+      .join(cx, Seq("x"), "left")
+      .join(cy, Seq("y"), "left")
+      .crossJoin(broadcast(nbb))
+      .withColumn("q", expr(knQExpr))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("q")).as("q_sum"),
+        sum(when(col("c_xy").isNull, 1L).otherwise(0L)).as("n_backoff"))
+      .withColumn("mean_p",
+        col("q_sum").cast("double") / lit(KnQ.toDouble) / col("n_bigrams").cast("double"))
+      .select("doc_id", "n_bigrams", "n_backoff", "mean_p")
+      .orderBy("doc_id")
+  }
+
+  /** CCNet head/middle/tail tertiles over the [[knScore]] ranking — the
+    * curation artifact the LM exists for (keep `head`, maybe `middle`,
+    * drop `tail`). Buckets are exact tertiles of the total order
+    * (mean_p DESC, doc_id): head = ranks 1..⌈n/3⌉, middle to ⌈2n/3⌉.
+    * Scale shape: the two cutoff rows come from distributed top-k
+    * (orderBy+limit = TakeOrdered — per-partition heads, a k-row merge;
+    * the corpus never globally sorts), each collected as ONE bounded
+    * driver row and applied as a broadcast predicate — no global window.
+    * mean_p doubles are bit-identical in both engines (exact-integer sum,
+    * one division), so cutoff comparison is exact. */
+  def knBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    knBucketsOf(Tables.documents(spark, sfDir))
+
+  private[graft] def knBucketsOf(documents: DataFrame): DataFrame = {
+    val sc = knScoreOf(documents)
+      .select(col("doc_id"), col("mean_p"))
+      .localCheckpoint() // feeds two cutoff probes + the labeling scan
+    val n = sc.count()
+    require(n > 0, "kn_buckets: no scoreable documents (all under 2 tokens)")
+    def cutAt(k: Long): (Double, Long) = {
+      val row = sc.orderBy(col("mean_p").desc, col("doc_id")).limit(k.toInt)
+        .orderBy(col("mean_p"), col("doc_id").desc).limit(1).collect()(0)
+      (row.getDouble(row.fieldIndex("mean_p")), row.getLong(row.fieldIndex("doc_id")))
+    }
+    val (p1, id1) = cutAt((n + 2) / 3)
+    val (p2, id2) = cutAt((2 * n + 2) / 3)
+    def atOrAbove(p: Double, id: Long) =
+      col("mean_p") > p || (col("mean_p") === p && col("doc_id") <= id)
+    sc.withColumn("bucket",
+        when(atOrAbove(p1, id1), "head")
+          .when(atOrAbove(p2, id2), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "mean_p", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle CTEs: en-trained KN stats + all-corpus doc bigrams. */
+  private val knStatsCtes =
+    s"""t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |ebg0 AS (SELECT unnest(list_transform(range(1, len(toks)),
+       |           i -> toks[i] || ' ' || toks[i+1])) AS p FROM t WHERE lang = 'en'),
+       |ebg AS (SELECT string_split(p, ' ')[1] AS x, string_split(p, ' ')[2] AS y FROM ebg0),
+       |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM ebg GROUP BY x, y),
+       |cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x,
+       |         CAST(count(*) AS BIGINT) AS n1p_x FROM cxy GROUP BY x),
+       |cy AS (SELECT y, CAST(count(*) AS BIGINT) AS n1p_y FROM cxy GROUP BY y),
+       |nbb AS (SELECT CAST(count(*) AS BIGINT) AS n_bb FROM cxy)""".stripMargin
+
+  private val knLmTrainSql =
+    s"""WITH $knStatsCtes
+       |SELECT cxy.x, cxy.y, c_xy,
+       |  CAST((4*c_xy - 3)*n_bb + 3*n1p_x*n1p_y AS BIGINT) AS p_num,
+       |  CAST(4*c_x*n_bb AS BIGINT) AS p_den,
+       |  CAST((4*c_xy - 3)*n_bb + 3*n1p_x*n1p_y AS DOUBLE) /
+       |    CAST(4*c_x*n_bb AS DOUBLE) AS p_kn
+       |FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN nbb
+       |ORDER BY x, y""".stripMargin
+
+  private val knScoreCtes =
+    s"""$knStatsCtes,
+       |db0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |          i -> toks[i] || ' ' || toks[i+1])) AS p FROM t),
+       |db AS (SELECT doc_id, string_split(p, ' ')[1] AS x, string_split(p, ' ')[2] AS y FROM db0),
+       |jj AS (SELECT db.doc_id, cxy.c_xy, cx.c_x, cx.n1p_x, cy.n1p_y, nbb.n_bb
+       |       FROM db LEFT JOIN cxy ON db.x = cxy.x AND db.y = cxy.y
+       |         LEFT JOIN cx ON db.x = cx.x
+       |         LEFT JOIN cy ON db.y = cy.y
+       |         CROSS JOIN nbb),
+       |qq AS (SELECT doc_id, c_xy,
+       |  CASE
+       |    WHEN c_xy IS NOT NULL THEN
+       |      (((4*c_xy - 3)*n_bb + 3*n1p_x*greatest(coalesce(n1p_y, 0), 1)) * $KnQ)
+       |        // (4*c_x*n_bb)
+       |    WHEN c_x IS NOT NULL THEN
+       |      ((3*n1p_x*greatest(coalesce(n1p_y, 0), 1)) * $KnQ) // (4*c_x*n_bb)
+       |    ELSE (greatest(coalesce(n1p_y, 0), 1) * $KnQ) // n_bb
+       |  END AS q FROM jj),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CASE WHEN c_xy IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / ${KnQ}.0 /
+       |    CAST(count(*) AS DOUBLE) AS mean_p
+       |FROM qq GROUP BY doc_id)""".stripMargin
+
+  private val knScoreSql =
+    s"""WITH $knScoreCtes
+       |SELECT doc_id, n_bigrams, n_backoff, mean_p FROM sc ORDER BY doc_id""".stripMargin
+
+  private val knBucketsSql =
+    s"""WITH $knScoreCtes,
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+       |r AS (SELECT sc.doc_id, sc.mean_p,
+       |        CAST(row_number() OVER (ORDER BY mean_p DESC, doc_id) AS BIGINT) AS rn, nn.n
+       |      FROM sc CROSS JOIN nn)
+       |SELECT doc_id, mean_p,
+       |  CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+       |       WHEN rn <= (2*n + 2) // 3 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "report_quality_funnel" -> (qualityFunnel _),
+    "text_kn_train" -> (knLmTrain _),
+    "text_kn_score" -> (knScore _),
+    "text_kn_buckets" -> (knBuckets _),
     "text_dup_spans" -> (dupSpans _),
     "text_normalize_nfc" -> (normalizeNfc _),
     "text_approx_topk" -> (approxTopkTerms _),
@@ -1897,6 +2123,9 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "report_quality_funnel" -> qualityFunnelSql,
+    "text_kn_train" -> knLmTrainSql,
+    "text_kn_score" -> knScoreSql,
+    "text_kn_buckets" -> knBucketsSql,
     "text_dup_spans" -> dupSpansSql,
     "text_normalize_nfc" -> normalizeNfcSql,
     "text_approx_topk" -> approxTopkTermsSql,

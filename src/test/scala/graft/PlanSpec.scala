@@ -233,6 +233,7 @@ class PlanSpec extends SparkSpec {
       "text_hybrid_rrf",  // bm25 stats row + 4-row dense-query side broadcast against candidates BY DESIGN
       "sim_outlier_filter", // 1-row (n, s, ss) stats aggregate broadcast onto the scan
       "text_pmi_pairs",   // two 1-row corpus-total aggregates broadcast onto the pair counts
+      "text_kn_train", "text_kn_score", // 1-row bigram-type total (N1+(··)) broadcast onto the stat joins
       "sim_clustered_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(executesOnBuild)

@@ -934,4 +934,51 @@ class QueriesSpec extends SparkSpec {
     // the kNN graph structure must actually differentiate authority
     assert(pr.select("pr_q12").distinct().count() > 1)
   }
+
+  test("kn lm: hand-computed rationals; KN identity; scoring ladder hits all three branches (r9.4)") {
+    import spark.implicits._
+    // en TRAIN corpus, hand stats:  doc1 "a b a b" → (a,b),(b,a),(a,b);
+    // doc2 "a c" → (a,c).  c_xy: (a,b)=2 (b,a)=1 (a,c)=1;  c(a·)=3 N1p(a·)=2,
+    // c(b·)=1 N1p(b·)=1;  N1p(·a)=N1p(·b)=N1p(·c)=1;  N1p(··)=3.
+    //   P(b|a) = (2−¾)/3 + ¾·(2/3)·(1/3) = 7/12  → num 21, den 36
+    //   P(c|a) = (¼)/3  + ¾·(2/3)·(1/3) = 1/4   → num  9, den 36
+    //   P(a|b) = (¼)/1  + ¾·(1/1)·(1/3) = 1/2   → num  6, den 12
+    // KN identity for context a: seen 7/12 + 1/4 + unseen-y (y=a, interp
+    // only) ¾·(2/3)·(1/3) = 1/6  →  7/12 + 3/12 + 2/12 = 1 exactly.
+    val docs = Seq(
+      (1L, "a b a b", "en"),
+      (2L, "a c", "en"),
+      (3L, "a b", "de"),  // seen-bigram branch
+      (4L, "b c", "de"),  // bigram unseen, context seen → interpolation only
+      (5L, "c a", "de"),  // context unseen → continuation only
+      (6L, "c zz", "de")  // context unseen AND OOV continuation → the max(·,1) floor
+    ).toDF("doc_id", "text", "lang")
+    val lm = ext.TextOps.knLmTrainOf(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(r.fieldIndex("p_num")), r.getLong(r.fieldIndex("p_den"))))).toMap
+    assert(lm == Map(("a", "b") -> (21L, 36L), ("a", "c") -> (9L, 36L),
+      ("b", "a") -> (6L, 12L)), s"trained table mismatch: $lm")
+
+    val Q = 1048576L
+    val sc = ext.TextOps.knScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def q(num: Long, den: Long) = num * Q / den // floor — exactly the op's fixed point
+    // doc3: one seen bigram (a,b) → floor(21Q/36)
+    assert(sc(3L) == ((1L, 0L, q(21, 36).toDouble / Q)))
+    // doc4: (b,c) unseen, context b seen: ¾·(1/1)·(1/3) = 1/4 → Q/4 exact
+    assert(sc(4L) == ((1L, 1L, 0.25)))
+    // doc5: context c unseen → P_cont(a) = 1/3 → floor(Q/3)
+    assert(sc(5L) == ((1L, 1L, q(1, 3).toDouble / Q)))
+    // doc6: OOV continuation floors N1p(·zz) at 1 → same 1/3
+    assert(sc(6L) == ((1L, 1L, q(1, 3).toDouble / Q)))
+    // doc1 self-scores its three training bigrams; doc2 its one
+    assert(sc(1L)._1 == 3L && sc(1L)._2 == 0L && sc(2L)._2 == 0L)
+
+    // tertiles over the 6 means (desc, doc_id tiebreak):
+    // doc3 .583 > doc1 .556 > doc5 = doc6 (1/3) > doc2 = doc4 (1/4)
+    val b = ext.TextOps.knBucketsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("bucket"))).toMap
+    assert(b == Map(3L -> "head", 1L -> "head", 5L -> "middle", 6L -> "middle",
+      2L -> "tail", 4L -> "tail"), s"bucket mismatch: $b")
+  }
 }
