@@ -452,7 +452,21 @@ object SamplingOps {
     * monotone in quality, so bucket-then-intra order IS the global order. */
   private def budgetKeep(scored: DataFrame, tokCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withQb = scored.withColumn("qb", floor(col("quality") * QBuckets).cast("long"))
+    // The bucket key is RANGE-RESCALED over the observed score span (1-row
+    // broadcast min/max): qb is Spark-internal routing — any monotone
+    // function of quality reconstructs the same global order — but a raw
+    // floor(quality·B) degenerates to ONE bucket when scores cluster (KN
+    // mean_p spans ~0.026–0.041), and one bucket means one intra-window
+    // partition carrying the whole corpus. Rescaling keeps the buckets
+    // spread for ANY score distribution.
+    val rng = scored.agg(min(col("quality")).as("q_mn"), max(col("quality")).as("q_mx"))
+    val withQb = scored.crossJoin(broadcast(rng))
+      .withColumn("qb",
+        when(col("q_mx") > col("q_mn"),
+          floor((col("quality") - col("q_mn")) / (col("q_mx") - col("q_mn"))
+            * (QBuckets - 1)).cast("long"))
+          .otherwise(lit(0L)))
+      .drop("q_mn", "q_mx")
     val buckets = withQb.groupBy("qb").agg(sum(tokCol).as("b_tokens"))
     // ≤ 65 rows: the single-partition window is over a CONSTANT-size frame
     val wB = Window.orderBy(col("qb").desc)
@@ -606,7 +620,52 @@ object SamplingOps {
        |SELECT cell, rk, vec_id FROM r WHERE rk <= $PerCell
        |ORDER BY cell, rk""".stripMargin
 
+  /** CCNet end-to-end assembly (Wenzek LREC 2020, the whole pipeline in
+    * one artifact): KN-score every document with the en-trained LM →
+    * head/middle/tail tertiles → DROP the tail → admit survivors in
+    * quality order under a token budget (2/5 of the surviving tokens, the
+    * [[tokenBudgetSample]] fraction). Token currency is the scorer's own
+    * n_bigrams + 1 (= whitespace tokens for every scoreable doc) — no
+    * second corpus scan. The budget cut reuses [[budgetKeep]]'s
+    * bucket-prefix-sum reconstruction (no global window; the rescaled
+    * bucket key exists exactly because KN scores cluster). */
+  def ccnetMix(spark: SparkSession, sfDir: String): DataFrame =
+    ccnetMixOf(Tables.documents(spark, sfDir))
+
+  private[graft] def ccnetMixOf(documents: DataFrame): DataFrame = {
+    val survivors = TextOps.knBucketsScored(documents)
+      .where(col("bucket") =!= "tail")
+      .select(col("doc_id"), col("bucket"),
+        (col("n_bigrams") + lit(1L)).as("n_tok"), col("mean_p").as("quality"))
+    budgetKeep(survivors, "n_tok")
+      .select(col("doc_id"), col("bucket"), col("n_tok"), col("cum_before"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val ccnetMixSql =
+    s"""WITH ${TextOps.knScoreCtes},
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+       |r AS (SELECT sc.doc_id, sc.mean_p, sc.n_bigrams,
+       |        CAST(row_number() OVER (ORDER BY mean_p DESC, doc_id) AS BIGINT) AS rn, nn.n
+       |      FROM sc CROSS JOIN nn),
+       |bk AS (SELECT doc_id, mean_p, CAST(n_bigrams + 1 AS BIGINT) AS n_tok,
+       |         CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+       |              WHEN rn <= (2*n + 2) // 3 THEN 'middle'
+       |              ELSE 'tail' END AS bucket
+       |       FROM r),
+       |mix AS (SELECT * FROM bk WHERE bucket <> 'tail'),
+       |b AS (SELECT CAST((sum(n_tok) * 2) // 5 AS BIGINT) AS budget FROM mix),
+       |c AS (SELECT doc_id, bucket, n_tok,
+       |        CAST(coalesce(sum(n_tok) OVER (
+       |          ORDER BY mean_p DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |          AS cum_before
+       |      FROM mix)
+       |SELECT doc_id, bucket, n_tok, cum_before, cum_before < budget AS keep
+       |FROM c CROSS JOIN b ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_ccnet_mix" -> (ccnetMix _),
     "sample_cluster_balanced" -> (clusterBalancedSample _),
     "sample_shuffle_shards" -> (shuffleShards _),
     "sample_token_budget" -> (tokenBudgetSample _),
@@ -622,6 +681,7 @@ object SamplingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_ccnet_mix" -> ccnetMixSql,
     "sample_cluster_balanced" -> clusterBalancedSampleSql,
     "sample_shuffle_shards" -> shuffleShardsSql,
     "sample_token_budget" -> tokenBudgetSampleSql,

@@ -1966,11 +1966,20 @@ object TextOps {
   def knScore(spark: SparkSession, sfDir: String): DataFrame =
     knScoreOf(Tables.documents(spark, sfDir))
 
-  private[graft] def knScoreOf(documents: DataFrame): DataFrame = {
-    val (cxy, cx, cy, nbb) = knStats(documents.where(col("lang") === "en"))
-    val docBg = documents.select(col("doc_id"), expr(toksExpr).as("toks"))
+  /** In-row (doc_id, x, y) bigram frame for a documents frame — works on
+    * batch AND streaming inputs (pure projections + one generator). */
+  private[graft] def knDocBigrams(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), explode(expr(knBigramZip)).as("p"))
       .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+
+  /** Model-apply core shared by the batch scorer and the streaming parity
+    * run: attach the TRAINED stats to a (doc_id, x, y) bigram frame (three
+    * left equi-joins against the batch stat frames — the stream-static
+    * join shape when `docBg` streams) and roll up per doc. No sort — the
+    * consumer orders (a streaming frame cannot). */
+  private[graft] def knScoreOfBigrams(docBg: DataFrame, train: DataFrame): DataFrame = {
+    val (cxy, cx, cy, nbb) = knStats(train)
     docBg.join(cxy, Seq("x", "y"), "left")
       .join(cx, Seq("x"), "left")
       .join(cy, Seq("y"), "left")
@@ -1984,8 +1993,11 @@ object TextOps {
       .withColumn("mean_p",
         col("q_sum").cast("double") / lit(KnQ.toDouble) / col("n_bigrams").cast("double"))
       .select("doc_id", "n_bigrams", "n_backoff", "mean_p")
-      .orderBy("doc_id")
   }
+
+  private[graft] def knScoreOf(documents: DataFrame): DataFrame =
+    knScoreOfBigrams(knDocBigrams(documents), documents.where(col("lang") === "en"))
+      .orderBy("doc_id")
 
   /** CCNet head/middle/tail tertiles over the [[knScore]] ranking — the
     * curation artifact the LM exists for (keep `head`, maybe `middle`,
@@ -2000,9 +2012,17 @@ object TextOps {
   def knBuckets(spark: SparkSession, sfDir: String): DataFrame =
     knBucketsOf(Tables.documents(spark, sfDir))
 
-  private[graft] def knBucketsOf(documents: DataFrame): DataFrame = {
+  private[graft] def knBucketsOf(documents: DataFrame): DataFrame =
+    knBucketsScored(documents)
+      .select("doc_id", "mean_p", "bucket")
+      .orderBy("doc_id")
+
+  /** [[knBucketsOf]] keeping `n_bigrams` alongside — consumed by
+    * [[graft.ext.SamplingOps]]'s CCNet mix, which needs a token currency
+    * for the budget cut without re-running the scorer. */
+  private[graft] def knBucketsScored(documents: DataFrame): DataFrame = {
     val sc = knScoreOf(documents)
-      .select(col("doc_id"), col("mean_p"))
+      .select(col("doc_id"), col("n_bigrams"), col("mean_p"))
       .localCheckpoint() // feeds two cutoff probes + the labeling scan
     val n = sc.count()
     require(n > 0, "kn_buckets: no scoreable documents (all under 2 tokens)")
@@ -2019,8 +2039,6 @@ object TextOps {
         when(atOrAbove(p1, id1), "head")
           .when(atOrAbove(p2, id2), "middle")
           .otherwise("tail"))
-      .select("doc_id", "mean_p", "bucket")
-      .orderBy("doc_id")
   }
 
   /** Shared oracle CTEs: en-trained KN stats + all-corpus doc bigrams. */
@@ -2045,7 +2063,7 @@ object TextOps {
        |FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN nbb
        |ORDER BY x, y""".stripMargin
 
-  private val knScoreCtes =
+  private[graft] val knScoreCtes =
     s"""$knStatsCtes,
        |db0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
        |          i -> toks[i] || ' ' || toks[i+1])) AS p FROM t),
@@ -2070,7 +2088,7 @@ object TextOps {
        |    CAST(count(*) AS DOUBLE) AS mean_p
        |FROM qq GROUP BY doc_id)""".stripMargin
 
-  private val knScoreSql =
+  private[graft] val knScoreSql =
     s"""WITH $knScoreCtes
        |SELECT doc_id, n_bigrams, n_backoff, mean_p FROM sc ORDER BY doc_id""".stripMargin
 

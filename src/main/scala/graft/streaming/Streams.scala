@@ -572,7 +572,28 @@ object Streams {
        |      GROUP BY a.doc_id)
        |SELECT doc_id, match_id FROM m ORDER BY doc_id""".stripMargin
 
+  /** Streaming LM scoring — the production crawl shape: the KN LM is
+    * trained OFFLINE on the batch `lang='en'` subcorpus and every arriving
+    * micro-batch of documents is scored against the FIXED model. The stat
+    * attach is three stream-static left equi-joins (the model is the
+    * static side — exactly how a broadcast-model scorer deploys); the
+    * per-doc rollup is a complete-mode stateful aggregation whose state is
+    * one exact-integer row per document (the same bounded-run discipline
+    * as [[streamSessionParity]]; production scores append-only per batch
+    * with no cross-batch doc state at all). The AvailableNow run must
+    * hash-equal the BATCH `text_kn_score` oracle — stream ≡ batch extended
+    * to model apply. */
+  def knScoreStreamParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tableStream(spark, sfDir, "documents", documentSchema)
+    val train = graft.Tables.documents(spark, sfDir).where(col("lang") === "en")
+    val scored = graft.ext.TextOps.knScoreOfBigrams(
+      graft.ext.TextOps.knDocBigrams(docs), train)
+    runToTable(scored, "kn_score_sink", "complete")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_kn_score_parity" -> (knScoreStreamParity _),
     "stream_index_upsert" -> (indexUpsertStream _),
     "stream_curation_parity" -> (curationStream _),
     "s3_stream_batch_parity" -> (streamBatchParity _),
@@ -582,6 +603,7 @@ object Streams {
     "stream_join_parity" -> (streamJoinParity _))
 
   val oracles: Map[String, String] = Map(
+    "stream_kn_score_parity" -> graft.ext.TextOps.knScoreSql,
     "stream_index_upsert" -> indexUpsertSql,
     "stream_curation_parity" -> curationParitySql,
     "stream_priority_sample" -> prioritySampleStreamSql,

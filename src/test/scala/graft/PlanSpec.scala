@@ -202,7 +202,7 @@ class PlanSpec extends SparkSpec {
       "s7_realtime_event_methods", "s7_realtime_negative_offset",
       "s7_realtime_positive_offset", "mempool_monitor", "dsl_stream_aggregate",
       "stream_join_parity", "stream_neardup_dedup", "raw_stream_passthrough",
-      "stream_priority_sample", "stream_index_upsert",
+      "stream_priority_sample", "stream_index_upsert", "stream_kn_score_parity",
       "dedup_cluster_canonical", "dedup_best_survivor", "curation_pipeline",
       "dedup_semantic", // reuses the memoized cluster fixtures
       "sim_pagerank",   // Pregel-style loop: localCheckpoint per iteration
@@ -214,6 +214,7 @@ class PlanSpec extends SparkSpec {
       "sample_temperature", // 1-row (tok_total, t_min) aggregate broadcast, same shape
       "sample_token_budget", // 1-row budget aggregate broadcast (SamplingOps scaladoc)
       "sample_bpe_budget",   // same budgetKeep shape, subword-token currency
+      "sample_ccnet_mix",    // budgetKeep's 1-row budget + score-range broadcasts atop the KN stats' 1-row total
       "sample_importance",// 1-row corpus-mean aggregate broadcast
       "q14_promo_share",  // 1-row ratio numerator/denominator combine
       "approx_distinct",  // 1-row exact-vs-HLL comparison frame

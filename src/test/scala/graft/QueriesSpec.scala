@@ -980,5 +980,19 @@ class QueriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(r.fieldIndex("bucket"))).toMap
     assert(b == Map(3L -> "head", 1L -> "head", 5L -> "middle", 6L -> "middle",
       2L -> "tail", 4L -> "tail"), s"bucket mismatch: $b")
+
+    // CCNet mix over the same fixture: tail (docs 2, 4) dropped; survivor
+    // tokens 2+4+2+2 = 10 → budget = 10·2/5 = 4; admission in quality
+    // order doc3 (cum 0, keep) → doc1 (cum 2, keep) → doc5 (cum 6, drop)
+    // → doc6 (cum 8, drop).
+    val mix = ext.SamplingOps.ccnetMixOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(r.fieldIndex("bucket")), r.getLong(r.fieldIndex("n_tok")),
+          r.getLong(r.fieldIndex("cum_before")), r.getBoolean(r.fieldIndex("keep")))).toMap
+    assert(mix == Map(
+      1L -> (("head", 4L, 2L, true)),
+      3L -> (("head", 2L, 0L, true)),
+      5L -> (("middle", 2L, 6L, false)),
+      6L -> (("middle", 2L, 8L, false))), s"mix mismatch: $mix")
   }
 }
