@@ -1,0 +1,101 @@
+package graft
+
+/** Randomized property check for the Kneser-Ney LM family
+  * ([[graft.ext.TextOps.knLmTrainOf]] / `knScoreOf`) against a plain Scala
+  * reference that implements the definition directly: interpolated KN with
+  * D = 3/4 over the `lang='en'` subcorpus, the three-branch scoring ladder
+  * with the add-one continuation floor, and the 2^20 fixed-point
+  * integerization. Distributed rollups + joins must equal the sequential
+  * in-memory computation EXACTLY (integer arithmetic end-to-end, one IEEE
+  * division at the boundary), on corpora with empty docs, one-token docs,
+  * OOV-heavy non-en docs, and contexts absent from training.
+  */
+class KnPropertySpec extends SparkSpec {
+
+  private val Q = 1048576L
+
+  private def toksOf(t: String): Seq[String] =
+    t.toLowerCase.split(' ').filter(_.nonEmpty).toSeq
+
+  /** Sequential reference: doc_id -> (n_bigrams, n_backoff, mean_p). */
+  private def refScores(docs: Seq[(Long, String, String)]): Map[Long, (Long, Long, Double)] = {
+    val trainBg = docs.filter(_._3 == "en")
+      .flatMap { case (_, t, _) => val w = toksOf(t); w.zip(w.drop(1)) }
+    val cxy = trainBg.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cx = cxy.groupBy(_._1._1).map { case (x, m) => x -> ((m.values.sum, m.size.toLong)) }
+    val cy = cxy.groupBy(_._1._2).map { case (y, m) => y -> m.size.toLong }
+    val nbb = cxy.size.toLong
+    docs.flatMap { case (id, t, _) =>
+      val w = toksOf(t); val bg = w.zip(w.drop(1))
+      if (bg.isEmpty) None
+      else {
+        var qsum = 0L; var back = 0L
+        bg.foreach { case (x, y) =>
+          val ny = math.max(cy.getOrElse(y, 0L), 1L)
+          val q = cxy.get((x, y)) match {
+            case Some(c) =>
+              val (cX, n1x) = cx(x)
+              ((4 * c - 3) * nbb + 3 * n1x * ny) * Q / (4 * cX * nbb)
+            case None =>
+              back += 1
+              cx.get(x) match {
+                case Some((cX, n1x)) => (3 * n1x * ny) * Q / (4 * cX * nbb)
+                case None => ny * Q / nbb
+              }
+          }
+          qsum += q
+        }
+        Some(id -> ((bg.size.toLong, back, qsum.toDouble / 1048576.0 / bg.size.toDouble)))
+      }
+    }.toMap
+  }
+
+  /** Sequential reference for the trained table: (x, y) -> (num, den). */
+  private def refTrain(docs: Seq[(Long, String, String)]): Map[(String, String), (Long, Long)] = {
+    val trainBg = docs.filter(_._3 == "en")
+      .flatMap { case (_, t, _) => val w = toksOf(t); w.zip(w.drop(1)) }
+    val cxy = trainBg.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cx = cxy.groupBy(_._1._1).map { case (x, m) => x -> ((m.values.sum, m.size.toLong)) }
+    val cy = cxy.groupBy(_._1._2).map { case (y, m) => y -> m.size.toLong }
+    val nbb = cxy.size.toLong
+    cxy.map { case ((x, y), c) =>
+      val (cX, n1x) = cx(x)
+      (x, y) -> (((4 * c - 3) * nbb + 3 * n1x * cy(y), 4 * cX * nbb))
+    }
+  }
+
+  test("kn lm: distributed train + score == sequential reference on random corpora (r9.4)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val langs = Vector("en", "de", "fr")
+    def randDoc(maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpora: Seq[Seq[(Long, String, String)]] =
+      // edge corpora: minimal training pair; all-en; en + empty/one-token docs
+      Seq(
+        Seq((1L, "a b", "en"), (2L, "b a c", "de"), (3L, "", "fr"), (4L, "f", "en")),
+        (1 to 8).map(i => (i.toLong, randDoc(6), "en")),
+      ) ++
+        // random corpora, always with a seeded en doc so training is non-empty
+        (1 to 6).map { c =>
+          (1L, "a b c a", "en") +: (2 to 14).map(i =>
+            (i.toLong, randDoc(8), langs(rnd.nextInt(langs.size))))
+        }
+    corpora.zipWithIndex.foreach { case (docsSeq, ci) =>
+      val docs = docsSeq.toDF("doc_id", "text", "lang")
+      val gotTrain = ext.TextOps.knLmTrainOf(docs).collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(r.fieldIndex("p_num")), r.getLong(r.fieldIndex("p_den"))))).toMap
+      assert(gotTrain == refTrain(docsSeq), s"corpus $ci: trained table diverges")
+      val gotScores = ext.TextOps.knScoreOf(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val want = refScores(docsSeq)
+      assert(gotScores.keySet == want.keySet,
+        s"corpus $ci: scored doc set ${gotScores.keySet} != ${want.keySet}")
+      gotScores.foreach { case (id, got) =>
+        assert(got == want(id), s"corpus $ci doc $id: $got != ${want(id)}")
+      }
+    }
+  }
+}
