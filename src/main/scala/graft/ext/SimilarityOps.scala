@@ -1388,6 +1388,85 @@ object SimilarityOps {
        |SELECT vec_id, pr AS pr_q12 FROM p$PrIters ORDER BY vec_id""".stripMargin
   }
 
+  private val LpaIters = 3
+
+  /** Label-propagation communities (Raghavan et al. 2007) over the
+    * [[knnGraphAt]] edge set — the community complement of
+    * [[pagerank]]'s authority scoring and [[graft.ext.DedupOps]]'s
+    * connected components: CC merges anything reachable (one bridge fuses
+    * two dup families), LPA's majority vote keeps densely-linked groups
+    * separate across a sparse bridge — the structure a curation pass wants
+    * when inspecting near-dup neighborhoods.
+    *
+    * Semantics: SYNCHRONOUS LPA, [[LpaIters]] fixed iterations from
+    * label = vec_id, over the SYMMETRIZED kNN edges; each node takes its
+    * neighbors' most frequent label, ties to the SMALLEST label (count
+    * desc, label asc — a total order, so the fixed iteration count is
+    * deterministic; async LPA's arrival-order races are exactly what an
+    * oracle-gated op cannot have). All counts are exact integers.
+    *
+    * Scale shape (the Pregel pattern, like [[pagerankAt]]): per iteration
+    * ONE labels⋈edges equi-join on the node key and ONE map-side-combined
+    * (node, label) rollup whose argmax is a struct MAX aggregate — no
+    * per-node window; lineage truncates per iteration (localCheckpoint),
+    * edges checkpoint once. */
+  def lpaCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+    val bits = sys.env.get("SPARK_GRAFT_EMB_BITS").map(_.toInt).getOrElse(4)
+    val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    val knn = knnRankedAt(spark, sfDir, bits).select("src", "nbr")
+    val und = knn.union(knn.select(col("nbr").as("src"), col("src").as("nbr")))
+      .distinct()
+    lpaOnEdges(nodes, und).orderBy("vec_id")
+  }
+
+  /** [[lpaCommunities]] on an explicit symmetric (src, nbr) edge frame —
+    * spec-testable on hand graphs. Returns (vec_id, community). */
+  private[graft] def lpaOnEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint() // feeds every iteration
+    var labels = nodes.withColumn("lbl", col("vec_id"))
+    for (_ <- 1 to LpaIters) {
+      val votes = e.join(labels, e("src") === labels("vec_id"))
+        .groupBy(e("nbr").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // deterministic argmax without a per-node window: max of
+      // (count, -label) is lexicographic → highest count, then lowest label
+      val newl = votes
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("nlbl"))
+      labels = labels.join(newl, labels("vec_id") === newl("v"), "left")
+        .select(labels("vec_id"),
+          coalesce(col("nlbl"), col("lbl")).as("lbl")) // keep old if isolated
+        .localCheckpoint()
+    }
+    labels.select(col("vec_id"), col("lbl").as("community"))
+  }
+
+  /** Oracle: the [[LpaIters]] synchronous votes unrolled as CTE pairs over
+    * the shared kNN edge CTEs, argmax via row_number (count desc, label) —
+    * the [[pagerankSql]] provenance pattern. */
+  private val lpaSql = {
+    val iters = (1 to LpaIters).map { i =>
+      val p = s"l${i - 1}"
+      s"""v$i AS (SELECT e.nbr AS v, l.lbl, CAST(count(*) AS BIGINT) AS c
+         |        FROM und e JOIN $p l ON l.vec_id = e.src GROUP BY e.nbr, l.lbl),
+         |l$i AS (SELECT nd.vec_id, COALESCE(w.lbl, p.lbl) AS lbl
+         |        FROM (SELECT vec_id FROM embeddings) nd
+         |        JOIN $p p ON p.vec_id = nd.vec_id
+         |        LEFT JOIN (SELECT v, lbl FROM (
+         |            SELECT v, lbl, row_number() OVER (
+         |              PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM v$i)
+         |          WHERE rn = 1) w ON w.v = nd.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnCtes,
+       |edges0 AS (SELECT src, nbr FROM r WHERE rank <= $KnnK),
+       |und AS (SELECT DISTINCT src, nbr FROM (
+       |    SELECT src, nbr FROM edges0 UNION ALL SELECT nbr, src FROM edges0)),
+       |l0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings),
+       |$iters
+       |SELECT vec_id, lbl AS community FROM l$LpaIters ORDER BY vec_id""".stripMargin
+  }
+
   private val HamS = 50 // Hamming shortlist size before the exact re-rank
 
   /** One 32-bit packed word of sign bits: bit i (weight 2^(31-i)) is set
@@ -1526,6 +1605,7 @@ object SimilarityOps {
     "sim_random_projection" -> (randomProjection _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_pagerank" -> (pagerank _),
+    "sim_lpa_communities" -> (lpaCommunities _),
     "sim_mips_topk" -> (mipsTopk _),
     "sim_binary_hamming" -> (binaryHamming _),
     "sim_outlier_filter" -> (outlierFilter _),
@@ -1547,6 +1627,7 @@ object SimilarityOps {
     "sim_random_projection" -> randomProjectionSql,
     "sim_knn_graph" -> knnGraphSql,
     "sim_pagerank" -> pagerankSql,
+    "sim_lpa_communities" -> lpaSql,
     "sim_mips_topk" -> mipsTopkSql,
     "sim_binary_hamming" -> binaryHammingSql,
     "sim_outlier_filter" -> outlierFilterSql,

@@ -206,6 +206,7 @@ class PlanSpec extends SparkSpec {
       "dedup_cluster_canonical", "dedup_best_survivor", "curation_pipeline",
       "dedup_semantic", // reuses the memoized cluster fixtures
       "sim_pagerank",   // Pregel-style loop: localCheckpoint per iteration
+      "sim_lpa_communities", // same Pregel loop shape (label votes per iteration)
       "s9_block_dater") // driver-side binary-search refinement
     // BroadcastNestedLoopJoin is legitimate ONLY against a broadcast
     // one-row (or few-row constant) side — the documented crossJoin uses

@@ -995,4 +995,22 @@ class QueriesSpec extends SparkSpec {
       5L -> (("middle", 2L, 6L, false)),
       6L -> (("middle", 2L, 8L, false))), s"mix mismatch: $mix")
   }
+
+  test("lpa: two triangles over a bridge resolve to TWO communities (where CC would merge) (r9.4)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, one bridge 3-4; symmetric edge list.
+    // Hand-run of 3 synchronous votes (ties -> smallest label):
+    //   iter1: 1->2 2->1 3->1 4->3 5->4 6->4
+    //   iter2: 1->1 2->1 3->1 4->4 5->3 6->3
+    //   iter3: 1->1 2->1 3->1 4->3 5->3 6->3
+    // — the bridge does NOT merge the triangles (pointer-jumping CC gives
+    // one component on this graph; LPA's majority vote keeps two).
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "nbr")
+    val nodes = (1L to 6L).toDF("vec_id")
+    val got = ext.SimilarityOps.lpaOnEdges(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"communities mismatch: $got")
+  }
 }
