@@ -1899,16 +1899,41 @@ object TextOps {
     * the scoring join, so it is eagerly `localCheckpoint`ed — the same
     * multi-consumer discipline as [[graft.ext.DedupOps]]'s fuzzy-title
     * titles (a lazily-shared frame recomputes per consuming subtree). */
-  private def knStats(train: DataFrame) = {
-    val bg = train.select(expr(toksExpr).as("toks"))
+  /** The (x, y, c_xy) bigram-type rollup for a training corpus — the
+    * LM's ADDITIVE sufficient statistic (and the at-rest artifact of
+    * [[knIncremental]]). */
+  private def knCxyOf(train: DataFrame): DataFrame =
+    train.select(expr(toksExpr).as("toks"))
       .select(explode(expr(knBigramZip)).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
-    val cxy = bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy")).localCheckpoint()
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+
+  /** Derive (cx, cy, nbb) from an (eagerly materialized) count table. */
+  private def knStatsFromCxy(cxy: DataFrame) = {
     val cx = cxy.groupBy("x")
       .agg(sum(col("c_xy")).cast("long").as("c_x"), count(lit(1)).as("n1p_x"))
     val cy = cxy.groupBy("y").agg(count(lit(1)).as("n1p_y"))
     val nbb = cxy.agg(count(lit(1)).as("n_bb"))
     (cxy, cx, cy, nbb)
+  }
+
+  private def knStats(train: DataFrame) =
+    knStatsFromCxy(knCxyOf(train).localCheckpoint())
+
+  /** The emitted trained-LM table off a materialized count table — shared
+    * by [[knLmTrainOf]] (full retrain) and [[knIncremental]] (merged
+    * base + ingest counts), so "incremental ≡ retrain" is the same code
+    * path fed different counts. */
+  private def knTrainTable(cxyIn: DataFrame): DataFrame = {
+    val (cxy, cx, cy, nbb) = knStatsFromCxy(cxyIn)
+    cxy.join(cx, Seq("x")).join(cy, Seq("y")).crossJoin(broadcast(nbb))
+      .withColumn("p_num",
+        (lit(4L) * col("c_xy") - lit(3L)) * col("n_bb") +
+          lit(3L) * col("n1p_x") * col("n1p_y"))
+      .withColumn("p_den", lit(4L) * col("c_x") * col("n_bb"))
+      .withColumn("p_kn", col("p_num").cast("double") / col("p_den").cast("double"))
+      .select("x", "y", "c_xy", "p_num", "p_den", "p_kn")
+      .orderBy("x", "y")
   }
 
   /** The trained LM artifact: every seen bigram with its interpolated-KN
@@ -1923,16 +1948,34 @@ object TextOps {
   def knLmTrain(spark: SparkSession, sfDir: String): DataFrame =
     knLmTrainOf(Tables.documents(spark, sfDir))
 
-  private[graft] def knLmTrainOf(documents: DataFrame): DataFrame = {
-    val (cxy, cx, cy, nbb) = knStats(documents.where(col("lang") === "en"))
-    cxy.join(cx, Seq("x")).join(cy, Seq("y")).crossJoin(broadcast(nbb))
-      .withColumn("p_num",
-        (lit(4L) * col("c_xy") - lit(3L)) * col("n_bb") +
-          lit(3L) * col("n1p_x") * col("n1p_y"))
-      .withColumn("p_den", lit(4L) * col("c_x") * col("n_bb"))
-      .withColumn("p_kn", col("p_num").cast("double") / col("p_den").cast("double"))
-      .select("x", "y", "c_xy", "p_num", "p_den", "p_kn")
-      .orderBy("x", "y")
+  private[graft] def knLmTrainOf(documents: DataFrame): DataFrame =
+    knTrainTable(knCxyOf(documents.where(col("lang") === "en")).localCheckpoint())
+
+  /** INCREMENTALLY maintained LM — the reason count-based LMs survive at
+    * corpus scale when neural quality models need full retrains: the
+    * (x, y, c_xy) table is an ADDITIVE sufficient statistic, so an ingest
+    * batch contributes only ITS OWN bigram rollup, merged into the at-rest
+    * counts by one (x, y) sum — the corpus is never re-tokenized (the
+    * [[graft.ext.DedupOps]] incremental-index discipline; same seeded ~19%
+    * batch split). Every derived stat (c(x·), N1+(x·), N1+(·y), N1+(··))
+    * recomputes from the MERGED counts — vocab²-bounded work, corpus-free.
+    * The emitted table must equal full retraining BIT-FOR-BIT, which the
+    * oracle checks by running the full-corpus training SQL — incremental ≡
+    * retrain is gate-checked, not argued. At rest the count table stores
+    * bucketed by (x, y) so the merge is co-located; here both sides derive
+    * from the one `documents` table, [[knTrainTable]] shared verbatim with
+    * [[knLmTrainOf]]. */
+  def knIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    knIncrementalOf(Tables.documents(spark, sfDir))
+
+  private[graft] def knIncrementalOf(documents: DataFrame): DataFrame = {
+    val en = documents.where(col("lang") === "en")
+    val atRest = knCxyOf(en.where(!DedupOps.isNewCol)).localCheckpoint()
+    val ingest = knCxyOf(en.where(DedupOps.isNewCol))
+    val merged = atRest.unionByName(ingest)
+      .groupBy("x", "y").agg(sum(col("c_xy")).cast("long").as("c_xy"))
+      .localCheckpoint()
+    knTrainTable(merged)
   }
 
   /** Integerized per-token KN probability (see [[KnQ]]) with the scoring
@@ -2107,6 +2150,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "report_quality_funnel" -> (qualityFunnel _),
     "text_kn_train" -> (knLmTrain _),
+    "text_kn_incremental" -> (knIncremental _),
     "text_kn_score" -> (knScore _),
     "text_kn_buckets" -> (knBuckets _),
     "text_dup_spans" -> (dupSpans _),
@@ -2142,6 +2186,8 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "report_quality_funnel" -> qualityFunnelSql,
     "text_kn_train" -> knLmTrainSql,
+    // incremental ≡ retrain: the oracle IS the full-corpus training SQL
+    "text_kn_incremental" -> knLmTrainSql,
     "text_kn_score" -> knScoreSql,
     "text_kn_buckets" -> knBucketsSql,
     "text_dup_spans" -> dupSpansSql,

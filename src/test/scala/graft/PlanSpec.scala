@@ -236,6 +236,7 @@ class PlanSpec extends SparkSpec {
       "sim_outlier_filter", // 1-row (n, s, ss) stats aggregate broadcast onto the scan
       "text_pmi_pairs",   // two 1-row corpus-total aggregates broadcast onto the pair counts
       "text_kn_train", "text_kn_score", // 1-row bigram-type total (N1+(··)) broadcast onto the stat joins
+      "text_kn_incremental", // same knTrainTable tail off the merged counts
       "sim_clustered_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(executesOnBuild)
