@@ -1978,23 +1978,6 @@ object TextOps {
     knTrainTable(merged)
   }
 
-  /** Integerized per-token KN probability (see [[KnQ]]) with the scoring
-    * backoff ladder: seen bigram → full interpolated P; seen context only
-    * → the interpolation term (exactly P at c(xy)=0); unseen context →
-    * continuation probability alone. `greatest(coalesce(N1+(·y),0),1)`
-    * floors an out-of-vocabulary continuation at one type so no token
-    * scores an exact zero (add-one on the continuation count, applied
-    * identically in both engines). */
-  private val knQExpr =
-    s"""CASE
-       |  WHEN c_xy IS NOT NULL THEN
-       |    (((4*c_xy - 3)*n_bb + 3*n1p_x*greatest(coalesce(n1p_y, 0), 1)) * $KnQ)
-       |      div (4*c_x*n_bb)
-       |  WHEN c_x IS NOT NULL THEN
-       |    ((3*n1p_x*greatest(coalesce(n1p_y, 0), 1)) * $KnQ) div (4*c_x*n_bb)
-       |  ELSE (greatest(coalesce(n1p_y, 0), 1) * $KnQ) div n_bb
-       |END""".stripMargin
-
   /** Per-document LM score over the WHOLE corpus with the en-trained LM:
     * mean per-bigram KN probability (fixed-point-exact, see [[KnQ]]) plus
     * the backoff count — the CCNet quality signal (in-domain prose scores
@@ -2002,10 +1985,12 @@ object TextOps {
     * Documents with fewer than two tokens have no bigrams and are absent,
     * mirrored in the oracle.
     *
-    * Scale shape: the doc-bigram explode is in-row; the only data-sized
-    * shuffles are the (x,y)/(x)/(y) stat equi-joins (stat sides are
-    * vocab-bounded — AQE broadcasts them when they fit) and the final
-    * doc_id rollup, map-side combined with exact-integer partials. */
+    * Scale shape ([[knScoreOfBigrams]], r9.5): the doc-bigram explode is
+    * in-row; the corpus stream takes ONE (x, y) equi-join against the
+    * precomputed seen-probability model (AQE broadcasts it while it fits),
+    * the vocab-sized backoff tables broadcast as the shipped model, and
+    * the only other shuffle is the final doc_id rollup, map-side combined
+    * with exact-integer partials. */
   def knScore(spark: SparkSession, sfDir: String): DataFrame =
     knScoreOf(Tables.documents(spark, sfDir))
 
@@ -2017,22 +2002,42 @@ object TextOps {
       .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
 
   /** Model-apply core shared by the batch scorer and the streaming parity
-    * run: attach the TRAINED stats to a (doc_id, x, y) bigram frame (three
-    * left equi-joins against the batch stat frames — the stream-static
-    * join shape when `docBg` streams) and roll up per doc. No sort — the
+    * run (and the stream-static join shape when `docBg` streams). The join
+    * structure is the third-decade lesson (SCALING.md r9.5): the naive
+    * form attached all three stat frames to the corpus bigram stream, and
+    * the moment the (x, y) table outgrew the broadcast threshold ALL THREE
+    * joins became corpus-wide sort-merge shuffles (40× at the 1000× store).
+    * Now the seen-bigram probability is PRECOMPUTED per (x, y) — vocab²
+    * -bounded work, done once, NOT per corpus bigram — so the corpus
+    * stream takes exactly ONE equi-join against that model table (AQE
+    * broadcasts it while it fits; at true corpus scale it is the one table
+    * that legitimately outgrows memory and the one shuffle that remains),
+    * while the per-x and per-y backoff tables are FORCE-broadcast: they
+    * are VOCAB-sized (Heaps-sublinear — MBs at any realistic corpus), the
+    * LM-broadcast every scorer ships to its workers. No sort — the
     * consumer orders (a streaming frame cannot). */
   private[graft] def knScoreOfBigrams(docBg: DataFrame, train: DataFrame): DataFrame = {
     val (cxy, cx, cy, nbb) = knStats(train)
-    docBg.join(cxy, Seq("x", "y"), "left")
-      .join(cx, Seq("x"), "left")
-      .join(cy, Seq("y"), "left")
+    val qSeen = cxy.join(cx, Seq("x")).join(cy, Seq("y")).crossJoin(broadcast(nbb))
+      .select(col("x"), col("y"), expr(
+        s"(((4*c_xy - 3)*n_bb + 3*n1p_x*greatest(coalesce(n1p_y, 0), 1)) * $KnQ)" +
+          " div (4*c_x*n_bb)").as("q_seen"))
+    docBg.join(qSeen, Seq("x", "y"), "left")
+      .join(broadcast(cx), Seq("x"), "left")
+      .join(broadcast(cy), Seq("y"), "left")
       .crossJoin(broadcast(nbb))
-      .withColumn("q", expr(knQExpr))
+      .withColumn("q", expr(
+        s"""CASE
+           |  WHEN q_seen IS NOT NULL THEN q_seen
+           |  WHEN c_x IS NOT NULL THEN
+           |    ((3*n1p_x*greatest(coalesce(n1p_y, 0), 1)) * $KnQ) div (4*c_x*n_bb)
+           |  ELSE (greatest(coalesce(n1p_y, 0), 1) * $KnQ) div n_bb
+           |END""".stripMargin))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
         sum(col("q")).as("q_sum"),
-        sum(when(col("c_xy").isNull, 1L).otherwise(0L)).as("n_backoff"))
+        sum(when(col("q_seen").isNull, 1L).otherwise(0L)).as("n_backoff"))
       .withColumn("mean_p",
         col("q_sum").cast("double") / lit(KnQ.toDouble) / col("n_bigrams").cast("double"))
       .select("doc_id", "n_bigrams", "n_backoff", "mean_p")
