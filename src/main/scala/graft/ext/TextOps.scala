@@ -296,14 +296,132 @@ object TextOps {
   }
 
   private[graft] def bpeTrainMergeList(
-      spark: SparkSession, documents: DataFrame): Seq[(String, String, Long)] = {
+      spark: SparkSession, documents: DataFrame): Seq[(String, String, Long)] =
+    bpeTrainMergeListN(spark, documents, BpeTrainMerges)
+
+  /** Words with more distinct forms than this skip the driver-local path.
+    * 20M ~60-byte rows ≈ 2.5 GB heap — comfortably inside the 8 GB gate
+    * driver; a 100 TB corpus's vocabulary is Heaps-sublinear (~100M forms
+    * at 10¹⁴ tokens) and would train on a bigger driver or fall back. */
+  private[graft] val BpeLocalVocabCap = 20000000L
+
+  /** Merge training at an arbitrary merge count. The ONE corpus-scale pass
+    * is the distributed (word, count) rollup; the greedy merge loop then
+    * runs DRIVER-LOCAL over that vocab-bounded table (what reference
+    * trainers do — Sennrich's learn_bpe operates on the collected word
+    * dict), so per-merge cost is O(vocab) string scans with NO Spark job:
+    * at a production 32k-merge vocabulary the old one-job-per-merge loop
+    * is 32k sequential job launches, a pure driver bottleneck (round-9
+    * verdict item 3; measured flat per-merge in SCALING.md r10). Falls
+    * back to the per-merge distributed loop only above
+    * [[BpeLocalVocabCap]]. Both paths are bit-identical by construction
+    * ([[bpeTrainMergesLocal]] uses the same framed `replace` semantics and
+    * UTF-8-binary tie-break) and property-pinned in BpePropertySpec. */
+  private[graft] def bpeTrainMergeListN(
+      spark: SparkSession, documents: DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
     val wc = documents
       .select(explode(expr(toksExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    // limit(cap+1) bounds the collect without a separate count job
+    val rows = wc.limit((BpeLocalVocabCap + 1).toInt).collect()
+    if (rows.length <= BpeLocalVocabCap)
+      bpeTrainMergesLocal(rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
+    else bpeTrainMergeListDistributed(wc, nMerges)
+  }
+
+  /** Driver-local greedy BPE over the collected (word, count) vocabulary.
+    * Bit-identical to the distributed loop: merge application is Java
+    * `String.replace("|a|b|", "|ab|")` on the SAME delimiter-framed form —
+    * leftmost, non-overlapping, scan resumes AFTER the replacement, the
+    * exact semantics `bpeSegSql`'s replace chain has in both engines (so
+    * e.g. `a b a b` merges only its first occurrence in one step — the
+    * pinned oracle behavior, NOT naive array-walk BPE) — and the argmax
+    * tie-break is (count DESC, pair-string ASC in unsigned UTF-8 byte
+    * order), matching Spark's binary string sort. Incremental: each merge
+    * touches only words whose framed form contains the pattern, and
+    * per-merge work is one O(vocab) substring scan — flat in the merge
+    * index, the scale contract the one-Spark-job-per-merge loop lacked. */
+  private[graft] def bpeTrainMergesLocal(
+      words: Array[(String, Long)], nMerges: Int): Seq[(String, String, Long)] = {
+    val segs = words.map { case (w, _) =>
+      val sb = new java.lang.StringBuilder(w.length * 2 + 1)
+      sb.append('|')
+      var i = 0
+      while (i < w.length) {
+        // frame per CODEPOINT: Spark's length()/substring() in bpeSegSql's
+        // base expression walk codepoints, so a supplementary char is ONE
+        // symbol, not two surrogate halves
+        val cp = w.codePointAt(i)
+        sb.appendCodePoint(cp).append('|')
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+    val cnts = words.map(_._2)
+    val pc = new java.util.HashMap[String, Long]()
+    def addPairs(seg: String, sign: Long): Unit = {
+      val syms = seg.split('|').filter(_.nonEmpty)
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = syms(i) + " " + syms(i + 1)
+        val n = pc.getOrDefault(k, 0L) + sign
+        if (n == 0L) pc.remove(k) else pc.put(k, n)
+        i += 1
+      }
+    }
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var w = 0
+    while (w < segs.length) { addPairs(segs(w), cnts(w)); w += 1 }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
-    while (!exhausted && merges.size < BpeTrainMerges) {
+    while (!exhausted && merges.size < nMerges) {
+      var bestPair: String = null
+      var bestN = 0L
+      pc.forEach { (k, n) =>
+        if (n > bestN || (n == bestN && bestPair != null && utf8Less(k, bestPair))) {
+          bestPair = k; bestN = n
+        }
+      }
+      if (bestPair == null) exhausted = true
+      else {
+        val sp = bestPair.indexOf(' ')
+        val (a, b) = (bestPair.substring(0, sp), bestPair.substring(sp + 1))
+        merges += ((a, b, bestN))
+        val pat = "|" + a + "|" + b + "|"
+        val rep = "|" + a + b + "|"
+        var i = 0
+        while (i < segs.length) {
+          if (segs(i).contains(pat)) {
+            addPairs(segs(i), -cnts(i))
+            segs(i) = segs(i).replace(pat, rep)
+            addPairs(segs(i), cnts(i))
+          }
+          i += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The original one-Spark-job-per-merge loop, kept as the over-cap
+    * fallback and as the independent reference the property spec pins the
+    * local trainer against. `wc` is the already-rolled-up (word, cnt). */
+  private[graft] def bpeTrainMergeListDistributed(
+      wc: DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (!exhausted && merges.size < nMerges) {
       val seg = bpeSegSql(merges.map(m => (m._1, m._2)).toSeq)
       val best = wc
         .select(col("cnt"), expr(s"filter(split($seg, '[|]'), x -> x != '')").as("syms"))
@@ -349,9 +467,14 @@ object TextOps {
   private def bpeOracleSegAfter(k: Int): String = {
     val seg0 =
       "'|' || array_to_string(list_transform(range(1, strlen(word) + 1), i -> word[i]), '|') || '|'"
+    // coalesce to '||': every sym in seg is non-empty so adjacent pipes
+    // never occur — an exhausted (empty) m_j CTE makes the replace a
+    // provable no-op instead of NULLing the whole segmentation, matching
+    // the Spark trainer's stop-early-with-fewer-merges behavior on
+    // degenerate corpora (round-9 advice)
     (1 to k).foldLeft(seg0) { (s, j) =>
-      s"replace($s, '|' || (SELECT a FROM m$j) || '|' || (SELECT b FROM m$j) || '|', " +
-        s"'|' || (SELECT a FROM m$j) || (SELECT b FROM m$j) || '|')"
+      s"replace($s, coalesce((SELECT '|' || a || '|' || b || '|' FROM m$j), '||'), " +
+        s"coalesce((SELECT '|' || a || b || '|' FROM m$j), '||'))"
     }
   }
 
@@ -1212,7 +1335,7 @@ object TextOps {
       .agg(count(lit(1)).as("nd"), sum(size(expr(toksExpr)).cast("long")).as("tl"))
       .withColumn("avgdl", col("tl").cast("double") / col("nd").cast("double"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    tf.join(broadcast(dfq), Seq("term"))
+    val out = tf.join(broadcast(dfq), Seq("term"))
       .join(broadcast(stats))
       .withColumn("idf",
         lit(1.0) + ((col("nd") - col("dfc")).cast("double") + lit(0.5)) /
@@ -1227,6 +1350,12 @@ object TextOps {
       .where(col("rank") <= Bm25K)
       .select("query_id", "rank", "doc_id", "score")
       .orderBy("query_id", "rank")
+      // the result is ≤ |queries|·K rows: materialize it eagerly so the
+      // qtok cache can be released per-run instead of lingering in
+      // executor storage across gate/bench invocations (round-9 advice)
+      .localCheckpoint(eager = true)
+    qtok.unpersist()
+    out
   }
 
   /** The BM25 pipeline as reusable CTEs ending in `r` (query_id, doc_id,
@@ -2051,9 +2180,9 @@ object TextOps {
     * curation artifact the LM exists for (keep `head`, maybe `middle`,
     * drop `tail`). Buckets are exact tertiles of the total order
     * (mean_p DESC, doc_id): head = ranks 1..⌈n/3⌉, middle to ⌈2n/3⌉.
-    * Scale shape: the two cutoff rows come from distributed top-k
-    * (orderBy+limit = TakeOrdered — per-partition heads, a k-row merge;
-    * the corpus never globally sorts), each collected as ONE bounded
+    * Scale shape: each cutoff rank-k row is found by approx_percentile
+    * bracketing + an exact count + a TakeOrdered over only the ~n/10000
+    * residual strip (never a rank-sized top-k), collected as ONE bounded
     * driver row and applied as a broadcast predicate — no global window.
     * mean_p doubles are bit-identical in both engines (exact-integer sum,
     * one division), so cutoff comparison is exact. */
@@ -2074,9 +2203,36 @@ object TextOps {
       .localCheckpoint() // feeds two cutoff probes + the labeling scan
     val n = sc.count()
     require(n > 0, "kn_buckets: no scoreable documents (all under 2 tokens)")
+    // Exact k-th row of the (mean_p DESC, doc_id ASC) total order WITHOUT a
+    // driver-sized top-k (the old orderBy().limit(k≈n/3) materialized ~n/3
+    // rows at the driver and k.toInt overflowed past 3·Int.MaxValue —
+    // round-9 advice): bracket with approx_percentile (rank error ≤
+    // n/accuracy), count the strictly-greater side EXACTLY, then TakeOrdered
+    // only the |cGt−k|+1 residual strip. Correct for ANY approx error (the
+    // residual is computed from the exact count); bounded-driver under the
+    // sketch's guarantee (~n/10000 rows).
     def cutAt(k: Long): (Double, Long) = {
-      val row = sc.orderBy(col("mean_p").desc, col("doc_id")).limit(k.toInt)
-        .orderBy(col("mean_p"), col("doc_id").desc).limit(1).collect()(0)
+      val acc = 10000
+      val t = sc.select(expr(
+        s"approx_percentile(mean_p, ${1.0 - k.toDouble / n.toDouble}, $acc)"))
+        .collect()(0).getDouble(0)
+      val cGt = sc.where(col("mean_p") > t).count()
+      val row =
+        if (cGt >= k) {
+          // k-th row sits inside the >t region, (cGt−k+1)-th from its bottom
+          val m = cGt - k + 1
+          require(m <= Int.MaxValue, s"kn_buckets: residual strip $m overflows limit")
+          sc.where(col("mean_p") > t)
+            .orderBy(col("mean_p"), col("doc_id").desc).limit(m.toInt)
+            .orderBy(col("mean_p").desc, col("doc_id")).limit(1).collect()(0)
+        } else {
+          // k-th row is the (k−cGt)-th of the ≤t region in DESC order
+          val m = k - cGt
+          require(m <= Int.MaxValue, s"kn_buckets: residual strip $m overflows limit")
+          sc.where(col("mean_p") <= t)
+            .orderBy(col("mean_p").desc, col("doc_id")).limit(m.toInt)
+            .orderBy(col("mean_p"), col("doc_id").desc).limit(1).collect()(0)
+        }
       (row.getDouble(row.fieldIndex("mean_p")), row.getLong(row.fieldIndex("doc_id")))
     }
     val (p1, id1) = cutAt((n + 2) / 3)

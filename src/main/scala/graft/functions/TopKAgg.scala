@@ -82,9 +82,12 @@ case class TopKByDesc(
     if (kv != null) {
       val tv = tie.eval(input)
       val pv = payload.eval(input).asInstanceOf[InternalRow]
-      b.insert(kv.asInstanceOf[Double],
-        if (tv == null) 0L else tv.asInstanceOf[Long],
-        toUnsafe(pv).copy())
+      // a nullable struct payload (e.g. the outer side of a join) can
+      // evaluate to null even when the key is present — skip like a null key
+      if (pv != null)
+        b.insert(kv.asInstanceOf[Double],
+          if (tv == null) 0L else tv.asInstanceOf[Long],
+          toUnsafe(pv).copy())
     }
     b
   }

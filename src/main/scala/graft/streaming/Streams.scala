@@ -16,6 +16,26 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** Temp roots created by streaming gates, deleted at JVM exit so
+    * repeated gate/bench runs in one sandbox do not accumulate disk
+    * (round-9 advice). Per-run eager materialize + delete handles the
+    * common case; the hook is the backstop for abnormal exits. */
+  private val tmpRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val tmpHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpRoots.forEach(r => deleteRecursively(new java.io.File(r)))))
+  }
+  private[streaming] def deleteOnShutdown(root: String): Unit = {
+    tmpHook
+    tmpRoots.add(root)
+    ()
+  }
+  private[streaming] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   /** Per-method cross-batch state for [[eventMethodsStream]]: `ring` is the
     * recent state rows (block, value, props) in ascending block order —
     * value/props BOXED so null state columns survive (the batch twin's
@@ -446,7 +466,9 @@ object Streams {
     import graft.functions.Vec
     val pr = eventStream(spark, sfDir)
       .withColumn("w",
-        expr("CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) + 1L"))
+        // try_cast+coalesce: a digit-free props weighs 1 in BOTH engines
+        // (plain CAST('' ..) is NULL here but an error in DuckDB)
+        expr("coalesce(try_cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT), 0L) + 1L"))
       .withColumn("u1",
         conv(substring(md5(concat(lit("graft-stream-pri|"), col("event_id").cast("string"))), 1, 12),
           16, 10).cast("long") + 1)
@@ -470,7 +492,7 @@ object Streams {
       .mkString(" + ")
     s"""WITH hh AS (
        |  SELECT event_id,
-       |    CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) + 1 AS w,
+       |    coalesce(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT), 0) + 1 AS w,
        |    md5('graft-stream-pri|' || CAST(event_id AS VARCHAR)) AS h
        |  FROM events),
        |p AS (
@@ -519,6 +541,7 @@ object Streams {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     val tmp = Files.createTempDirectory("graft_idx_upsert").toString
+    Streams.deleteOnShutdown(tmp) // repeated gate/bench runs must not accumulate temp disk
     val inDir = Paths.get(tmp, "in")
     Files.createDirectories(inDir)
     val idxDir = s"$tmp/index"
@@ -561,7 +584,11 @@ object Streams {
     }.option("checkpointLocation", s"$tmp/ck")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outDir).orderBy("doc_id")
+    // eager: the result is ≤ one tiny row per matched doc — materialize it
+    // off the temp files so the run's disk can be reclaimed immediately
+    val out = spark.read.parquet(outDir).orderBy("doc_id").localCheckpoint(eager = true)
+    deleteRecursively(new java.io.File(tmp))
+    out
   }
 
   private val indexUpsertSql =

@@ -61,6 +61,43 @@ class BpePropertySpec extends SparkSpec {
     }
   }
 
+  test("bpe merge training: driver-local trainer == distributed loop on random corpora (r10)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // small alphabet → dense pair collisions → real tie-breaks exercised
+    val alphabet = "abcde"
+    (0 until 6).foreach { trial =>
+      val words = (0 until 40).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val docs = words.grouped(8).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" "), "s") }
+        .toSeq.toDF("doc_id", "text", "source")
+      val wc = docs.select(explode(expr("filter(split(lower(text), ' '), t -> t != '')")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val dist = ext.TextOps.bpeTrainMergeListDistributed(wc, 6)
+      val wArr = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+      val loc = ext.TextOps.bpeTrainMergesLocal(wArr, 6)
+      assert(loc == dist, s"trial $trial: local $loc != distributed $dist")
+    }
+  }
+
+  test("bpe merge training: local merge application keeps the pinned replace semantics (r10)") {
+    // 'abab' under merge (a,b): the framed replace consumes the shared
+    // delimiter, so only the FIRST occurrence merges in one step — the
+    // distributed/oracle behavior, not naive array-walk BPE. The local
+    // trainer must reproduce it: after merge 1 (a,b), 'abab' contributes
+    // pairs (ab,a) and (a,b), NOT (ab,ab).
+    val loc = ext.TextOps.bpeTrainMergesLocal(Array(("abab", 10L)), 3)
+    // merge1: (a,b) n=20 (two occurrences in |a|b|a|b|).
+    // after replace: |ab|a|b| → pairs (ab,a)=10, (a,b)=10 → merge2 tie →
+    // '(a b)' < '(ab a)' in UTF-8 order ('a b' vs 'ab a': ' ' < 'b') → (a,b)
+    // after replace: |ab|ab| → pairs (ab,ab)=10 → merge3 (ab,ab)
+    assert(loc == Seq(("a", "b", 20L), ("a", "b", 10L), ("ab", "ab", 10L)),
+      s"got $loc")
+  }
+
   test("bpe count: longest match wins over any shorter prefix") {
     import spark.implicits._
     // "table" is one token (the 5-char entry beats every shorter match);
