@@ -2245,6 +2245,148 @@ object TextOps {
           .otherwise("tail"))
   }
 
+  // ---------------------------------------------------------------------
+  // Trigram INTERPOLATED Kneser-Ney — one more order of the recursive
+  // backoff ladder (Chen & Goodman 1998 eq. 18; published CCNet filtering
+  // ships 5-gram KenLM models — the trigram exercises the same recursion
+  // the bigram family can't). All lower-order stats derive FROM the
+  // trigram count table (the standard build-from-highest-order practice),
+  // so (x, y, z, c_xyz) stays the single ADDITIVE sufficient statistic.
+  // ---------------------------------------------------------------------
+
+  /** In-row trigram zip — the [[knBigramZip]] shape, one order wider. */
+  private val knTrigramZip =
+    "transform(slice(toks, 1, greatest(size(toks) - 2, 0)), " +
+      "(t, i) -> struct(t AS x, toks[i + 1] AS y, toks[i + 2] AS z))"
+
+  /** The (x, y, z, c_xyz) trigram-type rollup — the ONE corpus-sized job
+    * of the whole trigram family; everything below is type-bounded. */
+  private def kn3CxyzOf(train: DataFrame): DataFrame =
+    train.select(expr(toksExpr).as("toks"))
+      .select(explode(expr(knTrigramZip)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("p.z").as("z"))
+      .groupBy("x", "y", "z").agg(count(lit(1)).as("c_xyz"))
+
+  /** Lower-order KN stats from the trigram counts: per-(x,y) context
+    * totals c(xy·) with fan-out N1+(xy·); middle-order continuation
+    * counts N1+(·yz) (distinct x per (y,z)); per-y middles N1+(·y·) =
+    * Σ_z N1+(·yz) and N1+(y·) (distinct z); unigram continuation N1+(·z)
+    * (distinct y in the (y,z) types) and the (y,z)-type total. */
+  private def kn3Stats(cxyz: DataFrame) = {
+    val cxy = cxyz.groupBy("x", "y")
+      .agg(sum(col("c_xyz")).cast("long").as("c_xy"), count(lit(1)).as("n1p_xy"))
+    val byz = cxyz.groupBy("y", "z").agg(count(lit(1)).as("n1p_dyz")).localCheckpoint()
+    val ny = byz.groupBy("y")
+      .agg(sum(col("n1p_dyz")).cast("long").as("n1p_dyd"), count(lit(1)).as("n1p_yd"))
+    val nz = byz.groupBy("z").agg(count(lit(1)).as("n1p_dz"))
+    val nbb = byz.agg(count(lit(1)).as("n_bb2"))
+    (cxy, byz, ny, nz, nbb)
+  }
+
+  /** Trained trigram-KN artifact: every seen trigram with
+    * P(z|xy) = max(c(xyz)−D,0)/c(xy·) + D·N1+(xy·)/c(xy·) · P₂(z|y),
+    * P₂(z|y) = max(N1+(·yz)−D,0)/N1+(·y·) + D·N1+(y·)/N1+(·y·) · P₁(z),
+    * P₁(z) = N1+(·z)/N1+(··), D = 3/4 throughout — emitted as the exact
+    * rational over the common denominator 16·c(xy·)·N1+(·y·)·N1+(··)
+    * (the D=3/4 quarters multiplied through; headroom ~1e15-token
+    * bounded-vocab corpora — past that the artifact drops to the nested
+    * fixed-point form the scorer already uses) plus the one-division
+    * double. Scale shape: one corpus rollup, then joins between
+    * type-bounded tables only. */
+  def kn3LmTrain(spark: SparkSession, sfDir: String): DataFrame =
+    kn3LmTrainOf(Tables.documents(spark, sfDir))
+
+  private[graft] def kn3LmTrainOf(documents: DataFrame): DataFrame = {
+    val cxyz = kn3CxyzOf(documents.where(col("lang") === "en")).localCheckpoint()
+    val (cxy, byz, ny, nz, nbb) = kn3Stats(cxyz)
+    cxyz.join(cxy, Seq("x", "y")).join(byz, Seq("y", "z"))
+      .join(ny, Seq("y")).join(nz, Seq("z")).crossJoin(broadcast(nbb))
+      .withColumn("p_num",
+        (lit(4L) * col("c_xyz") - lit(3L)) * lit(4L) * col("n1p_dyd") * col("n_bb2") +
+          lit(3L) * col("n1p_xy") *
+            ((lit(4L) * col("n1p_dyz") - lit(3L)) * col("n_bb2") +
+              lit(3L) * col("n1p_yd") * col("n1p_dz")))
+      .withColumn("p_den", lit(16L) * col("c_xy") * col("n1p_dyd") * col("n_bb2"))
+      .withColumn("p_kn", col("p_num").cast("double") / col("p_den").cast("double"))
+      .select("x", "y", "z", "c_xyz", "p_num", "p_den", "p_kn")
+      .orderBy("x", "y", "z")
+  }
+
+  /** Per-document trigram-KN score over the whole corpus with the
+    * en-trained model — the bigram scorer's audited model-apply join
+    * structure (SCALING.md r9.5), one order deeper:
+    *
+    *  - the per-token probability is the nested fixed-point ladder
+    *    q₁ = ⌊N1+(·z)·2²⁰ / N1+(··)⌋, q₂ = ⌊(4·N1+(·yz)−3)·2²⁰ /
+    *    4N1+(·y·)⌋ + ⌊3·N1+(y·)·q₁ / 4N1+(·y·)⌋, q₃ analogously from
+    *    c(xyz) — floors compound deterministically and IDENTICALLY in
+    *    both engines (each ⌊⌋ is a BIGINT div), keeping every
+    *    intermediate ≤ 4·c(xyz)·2²⁰ — orders more headroom than the
+    *    single-rational form, which matters one order up;
+    *  - q₃ for SEEN trigrams is PRECOMPUTED per (x,y,z) — type-bounded
+    *    work — so the corpus trigram stream takes exactly ONE equi-join
+    *    against that model table (AQE broadcasts while it fits; at true
+    *    corpus scale it is the one legitimate remaining shuffle);
+    *  - the backoff ladder's lower-order model tables — (x,y)-keyed
+    *    contexts, (y,z)-keyed q₂, per-y and per-z continuation stats —
+    *    are broadcast: they are the KenLM lower orders, Heaps-smaller
+    *    than the trigram table by an order each; at the scale where the
+    *    (x,y)/(y,z) tables outgrow broadcast those two joins are the
+    *    shuffles that legitimately remain (the per-y/per-z tables are
+    *    vocab-sized and broadcast at ANY scale). */
+  def kn3Score(spark: SparkSession, sfDir: String): DataFrame =
+    kn3ScoreOf(Tables.documents(spark, sfDir))
+
+  private[graft] def kn3DocTrigrams(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(knTrigramZip)).as("p"))
+      .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"), col("p.z").as("z"))
+
+  private[graft] def kn3ScoreOfTrigrams(docTg: DataFrame, train: DataFrame): DataFrame = {
+    val cxyz = kn3CxyzOf(train).localCheckpoint()
+    val (cxy, byz, ny, nz, nbb) = kn3Stats(cxyz)
+    val q2 = byz.join(ny, Seq("y")).join(nz, Seq("z")).crossJoin(broadcast(nbb))
+      .select(col("y"), col("z"), expr(
+        s"((4*n1p_dyz - 3) * $KnQ) div (4*n1p_dyd) + " +
+          s"(3*n1p_yd*((n1p_dz * $KnQ) div n_bb2)) div (4*n1p_dyd)").as("q2"))
+      .localCheckpoint() // feeds the seen-model precompute AND the backoff join
+    val m3 = cxyz.join(cxy, Seq("x", "y")).join(q2, Seq("y", "z"))
+      .select(col("x"), col("y"), col("z"), expr(
+        s"((4*c_xyz - 3) * $KnQ) div (4*c_xy) + (3*n1p_xy*q2) div (4*c_xy)").as("q_seen"))
+    docTg.join(m3, Seq("x", "y", "z"), "left")
+      .join(broadcast(cxy), Seq("x", "y"), "left")
+      .join(broadcast(q2), Seq("y", "z"), "left")
+      .join(broadcast(ny), Seq("y"), "left")
+      .join(broadcast(nz), Seq("z"), "left")
+      .crossJoin(broadcast(nbb))
+      .withColumn("q2b", expr(
+        s"""CASE
+           |  WHEN q2 IS NOT NULL THEN q2
+           |  WHEN n1p_dyd IS NOT NULL THEN
+           |    (3*n1p_yd*((greatest(coalesce(n1p_dz, 0), 1) * $KnQ) div n_bb2))
+           |      div (4*n1p_dyd)
+           |  ELSE (greatest(coalesce(n1p_dz, 0), 1) * $KnQ) div n_bb2
+           |END""".stripMargin))
+      .withColumn("q", expr(
+        s"""CASE
+           |  WHEN q_seen IS NOT NULL THEN q_seen
+           |  WHEN c_xy IS NOT NULL THEN (3*n1p_xy*q2b) div (4*c_xy)
+           |  ELSE q2b
+           |END""".stripMargin))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(col("q")).as("q_sum"),
+        sum(when(col("q_seen").isNull, 1L).otherwise(0L)).as("n_backoff"))
+      .withColumn("mean_p",
+        col("q_sum").cast("double") / lit(KnQ.toDouble) / col("n_trigrams").cast("double"))
+      .select("doc_id", "n_trigrams", "n_backoff", "mean_p")
+  }
+
+  private[graft] def kn3ScoreOf(documents: DataFrame): DataFrame =
+    kn3ScoreOfTrigrams(kn3DocTrigrams(documents), documents.where(col("lang") === "en"))
+      .orderBy("doc_id")
+
   /** Shared oracle CTEs: en-trained KN stats + all-corpus doc bigrams. */
   private val knStatsCtes =
     s"""t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
@@ -2296,6 +2438,77 @@ object TextOps {
     s"""WITH $knScoreCtes
        |SELECT doc_id, n_bigrams, n_backoff, mean_p FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle CTEs for the TRIGRAM family: en-trained trigram rollup
+    * + every lower-order stat derived from it, mirroring [[kn3Stats]]. */
+  private val kn3StatsCtes =
+    s"""t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |etg0 AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS p
+       |         FROM t WHERE lang = 'en'),
+       |etg AS (SELECT string_split(p, ' ')[1] AS x, string_split(p, ' ')[2] AS y,
+       |          string_split(p, ' ')[3] AS z FROM etg0),
+       |cxyz AS (SELECT x, y, z, CAST(count(*) AS BIGINT) AS c_xyz FROM etg GROUP BY x, y, z),
+       |cxy AS (SELECT x, y, CAST(sum(c_xyz) AS BIGINT) AS c_xy,
+       |          CAST(count(*) AS BIGINT) AS n1p_xy FROM cxyz GROUP BY x, y),
+       |byz AS (SELECT y, z, CAST(count(*) AS BIGINT) AS n1p_dyz FROM cxyz GROUP BY y, z),
+       |ny AS (SELECT y, CAST(sum(n1p_dyz) AS BIGINT) AS n1p_dyd,
+       |         CAST(count(*) AS BIGINT) AS n1p_yd FROM byz GROUP BY y),
+       |nz AS (SELECT z, CAST(count(*) AS BIGINT) AS n1p_dz FROM byz GROUP BY z),
+       |nbb AS (SELECT CAST(count(*) AS BIGINT) AS n_bb2 FROM byz)""".stripMargin
+
+  private val kn3LmTrainSql =
+    s"""WITH $kn3StatsCtes
+       |SELECT cxyz.x, cxyz.y, cxyz.z, c_xyz,
+       |  CAST((4*c_xyz - 3)*4*n1p_dyd*n_bb2
+       |    + 3*n1p_xy*((4*n1p_dyz - 3)*n_bb2 + 3*n1p_yd*n1p_dz) AS BIGINT) AS p_num,
+       |  CAST(16*c_xy*n1p_dyd*n_bb2 AS BIGINT) AS p_den,
+       |  CAST((4*c_xyz - 3)*4*n1p_dyd*n_bb2
+       |    + 3*n1p_xy*((4*n1p_dyz - 3)*n_bb2 + 3*n1p_yd*n1p_dz) AS DOUBLE) /
+       |    CAST(16*c_xy*n1p_dyd*n_bb2 AS DOUBLE) AS p_kn
+       |FROM cxyz JOIN cxy USING (x, y) JOIN byz USING (y, z)
+       |  JOIN ny USING (y) JOIN nz USING (z) CROSS JOIN nbb
+       |ORDER BY x, y, z""".stripMargin
+
+  private val kn3ScoreSql =
+    s"""WITH $kn3StatsCtes,
+       |q2t AS (SELECT byz.y, byz.z,
+       |          ((4*n1p_dyz - 3) * $KnQ) // (4*n1p_dyd)
+       |            + (3*n1p_yd*((n1p_dz * $KnQ) // n_bb2)) // (4*n1p_dyd) AS q2
+       |        FROM byz JOIN ny USING (y) JOIN nz USING (z) CROSS JOIN nbb),
+       |dt0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS p FROM t),
+       |dt AS (SELECT doc_id, string_split(p, ' ')[1] AS x, string_split(p, ' ')[2] AS y,
+       |         string_split(p, ' ')[3] AS z FROM dt0),
+       |jj AS (SELECT dt.doc_id, cxyz.c_xyz, cxy.c_xy, cxy.n1p_xy, q2t.q2,
+       |         ny.n1p_dyd, ny.n1p_yd, nz.n1p_dz, nbb.n_bb2
+       |       FROM dt LEFT JOIN cxyz ON dt.x = cxyz.x AND dt.y = cxyz.y AND dt.z = cxyz.z
+       |         LEFT JOIN cxy ON dt.x = cxy.x AND dt.y = cxy.y
+       |         LEFT JOIN q2t ON dt.y = q2t.y AND dt.z = q2t.z
+       |         LEFT JOIN ny ON dt.y = ny.y
+       |         LEFT JOIN nz ON dt.z = nz.z
+       |         CROSS JOIN nbb),
+       |qq AS (SELECT doc_id, c_xyz, c_xy, n1p_xy,
+       |  CASE
+       |    WHEN q2 IS NOT NULL THEN q2
+       |    WHEN n1p_dyd IS NOT NULL THEN
+       |      (3*n1p_yd*((greatest(coalesce(n1p_dz, 0), 1) * $KnQ) // n_bb2))
+       |        // (4*n1p_dyd)
+       |    ELSE (greatest(coalesce(n1p_dz, 0), 1) * $KnQ) // n_bb2
+       |  END AS q2b FROM jj),
+       |q3 AS (SELECT doc_id, c_xyz,
+       |  CASE
+       |    WHEN c_xyz IS NOT NULL THEN
+       |      ((4*c_xyz - 3) * $KnQ) // (4*c_xy) + (3*n1p_xy*q2b) // (4*c_xy)
+       |    WHEN c_xy IS NOT NULL THEN (3*n1p_xy*q2b) // (4*c_xy)
+       |    ELSE q2b
+       |  END AS q FROM qq),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  CAST(sum(CASE WHEN c_xyz IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / ${KnQ}.0 /
+       |    CAST(count(*) AS DOUBLE) AS mean_p
+       |FROM q3 GROUP BY doc_id)
+       |SELECT doc_id, n_trigrams, n_backoff, mean_p FROM sc ORDER BY doc_id""".stripMargin
+
   private val knBucketsSql =
     s"""WITH $knScoreCtes,
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
@@ -2314,6 +2527,8 @@ object TextOps {
     "text_kn_incremental" -> (knIncremental _),
     "text_kn_score" -> (knScore _),
     "text_kn_buckets" -> (knBuckets _),
+    "text_kn3_train" -> (kn3LmTrain _),
+    "text_kn3_score" -> (kn3Score _),
     "text_dup_spans" -> (dupSpans _),
     "text_normalize_nfc" -> (normalizeNfc _),
     "text_approx_topk" -> (approxTopkTerms _),
@@ -2351,6 +2566,8 @@ object TextOps {
     "text_kn_incremental" -> knLmTrainSql,
     "text_kn_score" -> knScoreSql,
     "text_kn_buckets" -> knBucketsSql,
+    "text_kn3_train" -> kn3LmTrainSql,
+    "text_kn3_score" -> kn3ScoreSql,
     "text_dup_spans" -> dupSpansSql,
     "text_normalize_nfc" -> normalizeNfcSql,
     "text_approx_topk" -> approxTopkTermsSql,

@@ -98,4 +98,85 @@ class KnPropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Sequential trigram reference: the interpolated-KN recursion with all
+    * lower-order stats derived from the trigram counts, the same nested
+    * floor-div fixed-point ladder the engine uses. */
+  private def ref3Scores(docs: Seq[(Long, String, String)]): Map[Long, (Long, Long, Double)] = {
+    val trainTg = docs.filter(_._3 == "en").flatMap { case (_, t, _) =>
+      val w = toksOf(t); w.lazyZip(w.drop(1)).lazyZip(w.drop(2)).toSeq
+    }
+    val cxyz = trainTg.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cxy = cxyz.groupBy(k => (k._1._1, k._1._2))
+      .map { case (k, m) => k -> ((m.values.sum, m.size.toLong)) } // c_xy, n1p_xy
+    val byz = cxyz.keySet.groupBy(k => (k._2, k._3)).map { case (k, s) => k -> s.size.toLong }
+    val ny = byz.groupBy(_._1._1)
+      .map { case (y, m) => y -> ((m.values.sum, m.size.toLong)) } // n1p_dyd, n1p_yd
+    val nz = byz.groupBy(_._1._2).map { case (z, m) => z -> m.size.toLong } // n1p_dz
+    val nbb = byz.size.toLong
+    def q1(z: String): Long = math.max(nz.getOrElse(z, 0L), 1L) * Q / nbb
+    def q2b(y: String, z: String): Long = byz.get((y, z)) match {
+      case Some(dyz) =>
+        val (dyd, yd) = ny(y)
+        ((4 * dyz - 3) * Q) / (4 * dyd) + (3 * yd * (nz(z) * Q / nbb)) / (4 * dyd)
+      case None => ny.get(y) match {
+        case Some((dyd, yd)) => (3 * yd * q1(z)) / (4 * dyd)
+        case None => q1(z)
+      }
+    }
+    docs.flatMap { case (id, t, _) =>
+      val w = toksOf(t)
+      val tg = w.lazyZip(w.drop(1)).lazyZip(w.drop(2)).toSeq
+      if (tg.isEmpty) None
+      else {
+        var qsum = 0L; var back = 0L
+        tg.foreach { case (x, y, z) =>
+          val q = cxyz.get((x, y, z)) match {
+            case Some(c) =>
+              val (cXY, n1xy) = cxy((x, y))
+              ((4 * c - 3) * Q) / (4 * cXY) + (3 * n1xy * q2b(y, z)) / (4 * cXY)
+            case None =>
+              back += 1
+              cxy.get((x, y)) match {
+                case Some((cXY, n1xy)) => (3 * n1xy * q2b(y, z)) / (4 * cXY)
+                case None => q2b(y, z)
+              }
+          }
+          qsum += q
+        }
+        Some(id -> ((tg.size.toLong, back, qsum.toDouble / 1048576.0 / tg.size.toDouble)))
+      }
+    }.toMap
+  }
+
+  test("kn3 lm: distributed trigram score == sequential reference on random corpora (r10)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val langs = Vector("en", "de", "fr")
+    def randDoc(maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpora: Seq[Seq[(Long, String, String)]] =
+      // edges: minimal trigram training; two-token docs (no trigrams);
+      // unseen-context and unseen-z ladders via non-en-only symbols
+      Seq(
+        Seq((1L, "a b c", "en"), (2L, "a b", "en"), (3L, "d e d e", "de"), (4L, "", "fr")),
+        (1 to 8).map(i => (i.toLong, randDoc(7), "en")),
+      ) ++
+        (1 to 6).map { c =>
+          (1L, "a b c a b", "en") +: (2 to 14).map(i =>
+            (i.toLong, randDoc(9), langs(rnd.nextInt(langs.size))))
+        }
+    corpora.zipWithIndex.foreach { case (docsSeq, ci) =>
+      val docs = docsSeq.toDF("doc_id", "text", "lang")
+      val got = ext.TextOps.kn3ScoreOf(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val want = ref3Scores(docsSeq)
+      assert(got.keySet == want.keySet,
+        s"corpus $ci: scored doc set ${got.keySet} != ${want.keySet}")
+      got.foreach { case (id, g) =>
+        assert(g == want(id), s"corpus $ci doc $id: $g != ${want(id)}")
+      }
+    }
+  }
 }
