@@ -642,7 +642,7 @@ object SamplingOps {
       .orderBy("doc_id")
   }
 
-  private val ccnetMixSql =
+  private[graft] val ccnetMixSql =
     s"""WITH ${TextOps.knScoreCtes},
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
        |r AS (SELECT sc.doc_id, sc.mean_p, sc.n_bigrams,

@@ -2145,12 +2145,31 @@ object TextOps {
     * are VOCAB-sized (Heaps-sublinear — MBs at any realistic corpus), the
     * LM-broadcast every scorer ships to its workers. No sort — the
     * consumer orders (a streaming frame cannot). */
-  private[graft] def knScoreOfBigrams(docBg: DataFrame, train: DataFrame): DataFrame = {
+  /** The trained scorer model as frames: the precomputed seen-bigram
+    * probability table plus the broadcastable backoff stats — built ONCE
+    * and reusable across many apply calls (the foreachBatch streaming
+    * loop materializes `qSeen` so per-micro-batch applies never re-derive
+    * the model). */
+  private[graft] case class KnModel(qSeen: DataFrame, cx: DataFrame, cy: DataFrame, nbb: DataFrame) {
+    def materialized: KnModel =
+      KnModel(qSeen.localCheckpoint(), cx.localCheckpoint(),
+        cy.localCheckpoint(), nbb.localCheckpoint())
+  }
+
+  private[graft] def knModelOf(train: DataFrame): KnModel = {
     val (cxy, cx, cy, nbb) = knStats(train)
     val qSeen = cxy.join(cx, Seq("x")).join(cy, Seq("y")).crossJoin(broadcast(nbb))
       .select(col("x"), col("y"), expr(
         s"(((4*c_xy - 3)*n_bb + 3*n1p_x*greatest(coalesce(n1p_y, 0), 1)) * $KnQ)" +
           " div (4*c_x*n_bb)").as("q_seen"))
+    KnModel(qSeen, cx, cy, nbb)
+  }
+
+  private[graft] def knScoreOfBigrams(docBg: DataFrame, train: DataFrame): DataFrame =
+    knApplyModel(docBg, knModelOf(train))
+
+  private[graft] def knApplyModel(docBg: DataFrame, m: KnModel): DataFrame = {
+    val (qSeen, cx, cy, nbb) = (m.qSeen, m.cx, m.cy, m.nbb)
     docBg.join(qSeen, Seq("x", "y"), "left")
       .join(broadcast(cx), Seq("x"), "left")
       .join(broadcast(cy), Seq("y"), "left")
@@ -2197,10 +2216,30 @@ object TextOps {
   /** [[knBucketsOf]] keeping `n_bigrams` alongside — consumed by
     * [[graft.ext.SamplingOps]]'s CCNet mix, which needs a token currency
     * for the budget cut without re-running the scorer. */
-  private[graft] def knBucketsScored(documents: DataFrame): DataFrame = {
-    val sc = knScoreOf(documents)
-      .select(col("doc_id"), col("n_bigrams"), col("mean_p"))
-      .localCheckpoint() // feeds two cutoff probes + the labeling scan
+  private[graft] def knBucketsScored(documents: DataFrame): DataFrame =
+    knBucketsFromScores(
+      knScoreOf(documents).select(col("doc_id"), col("n_bigrams"), col("mean_p")))
+
+  /** Tertile labeling over an arbitrary (doc_id, n_bigrams, mean_p) score
+    * frame — split from [[knBucketsScored]] so the streaming CCNet mix can
+    * label its at-rest scored artifact with the same cutoff machinery. */
+  private[graft] def knBucketsFromScores(scIn: DataFrame): DataFrame = {
+    val sc = scIn.localCheckpoint() // feeds two cutoff probes + the labeling scan
+    val ((p1, id1), (p2, id2)) = knTertileCutoffs(sc)
+    def atOrAbove(p: Double, id: Long) =
+      col("mean_p") > p || (col("mean_p") === p && col("doc_id") <= id)
+    sc.withColumn("bucket",
+        when(atOrAbove(p1, id1), "head")
+          .when(atOrAbove(p2, id2), "middle")
+          .otherwise("tail"))
+  }
+
+  /** The two exact tertile boundary rows (head/middle and middle/tail) of
+    * the (mean_p DESC, doc_id ASC) total order over an already-materialized
+    * score frame — exposed as scalars so the streaming CCNet mix can apply
+    * them as broadcast predicates. `sc` MUST be materialized (cached /
+    * localCheckpoint / at-rest read): each cutoff runs two probes over it. */
+  private[graft] def knTertileCutoffs(sc: DataFrame): ((Double, Long), (Double, Long)) = {
     val n = sc.count()
     require(n > 0, "kn_buckets: no scoreable documents (all under 2 tokens)")
     // Exact k-th row of the (mean_p DESC, doc_id ASC) total order WITHOUT a
@@ -2235,14 +2274,7 @@ object TextOps {
         }
       (row.getDouble(row.fieldIndex("mean_p")), row.getLong(row.fieldIndex("doc_id")))
     }
-    val (p1, id1) = cutAt((n + 2) / 3)
-    val (p2, id2) = cutAt((2 * n + 2) / 3)
-    def atOrAbove(p: Double, id: Long) =
-      col("mean_p") > p || (col("mean_p") === p && col("doc_id") <= id)
-    sc.withColumn("bucket",
-        when(atOrAbove(p1, id1), "head")
-          .when(atOrAbove(p2, id2), "middle")
-          .otherwise("tail"))
+    (cutAt((n + 2) / 3), cutAt((2 * n + 2) / 3))
   }
 
   // ---------------------------------------------------------------------

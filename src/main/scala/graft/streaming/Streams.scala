@@ -619,7 +619,91 @@ object Streams {
       .orderBy("doc_id")
   }
 
+  private[streaming] final case class CcnetScored(
+      doc_id: Long, bucket: String, n_tok: Long, mean_p: Double)
+  private[streaming] final case class CcnetAdmit(
+      doc_id: Long, bucket: String, n_tok: Long, cum_before: Long, keep: Boolean)
+
+  /** Streaming CCNet mix END-TO-END — score → tertile → budget admission
+    * composed on the real engine (round-9 verdict item 8), hash-matching
+    * the batch [[graft.ext.SamplingOps.ccnetMixOf]] oracle AvailableNow.
+    *
+    * Three stages, the production shapes for each:
+    *  1. SCORE (streaming): the en-trained KN model is built ONCE and
+    *     `materialized`, then each micro-batch scores via
+    *     [[graft.ext.TextOps.knApplyModel]] in `foreachBatch` — the
+    *     per-doc aggregate is append-safe because a document's bigrams
+    *     arrive wholly inside its micro-batch (docs never split across
+    *     files). The scored artifact lands at rest as parquet.
+    *  2. CUTOFFS + BUDGET (bounded driver scalars off the at-rest
+    *     artifact): the exact tertile boundary rows via
+    *     [[graft.ext.TextOps.knTertileCutoffs]] and the 40%-of-survivor-
+    *     tokens budget — the "model" the admission pass broadcasts, same
+    *     trained-artifact seam as the k-means consumers.
+    *  3. ADMIT (streaming): a second stream over the scored artifact
+    *     filters `tail` by the cutoff predicate and admits through ONE
+    *     cumulative-token `flatMapGroupsWithState`, rows ordered
+    *     (mean_p DESC, doc_id) within the batch — exact parity for the
+    *     AvailableNow single-batch read here; across many batches the
+    *     contract is range-sorted shards (admission order = arrival
+    *     order), the same contract [[curationStream]] documents. */
+  def ccnetMixStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val hop = java.nio.file.Files.createTempDirectory("ccnet_hop").toString
+    deleteOnShutdown(hop)
+    val train = graft.Tables.documents(spark, sfDir).where(col("lang") === "en")
+    val model = graft.ext.TextOps.knModelOf(train).materialized
+    // stage 1 — stream-score against the materialized model (repartition:
+    // the single-file source delivers one input split; see curationStream)
+    val docs = tableStream(spark, sfDir, "documents", documentSchema)
+      .repartition(col("doc_id"))
+    val q1 = docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.TextOps.knApplyModel(
+            graft.ext.TextOps.knDocBigrams(batch.toDF()), model)
+          .write.mode("append").parquet(s"$hop/scored")
+        ()
+    }.option("checkpointLocation", s"$hop/ck1")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    // stage 2 — bounded driver scalars from the at-rest scored artifact
+    val sc = spark.read.parquet(s"$hop/scored")
+      .select(col("doc_id"), col("n_bigrams"), col("mean_p"))
+      .localCheckpoint()
+    val ((p1, id1), (p2, id2)) = graft.ext.TextOps.knTertileCutoffs(sc)
+    def atOrAbove(p: Double, id: Long) =
+      col("mean_p") > p || (col("mean_p") === p && col("doc_id") <= id)
+    val budget = sc.where(atOrAbove(p2, id2))
+      .agg(expr("sum(n_bigrams + 1) * 2 div 5").cast("long")).collect()(0).getLong(0)
+    // stage 3 — streaming admission over the scored artifact
+    val admitted = spark.readStream.schema(sc.schema).parquet(s"$hop/scored")
+      .where(atOrAbove(p2, id2))
+      .select(col("doc_id"),
+        when(atOrAbove(p1, id1), "head").otherwise("middle").as("bucket"),
+        (col("n_bigrams") + lit(1L)).as("n_tok"), col("mean_p"))
+      .as[CcnetScored]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[CcnetScored], state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (-r.mean_p, r.doc_id)).map { r =>
+            val before = cum
+            cum += r.n_tok
+            CcnetAdmit(r.doc_id, r.bucket, r.n_tok, before, before < budget)
+          }
+          state.update(cum)
+          out.iterator
+        })
+    val q2 = admitted.writeStream.format("memory").queryName("ccnet_mix_sink")
+      .option("checkpointLocation", s"$hop/ck2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    spark.table("ccnet_mix_sink").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ccnet_mix_parity" -> (ccnetMixStream _),
     "stream_kn_score_parity" -> (knScoreStreamParity _),
     "stream_index_upsert" -> (indexUpsertStream _),
     "stream_curation_parity" -> (curationStream _),
@@ -630,6 +714,7 @@ object Streams {
     "stream_join_parity" -> (streamJoinParity _))
 
   val oracles: Map[String, String] = Map(
+    "stream_ccnet_mix_parity" -> graft.ext.SamplingOps.ccnetMixSql,
     "stream_kn_score_parity" -> graft.ext.TextOps.knScoreSql,
     "stream_index_upsert" -> indexUpsertSql,
     "stream_curation_parity" -> curationParitySql,
