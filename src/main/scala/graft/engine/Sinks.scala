@@ -166,7 +166,7 @@ object Sinks {
     * NULL group keys (Spark's groupBy keeps NULL as a real group) need
     * `IS NULL` predicates — `k = NULL` never matches, which would leave one
     * stale row per batch — so deletes are prepared per null-mask. */
-  private def upsertInto(
+  private[graft] def upsertInto(
       conn: java.sql.Connection,
       cols: Seq[String],
       rows: Array[org.apache.spark.sql.Row],

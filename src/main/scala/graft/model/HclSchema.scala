@@ -993,6 +993,37 @@ object HclSchema {
         // stamped query and folds it then (its string-address branch)
         val addrJson: JValue =
           if (raw.contains("${")) JString(raw) else JInt(addressToLong(raw))
+        // An ABSOLUTE `abi = "<path>"` binds the block to a FETCHED
+        // abi.json (the `abi <address>` CLI subcommand writes them,
+        // reference ROADMAP.md:56): every contract-scoped event signature
+        // must exist in the ABI and every declared output must be one of
+        // that event's input names — the compile-time contract a live
+        // decoder enforces implicitly when it unpacks the log. Testbed
+        // decode stays by-signature; the ABI gates the schema, it doesn't
+        // re-route column derivation. RELATIVE names (the reference's own
+        // schema.example.hcl says `abi = "unipair.abi.json"`) keep the
+        // legacy accepted-and-recorded behavior: the parser has no config
+        // dir to resolve them against, so it cannot check them here.
+        cb.attrs.collectFirst { case ("abi", v) => unquote(v) }
+          .filter(p => new java.io.File(p).isAbsolute).foreach { abiPath =>
+          val f = new java.io.File(abiPath)
+          require(f.isFile, s"hcl: query $name contract $raw: abi file not found: " +
+            s"$abiPath (fetch it with `abi <address> --registry <dir>`)")
+          val evs = AbiSchema.parse(java.nio.file.Files.readString(f.toPath))
+            .map(e => e.name -> e.inputs.map(_.name).toSet).toMap
+          cb.blocks.foreach {
+            case ("event", Some(sig), eb) =>
+              val inputs = evs.getOrElse(sig, sys.error(
+                s"hcl: query $name contract $raw: event '$sig' is not in ABI $abiPath " +
+                  s"(ABI declares: ${evs.keys.toSeq.sorted.mkString(", ")})"))
+              val outs = eb.attrs.collectFirst { case ("outputs", v) =>
+                parseArr(v).map(unquote) }.getOrElse(Seq.empty[String])
+              outs.filterNot(inputs.contains).foreach(o => sys.error(
+                s"hcl: query $name contract $raw: output '$o' is not an input of " +
+                  s"ABI event '$sig' (inputs: ${inputs.toSeq.sorted.mkString(", ")})"))
+            case _ => ()
+          }
+        }
         (raw, addrJson, cb, eventsOf(cb, declaredOutputs), methodsOf(cb))
       }
       // the 62-bit fold must keep declared addresses distinct — a collision

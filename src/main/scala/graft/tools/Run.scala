@@ -44,6 +44,8 @@ object Run {
 
   final case class Opts(
       command: Option[String] = None,
+      abiAddress: Option[String] = None, // `abi <address>` positional
+      registry: Option[String] = None,   // local ABI registry dir (egress seam)
       configDir: Option[String] = None,
       data: Option[String] = None,
       out: Option[String] = None,
@@ -70,6 +72,10 @@ object Run {
     while (i < args.length) {
       args(i) match {
         case "init" if o.command.isEmpty && i == 0 => o = o.copy(command = Some("init"))
+        case "abi" if o.command.isEmpty && i == 0 => o = o.copy(command = Some("abi"))
+        case addr if o.command.contains("abi") && o.abiAddress.isEmpty && !addr.startsWith("--") =>
+          o = o.copy(abiAddress = Some(addr))
+        case "--registry" => o = o.copy(registry = Some(value("--registry")))
         case "--config-dir" => o = o.copy(configDir = Some(value("--config-dir")))
         case "--data" => o = o.copy(data = Some(value("--data")))
         case "--out" => o = o.copy(out = Some(value("--out")))
@@ -154,6 +160,42 @@ object Run {
     println(s"schema written ${Paths.get(dir, "schema.hcl")}")
   }
 
+  /** `abi <address>` — the reference roadmap's "subcommand for getting
+    * ABIs from etherscan and the like" (ROADMAP.md:56), behind the same
+    * egress seam as the event source: the zero-egress build resolves from
+    * a LOCAL registry directory (`--registry <dir>`, one `<address>.json`
+    * per contract — what an Etherscan `getabi` response body contains);
+    * pointing the seam at an HTTP fetcher is the only live-network delta.
+    * The fetched document is validated by the same parser the decode path
+    * uses ([[graft.model.AbiSchema.parse]] — garbage in the registry fails
+    * here, not mid-query), written to `<configDir>/abis/<address>.json`
+    * (or `--out <file>`), and a contract block consumes it with
+    * `abi = "<path>"` — [[graft.model.HclSchema]] then gates the block's
+    * event signatures and outputs against it at schema-compile time. */
+  private[graft] def fetchAbi(configDir: String, opts: Opts): Unit = {
+    val addr = opts.abiAddress.getOrElse(sys.error(
+      "abi subcommand needs a contract address: abi <address> --registry <dir>"))
+    val reg = opts.registry.getOrElse(sys.error(
+      "abi: no --registry <dir> — this build has no egress, so the Etherscan-style " +
+        "fetch resolves from a local registry directory (one <address>.json per contract)"))
+    val candidates = Seq(addr, addr.toLowerCase).distinct.map(a => Paths.get(reg, s"$a.json"))
+    val src = candidates.find(Files.exists(_)).getOrElse(sys.error(
+      s"abi: address $addr not in registry $reg (looked for " +
+        s"${candidates.map(_.getFileName).mkString(", ")})"))
+    val body = Files.readString(src)
+    val events = graft.model.AbiSchema.parse(body)
+    require(events.nonEmpty, s"abi: $src parses but declares no events — not a usable ABI")
+    val dest = opts.out.map(Paths.get(_)).getOrElse {
+      Files.createDirectories(Paths.get(configDir, "abis"))
+      Paths.get(configDir, "abis", s"${addr.toLowerCase}.json")
+    }
+    Option(dest.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(dest, body)
+    println(s"abi written $dest")
+    events.foreach(e => println(
+      s"  event ${e.name}(${e.inputs.map(i => s"${i.solType} ${i.name}").mkString(", ")})"))
+  }
+
   /** Resolve one configured chain endpoint to an event-store location: a
     * directory (or file: URI) is a testbed store; anything else is a live
     * RPC endpoint, which this build stands in for with `--data`. */
@@ -175,6 +217,7 @@ object Run {
       Paths.get(sys.props("user.dir"), "apollo").toString)
 
     if (opts.command.contains("init")) { init(configDir); return }
+    if (opts.command.contains("abi")) { fetchAbi(configDir, opts); return }
 
     require(opts.stdout || opts.csv || opts.db || opts.sse.isDefined,
       "no sink selected — pass at least one of --stdout / --csv / --db / --sse")

@@ -311,4 +311,42 @@ class CliSpec extends SparkSpec {
         "--out", Files.createTempDirectory("cli_v").toString), Some(spark)))
     assert(e.getMessage.contains("blockInterval"))
   }
+
+  test("abi subcommand fetches from the local registry seam and validates (ROADMAP.md:56, r10)") {
+    val dir = writeConfigDir()
+    val reg = Files.createTempDirectory("registry").toString
+    // an Etherscan getabi response body: events + function entries (ignored)
+    Files.writeString(Paths.get(reg, "0xAbC1.json"),
+      """[{"type":"event","name":"purchase","inputs":[
+        |   {"name":"value","type":"uint256","indexed":false},
+        |   {"name":"props","type":"string","indexed":false}]},
+        | {"type":"event","name":"signup","inputs":[
+        |   {"name":"value","type":"uint256","indexed":true}]},
+        | {"type":"function","name":"balanceOf","inputs":[
+        |   {"name":"owner","type":"address"}]}]""".stripMargin)
+    Run.run(Array("abi", "0xAbC1", "--config-dir", dir, "--registry", reg))
+    val out = Paths.get(dir, "abis", "0xabc1.json")
+    assert(Files.exists(out), s"expected fetched abi at $out")
+    val evs = graft.model.AbiSchema.parse(Files.readString(out))
+    assert(evs.map(_.name) == Seq("purchase", "signup"))
+    assert(evs.head.inputs.map(_.name) == Seq("value", "props"))
+    // --out overrides the destination
+    val explicit = Paths.get(dir, "x", "my_abi.json").toString
+    Run.run(Array("abi", "0xAbC1", "--config-dir", dir, "--registry", reg, "--out", explicit))
+    assert(Files.exists(Paths.get(explicit)))
+    // unknown address fails loud with the looked-up names
+    val miss = intercept[RuntimeException](
+      Run.run(Array("abi", "0xdead", "--config-dir", dir, "--registry", reg)))
+    assert(miss.getMessage.contains("not in registry"))
+    // registry junk (no events) fails at FETCH time, not mid-query
+    Files.writeString(Paths.get(reg, "0xbad.json"),
+      """[{"type":"function","name":"f","inputs":[]}]""")
+    val junk = intercept[IllegalArgumentException](
+      Run.run(Array("abi", "0xbad", "--config-dir", dir, "--registry", reg)))
+    assert(junk.getMessage.contains("declares no events"))
+    // the egress seam is loud when no registry is given
+    val seam = intercept[RuntimeException](
+      Run.run(Array("abi", "0xAbC1", "--config-dir", dir)))
+    assert(seam.getMessage.contains("--registry"))
+  }
 }

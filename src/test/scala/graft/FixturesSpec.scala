@@ -676,4 +676,45 @@ class FixturesSpec extends SparkSpec {
     assert(byType.keySet == Set("click", "error", "purchase", "signup", "view"))
     assert(byType.values.sum == Tables.events(spark, sf).count())
   }
+
+  test("HCL: a contract block consumes a FETCHED ABI — signatures and outputs gate against it (r10)") {
+    import java.nio.file.{Files, Paths}
+    graft.functions.GraftFunctions.register(spark)
+    // fetch through the CLI seam into a config dir, like a user would
+    val dir = Files.createTempDirectory("abi_fix").toString
+    val reg = Files.createTempDirectory("abi_reg").toString
+    Files.writeString(Paths.get(reg, "1.json"),
+      """[{"type":"event","name":"purchase","inputs":[
+        |   {"name":"value","type":"uint256","indexed":false},
+        |   {"name":"props","type":"string","indexed":false}]}]""".stripMargin)
+    graft.tools.Run.run(Array("abi", "1", "--config-dir", dir, "--registry", reg))
+    val abiPath = s"$dir/abis/1.json"
+    def hcl(event: String, output: String) =
+      s"""query abi_gated {
+         |  chain = "ethereum"
+         |  contract {
+         |    address = 1
+         |    abi = "$abiPath"
+         |    event $event { outputs = ["$output"] }
+         |  }
+         |  save {
+         |    block = blocknumber
+         |    v = $output
+         |  }
+         |}
+         |""".stripMargin
+    // declared event + output exist in the fetched ABI → compiles and runs
+    val q = HclSchema.parse(hcl("purchase", "value")).queries.head
+    assert(Compiler.compile(spark, sf, q).count() > 0)
+    // an event the ABI lacks fails at schema-compile time, naming the ABI
+    val badEv = intercept[RuntimeException](HclSchema.parse(hcl("nosuch", "value")))
+    assert(badEv.getMessage.contains("not in ABI"), badEv.getMessage)
+    // an output that is not an input of the ABI event fails the same way
+    val badOut = intercept[RuntimeException](HclSchema.parse(hcl("purchase", "nope")))
+    assert(badOut.getMessage.contains("not an input"), badOut.getMessage)
+    // a dangling abi path is loud and names the fetch subcommand
+    val dangling = intercept[IllegalArgumentException](
+      HclSchema.parse(hcl("purchase", "value").replace(abiPath, "/nonexistent/abi.json")))
+    assert(dangling.getMessage.contains("abi file not found"), dangling.getMessage)
+  }
 }

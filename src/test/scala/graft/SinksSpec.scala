@@ -302,4 +302,96 @@ class SinksSpec extends SparkSpec {
     // checkpoint exists and pins the source offset
     assert(new java.io.File(s"$out/ckpt/offsets").listFiles().nonEmpty)
   }
+
+  // -------------------------------------------------------------------
+  // K3 "generalized SQL output" (reference ROADMAP.md:76 — MySQL / SQL
+  // Server): the sandbox ships exactly ONE embedded engine (Derby), so a
+  // second LIVE engine cannot be exercised offline. The dialect seam is
+  // proven instead: the upsert statement generator is driven through
+  // Spark's own JdbcDialect registry with a RECORDING java.sql connection
+  // under both ANSI-double-quote (Derby/default) and MySQL-backtick
+  // quoting, asserting the exact SQL text, the IS-NULL-masked delete
+  // variants, and the batch/commit shape — everything that differs per
+  // dialect, against the same code path the live-Derby tests execute.
+  // -------------------------------------------------------------------
+
+  /** java.sql.Connection proxy that records prepared SQL + batch counts. */
+  private class RecordingConn {
+    val prepared = scala.collection.mutable.ArrayBuffer.empty[String]
+    val batches = scala.collection.mutable.Map.empty[String, Int]
+    val params = scala.collection.mutable.Map.empty[String, List[List[Any]]]
+
+    private def psFor(sql: String): java.sql.PreparedStatement = {
+      var cur = scala.collection.mutable.ListBuffer.empty[(Int, Any)]
+      java.lang.reflect.Proxy.newProxyInstance(
+        getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
+        (_, m, args) => m.getName match {
+          case "setObject" =>
+            cur += ((args(0).asInstanceOf[Int], args(1))); null
+          case "addBatch" =>
+            batches(sql) = batches.getOrElse(sql, 0) + 1
+            params(sql) = params.getOrElse(sql, Nil) :+ cur.sortBy(_._1).map(_._2).toList
+            cur = scala.collection.mutable.ListBuffer.empty[(Int, Any)]
+            null
+          case "executeBatch" => Array.empty[Int]
+          case "close" => null
+          case other => throw new UnsupportedOperationException(other)
+        }).asInstanceOf[java.sql.PreparedStatement]
+    }
+
+    val conn: java.sql.Connection = java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+      (_, m, args) => m.getName match {
+        case "prepareStatement" =>
+          val sql = args(0).asInstanceOf[String]
+          prepared += sql
+          psFor(sql)
+        case "close" | "commit" | "setAutoCommit" => null
+        case other => throw new UnsupportedOperationException(other)
+      }).asInstanceOf[java.sql.Connection]
+  }
+
+  test("K3 upsert generation is dialect-generic: ANSI quotes vs MySQL backticks (ROADMAP.md:76)") {
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import spark.implicits._
+    val rows = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, "a", 10L), (null, "b", 20L), (2L, null, 30L))
+      .toDF("group-key", "label", "n").collect()
+    val cols = Seq("group-key", "label", "n")
+    val keys = Seq("group-key", "label")
+    // the same registry resolution the live sink performs
+    val ansi = JdbcDialects.get("jdbc:derby:memory:x").quoteIdentifier _
+    val mysql = JdbcDialects.get("jdbc:mysql://host/db").quoteIdentifier _
+    assert(ansi("group-key") == "\"group-key\"")
+    assert(mysql("group-key") == "`group-key`")
+
+    val rc1 = new RecordingConn
+    Sinks.upsertInto(rc1.conn, cols, rows, keys, "\"0-agg\"", ansi)
+    val rc2 = new RecordingConn
+    Sinks.upsertInto(rc2.conn, cols, rows, keys, "`0-agg`", mysql)
+
+    // exact statement text per dialect: quoted insert column list...
+    assert(rc1.prepared.contains(
+      """INSERT INTO "0-agg" ("group-key", "label", "n") VALUES (?, ?, ?)"""))
+    assert(rc2.prepared.contains(
+      "INSERT INTO `0-agg` (`group-key`, `label`, `n`) VALUES (?, ?, ?)"))
+    // ...and one DELETE variant per observed null-mask, IS NULL where the
+    // key is null (k = NULL never matches in ANY dialect)
+    assert(rc1.prepared.contains(
+      """DELETE FROM "0-agg" WHERE "group-key" = ? AND "label" = ?"""))
+    assert(rc1.prepared.contains(
+      """DELETE FROM "0-agg" WHERE "group-key" IS NULL AND "label" = ?"""))
+    assert(rc1.prepared.contains(
+      """DELETE FROM "0-agg" WHERE "group-key" = ? AND "label" IS NULL"""))
+    assert(rc2.prepared.contains(
+      "DELETE FROM `0-agg` WHERE `group-key` = ? AND `label` IS NULL"))
+    // batch shape: 3 inserts, and each delete variant batched once
+    assert(rc1.batches.filter(_._1.startsWith("INSERT")).values.sum == 3)
+    assert(rc1.batches.filter(_._1.startsWith("DELETE")).values.sum == 3)
+    // non-null key params bound in key order, null keys skipped
+    assert(rc1.params("""DELETE FROM "0-agg" WHERE "group-key" IS NULL AND "label" = ?""")
+      == List(List("b")))
+    assert(rc1.params("""DELETE FROM "0-agg" WHERE "group-key" = ? AND "label" IS NULL""")
+      == List(List(2L)))
+  }
 }
