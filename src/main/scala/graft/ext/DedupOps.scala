@@ -209,7 +209,19 @@ object DedupOps {
   /** MinHash+LSH near-dup pairs with the signature-agreement estimate of
     * Jaccard (matches/16 — exact in binary, no float divergence). */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val band = banded(signatures(spark, sfDir)).cache()
+    // EAGER localCheckpoint, not lazy .cache(): the band frame feeds FOUR
+    // plan subtrees (the capped candidate self-join's two sides + the x/y
+    // signature-agreement joins), and a lazy cache does not dedupe
+    // concurrently-scheduled computes of the same subtree — racing stages
+    // re-run the NumPerm-md5 signature kernel over the corpus until one
+    // compute lands its blocks (the r9 fuzzy-title finding). Measured at
+    // the 100× store: identical plans read 8.5–29.4 s wall with the lazy
+    // cache vs a stable 5.7–6.6 s eagerly materialized; at the 1000×
+    // store all variants sit at the ~10× linear asymptote within the
+    // box's page-cache noise (SCALING.md r10.1 — where the r9.5 15.7×
+    // reading is also re-attributed to probe-context inflation: ten solo
+    // runs across three materialization variants max out at 10.8×).
+    val band = banded(signatures(spark, sfDir)).localCheckpoint()
     val est = (0 until NumPerm)
       .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -1149,11 +1161,12 @@ object DedupOps {
     * extra shuffle); the only shuffle remains the band-bucket self-join
     * that candidate generation already pays. */
   def splitLeakagePurge(spark: SparkSession, sfDir: String): DataFrame = {
-    // cache: candidatePairs' self-join consumes the band frame twice, and
-    // the NumPerm-md5 signature kernel is the CPU cost of the whole op —
-    // same discipline as [[minhashLsh]] (the uncached form probed 11.7× on
-    // 10× rows; cached it re-measured 2.4×, SCALING.md r7)
-    val band = banded(signatures(spark, sfDir)).cache()
+    // eagerly materialized: candidatePairs' self-join consumes the band
+    // frame twice, and the NumPerm-md5 signature kernel is the CPU cost of
+    // the whole op — same discipline as [[minhashLsh]] (uncached probed
+    // 11.7× on 10× rows, SCALING.md r7; lazy-cached, the two join sides
+    // race into concurrent recomputes — r10.1)
+    val band = banded(signatures(spark, sfDir)).localCheckpoint()
     candidatePairs(band)
       .withColumn("split1", splitOf(col("doc1")))
       .withColumn("split2", splitOf(col("doc2")))

@@ -1836,7 +1836,10 @@ object TextOps {
       .withColumn("__hsz", count(lit(1)).over(Window.partitionBy("fp_h")))
       .where(col("__hsz") <= WinnowHashCap)
       .select("doc_id", "fp_h")
-      .cache()
+      // eager, not lazy cache: both self-join sides schedule concurrently
+      // and a lazy cache races them into recomputing the fingerprint
+      // selection twice (the minhashLsh band finding, SCALING.md r10.1)
+      .localCheckpoint()
     val pairs = fp.select(col("doc_id").as("doc1"), col("fp_h"))
       .join(fp.select(col("doc_id").as("doc2"), col("fp_h")), Seq("fp_h"))
       .where(col("doc1") < col("doc2"))

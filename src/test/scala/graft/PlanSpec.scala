@@ -203,6 +203,7 @@ class PlanSpec extends SparkSpec {
       "s7_realtime_positive_offset", "mempool_monitor", "dsl_stream_aggregate",
       "stream_join_parity", "stream_neardup_dedup", "raw_stream_passthrough",
       "stream_priority_sample", "stream_index_upsert", "stream_kn_score_parity",
+      "stream_ccnet_mix_parity", // two-hop foreachBatch run; final frame is the memory sink
       "dedup_cluster_canonical", "dedup_best_survivor", "curation_pipeline",
       "dedup_semantic", // reuses the memoized cluster fixtures
       "sim_pagerank",   // Pregel-style loop: localCheckpoint per iteration
@@ -237,6 +238,7 @@ class PlanSpec extends SparkSpec {
       "text_pmi_pairs",   // two 1-row corpus-total aggregates broadcast onto the pair counts
       "text_kn_train", "text_kn_score", // 1-row bigram-type total (N1+(··)) broadcast onto the stat joins
       "text_kn_incremental", // same knTrainTable tail off the merged counts
+      "text_kn3_train", "text_kn3_score", // 1-row (y,z)-type total (N1+(··)) broadcast, one order up
       "sim_clustered_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(executesOnBuild)
