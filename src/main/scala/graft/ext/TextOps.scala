@@ -621,17 +621,16 @@ object TextOps {
     * local replay. */
   private[graft] def qualityTrainFeatures(documents: DataFrame): DataFrame =
     documents
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("y", when(expr("size(toks)") >= 40, 1L).otherwise(-1L))
-      // hash each token ONCE, then bin-count the small int array — the
-      // filter-inside-transform form re-evaluates md5 QtDims× per token
-      // (gate-scale wall time is plan-fixed either way; the 16× md5 is
-      // the 100 TB data-path cost this removes)
-      .withColumn("hs", expr(
-        "transform(toks, t -> CAST(conv(substring(md5(t), 2, 1), 16, 10) AS INT))"))
-      .withColumn("feats", expr(
-        s"transform(sequence(0, ${QtDims - 1}), j -> CAST(size(filter(hs, h -> h = j)) AS BIGINT))"))
-      .select("doc_id", "y", "feats")
+      // ONE compiled pass: md5 each token once, increment one bin — the
+      // HOF form (md5 transform + QtDims filter passes, kept as the
+      // semantic spec in KernelsSpec) measured 135 s of the op's 147 s at
+      // the 1000× store (20.3× on 10× rows); through the kernel the
+      // featurization is md5-bound and the op rides the linear asymptote
+      // (SCALING.md r10.2)
+      .withColumn("qf", graft.functions.TextFns.qtFeatures(col("text"), QtDims))
+      .select(col("doc_id"),
+        when(col("qf.n_tok") >= 40, 1L).otherwise(-1L).as("y"),
+        col("qf.feats").as("feats"))
 
   private val qualityTrainSql = {
     val dims = 0 until QtDims

@@ -198,6 +198,36 @@ object TextKernels {
     fp
   }
 
+  /** One-pass quality-classifier featurization: struct<n_tok,
+    * feats array<bigint>> where feats[j] counts tokens whose SECOND md5
+    * hex digit (the low nibble of digest byte 0) equals j — exactly
+    * `conv(substring(md5(t), 2, 1), 16, 10)` bin-counted, the single-hash
+    * featurization [[graft.ext.TextOps.qualityTrainFeatures]] specifies.
+    * The HOF form pays one interpreted md5 lambda per token PLUS 16
+    * interpreted filter passes per document; this walk hashes each token
+    * once and increments one bin — the r7 compile-the-hotspot discipline
+    * (text_quality_train read 20.3× at the 1000× store through the HOF
+    * path; featurization was 135 of its 147 s — SCALING.md r10.2). */
+  def qtFeatures(text: UTF8String, dims: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.toLowerCase.split(' ')
+    val md = MessageDigest.getInstance("MD5")
+    val bins = new Array[Long](dims)
+    var n = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        n += 1L
+        md.reset()
+        val d = md.digest(toks(i).getBytes("UTF-8"))
+        val nib = d(0) & 0xf
+        if (nib < dims) bins(nib) += 1L
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, new GenericArrayData(bins)))
+  }
+
   /** MinHash signature: for each perm i, min over shingles of
     * md5Hex("i|" + shingle). ≡ array_min(transform(shs, s -> md5('i|'||s)))
     * per perm; null when there are no shingles (array_min of empty). */
@@ -345,6 +375,27 @@ case class GopherSignals(child: Expression, stopWords: Seq[String]) extends Unar
     copy(child = newChild)
 }
 
+/** One-pass quality-featurization of a string column: struct<n_tok,
+  * feats array<bigint>> (see [[TextKernels.qtFeatures]]). */
+case class QtFeatures(child: Expression, dims: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tok", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("feats",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
+      nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"qt_features needs a string input, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.qtFeatures(input.asInstanceOf[UTF8String], dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.qtFeatures($c, $dims)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 32-bit SimHash fingerprint of a string column. */
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -375,4 +426,6 @@ object TextFns {
     shim.column(BpeCount(shim.expression(text), vocab))
   def gopherSignals(text: Column, stopWords: Seq[String]): Column =
     shim.column(GopherSignals(shim.expression(text), stopWords))
+  def qtFeatures(text: Column, dims: Int): Column =
+    shim.column(QtFeatures(shim.expression(text), dims))
 }

@@ -71,6 +71,31 @@ class KernelsSpec extends SparkSpec {
     assert(joined.count() == 100)
   }
 
+  test("QtFeatures ≡ the md5-transform + per-bin filter HOF formulation (r10)") {
+    val dims = 16
+    val hof = Tables.documents(spark, sf).limit(200)
+      .withColumn("toks", expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .withColumn("hs", expr(
+        "transform(toks, t -> CAST(conv(substring(md5(t), 2, 1), 16, 10) AS INT))"))
+      .select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("n_hof"),
+        expr(s"transform(sequence(0, ${dims - 1}), j -> CAST(size(filter(hs, h -> h = j)) AS BIGINT))").as("f_hof"))
+    val ker = Tables.documents(spark, sf).limit(200)
+      .withColumn("qf", TextFns.qtFeatures(col("text"), dims))
+      .select(col("doc_id"), col("qf.n_tok").as("n_ker"), col("qf.feats").as("f_ker"))
+    val j = hof.join(ker, "doc_id")
+    assert(j.count() == 200)
+    assert(j.where(col("n_hof") =!= col("n_ker")).count() == 0)
+    assert(j.where(expr("f_hof != f_ker")).count() == 0)
+    // edge inputs: empty, multi-space, non-ASCII (UTF-8 md5 bytes)
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "中文 中文 a"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val ek = edge.withColumn("qf", TextFns.qtFeatures(col("text"), dims))
+      .select(col("doc_id"), col("qf.n_tok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ek == Map(1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 1L))
+  }
+
   test("TopKAgg (typed Aggregator) equals per-group sort+limit") {
     import graft.functions.TopKAgg
     import spark.implicits._
