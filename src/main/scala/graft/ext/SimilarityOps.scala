@@ -1336,7 +1336,13 @@ object SimilarityOps {
     val n = nodes.count() // bounded driver scalar: |V|, in every base term
     val edges = knnRankedAt(spark, sfDir, bits)
       .select("src", "nbr").localCheckpoint()
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // iteration-INVARIANT, so materialize once: left lazy, the loop body's
+    // two consumers (contribution join + dangling scan) re-rolled this
+    // edge-frame aggregate 2·PrIters times — at the 1000× store that was
+    // most of the 19.1× third-decade reading; materialized, the loop pays
+    // one node-sized join per consumer and re-probes ≈ linear
+    // (SCALING.md r10.4)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od")).localCheckpoint()
     val base = (3L * PrScale) / (20L * n) // (1-d)/N in Q12, floor
     var pr = nodes.withColumn("pr", lit(PrScale / n))
     for (_ <- 1 to PrIters) {

@@ -1835,10 +1835,14 @@ object TextOps {
       .withColumn("__hsz", count(lit(1)).over(Window.partitionBy("fp_h")))
       .where(col("__hsz") <= WinnowHashCap)
       .select("doc_id", "fp_h")
-      // eager, not lazy cache: both self-join sides schedule concurrently
-      // and a lazy cache races them into recomputing the fingerprint
-      // selection twice (the minhashLsh band finding, SCALING.md r10.1)
-      .localCheckpoint()
+      // COLUMNAR cache, deliberately NOT localCheckpoint: this frame is
+      // ~40 fingerprints/doc (200M rows at the 1000× store — 40× the
+      // minhash band row count), and checkpoint row-blocks re-read 2.6×
+      // slower than the compressed columnar cache at that size (measured
+      // 254.9 s vs 96.8 s at sf100 — SCALING.md r10.3); the lazy-cache
+      // recompute race minhashLsh pays is not observed here (the pair
+      // self-join's two sides read through one sort-merge exchange)
+      .cache()
     val pairs = fp.select(col("doc_id").as("doc1"), col("fp_h"))
       .join(fp.select(col("doc_id").as("doc2"), col("fp_h")), Seq("fp_h"))
       .where(col("doc1") < col("doc2"))
