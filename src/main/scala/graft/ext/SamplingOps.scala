@@ -451,39 +451,61 @@ object SamplingOps {
     * single-partition corpus-wide window — qb = floor(quality·B) is
     * monotone in quality, so bucket-then-intra order IS the global order. */
   private def budgetKeep(scored: DataFrame, tokCol: String): DataFrame = {
+    val (withCum, totals) = bucketedCumBefore(scored, "quality", tokCol, descending = true)
+    val budget = totals.select(expr("t_total * 2 div 5").as("budget"))
+    withCum
+      .crossJoin(broadcast(budget))
+      .withColumn("keep", col("cum_before") < col("budget"))
+  }
+
+  /** The two-phase bucketed GLOBAL prefix sum shared by the batch budget
+    * cuts above and the streaming admission seam
+    * ([[graft.streaming.Streams]] runs it per micro-batch and shifts each
+    * batch by one carried scalar — round-10 verdict items 1/8). Adds
+    * `cum_before` = Σ `tokCol` over all rows strictly before this one in
+    * the (`orderCol` desc|asc, doc_id asc) total order WITHOUT a
+    * frame-wide single-partition window; also returns the 1-row total
+    * (from the ≤65-row bucket rollup — no second pass over the frame).
+    *
+    * The bucket key is RANGE-RESCALED over the observed order-key span
+    * (1-row broadcast min/max): qb is Spark-internal routing — any
+    * monotone function of the key reconstructs the same global order —
+    * but a raw floor(key·B) degenerates to ONE bucket when keys cluster
+    * (KN mean_p spans ~0.026–0.041), and one bucket means one
+    * intra-window partition carrying the whole frame. Because the rescale
+    * is monotone, bucket-then-intra order IS the global order — the
+    * result is bit-identical to the single-reducer form, with the only
+    * big shuffle keyed on the bucket (≤ 65 balanced-by-mass partitions).
+    */
+  private[graft] def bucketedCumBefore(
+      df: DataFrame, orderCol: String, tokCol: String,
+      descending: Boolean): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    // The bucket key is RANGE-RESCALED over the observed score span (1-row
-    // broadcast min/max): qb is Spark-internal routing — any monotone
-    // function of quality reconstructs the same global order — but a raw
-    // floor(quality·B) degenerates to ONE bucket when scores cluster (KN
-    // mean_p spans ~0.026–0.041), and one bucket means one intra-window
-    // partition carrying the whole corpus. Rescaling keeps the buckets
-    // spread for ANY score distribution.
-    val rng = scored.agg(min(col("quality")).as("q_mn"), max(col("quality")).as("q_mx"))
-    val withQb = scored.crossJoin(broadcast(rng))
+    val o = col(orderCol)
+    val rng = df.agg(min(o).as("q_mn"), max(o).as("q_mx"))
+    val withQb = df.crossJoin(broadcast(rng))
       .withColumn("qb",
         when(col("q_mx") > col("q_mn"),
-          floor((col("quality") - col("q_mn")) / (col("q_mx") - col("q_mn"))
+          floor((o - col("q_mn")) / (col("q_mx") - col("q_mn"))
             * (QBuckets - 1)).cast("long"))
           .otherwise(lit(0L)))
       .drop("q_mn", "q_mx")
     val buckets = withQb.groupBy("qb").agg(sum(tokCol).as("b_tokens"))
     // ≤ 65 rows: the single-partition window is over a CONSTANT-size frame
-    val wB = Window.orderBy(col("qb").desc)
+    val wB = Window.orderBy(if (descending) col("qb").desc else col("qb").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = buckets
       .withColumn("b_before", coalesce(sum("b_tokens").over(wB), lit(0L)))
       .select("qb", "b_before")
-    val budget = buckets.agg(sum("b_tokens").as("t_total"))
-      .select(expr("t_total * 2 div 5").as("budget"))
+    val totals = buckets.agg(sum("b_tokens").cast("long").as("t_total"))
     val wIn = Window.partitionBy("qb")
-      .orderBy(col("quality").desc, col("doc_id"))
+      .orderBy(if (descending) o.desc else o.asc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withQb.join(broadcast(offsets), Seq("qb"))
+    val withCum = withQb.join(broadcast(offsets), Seq("qb"))
       .withColumn("intra_before", coalesce(sum(tokCol).over(wIn), lit(0L)))
       .withColumn("cum_before", col("b_before") + col("intra_before"))
-      .crossJoin(broadcast(budget))
-      .withColumn("keep", col("cum_before") < col("budget"))
+      .drop("qb", "b_before", "intra_before")
+    (withCum, totals)
   }
 
   def tokenBudgetSample(spark: SparkSession, sfDir: String): DataFrame =

@@ -2425,6 +2425,241 @@ object TextOps {
     kn3ScoreOfTrigrams(kn3DocTrigrams(documents), documents.where(col("lang") === "en"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------------
+  // Order-N INTERPOLATED Kneser-Ney — the nested fixed-point ladder
+  // GENERALIZED to any order (round-10 verdict item 4) and instantiated
+  // at n = 5, the order published CCNet actually ships (Wenzek LREC 2020
+  // uses 5-gram KenLM models). Same reference semantics as the
+  // hand-rolled kn2/kn3 families: Chen & Goodman 1998 eq. 18 with
+  // D = 3/4, every lower-order statistic derived from the ONE
+  // highest-order corpus rollup (adjusted counts = types of the order
+  // above), a plain continuation ratio at order 1, and the 2^20
+  // fixed-point floor ladder — each ⌊⌋ one BIGINT div, so both engines
+  // compound rounding identically. The kn3 property suite cross-pins the
+  // generalization: knNScoreOf(·, 3) must equal kn3ScoreOf bit-for-bit.
+  //
+  // Scale shape (the kn3 regime, two orders deeper): ONE corpus-sized
+  // n-gram rollup; the seen-gram probability is precomputed per n-gram
+  // TYPE so the corpus stream takes exactly one equi-join against that
+  // model table; the backoff ladder joins attach per-order model tables
+  // whose sizes fall one Heaps decade per order — at 100 TB the n, n-1
+  // (and for n=5 plausibly n-2) tables outgrow broadcast and those joins
+  // are the legitimate remaining shuffles, exactly the KenLM-shard
+  // regime; the order ≤ 2 tables are vocab-sized and FORCE-broadcast at
+  // any scale.
+  // ---------------------------------------------------------------------
+
+  /** In-row n-gram zip — [[knBigramZip]]/[[knTrigramZip]] for any n. */
+  private def knGramZip(n: Int): String =
+    s"transform(slice(toks, 1, greatest(size(toks) - ${n - 1}, 0)), (t, i) -> " +
+      s"struct(t AS w1${(2 to n).map(k => s", toks[i + ${k - 1}] AS w$k").mkString}))"
+
+  /** The order-k model key: the LAST k gram columns (w_{n-k+1}..w_n). */
+  private def knSuffixCols(n: Int, k: Int): Seq[String] =
+    (n - k + 1 to n).map(i => s"w$i")
+
+  /** (doc_id, w1..wn) n-gram stream of a documents frame. */
+  private[graft] def knNDocGrams(documents: DataFrame, n: Int): DataFrame =
+    documents.select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(knGramZip(n))).as("g"))
+      .select(col("doc_id") +: (1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
+
+  /** The order-n KN model, all orders: `q(k)` is the precomputed seen
+    * fixed-point table keyed on the last-k suffix (q(n) is THE model —
+    * the one corpus-join side); `d(k)` the (den, fan) context stats keyed
+    * on that suffix's first k-1 tokens; `den1` the 1-row order-1 total. */
+  private[graft] final case class KnNModel(
+      n: Int, q: IndexedSeq[DataFrame], d: IndexedSeq[DataFrame], den1: DataFrame)
+
+  /** Builds every order's model table from the single corpus rollup.
+    * a(n) is the ONE corpus-sized job; a(k<n) are its type rollups
+    * (adjusted counts), each one Heaps decade smaller. Each a(k) feeds
+    * THREE consumers (a(k-1), d(k), q(k)) — eagerly materialized, the
+    * multi-consumer lazy-cache race finding (SCALING.md r10.1). */
+  private[graft] def knNModelOf(train: DataFrame, n: Int): KnNModel = {
+    require(n >= 2, s"kn ladder needs order >= 2, got $n")
+    val a = new Array[DataFrame](n + 1)
+    a(n) = train.select(expr(toksExpr).as("toks"))
+      .select(explode(expr(knGramZip(n))).as("g"))
+      .select((1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
+      .groupBy((1 to n).map(i => col(s"w$i")): _*).agg(count(lit(1)).as("a"))
+      .localCheckpoint()
+    for (k <- n - 1 to 1 by -1)
+      a(k) = a(k + 1).groupBy(knSuffixCols(n, k).map(col): _*)
+        .agg(count(lit(1)).as("a")).localCheckpoint()
+    val den1 = a(1).agg(sum(col("a")).cast("long").as("den1"))
+    val d = new Array[DataFrame](n + 1)
+    for (k <- 2 to n)
+      d(k) = a(k).groupBy(knSuffixCols(n, k).dropRight(1).map(col): _*)
+        .agg(sum(col("a")).cast("long").as(s"den$k"), count(lit(1)).as(s"fan$k"))
+    val q = new Array[DataFrame](n + 1)
+    q(1) = a(1).crossJoin(broadcast(den1))
+      .select(col(s"w$n"), expr(s"(a * $KnQ) div den1").as("q1"))
+    for (k <- 2 to n) {
+      // seen-suffix precompute: sub_k seen ⟹ its ctx and its tail suffix
+      // are both seen (they are rollups OF a(k)), so inner joins are exact.
+      // The top order also keeps the raw count — the trained artifact's
+      // sufficient statistic (column name unique: lower orders drop theirs)
+      val keep = knSuffixCols(n, k).map(col) ++
+        (if (k == n) Seq(col("a")) else Nil) :+ expr(
+          s"((4*a - 3) * $KnQ) div (4*den$k) + (3*fan$k*q${k - 1}) div (4*den$k)")
+          .as(s"q$k")
+      q(k) = a(k)
+        .join(d(k), knSuffixCols(n, k).dropRight(1))
+        .join(q(k - 1), knSuffixCols(n, k - 1))
+        .select(keep: _*)
+    }
+    KnNModel(n, q.toIndexedSeq, d.toIndexedSeq, den1)
+  }
+
+  /** Scores a (doc_id, w1..wn) gram stream against an order-n model: one
+    * corpus equi-join against q(n); per-order backoff attaches via left
+    * joins (force-broadcast at order ≤ 2 — vocab-sized at any corpus;
+    * AQE picks for the middle orders, which legitimately shuffle once
+    * they outgrow broadcast); then the CASE ladder composes the
+    * fixed-point backoff chain bottom-up, one materialized column per
+    * order (no exponential expression blow-up). */
+  private[graft] def knNScoreOfGrams(docGrams: DataFrame, m: KnNModel): DataFrame = {
+    val n = m.n
+    def bcastIfLow(k: Int, df: DataFrame): DataFrame = if (k <= 2) broadcast(df) else df
+    var j = docGrams
+      .join(m.q(n).withColumnRenamed(s"q$n", "q_seen"), knSuffixCols(n, n), "left")
+      .join(m.d(n), knSuffixCols(n, n).dropRight(1), "left")
+    for (k <- n - 1 to 2 by -1)
+      j = j.join(bcastIfLow(k, m.q(k)), knSuffixCols(n, k), "left")
+        .join(bcastIfLow(k, m.d(k)), knSuffixCols(n, k).dropRight(1), "left")
+    j = j.join(broadcast(m.q(1)), Seq(s"w$n"), "left").crossJoin(broadcast(m.den1))
+      // add-one continuation floor for a never-seen last token
+      .withColumn("qb1", expr(s"coalesce(q1, $KnQ div den1)"))
+    for (k <- 2 until n)
+      j = j.withColumn(s"qb$k", expr(
+        s"""CASE
+           |  WHEN q$k IS NOT NULL THEN q$k
+           |  WHEN den$k IS NOT NULL THEN (3*fan$k*qb${k - 1}) div (4*den$k)
+           |  ELSE qb${k - 1}
+           |END""".stripMargin))
+    j.withColumn("q", expr(
+        s"""CASE
+           |  WHEN q_seen IS NOT NULL THEN q_seen
+           |  WHEN den$n IS NOT NULL THEN (3*fan$n*qb${n - 1}) div (4*den$n)
+           |  ELSE qb${n - 1}
+           |END""".stripMargin))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(col("q")).as("q_sum"),
+        sum(when(col("q_seen").isNull, 1L).otherwise(0L)).as("n_backoff"))
+      .withColumn("mean_p",
+        col("q_sum").cast("double") / lit(KnQ.toDouble) / col("n_ngrams").cast("double"))
+      .select("doc_id", "n_ngrams", "n_backoff", "mean_p")
+  }
+
+  private[graft] def knNScoreOf(documents: DataFrame, n: Int): DataFrame =
+    knNScoreOfGrams(knNDocGrams(documents, n),
+      knNModelOf(documents.where(col("lang") === "en"), n))
+      .orderBy("doc_id")
+
+  /** Trained order-n artifact: every seen n-gram with its raw count and
+    * ladder fixed-point q (the exact-rational form kn2/kn3 emit is
+    * unavailable past order 3 — the common denominator is a product of
+    * one count PER ORDER and overflows BIGINT — so the artifact IS the
+    * fixed-point the scorer broadcasts, with the one-division double
+    * alongside). */
+  private[graft] def knNLmTrainOf(documents: DataFrame, n: Int): DataFrame = {
+    val m = knNModelOf(documents.where(col("lang") === "en"), n)
+    m.q(n)
+      .withColumn("p_kn", col(s"q$n").cast("double") / lit(KnQ.toDouble))
+      .orderBy((1 to n).map(i => col(s"w$i")): _*)
+  }
+
+  def kn5LmTrain(spark: SparkSession, sfDir: String): DataFrame =
+    knNLmTrainOf(Tables.documents(spark, sfDir), 5)
+
+  def kn5Score(spark: SparkSession, sfDir: String): DataFrame =
+    knNScoreOf(Tables.documents(spark, sfDir), 5)
+
+  // ---- order-n DuckDB oracle (generated for the same recursion) ----
+
+  /** Oracle CTEs for the order-n family — the [[kn3StatsCtes]] build
+    * generalized: per-order adjusted counts aK, context stats dK, seen
+    * fixed-points qKt, all derived from the en 5-gram rollup. */
+  private def knNStatsCtes(n: Int): String = {
+    def keys(k: Int) = knSuffixCols(n, k)
+    val gramExpr = (1 to n).map(i => s"toks[i+${i - 1}]").mkString(" || ' ' || ")
+    val split = (k: Int) => keys(k).zipWithIndex
+      .map { case (c, i) => s"string_split(p, ' ')[${n - k + 1 + i}] AS $c" }.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),\n"
+    sb ++= s"eg0 AS (SELECT unnest(list_transform(range(1, len(toks) - ${n - 2}),\n"
+    sb ++= s"          i -> $gramExpr)) AS p FROM t WHERE lang = 'en'),\n"
+    sb ++= s"eg AS (SELECT ${split(n)} FROM eg0),\n"
+    sb ++= s"a$n AS (SELECT ${keys(n).mkString(", ")}, CAST(count(*) AS BIGINT) AS a " +
+      s"FROM eg GROUP BY ${keys(n).mkString(", ")}),\n"
+    for (k <- n - 1 to 1 by -1)
+      sb ++= s"a$k AS (SELECT ${keys(k).mkString(", ")}, CAST(count(*) AS BIGINT) AS a " +
+        s"FROM a${k + 1} GROUP BY ${keys(k).mkString(", ")}),\n"
+    for (k <- 2 to n)
+      sb ++= s"d$k AS (SELECT ${keys(k).dropRight(1).mkString(", ")}, " +
+        s"CAST(sum(a) AS BIGINT) AS den$k, CAST(count(*) AS BIGINT) AS fan$k " +
+        s"FROM a$k GROUP BY ${keys(k).dropRight(1).mkString(", ")}),\n"
+    sb ++= s"den1 AS (SELECT CAST(sum(a) AS BIGINT) AS den1 FROM a1),\n"
+    sb ++= s"q1t AS (SELECT w$n, (a * $KnQ) // den1 AS q1 FROM a1 CROSS JOIN den1)"
+    for (k <- 2 to n) {
+      sb ++= ",\n"
+      sb ++= s"q${k}t AS (SELECT ${keys(k).map(c => s"a$k.$c").mkString(", ")}, " +
+        s"((4*a - 3) * $KnQ) // (4*den$k) + (3*fan$k*q${k - 1}) // (4*den$k) AS q$k\n" +
+        s"  FROM a$k JOIN d$k USING (${keys(k).dropRight(1).mkString(", ")}) " +
+        s"JOIN q${k - 1}t USING (${keys(k - 1).mkString(", ")}))"
+    }
+    sb.result()
+  }
+
+  private def knNLmTrainSql(n: Int): String = {
+    val keys = knSuffixCols(n, n).mkString(", ")
+    s"""WITH ${knNStatsCtes(n)}
+       |SELECT $keys, a, q$n,
+       |  CAST(q$n AS DOUBLE) / ${KnQ}.0 AS p_kn
+       |FROM q${n}t JOIN a$n USING ($keys)
+       |ORDER BY $keys""".stripMargin
+  }
+
+  private def knNScoreSql(n: Int): String = {
+    def keys(k: Int) = knSuffixCols(n, k)
+    val gramExpr = (1 to n).map(i => s"toks[i+${i - 1}]").mkString(" || ' ' || ")
+    val split = keys(n).zipWithIndex
+      .map { case (c, i) => s"string_split(p, ' ')[${i + 1}] AS $c" }.mkString(", ")
+    val backJoins = (n - 1 to 2 by -1).map(k =>
+      s"  LEFT JOIN q${k}t USING (${keys(k).mkString(", ")})\n" +
+        s"  LEFT JOIN d$k USING (${keys(k).dropRight(1).mkString(", ")})").mkString("\n")
+    val ladder = (2 until n).map(k =>
+      s"qq$k AS (SELECT *, CASE WHEN q$k IS NOT NULL THEN q$k " +
+        s"WHEN den$k IS NOT NULL THEN (3*fan$k*qb${k - 1}) // (4*den$k) " +
+        s"ELSE qb${k - 1} END AS qb$k FROM qq${k - 1}),").mkString("\n")
+    s"""WITH ${knNStatsCtes(n)},
+       |dg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}),
+       |          i -> $gramExpr)) AS p FROM t),
+       |dg AS (SELECT doc_id, $split FROM dg0),
+       |jj AS (SELECT dg.*, q${n}t.q$n AS q_seen, d$n.den$n, d$n.fan$n,
+       |         ${(n - 1 to 2 by -1).flatMap(k => Seq(s"q${k}t.q$k", s"d$k.den$k", s"d$k.fan$k")).mkString(", ")},
+       |         q1t.q1, den1.den1
+       |       FROM dg LEFT JOIN q${n}t USING (${keys(n).mkString(", ")})
+       |  LEFT JOIN d$n USING (${keys(n).dropRight(1).mkString(", ")})
+       |$backJoins
+       |  LEFT JOIN q1t USING (w$n)
+       |  CROSS JOIN den1),
+       |qq1 AS (SELECT *, coalesce(q1, $KnQ // den1) AS qb1 FROM jj),
+       |$ladder
+       |qn AS (SELECT doc_id, q_seen, CASE WHEN q_seen IS NOT NULL THEN q_seen
+       |  WHEN den$n IS NOT NULL THEN (3*fan$n*qb${n - 1}) // (4*den$n)
+       |  ELSE qb${n - 1} END AS q FROM qq${n - 1}),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       |  CAST(sum(CASE WHEN q_seen IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / ${KnQ}.0 /
+       |    CAST(count(*) AS DOUBLE) AS mean_p
+       |FROM qn GROUP BY doc_id)
+       |SELECT doc_id, n_ngrams, n_backoff, mean_p FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared oracle CTEs: en-trained KN stats + all-corpus doc bigrams. */
   private val knStatsCtes =
     s"""t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
@@ -2567,6 +2802,8 @@ object TextOps {
     "text_kn_buckets" -> (knBuckets _),
     "text_kn3_train" -> (kn3LmTrain _),
     "text_kn3_score" -> (kn3Score _),
+    "text_kn5_train" -> (kn5LmTrain _),
+    "text_kn5_score" -> (kn5Score _),
     "text_dup_spans" -> (dupSpans _),
     "text_normalize_nfc" -> (normalizeNfc _),
     "text_approx_topk" -> (approxTopkTerms _),
@@ -2606,6 +2843,8 @@ object TextOps {
     "text_kn_buckets" -> knBucketsSql,
     "text_kn3_train" -> kn3LmTrainSql,
     "text_kn3_score" -> kn3ScoreSql,
+    "text_kn5_train" -> knNLmTrainSql(5),
+    "text_kn5_score" -> knNScoreSql(5),
     "text_dup_spans" -> dupSpansSql,
     "text_normalize_nfc" -> normalizeNfcSql,
     "text_approx_topk" -> approxTopkTermsSql,

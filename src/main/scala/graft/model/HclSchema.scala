@@ -1009,8 +1009,13 @@ object HclSchema {
           val f = new java.io.File(abiPath)
           require(f.isFile, s"hcl: query $name contract $raw: abi file not found: " +
             s"$abiPath (fetch it with `abi <address> --registry <dir>`)")
+          // overloaded events (same name, different inputs) are legal ABI —
+          // a last-wins toMap would reject inputs that exist only on an
+          // earlier overload (round-10 advice), so union the input-name
+          // sets per event name
           val evs = AbiSchema.parse(java.nio.file.Files.readString(f.toPath))
-            .map(e => e.name -> e.inputs.map(_.name).toSet).toMap
+            .groupBy(_.name)
+            .map { case (n, es) => n -> es.flatMap(_.inputs.map(_.name)).toSet }
           cb.blocks.foreach {
             case ("event", Some(sig), eb) =>
               val inputs = evs.getOrElse(sig, sys.error(

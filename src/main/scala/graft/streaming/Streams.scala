@@ -349,10 +349,6 @@ object Streams {
   private[streaming] final case class CurationSurvivor(
       doc_id: Long, simhash: Long, n_tok: Long)
 
-  /** [[curationStream]]'s admission output. */
-  private[streaming] final case class CurationAdmit(
-      doc_id: Long, simhash: Long, n_tok: Long, cum_before: Long, keep: Boolean)
-
   private val CurationBudget = 20000L
 
   /** STREAMING CURATION PIPELINE — quality filter → near-dup dedup →
@@ -370,19 +366,21 @@ object Streams {
     *    survivor per fingerprint — deterministic, unlike
     *    dropDuplicatesWithinWatermark's arrival-order winner (which is
     *    partition-race-dependent inside a micro-batch).
-    *  - Hop 2: a single-group GroupState carries the running token total
-    *    across micro-batches; docs admit while the total sits below the
-    *    FIXED budget (a stream cannot know corpus totals — production
-    *    budgets are absolute targets, e.g. "collect 15B tokens"). Rows
-    *    sort by doc_id inside each batch, so on the gate's single-file
-    *    store the admission order is doc_id order and the bounded run
-    *    hash-matches the batch composition (the oracle); on a multi-file
-    *    store the order is arrival order, the streaming semantics.
+    *  - Hop 2: token-budget admission against the FIXED budget (a stream
+    *    cannot know corpus totals — production budgets are absolute
+    *    targets, e.g. "collect 15B tokens") through the shared
+    *    [[admitByBudget]] seam: the survivor artifact re-lands as
+    *    range-sorted doc_id shards (arrival order = doc_id order, now a
+    *    property of the artifact, not of single-file luck), each
+    *    micro-batch prefix-sums in parallel via the bucketed
+    *    decomposition, and one carried scalar chains the batches — no
+    *    per-doc state, no single-task sort.
     */
   def curationStream(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val hop = java.nio.file.Files.createTempDirectory("curation_hop").toString
+    deleteOnShutdown(hop) // backstop; the happy path deletes eagerly below
     // hop 1: filter + deterministic near-dup survivor.
     // repartition BEFORE the signal projection: the file stream delivers the
     // single-file store as ONE input split, and the Gopher signal trees are
@@ -408,28 +406,19 @@ object Streams {
       .option("checkpointLocation", s"$hop/ck1")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q1.awaitTermination()
-    // hop 2: budget admission over the checkpointed survivor stream
-    val admitted = spark.readStream
-      .schema(implicitly[org.apache.spark.sql.Encoder[CurationSurvivor]].schema)
-      .parquet(s"$hop/survivors")
-      .as[CurationSurvivor]
-      .groupByKey(_ => 0)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Int, rows: Iterator[CurationSurvivor], state: GroupState[Long]) => {
-          var cum = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
-            val before = cum
-            cum += r.n_tok
-            CurationAdmit(r.doc_id, r.simhash, r.n_tok, before, before < CurationBudget)
-          }
-          state.update(cum)
-          out.iterator
-        })
-    val q2 = admitted.writeStream.format("memory").queryName("curation_sink")
-      .option("checkpointLocation", s"$hop/ck2")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q2.awaitTermination()
-    spark.table("curation_sink").orderBy("doc_id")
+    // hop 1.5: re-land the survivors as range-sorted doc_id shards (the
+    // parquet sink's own files carry no order contract)
+    val surv = spark.read.parquet(s"$hop/survivors")
+    writeRangeSortedShards(surv, s"$hop/survivors_sorted", AdmitShards, col("doc_id"))
+    // hop 2: budget admission over the sorted survivor artifact
+    val admitted = admitByBudget(spark, s"$hop/survivors_sorted", surv.schema,
+      identity,
+      orderCol = "doc_id", descending = false, budget = CurationBudget,
+      outCols = Seq("doc_id", "simhash", "n_tok", "cum_before", "keep"),
+      hop = hop)
+    val out = admitted.orderBy("doc_id").localCheckpoint(eager = true)
+    deleteRecursively(new java.io.File(hop))
+    out
   }
 
   private[streaming] val curationParitySql = {
@@ -619,10 +608,100 @@ object Streams {
       .orderBy("doc_id")
   }
 
-  private[streaming] final case class CcnetScored(
-      doc_id: Long, bucket: String, n_tok: Long, mean_p: Double)
-  private[streaming] final case class CcnetAdmit(
-      doc_id: Long, bucket: String, n_tok: Long, cum_before: Long, keep: Boolean)
+  /** Range shard count for the streaming-admission artifacts — the gate
+    * value; a production rewrite sizes this with the store (one shard per
+    * target file size), the admission math is shard-count-free. 8 shards
+    * at gate SF force a GENUINE multi-batch admission run (one shard per
+    * micro-batch under maxFilesPerTrigger=1), so the cross-batch offset
+    * carry is exercised by the oracle gate itself, not just a spec. */
+  private val AdmitShards = 8
+
+  /** Writes `df` as `shards` RANGE-partitioned, within-sorted parquet
+    * files under `dir`, then stamps ascending mtimes in range order — the
+    * file source replays oldest-first, so a downstream stream's arrival
+    * order IS the global sort order ("range-sorted shards", the
+    * cross-batch admission contract both budget gates document). Same
+    * synthetic-mtime device as [[indexUpsertStreamOf]]'s shard fixture
+    * (distinct mtimes: a mass write can land inside one granule and tie).
+    */
+  private def writeRangeSortedShards(
+      df: DataFrame, dir: String, shards: Int, order: org.apache.spark.sql.Column*): Unit = {
+    df.repartitionByRange(shards, order: _*)
+      .sortWithinPartitions(order: _*)
+      .write.mode("overwrite").parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName) // part-NNNNN prefix: name order = range order
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+      }
+  }
+
+  /** STREAMING BUDGET ADMISSION over a range-sorted scored artifact — the
+    * seam shared by [[ccnetMixStream]] and [[curationStream]]'s final hop
+    * (round-10 verdict items 1 and 8). The round-9/10 form routed every
+    * survivor row through ONE `groupByKey(_ => 0)` state group and sorted
+    * the whole micro-batch inside that task's heap — a
+    * single-executor-thread funnel (and a per-batch OOM risk) exactly
+    * where 100 TB sends ~2/3 of all documents. This form keeps the exact
+    * cumulative-token semantics with NO single-partition exchange in the
+    * per-batch plan:
+    *
+    *  - within each micro-batch, `cum_before` comes from the batch op's
+    *    two-phase rescaled-bucket prefix sum
+    *    ([[graft.ext.SamplingOps.bucketedCumBefore]]) — parallel
+    *    everywhere except one ≤65-row constant-size window;
+    *  - across batches, ONE carried scalar (the running admitted-token
+    *    total) shifts each batch's sums; the batch total comes off the
+    *    same ≤65-row bucket rollup, collected as one bounded driver row;
+    *  - admission is then the pure predicate `cum_before < budget` — no
+    *    state row per document anywhere.
+    *
+    * The carried scalar lives in a driver map keyed by batchId, so a
+    * same-run micro-batch REPLAY re-reads its original offset
+    * (idempotent); a restartable deployment persists that one scalar per
+    * committed batch next to the sink — it is also recoverable from the
+    * sink itself as max(cum_before + n_tok) over committed batches.
+    * Cross-batch ORDER is the artifact's range-sorted shard contract
+    * (arrival order = global admission order), which
+    * [[writeRangeSortedShards]] makes true ON DISK — the round-10 advice
+    * hole: stage-1 appends are hash-partitioned by doc_id and never
+    * satisfied the contract this seam's predecessor documented. */
+  private def admitByBudget(
+      spark: SparkSession,
+      srcDir: String,
+      srcSchema: StructType,
+      stage: DataFrame => DataFrame, // streaming-safe projections; must yield n_tok + orderCol
+      orderCol: String,
+      descending: Boolean,
+      budget: Long,
+      outCols: Seq[String],
+      hop: String): DataFrame = {
+    val offsets = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    @volatile var carried = 0L
+    val outDir = s"$hop/admitted"
+    val staged = stage(spark.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir))
+    val q = staged.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val off = Option(offsets.putIfAbsent(batchId, carried))
+          .map(_.longValue).getOrElse(carried)
+        val (withCum, totals) = graft.ext.SamplingOps.bucketedCumBefore(
+          batch.toDF(), orderCol, "n_tok", descending)
+        withCum
+          .withColumn("cum_before", col("cum_before") + lit(off))
+          .withColumn("keep", col("cum_before") < lit(budget))
+          .select(outCols.map(col): _*)
+          .write.mode("append").parquet(outDir)
+        val t = totals.collect()(0) // 1 row always; null total on an empty batch
+        carried = off + (if (t.isNullAt(0)) 0L else t.getLong(0))
+        ()
+    }.option("checkpointLocation", s"$hop/ckAdmit")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 
   /** Streaming CCNet mix END-TO-END — score → tertile → budget admission
     * composed on the real engine (round-9 verdict item 8), hash-matching
@@ -640,16 +719,15 @@ object Streams {
     *     [[graft.ext.TextOps.knTertileCutoffs]] and the 40%-of-survivor-
     *     tokens budget — the "model" the admission pass broadcasts, same
     *     trained-artifact seam as the k-means consumers.
-    *  3. ADMIT (streaming): a second stream over the scored artifact
-    *     filters `tail` by the cutoff predicate and admits through ONE
-    *     cumulative-token `flatMapGroupsWithState`, rows ordered
-    *     (mean_p DESC, doc_id) within the batch — exact parity for the
-    *     AvailableNow single-batch read here; across many batches the
-    *     contract is range-sorted shards (admission order = arrival
-    *     order), the same contract [[curationStream]] documents. */
+    *  3. ADMIT (streaming): the scored artifact is re-landed as
+    *     RANGE-SORTED shards in (mean_p DESC, doc_id) order — making the
+    *     "admission order = arrival order" contract true on disk — and a
+    *     second stream reads it ONE SHARD PER MICRO-BATCH
+    *     (maxFilesPerTrigger=1, [[AdmitShards]] genuine batches at the
+    *     gate), filters `tail` by the cutoff predicate and admits through
+    *     [[admitByBudget]]: per-batch bucketed prefix sums in parallel,
+    *     one carried scalar offset across batches, zero per-doc state. */
   def ccnetMixStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import spark.implicits._
     val hop = java.nio.file.Files.createTempDirectory("ccnet_hop").toString
     deleteOnShutdown(hop)
     val train = graft.Tables.documents(spark, sfDir).where(col("lang") === "en")
@@ -676,30 +754,23 @@ object Streams {
       col("mean_p") > p || (col("mean_p") === p && col("doc_id") <= id)
     val budget = sc.where(atOrAbove(p2, id2))
       .agg(expr("sum(n_bigrams + 1) * 2 div 5").cast("long")).collect()(0).getLong(0)
-    // stage 3 — streaming admission over the scored artifact
-    val admitted = spark.readStream.schema(sc.schema).parquet(s"$hop/scored")
-      .where(atOrAbove(p2, id2))
-      .select(col("doc_id"),
-        when(atOrAbove(p1, id1), "head").otherwise("middle").as("bucket"),
-        (col("n_bigrams") + lit(1L)).as("n_tok"), col("mean_p"))
-      .as[CcnetScored]
-      .groupByKey(_ => 0)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Int, rows: Iterator[CcnetScored], state: GroupState[Long]) => {
-          var cum = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(r => (-r.mean_p, r.doc_id)).map { r =>
-            val before = cum
-            cum += r.n_tok
-            CcnetAdmit(r.doc_id, r.bucket, r.n_tok, before, before < budget)
-          }
-          state.update(cum)
-          out.iterator
-        })
-    val q2 = admitted.writeStream.format("memory").queryName("ccnet_mix_sink")
-      .option("checkpointLocation", s"$hop/ck2")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q2.awaitTermination()
-    spark.table("ccnet_mix_sink").orderBy("doc_id")
+    // stage 2.5 — re-land the scored artifact as range-sorted shards: the
+    // stage-1 appends are hash-partitioned by doc_id and do NOT satisfy
+    // the admission-order contract on their own (round-10 advice)
+    writeRangeSortedShards(sc, s"$hop/scored_sorted", AdmitShards,
+      col("mean_p").desc, col("doc_id"))
+    // stage 3 — streaming admission, one range shard per micro-batch
+    val admitted = admitByBudget(spark, s"$hop/scored_sorted", sc.schema,
+      st => st.where(atOrAbove(p2, id2))
+        .select(col("doc_id"),
+          when(atOrAbove(p1, id1), "head").otherwise("middle").as("bucket"),
+          (col("n_bigrams") + lit(1L)).as("n_tok"), col("mean_p")),
+      orderCol = "mean_p", descending = true, budget = budget,
+      outCols = Seq("doc_id", "bucket", "n_tok", "cum_before", "keep"),
+      hop = hop)
+    val out = admitted.orderBy("doc_id").localCheckpoint(eager = true)
+    deleteRecursively(new java.io.File(hop))
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

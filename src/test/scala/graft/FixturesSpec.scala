@@ -717,4 +717,34 @@ class FixturesSpec extends SparkSpec {
       HclSchema.parse(hcl("purchase", "value").replace(abiPath, "/nonexistent/abi.json")))
     assert(dangling.getMessage.contains("abi file not found"), dangling.getMessage)
   }
+
+  test("HCL ABI gate: OVERLOADED events union their input sets (r10 advice)") {
+    import java.nio.file.{Files, Paths}
+    // two legal declarations of `purchase` with disjoint inputs — an input
+    // that exists only on the FIRST overload must still pass the gate
+    val dir = Files.createTempDirectory("abi_ovl").toString
+    val abiPath = Paths.get(dir, "2.json").toString
+    Files.writeString(Paths.get(abiPath),
+      """[{"type":"event","name":"purchase","inputs":[
+        |   {"name":"value","type":"uint256","indexed":false}]},
+        |  {"type":"event","name":"purchase","inputs":[
+        |   {"name":"props","type":"string","indexed":false}]}]""".stripMargin)
+    def hcl(output: String) =
+      s"""query abi_ovl {
+         |  chain = "ethereum"
+         |  contract {
+         |    address = 2
+         |    abi = "$abiPath"
+         |    event purchase { outputs = ["$output"] }
+         |  }
+         |  save { v = $output }
+         |}
+         |""".stripMargin
+    // both overloads' inputs are accepted...
+    HclSchema.parse(hcl("value"))
+    HclSchema.parse(hcl("props"))
+    // ...and an input on NEITHER overload still fails loudly
+    val bad = intercept[RuntimeException](HclSchema.parse(hcl("nope")))
+    assert(bad.getMessage.contains("not an input"), bad.getMessage)
+  }
 }

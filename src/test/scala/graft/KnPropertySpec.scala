@@ -149,6 +149,91 @@ class KnPropertySpec extends SparkSpec {
     }.toMap
   }
 
+  /** Sequential ORDER-N reference — the generalized recursion the engine's
+    * [[graft.ext.TextOps.knNScoreOfGrams]] ladder must reproduce exactly:
+    * adjusted counts a_k = types of a_{k+1}, context stats (den, fan) per
+    * order, guarded continuation ratio at order 1, nested floor-div
+    * fixed-point composition above. */
+  private def refNScores(
+      docs: Seq[(Long, String, String)], n: Int): Map[Long, (Long, Long, Double)] = {
+    def grams(t: String): Seq[Vector[String]] =
+      toksOf(t).sliding(n).filter(_.size == n).map(_.toVector).toSeq
+    val an = scala.collection.mutable.Map.empty[Vector[String], Long]
+    docs.filter(_._3 == "en").foreach(d =>
+      grams(d._2).foreach(g => an(g) = an.getOrElse(g, 0L) + 1L))
+    // a(k) keyed on the last-k suffix; a(k) = type counts of a(k+1)
+    val a = new Array[Map[Vector[String], Long]](n + 1)
+    a(n) = an.toMap
+    for (k <- n - 1 to 1 by -1)
+      a(k) = a(k + 1).keySet.groupBy(_.takeRight(k)).map { case (s, g) => s -> g.size.toLong }
+    val d = new Array[Map[Vector[String], (Long, Long)]](n + 1)
+    for (k <- 2 to n)
+      d(k) = a(k).groupBy(_._1.dropRight(1))
+        .map { case (c, m) => c -> ((m.values.sum, m.size.toLong)) }
+    val den1 = a(1).values.sum
+    def q(k: Int, sub: Vector[String]): Long =
+      if (k == 1) math.max(a(1).getOrElse(sub, 0L), 1L) * Q / den1
+      else a(k).get(sub) match {
+        case Some(c) =>
+          val (den, fan) = d(k)(sub.dropRight(1))
+          ((4 * c - 3) * Q) / (4 * den) + (3 * fan * q(k - 1, sub.tail)) / (4 * den)
+        case None => d(k).get(sub.dropRight(1)) match {
+          case Some((den, fan)) => (3 * fan * q(k - 1, sub.tail)) / (4 * den)
+          case None => q(k - 1, sub.tail)
+        }
+      }
+    docs.flatMap { case (id, t, _) =>
+      val gs = grams(t)
+      if (gs.isEmpty) None
+      else {
+        val qs = gs.map(g => q(n, g))
+        val back = gs.count(g => !a(n).contains(g)).toLong
+        Some(id -> ((gs.size.toLong, back,
+          qs.sum.toDouble / 1048576.0 / gs.size.toDouble)))
+      }
+    }.toMap
+  }
+
+  test("order-n kn ladder: engine == sequential reference at n=3,4,5; n=3 == hand-rolled kn3 (r11)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val langs = Vector("en", "de", "fr")
+    def randDoc(maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpora: Seq[Seq[(Long, String, String)]] =
+      Seq(
+        // minimal 5-gram training; docs below every order's gram floor
+        Seq((1L, "a b c d e", "en"), (2L, "a b c d", "en"), (3L, "e d c b a e", "de"),
+          (4L, "", "fr"), (5L, "c", "en")),
+        (1 to 8).map(i => (i.toLong, randDoc(9), "en")),
+      ) ++
+        (1 to 4).map { c =>
+          (1L, "a b c d e a b c", "en") +: (2 to 12).map(i =>
+            (i.toLong, randDoc(11), langs(rnd.nextInt(langs.size))))
+        }
+    corpora.zipWithIndex.foreach { case (docsSeq, ci) =>
+      val docs = docsSeq.toDF("doc_id", "text", "lang")
+      for (n <- 3 to 5) {
+        val got = ext.TextOps.knNScoreOf(docs, n).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        val want = refNScores(docsSeq, n)
+        assert(got.keySet == want.keySet,
+          s"corpus $ci n=$n: scored doc set ${got.keySet} != ${want.keySet}")
+        got.foreach { case (id, g) =>
+          assert(g == want(id), s"corpus $ci n=$n doc $id: $g != ${want(id)}")
+        }
+      }
+      // the generalization is pinned against the hand-rolled trigram family:
+      // same fixed-point, same backoff, bit-for-bit
+      val gen3 = ext.TextOps.knNScoreOf(docs, 3).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val hand3 = ext.TextOps.kn3ScoreOf(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(gen3 == hand3, s"corpus $ci: order-n ladder at n=3 diverges from kn3")
+    }
+  }
+
   test("kn3 lm: distributed trigram score == sequential reference on random corpora (r10)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

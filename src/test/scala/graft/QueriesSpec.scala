@@ -782,6 +782,27 @@ class QueriesSpec extends SparkSpec {
     assert(shuffled == viaAgg(df.coalesce(1)), "result must not depend on partitioning")
   }
 
+  test("topk_by_desc: a NULL payload struct is excluded, not ranked (r10 advice)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{struct, when, posexplode}
+    // the outer-join shape: a row can carry a valid sort key while its
+    // payload struct is null (all-null struct children do NOT make the
+    // struct itself null — only the outer join's null side does). Pinned
+    // semantics: such rows are SKIPPED, like null keys — the declared
+    // element type is non-nullable (containsNull=false), so ranking a null
+    // payload would emit a row the type contract forbids.
+    val left = Seq((1L, 100.0), (2L, 50.0), (3L, 25.0)).toDF("id", "v")
+    val right = Seq((1L, "a"), (3L, "c")).toDF("rid", "tag") // id 2 unmatched
+    val joined = left.join(right, $"id" === $"rid", "left")
+      .select($"id", $"v", when($"rid".isNotNull, struct($"rid", $"tag")).as("p"))
+    val top = joined.groupBy()
+      .agg(graft.functions.Vec.topkBy($"v", $"id", $"p", 2).as("top"))
+      .select(posexplode($"top").as(Seq("i", "s")))
+      .select($"s.rid".as("rid")).as[Long].collect().toSeq
+    // id 2 (v=50, null payload) is skipped entirely: top-2 = ids 1 and 3
+    assert(top == Seq(1L, 3L), s"null-payload row must not occupy a top-k slot: $top")
+  }
+
   test("hybrid RRF: fused score re-derives from the two leg ranks exactly (r9)") {
     val out = ext.TextOps.hybridRrf(spark, sf).collect()
     assert(out.nonEmpty)

@@ -158,6 +158,21 @@ class StreamingSpec extends SparkSpec {
     assert(hashes.distinct.length == hashes.length, "dedup emitted a simhash twice")
   }
 
+  test("ccnet mix: MULTI-batch streaming admission ≡ batch op (r10 verdict 1)") {
+    // the admission artifact is written as AdmitShards range-sorted files
+    // and read back one file per micro-batch, so this run chains the
+    // carried offset across several genuine batches; the result must equal
+    // the batch op's GLOBAL (mean_p DESC, doc_id) admission exactly —
+    // cum_before values included, not just keep flags
+    val cols = Seq("doc_id", "bucket", "n_tok", "cum_before", "keep")
+    val streamed = Streams.ccnetMixStream(spark, sf)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSeq
+    val batch = graft.ext.SamplingOps.ccnetMix(spark, sf)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, "multi-batch streaming admission diverged from the batch mix")
+  }
+
   test("streaming filter pushes the signature predicate per micro-batch") {
     val streamed = runToMemory(
       Streams.eventStream(spark, sf, Some("purchase"))
