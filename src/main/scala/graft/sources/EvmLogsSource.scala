@@ -88,10 +88,33 @@ class EvmLogsTable(options: CaseInsensitiveStringMap) extends Table with Support
       options.getLong("start", 0L),
       options.getLong("end", 1000L),
       options.getInt("parts", 8),
-      options.getLong("blocksPerBatch", 100L))
+      options.getLong("blocksPerBatch", 100L),
+      RpcConf.of(options))
 }
 
-class EvmLogsScanBuilder(start: Long, end: Long, parts: Int, blocksPerBatch: Long = 100L)
+/** Live-transport configuration (absent endpoint = the deterministic
+  * stub): `endpoint` is a JSON-RPC HTTP URL, `rateLimit` the per-process
+  * requests/second budget (`--rate-limit`, reference flags.go:31-36),
+  * `fetchChunk` the blocks fetched per `eth_getLogs` call — the
+  * `--log-parts` granularity the adaptive splitter then halves below on
+  * too-many-results errors (cached_client.go:125-185). */
+final case class RpcConf(
+    endpoint: Option[String], rateLimit: Double, retryBaseMs: Long, fetchChunk: Long) {
+  def client(): Option[JsonRpcClient] =
+    endpoint.map(e => new JsonRpcClient(e, rateLimit, retryBaseMs = retryBaseMs))
+}
+
+object RpcConf {
+  def of(options: CaseInsensitiveStringMap): RpcConf = RpcConf(
+    Option(options.get("endpoint")).filter(_.nonEmpty),
+    options.getDouble("rateLimit", 0.0),
+    options.getLong("retryBaseMs", 50L),
+    options.getLong("fetchChunk", 64L))
+}
+
+class EvmLogsScanBuilder(
+    start: Long, end: Long, parts: Int, blocksPerBatch: Long = 100L,
+    rpc: RpcConf = RpcConf(None, 0.0, 50L, 64L))
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
@@ -151,15 +174,16 @@ class EvmLogsScanBuilder(start: Long, end: Long, parts: Int, blocksPerBatch: Lon
 
   override def build(): Scan =
     if (unsatisfiable)
-      new EvmLogsScan(lo, lo, parts, addresses, topic, required, blocksPerBatch, limit)
-    else new EvmLogsScan(lo, hi, parts, addresses, topic, required, blocksPerBatch, limit)
+      new EvmLogsScan(lo, lo, parts, addresses, topic, required, blocksPerBatch, limit, rpc)
+    else new EvmLogsScan(lo, hi, parts, addresses, topic, required, blocksPerBatch, limit, rpc)
 }
 
 class EvmLogsScan(
     lo: Long, hi: Long, parts: Int,
     addresses: Option[Set[Long]], topic: Option[String],
     required: StructType, blocksPerBatch: Long = 100L,
-    limit: Option[Int] = None) extends Scan with Batch {
+    limit: Option[Int] = None,
+    rpc: RpcConf = RpcConf(None, 0.0, 50L, 64L)) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -170,7 +194,7 @@ class EvmLogsScan(
     * through the checkpoint log, giving the exactly-once the reference's
     * websocket loop lacks (events.go:221-320 just forwards). */
   override def toMicroBatchStream(checkpointLocation: String): sstreaming.MicroBatchStream =
-    new EvmLogsMicroBatchStream(lo, hi, blocksPerBatch, addresses, topic, required)
+    new EvmLogsMicroBatchStream(lo, hi, blocksPerBatch, addresses, topic, required, rpc)
 
   override def description(): String =
     s"evmlogs [$lo, $hi) parts=$parts addresses=$addresses topic=$topic limit=$limit"
@@ -182,7 +206,7 @@ class EvmLogsScan(
     (0 until n).iterator
       .map(i => (lo + i * step, math.min(hi, lo + (i + 1) * step)))
       .filter { case (f, t) => f < t }
-      .map(r => EvmLogsPartition(r._1, r._2, addresses, topic, required.fieldNames, limit): InputPartition)
+      .map(r => EvmLogsPartition(r._1, r._2, addresses, topic, required.fieldNames, limit, rpc): InputPartition)
       .toArray
   }
 
@@ -198,8 +222,14 @@ final case class BlockOffset(block: Long) extends sstreaming.Offset {
 class EvmLogsMicroBatchStream(
     start: Long, end: Long, blocksPerBatch: Long,
     addresses: Option[Set[Long]], topic: Option[String],
-    required: StructType)
+    required: StructType,
+    rpc: RpcConf = RpcConf(None, 0.0, 50L, 64L))
   extends sstreaming.MicroBatchStream with sstreaming.SupportsTriggerAvailableNow {
+
+  // driver-side client: consulted for the REAL chain tip when an endpoint
+  // is configured (eth_blockNumber — the poll chainservice.go:173-179
+  // runs); the stub tip otherwise
+  @transient private lazy val tipClient = rpc.client()
 
   override def initialOffset(): sstreaming.Offset = BlockOffset(start)
 
@@ -220,7 +250,10 @@ class EvmLogsMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def latestOffset(): sstreaming.Offset = {
-    tip = math.min(end, tip + blocksPerBatch)
+    // admission control: at most blocksPerBatch per trigger, never past
+    // the node's actual head (+1: head is inclusive, offsets exclusive)
+    val avail = tipClient.map(c => math.min(end, c.blockNumber() + 1)).getOrElse(end)
+    tip = math.min(avail, tip + blocksPerBatch)
     BlockOffset(tip)
   }
 
@@ -247,7 +280,7 @@ class EvmLogsMicroBatchStream(
     val from = startOff.asInstanceOf[BlockOffset].block
     val until = endOff.asInstanceOf[BlockOffset].block
     if (from >= until) Array.empty
-    else Array(EvmLogsPartition(from, until, addresses, topic, required.fieldNames, limit = None))
+    else Array(EvmLogsPartition(from, until, addresses, topic, required.fieldNames, limit = None, rpc))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -260,17 +293,31 @@ class EvmLogsMicroBatchStream(
 final case class EvmLogsPartition(
     from: Long, until: Long,
     addresses: Option[Set[Long]], topic: Option[String],
-    columns: Array[String], limit: Option[Int]) extends InputPartition
+    columns: Array[String], limit: Option[Int],
+    rpc: RpcConf = RpcConf(None, 0.0, 50L, 64L)) extends InputPartition
 
 class EvmLogsPartitionReader(p: EvmLogsPartition) extends PartitionReader[InternalRow] {
   // LAZY block iteration: stopping at the pushed limit means the remaining
-  // blocks are never fetched at all — the RPC-call saving the pushdown buys
-  private val it = Iterator.range(p.from, p.until).flatMap { b =>
-    EvmLogs.fetchBlockLogs(b).iterator
-      .filter { case (_, _, _, addr, top, _) =>
-        p.addresses.forall(_.contains(addr)) && p.topic.forall(_ == top)
-      }
-  }
+  // blocks (or eth_getLogs chunks) are never fetched at all — the RPC-call
+  // saving the limit pushdown buys. With an endpoint configured the rows
+  // come over REAL HTTP in fetchChunk-block calls, the pushed address/topic
+  // filters inside the request itself (events.go:39,65); the adaptive
+  // splitter inside getLogs halves a chunk the node rejects as too large.
+  private val it: Iterator[(Long, String, String, Long, String, Double)] =
+    p.rpc.client() match {
+      case Some(client) =>
+        val step = math.max(1L, p.rpc.fetchChunk)
+        Iterator.range(p.from, p.until, step).flatMap { f =>
+          client.getLogs(f, math.min(p.until, f + step), p.addresses, p.topic).iterator
+        }
+      case None =>
+        Iterator.range(p.from, p.until).flatMap { b =>
+          EvmLogs.fetchBlockLogs(b).iterator
+            .filter { case (_, _, _, addr, top, _) =>
+              p.addresses.forall(_.contains(addr)) && p.topic.forall(_ == top)
+            }
+        }
+    }
   private var emitted = 0
   private var current: (Long, String, String, Long, String, Double) = _
 

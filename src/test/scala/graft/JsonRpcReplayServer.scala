@@ -1,0 +1,125 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Loopback JSON-RPC replay server (test fixture): serves the SAME
+  * deterministic chain as [[graft.sources.EvmLogs.fetchBlockLogs]] over
+  * real HTTP, so the connector's live transport path (HTTP client, retry,
+  * rate gate, adaptive range splitting) EXECUTES in the zero-egress
+  * sandbox and its rows can be compared 1:1 against the stub path.
+  *
+  * Fault injection knobs:
+  *  - `failFirst`: the first N requests answer HTTP 500 (retry path);
+  *  - `maxSpan`: an `eth_getLogs` whose block span exceeds it answers the
+  *    Infura-style -32005 "query returned more than ... results" error
+  *    (adaptive-split path — the client must halve and recurse).
+  *
+  * Counters record what actually hit the wire so specs can assert the
+  * client's behavior (calls made, filters pushed into the request).
+  */
+final class JsonRpcReplayServer(
+    tip: Long = 1000L,
+    maxSpan: Long = Long.MaxValue,
+    failFirst: Int = 0) {
+
+  val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+  val getLogsCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val tooManyRejections = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var lastGetLogsFilter: JValue = JNothing
+
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/"
+
+  private def hexToLong(j: JValue): Long = j match {
+    case JString(s) if s.startsWith("0x") => java.lang.Long.parseLong(s.drop(2), 16)
+    case JString(s) => s.toLong
+    case other => sys.error(s"replay: bad quantity $other")
+  }
+  private def hex(v: Long): String = "0x" + java.lang.Long.toHexString(v)
+
+  private def logsFor(filter: JValue): JValue = {
+    val from = hexToLong(filter \ "fromBlock")
+    val to = hexToLong(filter \ "toBlock") // inclusive, the wire convention
+    if (to - from + 1 > maxSpan) {
+      tooManyRejections.incrementAndGet()
+      throw new JsonRpcReplayServer.RpcReject(
+        -32005, s"query returned more than $maxSpan results")
+    }
+    val addrs: Option[Set[Long]] = filter \ "address" match {
+      case JArray(as) => Some(as.map(hexToLong).toSet)
+      case JString(s) => Some(Set(hexToLong(JString(s))))
+      case _ => None
+    }
+    val topic0: Option[String] = filter \ "topics" match {
+      case JArray(JString(t) :: _) => Some(t)
+      case _ => None
+    }
+    JArray((from to to).flatMap { b =>
+      graft.sources.EvmLogs.fetchBlockLogs(b)
+        .filter { case (_, _, _, addr, top, _) =>
+          addrs.forall(_.contains(addr)) && topic0.forall(_ == top)
+        }
+        .map { case (bn, bh, th, addr, top, value) =>
+          JObject(
+            "blockNumber" -> JString(hex(bn)),
+            "blockHash" -> JString(bh),
+            "transactionHash" -> JString(th),
+            "address" -> JString(hex(addr)),
+            "topics" -> JArray(List(JString(top))),
+            // fixture codec: value in exact cents (the stub's doubles are
+            // all x.xx), lossless both directions
+            "data" -> JString(hex(math.round(value * 100))))
+        }.toList
+    }.toList)
+  }
+
+  server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+    val n = requests.incrementAndGet()
+    val bodyIn = new String(ex.getRequestBody.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val (status, body) =
+      if (n <= failFirst) (500, """{"error":"injected transient failure"}""")
+      else {
+        val req = JsonMethods.parse(bodyIn)
+        val id = req \ "id"
+        val method = req \ "method" match { case JString(m) => m; case _ => "" }
+        def ok(result: JValue) = JsonMethods.compact(JsonMethods.render(JObject(
+          "jsonrpc" -> JString("2.0"), "id" -> id, "result" -> result)))
+        def err(code: Long, msg: String) = JsonMethods.compact(JsonMethods.render(JObject(
+          "jsonrpc" -> JString("2.0"), "id" -> id,
+          "error" -> JObject("code" -> JLong(code), "message" -> JString(msg)))))
+        try {
+          method match {
+            case "eth_blockNumber" => (200, ok(JString(hex(tip))))
+            case "eth_getLogs" =>
+              getLogsCalls.incrementAndGet()
+              val filter = req \ "params" match {
+                case JArray(f :: _) => f
+                case _ => JNothing
+              }
+              lastGetLogsFilter = filter
+              (200, ok(logsFor(filter)))
+            case m => (200, err(-32601, s"method not found: $m"))
+          }
+        } catch {
+          case r: JsonRpcReplayServer.RpcReject => (200, err(r.code, r.msg))
+        }
+      }
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  })
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  server.start()
+
+  def stop(): Unit = server.stop(0)
+}
+
+object JsonRpcReplayServer {
+  private final case class RpcReject(code: Long, msg: String) extends RuntimeException(msg)
+}
