@@ -485,6 +485,15 @@ object DedupOps {
     }
   }
 
+  /** Per-run iteration trace of [[computeClusterMap]]'s pointer-jumping
+    * loop: the label sum after each round (round count = trace length; the
+    * final entry equals its predecessor — that equality IS the convergence
+    * probe). Recorded so scale probes can pin "rounds ∝ log N" with a
+    * measured number instead of an inference (round-10 verdict item 7);
+    * costs zero extra jobs — the sums already drive the loop's own
+    * convergence test. */
+  @volatile private[graft] var lastIterSums: List[Long] = Nil
+
   private def computeClusterMap(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashLsh(spark, sfDir)
       .where(col("est_jaccard") >= 0.5)
@@ -507,6 +516,7 @@ object DedupOps {
     var lastSum = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
     var converged = false
     var iters = 0
+    lastIterSums = Nil
     while (!converged && iters < 50) {
       val prop = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
@@ -525,6 +535,7 @@ object DedupOps {
           coalesce(jmap("jl"), viaEdges("label")).as("label"))
         .localCheckpoint()
       val newSum = jumped.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+      lastIterSums = newSum :: lastIterSums
       converged = newSum == lastSum
       lastSum = newSum
       labels = jumped

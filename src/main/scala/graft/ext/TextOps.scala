@@ -2391,6 +2391,14 @@ object TextOps {
     val m3 = cxyz.join(cxy, Seq("x", "y")).join(q2, Seq("y", "z"))
       .select(col("x"), col("y"), col("z"), expr(
         s"((4*c_xyz - 3) * $KnQ) div (4*c_xy) + (3*n1p_xy*q2) div (4*c_xy)").as("q_seen"))
+    kn3Apply(docTg, m3, cxy, q2, ny, nz, nbb)
+  }
+
+  /** The kn3 model-apply join block, split out so the bucketed-layout
+    * variant can feed the SAME joins from at-rest catalog tables. */
+  private def kn3Apply(
+      docTg: DataFrame, m3: DataFrame, cxy: DataFrame, q2: DataFrame,
+      ny: DataFrame, nz: DataFrame, nbb: DataFrame): DataFrame = {
     docTg.join(m3, Seq("x", "y", "z"), "left")
       .join(broadcast(cxy), Seq("x", "y"), "left")
       .join(broadcast(q2), Seq("y", "z"), "left")
@@ -2424,6 +2432,48 @@ object TextOps {
   private[graft] def kn3ScoreOf(documents: DataFrame): DataFrame =
     kn3ScoreOfTrigrams(kn3DocTrigrams(documents), documents.where(col("lang") === "en"))
       .orderBy("doc_id")
+
+  /** [[kn3Score]] with the WRITE-ONCE bucketed model layout (round-10
+    * verdict item 6). The third-decade probe pinned stock kn3_score's
+    * 12.2× on the model-join regime: the seen-trigram model outgrows
+    * broadcast, so the corpus equi-join becomes a sort-merge with BOTH
+    * sides exchanging — and the model side re-shuffles on EVERY scoring
+    * run. Here the trained tables land once as (x, y, z)-bucketed+sorted
+    * catalog tables (the layoutBucketedJoin discipline applied to a
+    * trained artifact): scoring exchanges ONLY the corpus trigram stream
+    * — the model reads its buckets pre-partitioned and pre-sorted, its
+    * write-time shuffle amortized across every run against the model,
+    * exactly how a production LM artifact deploys. Oracle-identical to
+    * `text_kn3_score`; bucket count store-sized via
+    * SPARK_GRAFT_KN3_BUCKETS (gate default 32). */
+  def kn3ScoreBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val db = s"graft_kn3m_${new java.io.File(sfDir).getName.replace('.', '_')}"
+    // cross-session idempotency: drop the catalog entry AND the on-disk
+    // location (the warehouse outlives the in-memory catalog)
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+    val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbLoc)) fs.delete(dbLoc, true)
+    spark.sql(s"CREATE DATABASE $db")
+    val docs = Tables.documents(spark, sfDir)
+    val cxyz = kn3CxyzOf(docs.where(col("lang") === "en")).localCheckpoint()
+    val (cxy, byz, ny, nz, nbb) = kn3Stats(cxyz)
+    val q2 = byz.join(ny, Seq("y")).join(nz, Seq("z")).crossJoin(broadcast(nbb))
+      .select(col("y"), col("z"), expr(
+        s"((4*n1p_dyz - 3) * $KnQ) div (4*n1p_dyd) + " +
+          s"(3*n1p_yd*((n1p_dz * $KnQ) div n_bb2)) div (4*n1p_dyd)").as("q2"))
+      .localCheckpoint()
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_KN3_BUCKETS", "32").toInt
+    cxyz.join(cxy, Seq("x", "y")).join(q2, Seq("y", "z"))
+      .select(col("x"), col("y"), col("z"), expr(
+        s"((4*c_xyz - 3) * $KnQ) div (4*c_xy) + (3*n1p_xy*q2) div (4*c_xy)").as("q_seen"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "x", "y", "z").sortBy("x", "y", "z")
+      .saveAsTable(s"$db.m3")
+    kn3Apply(kn3DocTrigrams(docs), spark.table(s"$db.m3"), cxy, q2, ny, nz, nbb)
+      .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------------
   // Order-N INTERPOLATED Kneser-Ney — the nested fixed-point ladder
@@ -2804,6 +2854,7 @@ object TextOps {
     "text_kn3_score" -> (kn3Score _),
     "text_kn5_train" -> (kn5LmTrain _),
     "text_kn5_score" -> (kn5Score _),
+    "text_kn3_score_bucketed" -> (kn3ScoreBucketed _),
     "text_dup_spans" -> (dupSpans _),
     "text_normalize_nfc" -> (normalizeNfc _),
     "text_approx_topk" -> (approxTopkTerms _),
@@ -2845,6 +2896,8 @@ object TextOps {
     "text_kn3_score" -> kn3ScoreSql,
     "text_kn5_train" -> knNLmTrainSql(5),
     "text_kn5_score" -> knNScoreSql(5),
+    // the bucketed-layout variant computes the IDENTICAL scores
+    "text_kn3_score_bucketed" -> kn3ScoreSql,
     "text_dup_spans" -> dupSpansSql,
     "text_normalize_nfc" -> normalizeNfcSql,
     "text_approx_topk" -> approxTopkTermsSql,

@@ -40,4 +40,38 @@ class BucketingSpec extends SparkSpec {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
   }
+
+  test("kn3 bucketed model: scoring never re-shuffles the model side (r11)") {
+    // the trained-artifact analogue of the fact-fact case above: with
+    // broadcast off (at corpus scale the seen-trigram model is past any
+    // threshold — the r10 third-decade regime), the corpus⋈model join must
+    // consume the model's (x,y,z) buckets directly; only the doc trigram
+    // stream exchanges.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.ext.TextOps.kn3ScoreBucketed(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // bucket read proof: the model scan prints with SelectedBucketsCount
+      assert(plan.contains("SelectedBucketsCount"),
+        s"the model side must read its buckets:\n$plan")
+      // exactly ONE full-key (x,y,z) exchange — the DOC trigram stream
+      // aligning to the model's buckets; an unbucketed model would add a
+      // second. (Two-key (x,y) exchanges are the vocab²-bounded cxy stat
+      // rollup feeding a broadcast — not the corpus join.)
+      val xyzExchanges =
+        "Exchange hashpartitioning\\(x#\\d+, y#\\d+, z#\\d+".r.findAllIn(plan).length
+      assert(xyzExchanges == 1,
+        s"expected only the doc-side (x,y,z) exchange, found $xyzExchanges:\n$plan")
+      assert(q.limit(1).count() == 1)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val db = s"graft_kn3m_${new java.io.File(sf).getName.replace('.', '_')}"
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+  }
 }

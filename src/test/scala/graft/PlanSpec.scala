@@ -239,6 +239,8 @@ class PlanSpec extends SparkSpec {
       "text_kn_train", "text_kn_score", // 1-row bigram-type total (N1+(··)) broadcast onto the stat joins
       "text_kn_incremental", // same knTrainTable tail off the merged counts
       "text_kn3_train", "text_kn3_score", // 1-row (y,z)-type total (N1+(··)) broadcast, one order up
+      "text_kn3_score_bucketed", // same kn3Apply tail (1-row N1+(··) broadcast); model side reads buckets
+      "text_kn5_train", "text_kn5_score", // 1-row order-1 total (den1) broadcast, the order-n ladder
       "sim_clustered_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(executesOnBuild)
@@ -337,6 +339,32 @@ class PlanSpec extends SparkSpec {
     val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
     assert(!pushed.contains("lang"), s"lang must not reach the data filters: $pushed")
     assert(pushed.contains("source"), s"source must push to row-group stats: $pushed")
+  }
+
+  test("streaming admission per-batch plan: row-bearing work keys on the bucket, never one partition (r11)") {
+    // the plan admitByBudget runs INSIDE each micro-batch (its streaming
+    // wrapper adds nothing row-bearing): the per-row prefix-sum window must
+    // partition by the rescaled bucket, and the only SinglePartition
+    // exchanges allowed are the two CONSTANT-size frames — the 1-row
+    // min/max rescale agg and the ≤65-row bucket-offset window. The r10
+    // form (groupByKey(0) + whole-batch sort in one task) is what this
+    // guards against.
+    import spark.implicits._
+    val batch = (1 to 1000).map(i => (i.toLong, (i % 97).toDouble / 97.0, 1L + i % 5))
+      .toDF("doc_id", "mean_p", "n_tok")
+    val (withCum, _) =
+      ext.SamplingOps.bucketedCumBefore(batch, "mean_p", "n_tok", descending = true)
+    val p = withCum.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(qb"),
+      s"the row-bearing exchange must key on the rescaled bucket:\n$p")
+    assert("windowspecdefinition\\(qb".r.findAllIn(p).nonEmpty,
+      s"the per-row window must partition by the bucket:\n$p")
+    // ≤ 3: the ≤65-row bucket-offset window plus the 1-row min/max rescale
+    // agg, whose subtree prints twice (it feeds both the row projection and
+    // the bucket rollup; AQE reuses the exchange at runtime). All three sit
+    // over constant-size frames — none carries the row-bearing stream.
+    val singles = "SinglePartition".r.findAllIn(p).length
+    assert(singles <= 3, s"unexpected single-partition exchanges ($singles):\n$p")
   }
 
   test("whole-stage codegen covers the flagship transform/filter/save pipeline") {
