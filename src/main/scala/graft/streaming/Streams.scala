@@ -610,11 +610,14 @@ object Streams {
 
   /** Range shard count for the streaming-admission artifacts — the gate
     * value; a production rewrite sizes this with the store (one shard per
-    * target file size), the admission math is shard-count-free. 8 shards
+    * target file size), the admission math is shard-count-free. 4 shards
     * at gate SF force a GENUINE multi-batch admission run (one shard per
     * micro-batch under maxFilesPerTrigger=1), so the cross-batch offset
-    * carry is exercised by the oracle gate itself, not just a spec. */
-  private val AdmitShards = 8
+    * carry is exercised by the oracle gate itself, not just a spec —
+    * and not more than 4: each micro-batch pays fixed engine overhead
+    * (offset/commit log, job scheduling; measured ~0.5 s per batch
+    * locally), and four batches prove the carry chain as well as eight. */
+  private val AdmitShards = 4
 
   /** Writes `df` as `shards` RANGE-partitioned, within-sorted parquet
     * files under `dir`, then stamps ascending mtimes in range order — the
