@@ -2526,14 +2526,24 @@ object TextOps {
     * (adjusted counts), each one Heaps decade smaller. Each a(k) feeds
     * THREE consumers (a(k-1), d(k), q(k)) — eagerly materialized, the
     * multi-consumer lazy-cache race finding (SCALING.md r10.1). */
-  private[graft] def knNModelOf(train: DataFrame, n: Int): KnNModel = {
-    require(n >= 2, s"kn ladder needs order >= 2, got $n")
-    val a = new Array[DataFrame](n + 1)
-    a(n) = train.select(expr(toksExpr).as("toks"))
+  /** The order-n count table (w1..wn, a) — the ONE corpus-sized rollup
+    * and, like its bigram ancestor, an ADDITIVE sufficient statistic. */
+  private[graft] def knNCountsOf(train: DataFrame, n: Int): DataFrame =
+    train.select(expr(toksExpr).as("toks"))
       .select(explode(expr(knGramZip(n))).as("g"))
       .select((1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
       .groupBy((1 to n).map(i => col(s"w$i")): _*).agg(count(lit(1)).as("a"))
-      .localCheckpoint()
+
+  private[graft] def knNModelOf(train: DataFrame, n: Int): KnNModel =
+    knNModelOfCounts(knNCountsOf(train, n).localCheckpoint(), n)
+
+  /** Ladder build from an already-materialized count table — shared by
+    * full training/scoring and the INCREMENTAL path (merged counts), so
+    * incremental ≡ retrain is the same code fed different counts. */
+  private[graft] def knNModelOfCounts(an: DataFrame, n: Int): KnNModel = {
+    require(n >= 2, s"kn ladder needs order >= 2, got $n")
+    val a = new Array[DataFrame](n + 1)
+    a(n) = an
     for (k <- n - 1 to 1 by -1)
       a(k) = a(k + 1).groupBy(knSuffixCols(n, k).map(col): _*)
         .agg(count(lit(1)).as("a")).localCheckpoint()
@@ -2627,6 +2637,30 @@ object TextOps {
 
   def kn5Score(spark: SparkSession, sfDir: String): DataFrame =
     knNScoreOf(Tables.documents(spark, sfDir), 5)
+
+  /** INCREMENTALLY maintained 5-gram artifact — [[knIncremental]]'s
+    * additive-sufficient-statistic discipline held at order n: the ingest
+    * batch (same seeded ~19% split as every incremental gate) contributes
+    * only ITS OWN 5-gram rollup, merged into the at-rest counts by one
+    * (w1..w5) sum — the corpus is never re-tokenized; every per-order
+    * adjusted count and ladder fixed point re-derives from the MERGED
+    * counts, type-bounded and corpus-free. Incremental ≡ retrain is
+    * gate-checked bit-for-bit: the oracle is the full-corpus order-5
+    * training SQL verbatim. At rest the count table stores bucketed by
+    * its key so the merge is co-located (the kn3ScoreBucketed layout). */
+  def kn5Incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val en = Tables.documents(spark, sfDir).where(col("lang") === "en")
+    val keys = (1 to 5).map(i => s"w$i")
+    val atRest = knNCountsOf(en.where(!DedupOps.isNewCol), 5).localCheckpoint()
+    val ingest = knNCountsOf(en.where(DedupOps.isNewCol), 5)
+    val merged = atRest.unionByName(ingest)
+      .groupBy(keys.map(col): _*).agg(sum(col("a")).cast("long").as("a"))
+      .localCheckpoint()
+    val m = knNModelOfCounts(merged, 5)
+    m.q(5)
+      .withColumn("p_kn", col("q5").cast("double") / lit(KnQ.toDouble))
+      .orderBy(keys.map(col): _*)
+  }
 
   // ---- order-n DuckDB oracle (generated for the same recursion) ----
 
@@ -2854,6 +2888,7 @@ object TextOps {
     "text_kn3_score" -> (kn3Score _),
     "text_kn5_train" -> (kn5LmTrain _),
     "text_kn5_score" -> (kn5Score _),
+    "text_kn5_incremental" -> (kn5Incremental _),
     "text_kn3_score_bucketed" -> (kn3ScoreBucketed _),
     "text_dup_spans" -> (dupSpans _),
     "text_normalize_nfc" -> (normalizeNfc _),
@@ -2896,6 +2931,8 @@ object TextOps {
     "text_kn3_score" -> kn3ScoreSql,
     "text_kn5_train" -> knNLmTrainSql(5),
     "text_kn5_score" -> knNScoreSql(5),
+    // incremental ≡ retrain: the oracle IS the full-corpus order-5 training SQL
+    "text_kn5_incremental" -> knNLmTrainSql(5),
     // the bucketed-layout variant computes the IDENTICAL scores
     "text_kn3_score_bucketed" -> kn3ScoreSql,
     "text_dup_spans" -> dupSpansSql,

@@ -661,10 +661,11 @@ object Streams {
     *  - admission is then the pure predicate `cum_before < budget` — no
     *    state row per document anywhere.
     *
-    * The carried scalar lives in a driver map keyed by batchId, so a
-    * same-run micro-batch REPLAY re-reads its original offset
-    * (idempotent); a restartable deployment persists that one scalar per
-    * committed batch next to the sink — it is also recoverable from the
+    * The carried scalar is PERSISTED per batchId as a one-line file next
+    * to the sink before the batch's rows are written: a same-run replay
+    * OR a cross-restart replay of batch k re-reads k's recorded start
+    * offset instead of re-deriving it (exactly-once composition with the
+    * engine's batchId-replay contract); it is also recoverable from the
     * sink itself as max(cum_before + n_tok) over committed batches.
     * Cross-batch ORDER is the artifact's range-sorted shard contract
     * (arrival order = global admission order), which
@@ -681,15 +682,26 @@ object Streams {
       budget: Long,
       outCols: Seq[String],
       hop: String): DataFrame = {
-    val offsets = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
     @volatile var carried = 0L
     val outDir = s"$hop/admitted"
+    val offDir = java.nio.file.Paths.get(hop, "admit_offsets")
+    java.nio.file.Files.createDirectories(offDir)
+    // replay-idempotent carried offset: batch k's start offset is recorded
+    // once, read back on any replay of k (same run or after a restart)
+    def offsetFor(batchId: Long): Long = {
+      val f = offDir.resolve(s"batch-$batchId")
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.readString(f).trim.toLong
+      else {
+        java.nio.file.Files.writeString(f, carried.toString)
+        carried
+      }
+    }
     val staged = stage(spark.readStream.schema(srcSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir))
     val q = staged.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val off = Option(offsets.putIfAbsent(batchId, carried))
-          .map(_.longValue).getOrElse(carried)
+        val off = offsetFor(batchId)
         val (withCum, totals) = graft.ext.SamplingOps.bucketedCumBefore(
           batch.toDF(), orderCol, "n_tok", descending)
         withCum

@@ -241,6 +241,7 @@ class PlanSpec extends SparkSpec {
       "text_kn3_train", "text_kn3_score", // 1-row (y,z)-type total (N1+(··)) broadcast, one order up
       "text_kn3_score_bucketed", // same kn3Apply tail (1-row N1+(··) broadcast); model side reads buckets
       "text_kn5_train", "text_kn5_score", // 1-row order-1 total (den1) broadcast, the order-n ladder
+      "text_kn5_incremental", // same ladder tail off the merged counts
       "sim_clustered_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(executesOnBuild)
