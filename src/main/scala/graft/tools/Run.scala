@@ -174,17 +174,23 @@ object Run {
     * event signatures and outputs against it at schema-compile time. */
   private[graft] def fetchAbi(configDir: String, opts: Opts): Unit = {
     val addr = opts.abiAddress.getOrElse(sys.error(
-      "abi subcommand needs a contract address: abi <address> --registry <dir>"))
+      "abi subcommand needs a contract address: abi <address> --registry <dir|url>"))
     val reg = opts.registry.getOrElse(sys.error(
-      "abi: no --registry <dir> — this build has no egress, so the Etherscan-style " +
-        "fetch resolves from a local registry directory (one <address>.json per contract)"))
-    val candidates = Seq(addr, addr.toLowerCase).distinct.map(a => Paths.get(reg, s"$a.json"))
-    val src = candidates.find(Files.exists(_)).getOrElse(sys.error(
-      s"abi: address $addr not in registry $reg (looked for " +
-        s"${candidates.map(_.getFileName).mkString(", ")})"))
-    val body = Files.readString(src)
+      "abi: no --registry <dir|url> — a directory resolves locally (one <address>.json " +
+        "per contract); an http(s) URL fetches Etherscan-style (getabi)"))
+    val body =
+      if (reg.startsWith("http://") || reg.startsWith("https://")) fetchAbiHttp(reg, addr)
+      else {
+        val candidates =
+          Seq(addr, addr.toLowerCase).distinct.map(a => Paths.get(reg, s"$a.json"))
+        val src = candidates.find(Files.exists(_)).getOrElse(sys.error(
+          s"abi: address $addr not in registry $reg (looked for " +
+            s"${candidates.map(_.getFileName).mkString(", ")})"))
+        Files.readString(src)
+      }
     val events = graft.model.AbiSchema.parse(body)
-    require(events.nonEmpty, s"abi: $src parses but declares no events — not a usable ABI")
+    require(events.nonEmpty,
+      s"abi: $reg/$addr parses but declares no events — not a usable ABI")
     val dest = opts.out.map(Paths.get(_)).getOrElse {
       Files.createDirectories(Paths.get(configDir, "abis"))
       Paths.get(configDir, "abis", s"${addr.toLowerCase}.json")
@@ -194,6 +200,47 @@ object Run {
     println(s"abi written $dest")
     events.foreach(e => println(
       s"  event ${e.name}(${e.inputs.map(i => s"${i.solType} ${i.name}").mkString(", ")})"))
+  }
+
+  /** The Etherscan-style HTTP leg of the `abi` fetch (reference
+    * ROADMAP.md:56 — "getting ABIs from etherscan and the like"): GET
+    * `<url>?module=contract&action=getabi&address=<addr>`, bounded retry
+    * on transport failures/5xx, and the standard response envelope
+    * unwrapped ({"status":"1","result":"<abi-json-string>"}); a raw ABI
+    * array body is accepted as-is (a plain file server works too). The
+    * spec drives this against a loopback fixture; production points it at
+    * the real explorer API — nothing here changes. */
+  private def fetchAbiHttp(url: String, addr: String): String = {
+    import org.json4s._
+    val http = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+      s"$url?module=contract&action=getabi&address=$addr")).GET().build()
+    var attempt = 0
+    var body: String = null
+    while (body == null) {
+      val resp: Either[Throwable, java.net.http.HttpResponse[String]] =
+        try Right(http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()))
+        catch { case e: java.io.IOException => Left(e) }
+      resp match {
+        case Right(r) if r.statusCode() == 200 => body = r.body()
+        case failed =>
+          attempt += 1
+          if (attempt > 3) failed match {
+            case Left(e) => throw e
+            case Right(r) => sys.error(s"abi: $url answered HTTP ${r.statusCode()} " +
+              s"for $addr after 3 retries")
+          }
+          Thread.sleep(50L << (attempt - 1))
+      }
+    }
+    org.json4s.jackson.JsonMethods.parseOpt(body) match {
+      case Some(o: JObject) => (o \ "result", o \ "status") match {
+        case (JString(inner), JString("1")) => inner
+        case (JString(msg), _) => sys.error(s"abi: registry rejected $addr: $msg")
+        case _ => body
+      }
+      case _ => body
+    }
   }
 
   /** Resolve one configured chain endpoint to an event-store location: a

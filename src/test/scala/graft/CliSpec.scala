@@ -349,4 +349,51 @@ class CliSpec extends SparkSpec {
       Run.run(Array("abi", "0xAbC1", "--config-dir", dir)))
     assert(seam.getMessage.contains("--registry"))
   }
+
+  test("abi subcommand fetches over HTTP: Etherscan envelope, retry, rejection (r11)") {
+    val dir = writeConfigDir()
+    val abi =
+      """[{"type":"event","name":"purchase","inputs":[
+        |   {"name":"value","type":"uint256","indexed":false}]}]""".stripMargin
+    // Etherscan getabi envelope: the ABI rides as a JSON STRING in `result`
+    val envelope = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+        "status" -> org.json4s.JString("1"),
+        "message" -> org.json4s.JString("OK"),
+        "result" -> org.json4s.JString(abi))))
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var lastQuery: String = ""
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val n = requests.incrementAndGet()
+      lastQuery = ex.getRequestURI.getQuery
+      val (status, body) =
+        if (n <= 2) (500, "transient") // first two answers fail: retry path
+        else if (lastQuery.contains("address=0xdead"))
+          (200, """{"status":"0","message":"NOTOK","result":"Contract source code not verified"}""")
+        else (200, envelope)
+      val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      // succeeds THROUGH the two injected 500s, unwraps the envelope,
+      // validates with the decode parser, writes the abis/ file
+      Run.run(Array("abi", "0xAbC1", "--config-dir", dir, "--registry", url))
+      val out = Paths.get(dir, "abis", "0xabc1.json")
+      assert(Files.exists(out))
+      assert(graft.model.AbiSchema.parse(Files.readString(out)).map(_.name) == Seq("purchase"))
+      assert(requests.get() >= 3, "the injected 500s were not retried through")
+      assert(lastQuery.contains("module=contract") && lastQuery.contains("action=getabi")
+        && lastQuery.contains("address=0xAbC1"), s"unexpected query: $lastQuery")
+      // an explorer rejection surfaces its message, loudly
+      val rej = intercept[RuntimeException](
+        Run.run(Array("abi", "0xdead", "--config-dir", dir, "--registry", url)))
+      assert(rej.getMessage.contains("not verified"), rej.getMessage)
+    } finally server.stop(0)
+  }
 }
