@@ -708,14 +708,22 @@ object Streams {
           .withColumn("cum_before", col("cum_before") + lit(off))
           .withColumn("keep", col("cum_before") < lit(budget))
           .select(outCols.map(col): _*)
-          .write.mode("append").parquet(outDir)
+          // batchId-keyed OVERWRITE, not a blind append: foreachBatch
+          // replays whole batches, and an append sink would duplicate the
+          // replayed rows — per-batch dirs make the replay a no-op rewrite
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
         val t = totals.collect()(0) // 1 row always; null total on an empty batch
         carried = off + (if (t.isNullAt(0)) 0L else t.getLong(0))
         ()
     }.option("checkpointLocation", s"$hop/ckAdmit")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    // explicit batch-dir paths (a glob makes the reader probe the pattern
+    // itself as a streaming-sink metadata path and log a spurious WARN)
+    val batchDirs = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.getAbsolutePath).sorted
+    spark.read.parquet(batchDirs.toIndexedSeq: _*)
   }
 
   /** Streaming CCNet mix END-TO-END — score → tertile → budget admission
