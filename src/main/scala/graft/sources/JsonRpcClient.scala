@@ -149,7 +149,10 @@ object JsonRpcClient {
 
   /** Process-global min-interval token gate per endpoint: each call claims
     * the next free slot atomically and sleeps until it. Partition readers
-    * in one executor share the budget. */
+    * in one executor share the budget. Idle time banks AT MOST one
+    * interval of credit (a naive next-free counter left behind by an idle
+    * period would let a later burst fire unthrottled until the banked
+    * credit drained — not what a server-side limiter allows). */
   private val nextFreeAt = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
   private def rateGate(endpoint: String, ratePerSec: Double): Unit = {
@@ -157,7 +160,13 @@ object JsonRpcClient {
     val intervalNs = (1e9 / ratePerSec).toLong
     val slot = nextFreeAt.computeIfAbsent(endpoint,
       _ => new java.util.concurrent.atomic.AtomicLong(System.nanoTime()))
-    val mine = slot.getAndAdd(intervalNs)
+    var mine = 0L
+    var claimed = false
+    while (!claimed) {
+      val cur = slot.get()
+      mine = math.max(cur, System.nanoTime() - intervalNs)
+      claimed = slot.compareAndSet(cur, mine + intervalNs)
+    }
     val wait = mine - System.nanoTime()
     if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
   }
