@@ -54,6 +54,32 @@ object EvmLogs {
 
   val topics: Array[String] = Array("Transfer", "Swap", "Sync", "Mint")
 
+  // ---- deterministic contract STATE (the eth_call surface) ----
+  // The replay server answers `eth_call`/`eth_getBlockByNumber` from these
+  // pure functions, so the method-caller transport (JsonRpcClient.ethCall,
+  // reference cached_client.go:72-91 + methods.go:75-146) executes
+  // end-to-end in the zero-egress sandbox and specs can assert the decoded
+  // values against the same functions.
+
+  /** ERC20 selectors the reference's generated bindings call
+    * (bindings/erc20: decimals 0x313ce567, symbol 0x95d89b41,
+    * totalSupply 0x18160ddd). */
+  val SelDecimals = "0x313ce567"
+  val SelSymbol = "0x95d89b41"
+  val SelTotalSupply = "0x18160ddd"
+
+  /** Header timestamp: 12-second block cadence from a fixed genesis. */
+  def blockTime(block: Long): Long = 1700000000L + block * 12L
+
+  /** Immutable per-contract metadata (the calls the LRU cache keys on
+    * contract-only). */
+  def decimalsOf(addr: Long): Int = (6 + java.lang.Math.floorMod(addr, 13L)).toInt
+  def symbolOf(addr: Long): String = "TKN" + java.lang.Math.floorMod(addr, 1000L)
+
+  /** Per-(contract, block) state — the sampled quantity an S5 grid reads. */
+  def totalSupplyAt(addr: Long, block: Long): BigInt =
+    BigInt(java.lang.Math.floorMod(addr * 1000003L + block * 31L + 7L, 1000000007L))
+
   /** Deterministic stand-in for eth_getLogs on one block. */
   def fetchBlockLogs(block: Long): Seq[(Long, String, String, Long, String, Double)] = {
     val mix = block * 2654435761L

@@ -22,8 +22,11 @@ final case class JsonRpcException(code: Long, message: String)
   * side is the production path: a real `java.net.http` POST per call,
   * real retry/backoff on transport failures and 5xx, a real shared
   * token gate for the rate limit, and the real split recursion driven by
-  * the server's own error responses. Production points `endpoint` at a
-  * live node and nothing here changes.
+  * the server's own error responses. Quantities decode unsigned (full
+  * u64 via parseUnsignedLong; 160/256-bit fields via BigInt), so a live
+  * node's responses parse; what IS fixture-scoped is the log VALUE codec
+  * (`data` = one uint word of exact cents — a real deployment decodes
+  * `data` per the event's ABI, [[graft.functions.EvmKernels]]).
   *
   * Threading: one instance is cheap (the underlying HttpClient pools);
   * the RATE GATE is process-global per endpoint, shared across partition
@@ -93,6 +96,86 @@ final class JsonRpcClient(
   def blockNumber(): Long =
     JsonRpcClient.hexToLong(call("eth_blockNumber", JArray(Nil)))
 
+  // ---- the method-caller seam (reference cached_client.go:72-91
+  // CallContract + methods.go:75-146 callMethod) ------------------------
+
+  /** LRU request cache, the reference's `lru.New(8192)`: immutable ERC20
+    * metadata calls (`decimals()` 0x313ce567, `symbol()` 0x95d89b41) key
+    * on (to, selector) ONLY — one wire call per contract ever — while
+    * everything else keys on (to, calldata, block)
+    * (genCallKey, cached_client.go:55-69). */
+  private val callCache = new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean = size() > 8192
+  }
+  private val headerCache = new java.util.LinkedHashMap[Long, Long](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Long, Long]): Boolean = size() > 8192
+  }
+  /** Wire-call / cache-hit counters (the reference's internal stats) —
+    * specs assert the caching contract off these. */
+  val contractCallRequests = new java.util.concurrent.atomic.AtomicLong(0)
+  val headerRequests = new java.util.concurrent.atomic.AtomicLong(0)
+  val cacheHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def callKey(to: Long, data: String, block: Option[Long]): String = {
+    val sel = data.stripPrefix("0x").take(8).toLowerCase
+    if (sel == "313ce567" || sel == "95d89b41") s"$to:$sel"
+    else s"$to:$data:${block.fold("latest")(_.toString)}"
+  }
+
+  /** `eth_call` of ABI-packed calldata against `to` at `block` (None =
+    * latest), returning the raw hex return data. Cached per the
+    * immutable-key policy above; cache hits never touch the wire. */
+  def ethCall(to: Long, data: String, block: Option[Long]): String = {
+    val key = callKey(to, data, block)
+    callCache.synchronized(Option(callCache.get(key))) match {
+      case Some(hit) => cacheHits.incrementAndGet(); hit
+      case None =>
+        contractCallRequests.incrementAndGet()
+        val msg = JObject(
+          "to" -> JString(JsonRpcClient.hex(to)),
+          "data" -> JString(data))
+        val tag = block.fold("latest")(JsonRpcClient.hex)
+        val raw = JsonRpcClient.str(call("eth_call", JArray(List(msg, JString(tag)))))
+        callCache.synchronized(callCache.put(key, raw))
+        raw
+    }
+  }
+
+  /** Typed `eth_call`s the reference's callMethod issues: one uint word
+    * out (totalSupply/decimals-shaped)… */
+  def ethCallUint(to: Long, data: String, block: Option[Long]): BigInt =
+    JsonRpcClient.hexToBigInt(JString(ethCall(to, data, block)))
+
+  /** …and a dynamic string out (symbol/name-shaped): standard ABI head
+    * (offset word, length word, padded bytes). Return data shorter than
+    * the two head words is LEFT-padded to 64 bytes first — the
+    * reference's short-slice repair (methods.go:103-110). */
+  def ethCallString(to: Long, data: String, block: Option[Long]): String = {
+    var h = ethCall(to, data, block).stripPrefix("0x")
+    if (h.length < 128) h = ("0" * (128 - h.length)) + h
+    val off = BigInt(h.substring(0, 64), 16).toInt * 2
+    val len = BigInt(h.substring(off, off + 64), 16).toInt
+    val bytes = h.substring(off + 64, off + 64 + len * 2)
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Block header timestamp (`eth_getBlockByNumber`), LRU-cached — the
+    * reference's HeaderByNumber + headerCache (cached_client.go:93-111);
+    * callMethod attaches it to every method row (methods.go:123-131). */
+  def blockTimestamp(block: Long): Long = {
+    headerCache.synchronized(Option(headerCache.get(block))) match {
+      case Some(hit) => cacheHits.incrementAndGet(); hit
+      case None =>
+        headerRequests.incrementAndGet()
+        val header = call("eth_getBlockByNumber",
+          JArray(List(JString(JsonRpcClient.hex(block)), JBool(false))))
+        val ts = JsonRpcClient.hexToLong(header \ "timestamp")
+        headerCache.synchronized(headerCache.put(block, ts))
+        ts
+    }
+  }
+
   /** `eth_getLogs` over the inclusive-exclusive [from, until) range with
     * the PUSHED filters in the request itself (address set + topic0 —
     * the predicates events.go:39,65 narrows the fetch with). On the
@@ -117,12 +200,17 @@ final class JsonRpcClient(
           case JArray(ts) => ts.collect { case JString(s) => s }
           case _ => Nil
         }
+        // address (160-bit) and data (256-bit) decode via BigInt — never a
+        // parse failure on a real node — then TRUNCATE into the connector's
+        // Long-keyed schema: address keeps its low 64 bits (exact for the
+        // fixture's small-int address space), data through the fixture's
+        // cents codec (a real deployment ABI-decodes data per event instead)
         (JsonRpcClient.hexToLong(lg \ "blockNumber"),
           JsonRpcClient.str(lg \ "blockHash"),
           JsonRpcClient.str(lg \ "transactionHash"),
-          JsonRpcClient.hexToLong(lg \ "address"),
+          JsonRpcClient.hexToBigInt(lg \ "address").longValue,
           topics.headOption.getOrElse(""),
-          JsonRpcClient.hexToLong(lg \ "data") / 100.0)
+          JsonRpcClient.hexToBigInt(lg \ "data").longValue / 100.0)
       }
     } catch {
       // -32005: "query returned more than N results" — split and recurse
@@ -135,14 +223,31 @@ final class JsonRpcClient(
 
 object JsonRpcClient {
   def hex(v: Long): String = "0x" + java.lang.Long.toHexString(v)
+
+  /** 64-bit wire quantity (block numbers, timestamps): UNSIGNED parse —
+    * a real node's full-u64 values decode instead of throwing on bit 63. */
   def hexToLong(j: JValue): Long = j match {
-    case JString(s) if s.startsWith("0x") => java.lang.Long.parseLong(s.drop(2), 16)
+    case JString(s) if s.startsWith("0x") || s.startsWith("0X") =>
+      java.lang.Long.parseUnsignedLong(s.drop(2), 16)
     case JString(s) => s.toLong
     case JInt(i) => i.toLong
     case JLong(l) => l
     case other => sys.error(s"json-rpc: expected hex quantity, got $other")
   }
-  private def str(j: JValue): String = j match {
+
+  /** Arbitrary-width wire quantity (160-bit addresses, 256-bit data
+    * words): decoded exactly — no Long overflow on real-node responses. */
+  def hexToBigInt(j: JValue): BigInt = j match {
+    case JString(s) if s.startsWith("0x") || s.startsWith("0X") =>
+      val h = s.drop(2)
+      if (h.isEmpty) BigInt(0) else BigInt(h, 16)
+    case JString(s) => BigInt(s)
+    case JInt(i) => i
+    case JLong(l) => BigInt(l)
+    case other => sys.error(s"json-rpc: expected hex quantity, got $other")
+  }
+
+  private[sources] def str(j: JValue): String = j match {
     case JString(s) => s
     case other => other.toString
   }

@@ -26,6 +26,13 @@ final class JsonRpcReplayServer(
   val requests = new java.util.concurrent.atomic.AtomicInteger(0)
   val getLogsCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   val tooManyRejections = new java.util.concurrent.atomic.AtomicInteger(0)
+  val ethCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val headerCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** eth_call wire hits per 4-byte selector — the counter the
+    * immutable-key caching specs read (one decimals() per contract EVER
+    * must hold on the wire, not just in client counters). */
+  val ethCallsBySelector = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
   @volatile var lastGetLogsFilter: JValue = JNothing
 
   private val server = com.sun.net.httpserver.HttpServer.create(
@@ -76,6 +83,44 @@ final class JsonRpcReplayServer(
     }.toList)
   }
 
+  // ---- ABI result encoding (the node side of abi.Unpack) ----
+  private def abiUint(v: BigInt): String = {
+    val h = v.toString(16)
+    "0x" + ("0" * (64 - h.length)) + h
+  }
+  private def abiString(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val hexData = bytes.map(b => f"${b & 0xff}%02x").mkString
+    val padded = hexData + "0" * ((64 - hexData.length % 64) % 64)
+    "0x" + abiUint(BigInt(32)).drop(2) + abiUint(BigInt(bytes.length)).drop(2) + padded
+  }
+
+  /** Deterministic contract state — answers eth_call from the SAME pure
+    * functions the stub chain uses, so decoded values are assertable. */
+  private def callResult(params: JValue): JValue = {
+    val msg = params match { case JArray(m :: _) => m; case _ => JNothing }
+    val blockTag = params match {
+      case JArray(_ :: JString(t) :: _) => t
+      case _ => "latest"
+    }
+    val addr = hexToLong(msg \ "to")
+    val data = msg \ "data" match { case JString(d) => d.toLowerCase; case _ => "" }
+    val block = if (blockTag == "latest") tip else hexToLong(JString(blockTag))
+    val sel = "0x" + data.stripPrefix("0x").take(8)
+    ethCallsBySelector.computeIfAbsent(sel,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0)).incrementAndGet()
+    sel match {
+      case graft.sources.EvmLogs.SelDecimals =>
+        JString(abiUint(BigInt(graft.sources.EvmLogs.decimalsOf(addr))))
+      case graft.sources.EvmLogs.SelSymbol =>
+        JString(abiString(graft.sources.EvmLogs.symbolOf(addr)))
+      case graft.sources.EvmLogs.SelTotalSupply =>
+        JString(abiUint(graft.sources.EvmLogs.totalSupplyAt(addr, block)))
+      case other =>
+        throw new JsonRpcReplayServer.RpcReject(-32000, s"execution reverted: $other")
+    }
+  }
+
   server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
     val n = requests.incrementAndGet()
     val bodyIn = new String(ex.getRequestBody.readAllBytes(),
@@ -102,6 +147,19 @@ final class JsonRpcReplayServer(
               }
               lastGetLogsFilter = filter
               (200, ok(logsFor(filter)))
+            case "eth_call" =>
+              ethCalls.incrementAndGet()
+              (200, ok(callResult(req \ "params")))
+            case "eth_getBlockByNumber" =>
+              headerCalls.incrementAndGet()
+              val b = req \ "params" match {
+                case JArray(JString("latest") :: _) => tip
+                case JArray(t :: _) => hexToLong(t)
+                case _ => tip
+              }
+              (200, ok(JObject(
+                "number" -> JString(hex(b)),
+                "timestamp" -> JString(hex(graft.sources.EvmLogs.blockTime(b))))))
             case m => (200, err(-32601, s"method not found: $m"))
           }
         } catch {
