@@ -173,6 +173,89 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "multi-batch streaming admission diverged from the batch mix")
   }
 
+  // ---- cluster-portability of the admission seam (r11 verdict 2/8):
+  // the order contract is the __shard manifest column, NOT file mtimes,
+  // and offsets are pure functions — so scrambled mtimes, any arrival
+  // order, and mid-run crashes all converge to the same output ----
+
+  /** Sequential reference admission over (v asc, doc_id) — the ground
+    * truth the distributed seam must reproduce exactly. */
+  private def sequentialAdmit(rows: Seq[(Long, Long)], budget: Long): Seq[(Long, Long, Boolean)] = {
+    var cum = 0L
+    rows.sortBy(_._1).map { case (id, tok) =>
+      val r = (id, cum, cum < budget); cum += tok; r
+    }
+  }
+
+  test("admission order contract survives a filesystem that scrambles mtimes (r11 verdict 2)") {
+    import spark.implicits._
+    val hop = java.nio.file.Files.createTempDirectory("admit_mtime").toString
+    Streams.deleteOnShutdown(hop)
+    val data = (1L to 400L).map(i => (i, 1L + (i * 7) % 23)).toDF("doc_id", "n_tok")
+    Streams.writeRangeSortedShards(data, s"$hop/src", 4, col("doc_id"))
+    // simulate a store with NO mtime order (HDFS/S3 granularity, rewrites,
+    // copies): stamp mtimes in REVERSE shard order — under the retired
+    // mtime contract the file source would replay newest-range-first and
+    // every offset would be wrong
+    val files = new java.io.File(s"$hop/src").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L - i * 60000L))
+    }
+    val budget = 2000L
+    val got = Streams.admitByBudget(spark, s"$hop/src", identity,
+      orderCol = "doc_id", descending = false, budget = budget,
+      outCols = Seq("doc_id", "n_tok", "cum_before", "keep"), hop = hop)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    val want = sequentialAdmit((1L to 400L).map(i => (i, 1L + (i * 7) % 23)), budget)
+    assert(got == want, "scrambled mtimes changed the admission result")
+    Streams.deleteRecursively(new java.io.File(hop))
+  }
+
+  test("admission resumes after a mid-run crash — restart ≡ single uninterrupted run (r11 verdict 8)") {
+    import spark.implicits._
+    val data = (1L to 400L).map(i => (i, 1L + (i * 13) % 31))
+    val budget = 2500L
+    def run(hop: String, crashAfter: Int): Option[Seq[(Long, Long, Boolean)]] =
+      try Some(Streams.admitByBudget(spark, s"$hop/src", identity,
+        orderCol = "doc_id", descending = false, budget = budget,
+        outCols = Seq("doc_id", "n_tok", "cum_before", "keep"), hop = hop,
+        crashAfterBatches = crashAfter)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1).toSeq)
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => None }
+    val hop = java.nio.file.Files.createTempDirectory("admit_crash").toString
+    Streams.deleteOnShutdown(hop)
+    Streams.writeRangeSortedShards(data.toDF("doc_id", "n_tok"), s"$hop/src", 4, col("doc_id"))
+    // run 1 crashes after 2 of 4 batches (the 2nd batch's output IS
+    // written, then the engine dies before committing — a replay case)
+    assert(run(hop, crashAfter = 2).isEmpty, "the injected crash did not surface")
+    // run 2: same hop + checkpoint — resumes, replays the uncommitted
+    // batch idempotently (shard-keyed overwrite), finishes the rest; the
+    // offsets re-derive from the manifest with no carried state to lose
+    val resumed = run(hop, crashAfter = Int.MaxValue)
+      .getOrElse(fail("restart did not complete"))
+    assert(resumed == sequentialAdmit(data, budget),
+      "crash+resume diverged from the uninterrupted admission")
+    Streams.deleteRecursively(new java.io.File(hop))
+  }
+
+  test("admission of an artifact whose staged set is EMPTY returns a typed empty frame (r11 advice)") {
+    import spark.implicits._
+    val hop = java.nio.file.Files.createTempDirectory("admit_empty").toString
+    Streams.deleteOnShutdown(hop)
+    val data = (1L to 40L).map(i => (i, 5L)).toDF("doc_id", "n_tok")
+    Streams.writeRangeSortedShards(data, s"$hop/src", 2, col("doc_id"))
+    val got = Streams.admitByBudget(spark, s"$hop/src",
+      st => st.where(col("doc_id") < 0), // stages every row out
+      orderCol = "doc_id", descending = false, budget = 100L,
+      outCols = Seq("doc_id", "n_tok", "cum_before", "keep"), hop = hop)
+    assert(got.columns.toSeq == Seq("doc_id", "n_tok", "cum_before", "keep"))
+    assert(got.count() == 0)
+    Streams.deleteRecursively(new java.io.File(hop))
+  }
+
   test("streaming filter pushes the signature predicate per micro-batch") {
     val streamed = runToMemory(
       Streams.eventStream(spark, sf, Some("purchase"))
