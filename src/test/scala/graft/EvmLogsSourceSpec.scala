@@ -323,6 +323,60 @@ class EvmLogsSourceSpec extends SparkSpec {
     }
   }
 
+  // ---- the PUSH transport: eth_subscribe over a real websocket
+  // (round-11 verdict item 5 — the reference's realtime mode,
+  // events.go:253-268) ----
+
+  test("push transport: log rows arrive over a real websocket eth_subscribe") {
+    val srv = new WsReplayServer()
+    try {
+      val sub = new graft.sources.EvmSubscription(
+        srv.url, topic = Some("Swap"), subscribeLogs = true)
+      try {
+        assert(sub.awaitSubscribed(), "subscriptions were not confirmed")
+        srv.advanceTip(29)
+        val expected = (0L to 29L).flatMap(EvmLogs.fetchBlockLogs)
+          .filter(_._5 == "Swap").sortBy(r => (r._1, r._3))
+        val deadline = System.nanoTime() + 10000000000L
+        while (sub.pushedLogs.size < expected.size && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        import scala.jdk.CollectionConverters._
+        assert(sub.pushedLogs.asScala.toSeq.sortBy(r => (r._1, r._3)) == expected,
+          "pushed log rows diverge from the chain")
+        assert(sub.head == 29L, "newHeads pushes did not advance the head")
+      } finally sub.close()
+    } finally srv.stop()
+  }
+
+  test("push transport: streaming offsets ride pushed newHeads — the head is never polled") {
+    val ws = new WsReplayServer()
+    val http = new JsonRpcReplayServer()
+    try {
+      val q = spark.readStream.format("graft.sources.EvmLogsProvider")
+        .option("start", 0).option("end", 1000).option("blocksPerBatch", 50)
+        .option("endpoint", http.url).option("wsEndpoint", ws.url)
+        .load()
+        .writeStream.format("memory").queryName("evmpush").start()
+      try {
+        // wait for the driver's subscription to register, then push the head
+        val deadline = System.nanoTime() + 10000000000L
+        while (ws.subscribeRequests.get() < 1 && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        assert(ws.subscribeRequests.get() >= 1, "the source never subscribed")
+        ws.advanceTip(99)
+        q.processAllAvailable()
+        val got = spark.table("evmpush")
+        assert(got.select("blocknumber").distinct().count() == 100,
+          "pushed head did not admit exactly blocks [0, 100)")
+        // offsets came off the PUSH channel: rows were fetched over HTTP
+        // (replayable ranged eth_getLogs) but eth_blockNumber never ran
+        assert(http.requests.get() == http.getLogsCalls.get(),
+          s"the head was polled over HTTP: ${http.requests.get()} requests vs " +
+            s"${http.getLogsCalls.get()} eth_getLogs")
+      } finally q.stop()
+    } finally { ws.stop(); http.stop() }
+  }
+
   test("live transport: LIMIT stops fetching — far fewer wire calls than a full scan") {
     withServer(new JsonRpcReplayServer()) { srv =>
       val few = logs(Map("endpoint" -> srv.url, "fetchChunk" -> "10", "parts" -> "1"))
