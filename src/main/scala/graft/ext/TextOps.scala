@@ -2583,14 +2583,30 @@ object TextOps {
 
   /** Ladder build from an already-materialized count table — shared by
     * full training/scoring and the INCREMENTAL path (merged counts), so
-    * incremental ≡ retrain is the same code fed different counts. */
-  private[graft] def knNModelOfCounts(an: DataFrame, n: Int): KnNModel = {
+    * incremental ≡ retrain is the same code fed different counts.
+    *
+    * `stageDir`: when set, the LARGE adjusted-count rollups (order ≥ 4)
+    * materialize as compressed parquet under it instead of
+    * `localCheckpoint` — checkpoint row-blocks are uncompressed row blobs
+    * and the a(5)/a(4) frames at the 1000× store blow the local-disk
+    * budget (the r11 environment bound; round-11 verdict item 4). The
+    * small orders stay checkpointed (row blobs re-read faster for
+    * narrow/small frames — SCALING.md r10.1's lc-vs-columnar split). */
+  private[graft] def knNModelOfCounts(
+      an: DataFrame, n: Int, stageDir: Option[String] = None): KnNModel = {
     require(n >= 2, s"kn ladder needs order >= 2, got $n")
+    def materialize(df: DataFrame, k: Int): DataFrame = stageDir match {
+      case Some(dir) if k >= 4 =>
+        val p = s"$dir/a$k"
+        df.write.mode("overwrite").parquet(p)
+        an.sparkSession.read.parquet(p)
+      case _ => df.localCheckpoint()
+    }
     val a = new Array[DataFrame](n + 1)
     a(n) = an
     for (k <- n - 1 to 1 by -1)
-      a(k) = a(k + 1).groupBy(knSuffixCols(n, k).map(col): _*)
-        .agg(count(lit(1)).as("a")).localCheckpoint()
+      a(k) = materialize(a(k + 1).groupBy(knSuffixCols(n, k).map(col): _*)
+        .agg(count(lit(1)).as("a")), k)
     val den1 = a(1).agg(sum(col("a")).cast("long").as("den1"))
     val d = new Array[DataFrame](n + 1)
     for (k <- 2 to n)
@@ -2728,7 +2744,19 @@ object TextOps {
     if (fs.exists(dbLoc)) fs.delete(dbLoc, true)
     spark.sql(s"CREATE DATABASE $db")
     val docs = Tables.documents(spark, sfDir)
-    val m = knNModelOf(docs.where(col("lang") === "en"), 5)
+    val en = docs.where(col("lang") === "en")
+    // disk-bounded landing (round-11 verdict item 4, env-gated for the
+    // big-store probes): the order-5 corpus rollup and the large adjusted
+    // counts STAGE as compressed parquet inside the model database
+    // instead of localCheckpoint row-blocks — the staged files drop with
+    // the database; the gate default keeps the (faster at small stores)
+    // checkpoint path.
+    val m =
+      if (sys.env.get("SPARK_GRAFT_KN5_LAND_COUNTS").contains("1")) {
+        val stage = s"$dbLoc/stage"
+        knNCountsOf(en, 5).write.mode("overwrite").parquet(s"$stage/a5")
+        knNModelOfCounts(spark.read.parquet(s"$stage/a5"), 5, Some(stage))
+      } else knNModelOf(en, 5)
     // PER-ORDER store-sized bucket counts (round-11 verdict item 3) off
     // the already-checkpointed count ladder: a(k).count() IS the landed
     // q(k) row count, and each order falls ~a Heaps decade — one knob for

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Model-size probe for the landed-LM bucket sizing (round-11 verdict
+  * item 3): prints, per store, the kn3 model row count (en trigram
+  * types), the kn5 top-order count (en 5-gram types), and the bucket
+  * count [[graft.ext.TextOps.modelBuckets]] derives from each — the
+  * numbers behind the SCALING.md parity row for the
+  * hand-tuned-vs-derived comparison.
+  *
+  * Usage: `runMain graft.tools.KnCounts <sfDir> [sfDir...]`
+  */
+object KnCounts {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: KnCounts <sfDir> [sfDir...]")
+    val spark = SparkSession.builder()
+      .appName("graft-kn-counts")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    println("| store | kn3 types | kn3 buckets | kn5 types | kn5 buckets |")
+    println("|---|---|---|---|---|")
+    args.foreach { dir =>
+      val en = graft.Tables.documents(spark, dir).where(col("lang") === "en")
+      val n3 = graft.ext.TextOps.knNCountsOf(en, 3).count()
+      val n5 = graft.ext.TextOps.knNCountsOf(en, 5).count()
+      val b3 = graft.ext.TextOps.modelBuckets(n3, "GRAFT_NO_SUCH_ENV")
+      val b5 = graft.ext.TextOps.modelBuckets(n5, "GRAFT_NO_SUCH_ENV")
+      println(s"| $dir | $n3 | $b3 | $n5 | $b5 |")
+    }
+    spark.stop()
+  }
+}
