@@ -2505,14 +2505,21 @@ object TextOps {
     * up to a power of two, floored at 32 — sized off a count of the
     * already-materialized model frame, exactly how production sizes
     * shuffle partitions off the store. The env var stays as an override
-    * for probes. */
+    * for probes.
+    *
+    * Calibration (tools/KnCounts + the r11 hand-tuned walls): kn3 types
+    * measure 265k / 2.65M / 26.5M at sf1.0/sf10/sf100 (exactly 10× per
+    * decade in this store) and the measured-optimal bucket counts were
+    * 32 / 32 / 128 — i.e. ~83k–830k rows per bucket with the optimum
+    * near 200–400k. [[ModelBucketRows]] = 250k reproduces that pair
+    * exactly and keeps every landed order in the measured-good band. */
   private[graft] def modelBuckets(rows: Long, envKey: String): Int =
     sys.env.get(envKey).map(_.toInt).getOrElse {
       var b = 32
       while (b.toLong * ModelBucketRows < rows && b < 4096) b <<= 1
       b
     }
-  private[graft] val ModelBucketRows = 2000000L
+  private[graft] val ModelBucketRows = 250000L
 
   // ---------------------------------------------------------------------
   // Order-N INTERPOLATED Kneser-Ney — the nested fixed-point ladder
@@ -2726,7 +2733,16 @@ object TextOps {
     val landed = landLock(db).synchronized {
       kn5ModelCache.getOrElseUpdate((spark, db), {
         if (kn5ModelCache.size >= 4) kn5ModelCache.clear()
-        landKn5Model(spark, sfDir, db)
+        // CROSS-SESSION artifact reuse (env-gated): a landed model is a
+        // persisted trained artifact — when the operator asserts the
+        // corpus is unchanged (SPARK_GRAFT_KN5_REUSE_DB=1) and a complete
+        // landing exists, rebuild the model handle from the catalog
+        // instead of re-training. The default stays drop-and-reland:
+        // reuse against a CHANGED store would score with a stale LM,
+        // so it is an explicit operator assertion, not an inference.
+        if (sys.env.get("SPARK_GRAFT_KN5_REUSE_DB").contains("1"))
+          reuseKn5Model(spark, db).getOrElse(landKn5Model(spark, sfDir, db))
+        else landKn5Model(spark, sfDir, db)
       })
     }
     knNScoreOfGrams(knNDocGrams(Tables.documents(spark, sfDir), 5), landed)
@@ -2735,6 +2751,52 @@ object TextOps {
 
   private val kn5ModelCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), KnNModel]
+
+  /** Rebuilds the model handle from an EXISTING complete landing: the
+    * bucketed order-3..5 tables read from the catalog, the staged a5/a4
+    * parquet re-opened, the small orders (a3..a1, q2/q1, d2, den1 — all
+    * vocab-decade frames) re-derived from the staged counts in seconds.
+    * None when any piece is missing (fall back to a fresh landing). */
+  private def reuseKn5Model(spark: SparkSession, db: String): Option[KnNModel] = {
+    val tables = Seq("q5", "d5", "q4", "d4", "q3", "d3")
+    if (!spark.catalog.databaseExists(db) ||
+        !tables.forall(t => spark.catalog.tableExists(s"$db.$t"))) return None
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+    val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$dbLoc/stage"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/a5")) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/a4"))) return None
+    // the ≤3-order ladder re-derives from staged a4 (a Heaps decade below
+    // the corpus) — knNModelOfCounts would re-roll a4 from a5; roll the
+    // small tail directly instead
+    val a = new Array[DataFrame](6)
+    a(5) = spark.read.parquet(s"$stage/a5")
+    a(4) = spark.read.parquet(s"$stage/a4")
+    for (k <- 3 to 1 by -1)
+      a(k) = a(k + 1).groupBy(knSuffixCols(5, k).map(col): _*)
+        .agg(count(lit(1)).as("a")).localCheckpoint()
+    val den1 = a(1).agg(sum(col("a")).cast("long").as("den1")).localCheckpoint()
+    val d = new Array[DataFrame](6)
+    for (k <- 2 to 3)
+      d(k) = a(k).groupBy(knSuffixCols(5, k).dropRight(1).map(col): _*)
+        .agg(sum(col("a")).cast("long").as(s"den$k"), count(lit(1)).as(s"fan$k"))
+    val q = new Array[DataFrame](6)
+    q(1) = a(1).crossJoin(broadcast(den1))
+      .select(col("w5"), expr(s"(a * $KnQ) div den1").as("q1")).localCheckpoint()
+    q(2) = a(2).join(d(2), knSuffixCols(5, 2).dropRight(1))
+      .join(q(1), knSuffixCols(5, 1))
+      .select(knSuffixCols(5, 2).map(col) :+ expr(
+        s"((4*a - 3) * $KnQ) div (4*den2) + (3*fan2*q1) div (4*den2)").as("q2"): _*)
+      .localCheckpoint()
+    Some(KnNModel(5,
+      q = IndexedSeq(null, q(1), q(2),
+        spark.table(s"$db.q3"), spark.table(s"$db.q4"), spark.table(s"$db.q5")),
+      d = IndexedSeq(null, null, d(2).localCheckpoint(),
+        spark.table(s"$db.d3"), spark.table(s"$db.d4"), spark.table(s"$db.d5")),
+      den1 = den1,
+      a = a.toIndexedSeq))
+  }
 
   private def landKn5Model(spark: SparkSession, sfDir: String, db: String): KnNModel = {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
