@@ -77,4 +77,24 @@ object MethodCaller {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** One S6 poll tick over the wire: pins the node's CURRENT head
+    * (`eth_blockNumber`), fans out to the declared contracts, and calls
+    * every method at that pinned block — one tick, one consistent
+    * snapshot (the reference's ticker loop chainservice.go:173-179 +
+    * RunMethodCaller at `blockNumber = nil`, methods.go:29-31; pinning
+    * beats literal per-row "latest", which could straddle a head
+    * advance mid-tick). The realtime poller is this in `foreachBatch`,
+    * one call per rate-source tick. */
+  def pollOnce(
+      spark: org.apache.spark.sql.SparkSession,
+      endpoint: String,
+      addresses: Seq[Long],
+      methods: Seq[WireMethod],
+      ratePerSec: Double = 0.0): DataFrame = {
+    val head = clientFor(endpoint, ratePerSec).blockNumber()
+    val grid = spark.createDataFrame(addresses.map(a => (head, a)))
+      .toDF("blocknumber", "address")
+    callGrid(grid, endpoint, methods, ratePerSec)
+  }
 }

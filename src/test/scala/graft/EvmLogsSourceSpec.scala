@@ -224,7 +224,7 @@ class EvmLogsSourceSpec extends SparkSpec {
 
   test("live transport: streaming tip follows the node's eth_blockNumber") {
     import org.apache.spark.sql.streaming.Trigger
-    withServer(new JsonRpcReplayServer(tip = 249L)) { srv =>
+    withServer(new JsonRpcReplayServer(tip0 = 249L)) { srv =>
       // backfill declared to 1000, but the node head is 249 — AvailableNow
       // must drain exactly blocks [0, 250) and terminate
       val q = spark.readStream.format("graft.sources.EvmLogsProvider")
@@ -299,6 +299,33 @@ class EvmLogsSourceSpec extends SparkSpec {
           s"as-of state at block ${b - 1} for contract $a")
         assert(r.getAs[Long]("timestamp") == EvmLogs.blockTime(b - 1))
       }
+    }
+  }
+
+  test("wire method caller: S6 poll ticks pin the moving head and read state at it") {
+    import graft.engine.MethodCaller, MethodCaller.WireMethod
+    withServer(new JsonRpcReplayServer(tip0 = 50L)) { srv =>
+      val methods = Seq(WireMethod("total_supply", EvmLogs.SelTotalSupply))
+      val addrs = Seq(3L, 4L)
+      // tick 1: head = 50
+      val t1 = MethodCaller.pollOnce(spark, srv.url, addrs, methods).collect()
+      // the chain advances under the poller; tick 2 must pin the NEW head
+      srv.tip = 80L
+      val t2 = MethodCaller.pollOnce(spark, srv.url, addrs, methods).collect()
+      def check(rows: Array[org.apache.spark.sql.Row], head: Long): Unit = {
+        assert(rows.length == addrs.length)
+        rows.foreach { r =>
+          assert(r.getAs[Long]("blocknumber") == head)
+          assert(r.getAs[Long]("timestamp") == EvmLogs.blockTime(head))
+          assert(r.getAs[java.math.BigDecimal]("total_supply").longValueExact()
+            == EvmLogs.totalSupplyAt(r.getAs[Long]("address"), head).toLong)
+        }
+      }
+      check(t1, 50L)
+      check(t2, 80L)
+      // the time series moved: same contract, different sampled state
+      assert(t1.map(_.getAs[java.math.BigDecimal]("total_supply")).toSeq !=
+        t2.map(_.getAs[java.math.BigDecimal]("total_supply")).toSeq)
     }
   }
 

@@ -19,9 +19,13 @@ import org.json4s.jackson.JsonMethods
   * client's behavior (calls made, filters pushed into the request).
   */
 final class JsonRpcReplayServer(
-    tip: Long = 1000L,
+    tip0: Long = 1000L,
     maxSpan: Long = Long.MaxValue,
     failFirst: Int = 0) {
+
+  /** The simulated chain head — mutable so poller specs can advance it
+    * between ticks (the chain moving under a live S6 loop). */
+  @volatile var tip: Long = tip0
 
   val requests = new java.util.concurrent.atomic.AtomicInteger(0)
   val getLogsCalls = new java.util.concurrent.atomic.AtomicInteger(0)
