@@ -20,9 +20,43 @@ object Tables {
     * Both normalize to the same contract downstream code was built on:
     * `ts` is a TimestampType instant (sessions pin UTC, so the NTZ cast is
     * value-preserving and both layouts yield identical instants). */
+  /** Store locators of the form `http(s)://…` are LIVE JSON-RPC endpoints
+    * (the reference's config.yml `rpc:` values, config.go:13-16): route
+    * them through the DSv2 connector's real transport instead of parquet.
+    * Everything downstream — Sources, the Compiler, the CLI — works
+    * unchanged because the live frame speaks the events-table contract. */
+  def isRpcEndpoint(loc: String): Boolean =
+    loc.startsWith("http://") || loc.startsWith("https://")
+
+  /** The live chain as an events-shaped frame: blocknumber ≙ event_id
+    * (monotone in ts — the S9 BlockDater contract), address ≙ user_id,
+    * topic0 ≙ event_type, header time ≙ ts, the decoded word ≙ value, and
+    * the raw payload (fixture cents codec) as the `props` JSON. Predicates
+    * on the renamed columns push through the aliases into the connector
+    * (address set / topic0 / block range inside eth_getLogs; pruning
+    * `ts` away skips the header fetches entirely). The scan range is
+    * [0, head] at plan time — the reference's FilterEvents full-history
+    * default; time bounds then prune via the ts residual. */
+  private def liveEvents(spark: SparkSession, endpoint: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val head = new graft.sources.JsonRpcClient(endpoint).blockNumber()
+    spark.read.format("graft.sources.EvmLogsProvider")
+      .option("endpoint", endpoint)
+      .option("start", 0).option("end", head + 1)
+      .load()
+      .select(
+        col("blocknumber").as("event_id"),
+        timestamp_seconds(col("timestamp")).as("ts"),
+        col("address").as("user_id"),
+        col("topic").as("event_type"),
+        col("value"),
+        to_json(struct(round(col("value") * 100).cast("long").as("k"))).as("props"))
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (isRpcEndpoint(sfDir)) return liveEvents(spark, sfDir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {

@@ -46,6 +46,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object EvmLogs {
   val schema: StructType = StructType(Seq(
     StructField("blocknumber", LongType, nullable = false),
+    // header time attached per row, the reference's shape (events.go:425-428
+    // HeaderByNumber per block + LRU): fetched over the wire ONLY when the
+    // column survives pruning — a declared-outputs query that drops it
+    // costs zero eth_getBlockByNumber calls
+    StructField("timestamp", LongType, nullable = false),
     StructField("block_hash", StringType, nullable = false),
     StructField("tx_hash", StringType, nullable = false),
     StructField("address", LongType, nullable = false),
@@ -350,8 +355,9 @@ class EvmLogsPartitionReader(p: EvmLogsPartition) extends PartitionReader[Intern
   // come over REAL HTTP in fetchChunk-block calls, the pushed address/topic
   // filters inside the request itself (events.go:39,65); the adaptive
   // splitter inside getLogs halves a chunk the node rejects as too large.
+  private val clientOpt = p.rpc.client()
   private val it: Iterator[(Long, String, String, Long, String, Double)] =
-    p.rpc.client() match {
+    clientOpt match {
       case Some(client) =>
         val step = math.max(1L, p.rpc.fetchChunk)
         Iterator.range(p.from, p.until, step).flatMap { f =>
@@ -375,16 +381,20 @@ class EvmLogsPartitionReader(p: EvmLogsPartition) extends PartitionReader[Intern
     has
   }
 
-  override def get(): InternalRow = {
-    val full = Map[String, Any](
-      "blocknumber" -> current._1,
-      "block_hash" -> UTF8String.fromString(current._2),
-      "tx_hash" -> UTF8String.fromString(current._3),
-      "address" -> current._4,
-      "topic" -> UTF8String.fromString(current._5),
-      "value" -> current._6)
-    InternalRow.fromSeq(p.columns.toSeq.map(full))
-  }
+  override def get(): InternalRow =
+    InternalRow.fromSeq(p.columns.toSeq.map[Any] {
+      case "blocknumber" => current._1
+      // lazily per required column: pruning `timestamp` away means the
+      // header is never fetched (live: LRU-cached per block per reader)
+      case "timestamp" =>
+        clientOpt.fold(EvmLogs.blockTime(current._1))(_.blockTimestamp(current._1))
+      case "block_hash" => UTF8String.fromString(current._2)
+      case "tx_hash" => UTF8String.fromString(current._3)
+      case "address" => current._4
+      case "topic" => UTF8String.fromString(current._5)
+      case "value" => current._6
+      case other => sys.error(s"evmlogs: unknown column $other")
+    })
 
   override def close(): Unit = ()
 }

@@ -100,6 +100,30 @@ object Streams {
   /** S3/S4 — event stream: file-source stand-in for the log subscription.
     * The same `where` pushdown used in batch applies per micro-batch. */
   def eventStream(spark: SparkSession, sfDir: String, signature: Option[String] = None): DataFrame = {
+    // live locator (http(s)://…): the DSv2 connector's micro-batch stream
+    // over the real transport — offsets follow the node head (poll, or
+    // push when the locator carries a ws fragment "http://…#ws=ws://…"),
+    // mapped onto the same events contract as [[graft.Tables.events]]
+    if (graft.Tables.isRpcEndpoint(sfDir)) {
+      val (endpoint, ws) = sfDir.split("#ws=") match {
+        case Array(ep, w) => (ep, Some(w))
+        case _ => (sfDir, None)
+      }
+      val base = ws.foldLeft(
+        spark.readStream.format("graft.sources.EvmLogsProvider")
+          .option("endpoint", endpoint)
+          .option("start", 0).option("end", Long.MaxValue)) {
+        (r, w) => r.option("wsEndpoint", w)
+      }.load()
+        .select(
+          col("blocknumber").as("event_id"),
+          timestamp_seconds(col("timestamp")).as("ts"),
+          col("address").as("user_id"),
+          col("topic").as("event_type"),
+          col("value"),
+          to_json(struct(round(col("value") * 100).cast("long").as("k"))).as("props"))
+      return signature.map(s => base.where(col("event_type") === s)).getOrElse(base)
+    }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // a file stream needs its schema up front — probe the store's footer
     // (one cheap batch read) for which physical ts layout this store uses.

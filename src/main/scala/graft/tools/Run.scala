@@ -30,9 +30,11 @@ import graft.model.{ConfigFile, HclSchema, Mode, SchemaSpec}
   *   - `--once`  realtime only: drain everything currently available and
   *     stop (Trigger.AvailableNow) — a checkpointed bounded backfill; the
   *     default runs until terminated, like the reference's ctrl+c loop.
-  *   - `--data DIR`  stand-in store for chains whose config endpoint is a
-  *     live RPC url (`wss://…`): the sandbox has no egress, so live
-  *     endpoints resolve to this directory. Endpoints that are directory
+  *   - `--data DIR`  stand-in store for chains whose config endpoint the
+  *     engine cannot serve directly (`wss://`-only — ranged eth_getLogs
+  *     needs HTTP). `http(s)://` endpoints dial the node for real
+  *     ([[graft.Tables.events]] routes them through the DSv2 connector;
+  *     append `#ws=ws://…` for push-driven realtime offsets); directory
   *     paths resolve to themselves (per-chain testbed stores).
   *
   * Endpoint resolution is the CLI's analogue of the reference dialing one
@@ -113,8 +115,9 @@ object Run {
     Files.writeString(Paths.get(dir, "config.yml"),
       """# apollo-style config (reference config.example.yml shape).
         |# rpc maps each chain to the endpoint serving its queries: a
-        |# directory path reads that testbed store; a wss:// endpoint is a
-        |# live RPC node (resolved via --data in this build — no egress).
+        |# directory path reads that testbed store; an http(s):// URL dials
+        |# that JSON-RPC node over the real transport (append #ws=ws://...
+        |# for push-driven realtime offsets); wss://-only needs --data.
         |rpc:
         |  ethereum: /root/testdata/sf0.001
         |# --db sink target. `url` may name any JDBC database directly;
@@ -244,16 +247,22 @@ object Run {
   }
 
   /** Resolve one configured chain endpoint to an event-store location: a
-    * directory (or file: URI) is a testbed store; anything else is a live
-    * RPC endpoint, which this build stands in for with `--data`. */
+    * directory (or file: URI) is a testbed store; an `http(s)://` URL is a
+    * LIVE JSON-RPC endpoint and passes through verbatim — the engine's
+    * event sources dial it over the real transport
+    * ([[graft.Tables.events]] routes such locators through the DSv2
+    * connector; append `#ws=ws://…` for push-driven realtime offsets).
+    * A `wss://`-only endpoint cannot serve the historical fetch path
+    * (ranged eth_getLogs is HTTP) — configure the https URL, or pass
+    * `--data` as a stand-in store. */
   private[graft] def resolveEndpoint(data: Option[String])(chain: String, ep: String): String = {
     val path = if (ep.startsWith("file:")) ep.stripPrefix("file:") else ep
     if (new java.io.File(path).isDirectory) path
+    else if (graft.Tables.isRpcEndpoint(ep)) ep
     else data.getOrElse(sys.error(
-      s"chain '$chain' endpoint '$ep' is a live RPC endpoint; this build's RPC connector is " +
-        "the stubbed DSv2 seam (graft.sources.EvmLogsSource) — pass --data <storeDir> as its " +
-        "stand-in (--rate-limit/--log-parts bind to that connector's rate limiting and " +
-        "`parts` chunking when it dials for real)"))
+      s"chain '$chain' endpoint '$ep' is not a directory, http(s):// RPC URL, or file: URI; " +
+        "a wss://-only endpoint cannot serve ranged eth_getLogs — configure the node's " +
+        "https URL (append #ws=ws://… for push offsets) or pass --data <storeDir>"))
   }
 
   /** Run the loaded schema. Factored from [[main]] so specs can drive it

@@ -66,6 +66,53 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--data"))
   }
 
+  test("live RPC config: an http endpoint in config.yml dials the node end-to-end") {
+    // the reference's deployment shape — config.yml `rpc: chain: <url>`
+    // (config.example.yml:4-9) — through THIS engine's whole stack: config
+    // → registry → compiler → DSv2 connector → real HTTP → csv sink
+    val srv = new JsonRpcReplayServer(tip0 = 200L)
+    try {
+      val dir = Files.createTempDirectory("cli_live").toString
+      Files.writeString(Paths.get(dir, "config.yml"),
+        s"""rpc:
+           |  ethereum: ${srv.url}
+           |postgres:
+           |  host: localhost
+           |  name: apollo
+           |  user: apollo
+           |  password: apollo
+           |""".stripMargin)
+      Files.writeString(Paths.get(dir, "schema.hcl"),
+        """query live_swaps {
+          |  chain = "ethereum"
+          |  contract {
+          |    address = 7
+          |    event Swap { outputs = ["value"] }
+          |  }
+          |  save {
+          |    block = blocknumber
+          |    contract = contract_address
+          |    amount = value
+          |  }
+          |}
+          |""".stripMargin)
+      val out = Files.createTempDirectory("cli_live_out").toString
+      Run.run(Array("--config-dir", dir, "--csv", "--out", out), Some(spark))
+      val got = spark.read.option("header", "true").csv(s"$out/live_swaps.csv")
+      val expected = (0L to 200L).flatMap(graft.sources.EvmLogs.fetchBlockLogs)
+        .filter(r => r._4 == 7L && r._5 == "Swap")
+      assert(expected.nonEmpty)
+      assert(got.count() == expected.size,
+        s"csv rows ${got.count()} != chain truth ${expected.size}")
+      assert(got.columns.toSeq == Seq("block", "contract", "amount"))
+      assert(srv.getLogsCalls.get() > 0, "the CLI never dialed the endpoint")
+      // the pushed address/topic filter reached the wire request itself
+      val f = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(srv.lastGetLogsFilter))
+      assert(f.contains("\"address\"") && f.contains("Swap"), f)
+    } finally srv.stop()
+  }
+
   test("historical run lands csv + db + stdout for the example schema") {
     val url = "jdbc:derby:memory:clidb;create=true"
     val dir = writeConfigDir(postgresUrl = Some(url))

@@ -350,6 +350,30 @@ class EvmLogsSourceSpec extends SparkSpec {
     }
   }
 
+  test("a live http endpoint IS an events table (Tables.events routing)") {
+    withServer(new JsonRpcReplayServer(tip0 = 120L)) { srv =>
+      val live = graft.Tables.events(spark, srv.url)
+      assert(live.columns.toSeq ==
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val rows = live.where(col("event_type") === "Swap" && col("user_id") === 7L)
+        .collect()
+      val expected = (0L to 120L).flatMap(EvmLogs.fetchBlockLogs)
+        .filter(r => r._4 == 7L && r._5 == "Swap")
+      assert(rows.length == expected.size && expected.nonEmpty)
+      rows.foreach { r =>
+        val b = r.getAs[Long]("event_id")
+        assert(r.getAs[java.sql.Timestamp]("ts").getTime / 1000 == EvmLogs.blockTime(b),
+          s"header time for block $b")
+      }
+      // the renamed-column predicates pushed through the aliases into the
+      // wire request (address + topic0 inside eth_getLogs)
+      val f = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(srv.lastGetLogsFilter))
+      assert(f.contains("\"address\"") && f.contains("Swap"),
+        s"filters did not reach the wire through the events mapping: $f")
+    }
+  }
+
   // ---- the PUSH transport: eth_subscribe over a real websocket
   // (round-11 verdict item 5 — the reference's realtime mode,
   // events.go:253-268) ----
@@ -395,11 +419,11 @@ class EvmLogsSourceSpec extends SparkSpec {
         val got = spark.table("evmpush")
         assert(got.select("blocknumber").distinct().count() == 100,
           "pushed head did not admit exactly blocks [0, 100)")
-        // offsets came off the PUSH channel: rows were fetched over HTTP
-        // (replayable ranged eth_getLogs) but eth_blockNumber never ran
-        assert(http.requests.get() == http.getLogsCalls.get(),
-          s"the head was polled over HTTP: ${http.requests.get()} requests vs " +
-            s"${http.getLogsCalls.get()} eth_getLogs")
+        // offsets came off the PUSH channel: rows (and their headers) were
+        // fetched over HTTP but eth_blockNumber never ran
+        assert(http.blockNumberCalls.get() == 0,
+          s"the head was polled over HTTP ${http.blockNumberCalls.get()} times")
+        assert(http.getLogsCalls.get() > 0)
       } finally q.stop()
     } finally { ws.stop(); http.stop() }
   }

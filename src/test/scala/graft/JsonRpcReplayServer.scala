@@ -32,6 +32,7 @@ final class JsonRpcReplayServer(
   val tooManyRejections = new java.util.concurrent.atomic.AtomicInteger(0)
   val ethCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   val headerCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val blockNumberCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   /** eth_call wire hits per 4-byte selector — the counter the
     * immutable-key caching specs read (one decimals() per contract EVER
     * must hold on the wire, not just in client counters). */
@@ -142,7 +143,9 @@ final class JsonRpcReplayServer(
           "error" -> JObject("code" -> JLong(code), "message" -> JString(msg)))))
         try {
           method match {
-            case "eth_blockNumber" => (200, ok(JString(hex(tip))))
+            case "eth_blockNumber" =>
+              blockNumberCalls.incrementAndGet()
+              (200, ok(JString(hex(tip))))
             case "eth_getLogs" =>
               getLogsCalls.incrementAndGet()
               val filter = req \ "params" match {
