@@ -79,21 +79,52 @@ final class EvmSubscription(
     }
   }
 
-  private val listener = new java.net.http.WebSocket.Listener {
+  /** Completed reconnect count — a spec/monitoring counter; the HEAD
+    * watermark is what consumers rely on, this says how it stayed alive. */
+  val reconnects = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile private var closed = false
+  @volatile private var ws: java.net.http.WebSocket = _
+
+  /** A node dropping the socket must not freeze the head silently (the
+    * availability watermark would stall the whole streaming query with no
+    * failure signal): onClose/onError RECONNECT with bounded backoff and
+    * re-issue every subscription — the reference's subscription loop gets
+    * this from ethclient's resubscribe machinery; here it is explicit.
+    * Already-pushed state (head watermark, queued logs) survives; what a
+    * dead socket missed is missed (at-most-once on the push channel — the
+    * offset-driven consumer re-fetches rows by range, so IT loses
+    * nothing). */
+  private def reconnectLater(): Unit = {
+    if (closed) return
+    val t = new Thread(() => {
+      var attempt = 0
+      var done = false
+      while (!done && !closed && attempt < 8) {
+        try { Thread.sleep(50L << math.min(attempt, 5)); connect(); done = true }
+        catch { case _: Throwable => attempt += 1 }
+      }
+      if (done) reconnects.incrementAndGet(): Unit
+    }, "evm-subscription-reconnect")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  private def newListener() = new java.net.http.WebSocket.Listener {
     private val buf = new StringBuilder
-    override def onText(ws: java.net.http.WebSocket,
+    override def onText(sock: java.net.http.WebSocket,
         data: CharSequence, last: Boolean): java.util.concurrent.CompletionStage[_] = {
       buf.append(data)
       if (last) { val t = buf.toString(); buf.setLength(0); handle(t) }
-      ws.request(1)
+      sock.request(1)
       null
     }
+    override def onClose(sock: java.net.http.WebSocket,
+        statusCode: Int, reason: String): java.util.concurrent.CompletionStage[_] = {
+      reconnectLater(); null
+    }
+    override def onError(sock: java.net.http.WebSocket, error: Throwable): Unit =
+      reconnectLater()
   }
-
-  private val ws: java.net.http.WebSocket =
-    java.net.http.HttpClient.newHttpClient().newWebSocketBuilder()
-      .buildAsync(java.net.URI.create(endpoint), listener)
-      .join()
 
   private def subscribe(channel: String, params: List[JValue]): Unit = {
     val id = ids.incrementAndGet()
@@ -105,14 +136,21 @@ final class EvmSubscription(
     ws.sendText(body, true).join()
   }
 
-  subscribe("newHeads", Nil)
-  if (subscribeLogs) {
-    val filter = JObject(
-      addresses.map(as => "address" ->
-        (JArray(as.toList.sorted.map(a => JString(JsonRpcClient.hex(a)))): JValue)).toList ++
-      topic.map(t => "topics" -> (JArray(List(JString(t))): JValue)).toList)
-    subscribe("logs", List(filter))
+  private def connect(): Unit = {
+    ws = java.net.http.HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(java.net.URI.create(endpoint), newListener())
+      .join()
+    subscribe("newHeads", Nil)
+    if (subscribeLogs) {
+      val filter = JObject(
+        addresses.map(as => "address" ->
+          (JArray(as.toList.sorted.map(a => JString(JsonRpcClient.hex(a)))): JValue)).toList ++
+        topic.map(t => "topics" -> (JArray(List(JString(t))): JValue)).toList)
+      subscribe("logs", List(filter))
+    }
   }
+
+  connect()
 
   /** Blocks until the node has confirmed every requested subscription (or
     * the timeout lapses) — callers that immediately assert on pushes need
@@ -124,6 +162,7 @@ final class EvmSubscription(
   }
 
   override def close(): Unit = {
+    closed = true
     try ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done")
       .join(): Unit
     catch { case _: Throwable => () }

@@ -399,6 +399,41 @@ class EvmLogsSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("push transport: a dropped socket reconnects, re-subscribes, and the head keeps moving") {
+    val srv = new WsReplayServer()
+    try {
+      val sub = new graft.sources.EvmSubscription(
+        srv.url, topic = Some("Swap"), subscribeLogs = true)
+      try {
+        assert(sub.awaitSubscribed())
+        srv.advanceTip(9)
+        val deadline0 = System.nanoTime() + 10000000000L
+        while (sub.head < 9L && System.nanoTime() < deadline0) Thread.sleep(10)
+        assert(sub.head == 9L)
+        // node restart: the server kills the socket with no close frame —
+        // the client must reconnect and RE-SUBSCRIBE both channels
+        val subsBefore = srv.subscribeRequests.get()
+        srv.dropConnections()
+        val deadline1 = System.nanoTime() + 15000000000L
+        while ((sub.reconnects.get() < 1 ||
+          srv.subscribeRequests.get() < subsBefore + 2) &&
+          System.nanoTime() < deadline1) Thread.sleep(10)
+        assert(sub.reconnects.get() >= 1, "the client never reconnected")
+        assert(srv.subscribeRequests.get() >= subsBefore + 2,
+          "the reconnected client did not re-subscribe both channels")
+        // pushes resume on the new socket: the head watermark keeps moving
+        srv.advanceTip(25)
+        val deadline2 = System.nanoTime() + 10000000000L
+        while (sub.head < 25L && System.nanoTime() < deadline2) Thread.sleep(10)
+        assert(sub.head == 25L, "pushes did not resume after the reconnect")
+        // and pushed log rows for the post-drop blocks arrived too
+        val post = (10L to 25L).flatMap(EvmLogs.fetchBlockLogs).count(_._5 == "Swap")
+        import scala.jdk.CollectionConverters._
+        assert(sub.pushedLogs.asScala.count(_._1 >= 10L) == post)
+      } finally sub.close()
+    } finally srv.stop()
+  }
+
   test("push transport: streaming offsets ride pushed newHeads — the head is never polled") {
     val ws = new WsReplayServer()
     val http = new JsonRpcReplayServer()

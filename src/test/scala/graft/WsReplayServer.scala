@@ -98,7 +98,12 @@ final class WsReplayServer(tip0: Long = -1L) {
         "method" -> JString("eth_subscription"),
         "params" -> JObject("subscription" -> JString(subId), "result" -> result)))))
 
-    def loop(): Unit = {
+    /** Abrupt server-side drop (fault injection for the reconnect spec). */
+    def kill(): Unit = {
+      try sock.close() catch { case _: Throwable => () }
+    }
+
+    def loop(): Unit = try {
       var open = true
       while (open) {
         val (opcode, payload) = readFrame()
@@ -145,6 +150,9 @@ final class WsReplayServer(tip0: Long = -1L) {
           case _ => () // ignore binary/continuation — not in this protocol
         }
       }
+    } catch {
+      case _: Throwable => () // abrupt drop (kill()/client abort): fall through
+    } finally {
       conns.remove(this)
       try sock.close() catch { case _: Throwable => () }
     }
@@ -193,6 +201,10 @@ final class WsReplayServer(tip0: Long = -1L) {
       }
     }
   }
+
+  /** Drops every live connection abruptly (no close frame) — the node
+    * restart / LB idle-kill case the client must reconnect through. */
+  def dropConnections(): Unit = conns.forEach(_.kill())
 
   def stop(): Unit = {
     try server.close() catch { case _: Throwable => () }
