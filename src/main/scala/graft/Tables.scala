@@ -28,6 +28,25 @@ object Tables {
   def isRpcEndpoint(loc: String): Boolean =
     loc.startsWith("http://") || loc.startsWith("https://")
 
+  /** Live-locator grammar: `http(s)://…[#k=v[&k=v…]]`. Fragment keys are
+    * connector options — `parts` (the reference's `--log-parts` range
+    * chunking), `rateLimit` (`--rate-limit`, requests/sec/process),
+    * `fetchChunk`, `start`/`end` (block range; end defaults to the node
+    * head), `blocksPerBatch` and `ws` (push offsets) for streaming.
+    * Duplicate keys keep the LAST occurrence, so a caller prepending
+    * defaults lets an operator's config fragment win. */
+  private[graft] def parseLocator(loc: String): (String, Map[String, String]) =
+    loc.split("#", 2) match {
+      case Array(ep, frag) =>
+        (ep, frag.split("&").iterator.filter(_.nonEmpty).map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => k -> v
+            case _ => kv -> ""
+          }
+        }.toMap)
+      case _ => (loc, Map.empty)
+    }
+
   /** The live chain as an events-shaped frame: blocknumber ≙ event_id
     * (monotone in ts — the S9 BlockDater contract), address ≙ user_id,
     * topic0 ≙ event_type, header time ≙ ts, the decoded word ≙ value, and
@@ -37,13 +56,19 @@ object Tables {
     * `ts` away skips the header fetches entirely). The scan range is
     * [0, head] at plan time — the reference's FilterEvents full-history
     * default; time bounds then prune via the ts residual. */
-  private def liveEvents(spark: SparkSession, endpoint: String): DataFrame = {
+  private def liveEvents(spark: SparkSession, locator: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val head = new graft.sources.JsonRpcClient(endpoint).blockNumber()
-    spark.read.format("graft.sources.EvmLogsProvider")
-      .option("endpoint", endpoint)
-      .option("start", 0).option("end", head + 1)
-      .load()
+    val (endpoint, opts) = parseLocator(locator)
+    val rate = opts.get("rateLimit").map(_.toDouble).getOrElse(0.0)
+    val head = new graft.sources.JsonRpcClient(endpoint, rate).blockNumber()
+    val passthrough = Seq("parts", "rateLimit", "fetchChunk", "retryBaseMs")
+    passthrough.foldLeft(
+      spark.read.format("graft.sources.EvmLogsProvider")
+        .option("endpoint", endpoint)
+        .option("start", opts.getOrElse("start", "0"))
+        .option("end", opts.getOrElse("end", (head + 1).toString))) {
+      (r, k) => opts.get(k).fold(r)(r.option(k, _))
+    }.load()
       .select(
         col("blocknumber").as("event_id"),
         timestamp_seconds(col("timestamp")).as("ts"),

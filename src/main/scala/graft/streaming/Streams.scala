@@ -105,15 +105,16 @@ object Streams {
     // push when the locator carries a ws fragment "http://…#ws=ws://…"),
     // mapped onto the same events contract as [[graft.Tables.events]]
     if (graft.Tables.isRpcEndpoint(sfDir)) {
-      val (endpoint, ws) = sfDir.split("#ws=") match {
-        case Array(ep, w) => (ep, Some(w))
-        case _ => (sfDir, None)
-      }
-      val base = ws.foldLeft(
+      val (endpoint, opts) = graft.Tables.parseLocator(sfDir)
+      val passthrough = Seq(
+        "rateLimit" -> "rateLimit", "fetchChunk" -> "fetchChunk",
+        "blocksPerBatch" -> "blocksPerBatch", "ws" -> "wsEndpoint")
+      val base = passthrough.foldLeft(
         spark.readStream.format("graft.sources.EvmLogsProvider")
           .option("endpoint", endpoint)
-          .option("start", 0).option("end", Long.MaxValue)) {
-        (r, w) => r.option("wsEndpoint", w)
+          .option("start", opts.getOrElse("start", "0"))
+          .option("end", opts.getOrElse("end", Long.MaxValue.toString))) {
+        case (r, (k, opt)) => opts.get(k).fold(r)(r.option(opt, _))
       }.load()
         .select(
           col("blocknumber").as("event_id"),

@@ -255,10 +255,20 @@ object Run {
     * A `wss://`-only endpoint cannot serve the historical fetch path
     * (ranged eth_getLogs is HTTP) — configure the https URL, or pass
     * `--data` as a stand-in store. */
-  private[graft] def resolveEndpoint(data: Option[String])(chain: String, ep: String): String = {
+  private[graft] def resolveEndpoint(
+      data: Option[String], rpcDefaults: String = "")(chain: String, ep: String): String = {
     val path = if (ep.startsWith("file:")) ep.stripPrefix("file:") else ep
     if (new java.io.File(path).isDirectory) path
-    else if (graft.Tables.isRpcEndpoint(ep)) ep
+    else if (graft.Tables.isRpcEndpoint(ep)) {
+      // attach the CLI's connector knobs (--log-parts/--rate-limit) as
+      // locator-fragment DEFAULTS — a fragment already on the configured
+      // endpoint wins (last occurrence wins in the locator grammar)
+      if (rpcDefaults.isEmpty) ep
+      else ep.split("#", 2) match {
+        case Array(base, frag) => s"$base#$rpcDefaults&$frag"
+        case _ => s"$ep#$rpcDefaults"
+      }
+    }
     else data.getOrElse(sys.error(
       s"chain '$chain' endpoint '$ep' is not a directory, http(s):// RPC URL, or file: URI; " +
         "a wss://-only endpoint cannot serve ranged eth_getLogs — configure the node's " +
@@ -301,7 +311,8 @@ object Run {
       s"schema declares chains missing from config.yml rpc: ${unconfigured.mkString(", ")} — " +
         "add them to the config or pass --data as the default store")
     val registry = cfg.registry(
-      resolveEndpoint(opts.data),
+      resolveEndpoint(opts.data,
+        s"parts=${opts.logParts}&rateLimit=${opts.rateLimit}"),
       // only reachable when --data is set (the require above); the orElse
       // keeps construction total without picking an arbitrary chain's store
       default = opts.data.getOrElse(""))

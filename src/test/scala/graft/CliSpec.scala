@@ -64,6 +64,15 @@ class CliSpec extends SparkSpec {
     val e = intercept[RuntimeException](
       Run.resolveEndpoint(None)("ethereum", "wss://node.example/ws"))
     assert(e.getMessage.contains("--data"))
+    // http(s) endpoints pass through with the CLI's connector knobs
+    // attached as locator-fragment defaults…
+    assert(Run.resolveEndpoint(None, "parts=50&rateLimit=100")(
+      "ethereum", "http://node.example/") == "http://node.example/#parts=50&rateLimit=100")
+    // …and a fragment already configured on the endpoint WINS (the
+    // locator grammar keeps the last occurrence of a key)
+    assert(Run.resolveEndpoint(None, "parts=50")(
+      "ethereum", "http://node.example/#parts=4")
+      == "http://node.example/#parts=50&parts=4")
   }
 
   test("live RPC config: an http endpoint in config.yml dials the node end-to-end") {

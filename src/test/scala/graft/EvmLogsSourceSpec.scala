@@ -371,6 +371,10 @@ class EvmLogsSourceSpec extends SparkSpec {
         org.json4s.jackson.JsonMethods.render(srv.lastGetLogsFilter))
       assert(f.contains("\"address\"") && f.contains("Swap"),
         s"filters did not reach the wire through the events mapping: $f")
+      // locator-fragment knobs reach the connector: `parts` is the
+      // reference's --log-parts range chunking
+      assert(graft.Tables.events(spark, s"${srv.url}#parts=3")
+        .rdd.getNumPartitions == 3)
     }
   }
 
