@@ -120,7 +120,8 @@ class EvmLogsTable(options: CaseInsensitiveStringMap) extends Table with Support
       options.getLong("end", 1000L),
       options.getInt("parts", 8),
       options.getLong("blocksPerBatch", 100L),
-      RpcConf.of(options))
+      RpcConf.of(options),
+      options.getLong("confirmations", 0L))
 }
 
 /** Live-transport configuration (absent endpoint = the deterministic
@@ -151,7 +152,8 @@ object RpcConf {
 
 class EvmLogsScanBuilder(
     start: Long, end: Long, parts: Int, blocksPerBatch: Long = 100L,
-    rpc: RpcConf = RpcConf(None, 0.0, 50L, 64L))
+    rpc: RpcConf = RpcConf(None, 0.0, 50L, 64L),
+    confirmations: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
@@ -211,8 +213,10 @@ class EvmLogsScanBuilder(
 
   override def build(): Scan =
     if (unsatisfiable)
-      new EvmLogsScan(lo, lo, parts, addresses, topic, required, blocksPerBatch, limit, rpc)
-    else new EvmLogsScan(lo, hi, parts, addresses, topic, required, blocksPerBatch, limit, rpc)
+      new EvmLogsScan(lo, lo, parts, addresses, topic, required, blocksPerBatch, limit, rpc,
+        confirmations)
+    else new EvmLogsScan(lo, hi, parts, addresses, topic, required, blocksPerBatch, limit, rpc,
+      confirmations)
 }
 
 class EvmLogsScan(
@@ -220,7 +224,8 @@ class EvmLogsScan(
     addresses: Option[Set[Long]], topic: Option[String],
     required: StructType, blocksPerBatch: Long = 100L,
     limit: Option[Int] = None,
-    rpc: RpcConf = RpcConf(None, 0.0, 50L, 64L)) extends Scan with Batch {
+    rpc: RpcConf = RpcConf(None, 0.0, 50L, 64L),
+    confirmations: Long = 0L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -231,7 +236,8 @@ class EvmLogsScan(
     * through the checkpoint log, giving the exactly-once the reference's
     * websocket loop lacks (events.go:221-320 just forwards). */
   override def toMicroBatchStream(checkpointLocation: String): sstreaming.MicroBatchStream =
-    new EvmLogsMicroBatchStream(lo, hi, blocksPerBatch, addresses, topic, required, rpc)
+    new EvmLogsMicroBatchStream(lo, hi, blocksPerBatch, addresses, topic, required, rpc,
+      confirmations)
 
   override def description(): String =
     s"evmlogs [$lo, $hi) parts=$parts addresses=$addresses topic=$topic limit=$limit"
@@ -256,11 +262,21 @@ final case class BlockOffset(block: Long) extends sstreaming.Offset {
   override def json(): String = block.toString
 }
 
+/** `confirmations` — REORG safety depth: the streaming source never
+  * ingests a block shallower than `head − confirmations`, so a reorg of
+  * ≤ `confirmations` blocks can never rewrite an already-committed
+  * micro-batch (committed offsets are final; re-fetching a reorged range
+  * would silently diverge from what earlier batches shipped). The
+  * standard production knob the reference's forward-only subscription
+  * loop lacks (its roadmap flags reorg handling as open,
+  * ROADMAP.md:69-70); 0 keeps tip-chasing semantics for the simulated
+  * chain. */
 class EvmLogsMicroBatchStream(
     start: Long, end: Long, blocksPerBatch: Long,
     addresses: Option[Set[Long]], topic: Option[String],
     required: StructType,
-    rpc: RpcConf = RpcConf(None, 0.0, 50L, 64L))
+    rpc: RpcConf = RpcConf(None, 0.0, 50L, 64L),
+    confirmations: Long = 0L)
   extends sstreaming.MicroBatchStream with sstreaming.SupportsTriggerAvailableNow {
 
   // driver-side client: consulted for the REAL chain tip when an endpoint
@@ -299,11 +315,13 @@ class EvmLogsMicroBatchStream(
 
   override def latestOffset(): sstreaming.Offset = {
     // admission control: at most blocksPerBatch per trigger, never past
-    // the node's actual head (+1: head is inclusive, offsets exclusive).
+    // the node's actual head (+1: head is inclusive, offsets exclusive),
+    // never shallower than the confirmation depth (reorg safety).
     // Push mode reads the last PUSHED header; poll mode asks the node.
     val avail = pushSub match {
-      case Some(sub) => math.min(end, sub.head + 1)
-      case None => tipClient.map(c => math.min(end, c.blockNumber() + 1)).getOrElse(end)
+      case Some(sub) => math.min(end, sub.head + 1 - confirmations)
+      case None => tipClient
+        .map(c => math.min(end, c.blockNumber() + 1 - confirmations)).getOrElse(end)
     }
     tip = math.max(tip, math.min(avail, tip + blocksPerBatch))
     BlockOffset(tip)

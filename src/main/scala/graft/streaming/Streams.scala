@@ -108,7 +108,8 @@ object Streams {
       val (endpoint, opts) = graft.Tables.parseLocator(sfDir)
       val passthrough = Seq(
         "rateLimit" -> "rateLimit", "fetchChunk" -> "fetchChunk",
-        "blocksPerBatch" -> "blocksPerBatch", "ws" -> "wsEndpoint")
+        "blocksPerBatch" -> "blocksPerBatch", "ws" -> "wsEndpoint",
+        "confirmations" -> "confirmations")
       val base = passthrough.foldLeft(
         spark.readStream.format("graft.sources.EvmLogsProvider")
           .option("endpoint", endpoint)

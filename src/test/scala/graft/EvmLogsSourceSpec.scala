@@ -241,6 +241,25 @@ class EvmLogsSourceSpec extends SparkSpec {
     }
   }
 
+  test("live transport: confirmation depth holds ingestion N blocks behind the head (reorg safety)") {
+    import org.apache.spark.sql.streaming.Trigger
+    withServer(new JsonRpcReplayServer(tip0 = 249L)) { srv =>
+      val q = spark.readStream.format("graft.sources.EvmLogsProvider")
+        .option("start", 0).option("end", 1000).option("blocksPerBatch", 100)
+        .option("endpoint", srv.url).option("confirmations", 10)
+        .load()
+        .writeStream.format("memory").queryName("evmconf")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("evmconf")
+      // head = 249, depth 10 ⇒ only blocks [0, 240) are final enough: a
+      // ≤10-block reorg can never rewrite a committed micro-batch
+      assert(got.agg(max("blocknumber")).head().getLong(0) == 239L)
+      assert(got.select("blocknumber").distinct().count() == 240)
+    }
+  }
+
   // ---- the METHOD-CALLER seam over the wire (round-11 verdict item 1:
   // eth_call + eth_getBlockByNumber execute through JsonRpcClient, like
   // the log seam — the S5 grid / S7 enrichment live path) ----
@@ -355,8 +374,15 @@ class EvmLogsSourceSpec extends SparkSpec {
       val live = graft.Tables.events(spark, srv.url)
       assert(live.columns.toSeq ==
         Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
-      val rows = live.where(col("event_type") === "Swap" && col("user_id") === 7L)
-        .collect()
+      val filtered = live.where(col("event_type") === "Swap" && col("user_id") === 7L)
+      // plan level: the renamed-column predicates land in the connector's
+      // scan state THROUGH the alias projection (Catalyst pushes filters
+      // across the rename before the DSv2 pushdown runs)
+      val scanDesc = filtered.queryExecution.executedPlan
+        .collectLeaves().map(_.toString).mkString
+      assert(scanDesc.contains("topic=Some(Swap)"), scanDesc)
+      assert(scanDesc.contains("addresses=Some"), scanDesc)
+      val rows = filtered.collect()
       val expected = (0L to 120L).flatMap(EvmLogs.fetchBlockLogs)
         .filter(r => r._4 == 7L && r._5 == "Swap")
       assert(rows.length == expected.size && expected.nonEmpty)
