@@ -19,6 +19,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // zstd shuffle: ~1.7x denser than lz4 on big-store text exchanges —
+      // the difference between crashing and finishing the sf100 kn5 apply
+      // on one spindle (SCALING r12.2; round-12 verdict item 5 made it
+      // code). Measured neutral at the sf0.1 bench (SCALING r13).
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer reads, shuffle machinery)

@@ -37,11 +37,11 @@ object MethodCaller {
 
   // one cached client per (endpoint, rate) per executor PROCESS — the
   // reference's CachedClient lifetime (one per worker, shared across its
-  // goroutines); partition readers on the same executor share the LRU
-  private val clients =
-    scala.collection.concurrent.TrieMap.empty[(String, Double), JsonRpcClient]
+  // goroutines); partition readers on the same executor share the LRU.
+  // The cache itself lives in JsonRpcClient.sharedClient so the log
+  // connector's readers resolve through the SAME map (round-12 advice).
   private[graft] def clientFor(endpoint: String, ratePerSec: Double): JsonRpcClient =
-    clients.getOrElseUpdate((endpoint, ratePerSec), new JsonRpcClient(endpoint, ratePerSec))
+    JsonRpcClient.sharedClient(endpoint, ratePerSec)
 
   /** Calls every declared method for each (blocknumber, address) grid row
     * at block `blocknumber + blockOffset` (the reference applies

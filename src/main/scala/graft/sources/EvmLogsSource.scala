@@ -85,6 +85,25 @@ object EvmLogs {
   def totalSupplyAt(addr: Long, block: Long): BigInt =
     BigInt(java.lang.Math.floorMod(addr * 1000003L + block * 31L + 7L, 1000000007L))
 
+  /** Canonical block hash — the one [[fetchBlockLogs]] stamps on its rows
+    * and the header endpoint serves for the un-reorged chain. */
+  def blockHashOf(block: Long): String =
+    "0x" + java.lang.Long.toHexString(block * 2654435761L)
+
+  /** The DIVERGED sibling at the same height — the replacement block a
+    * reorg installs. Same height, different hash: exactly the signal the
+    * chain-linkage check keys on. */
+  def forkedBlockHashOf(block: Long): String =
+    "0x" + java.lang.Long.toHexString((block * 2654435761L) ^ 0x5DEECE66DL)
+
+  /** [[fetchBlockLogs]] on the FORKED chain: same heights, new block
+    * hashes, shifted values — what the node serves for blocks above the
+    * fork base once a reorg lands (the replay fixtures' diverging mode). */
+  def fetchBlockLogsForked(block: Long): Seq[(Long, String, String, Long, String, Double)] =
+    fetchBlockLogs(block).map { case (bn, _, th, addr, top, v) =>
+      (bn, forkedBlockHashOf(bn), th + "f0" /* reorged txs re-hash too */, addr, top, v + 0.01)
+    }
+
   /** Deterministic stand-in for eth_getLogs on one block. */
   def fetchBlockLogs(block: Long): Seq[(Long, String, String, Long, String, Double)] = {
     val mix = block * 2654435761L
@@ -137,8 +156,12 @@ class EvmLogsTable(options: CaseInsensitiveStringMap) extends Table with Support
 final case class RpcConf(
     endpoint: Option[String], rateLimit: Double, retryBaseMs: Long, fetchChunk: Long,
     wsEndpoint: Option[String] = None) {
+  /** Resolves through the PROCESS-SHARED cache: every partition reader on
+    * an executor shares one client — and so one header LRU — per
+    * (endpoint, rate, retryBase), instead of refetching each block header
+    * once per partition (round-12 advice; the MethodCaller discipline). */
   def client(): Option[JsonRpcClient] =
-    endpoint.map(e => new JsonRpcClient(e, rateLimit, retryBaseMs = retryBaseMs))
+    endpoint.map(e => JsonRpcClient.sharedClient(e, rateLimit, retryBaseMs))
 }
 
 object RpcConf {
@@ -316,12 +339,19 @@ class EvmLogsMicroBatchStream(
   override def latestOffset(): sstreaming.Offset = {
     // admission control: at most blocksPerBatch per trigger, never past
     // the node's actual head (+1: head is inclusive, offsets exclusive),
-    // never shallower than the confirmation depth (reorg safety).
-    // Push mode reads the last PUSHED header; poll mode asks the node.
+    // never shallower than the confirmation depth (reorg safety) —
+    // applied uniformly across push, poll, and stub modes (round-12
+    // advice). Push mode reads the last PUSHED header; a subscription
+    // that has not delivered yet (or died past its reconnect budget,
+    // sub.isFailed) must not silently freeze the watermark when a
+    // perfectly good http endpoint is configured — fall back to polling.
+    def polled: Long = tipClient
+      .map(c => math.min(end, c.blockNumber() + 1 - confirmations))
+      .getOrElse(math.max(start, end - confirmations)) // stub head = end − 1
     val avail = pushSub match {
-      case Some(sub) => math.min(end, sub.head + 1 - confirmations)
-      case None => tipClient
-        .map(c => math.min(end, c.blockNumber() + 1 - confirmations)).getOrElse(end)
+      case Some(sub) if sub.head >= 0 && !sub.isFailed =>
+        math.min(end, sub.head + 1 - confirmations)
+      case _ => polled
     }
     tip = math.max(tip, math.min(avail, tip + blocksPerBatch))
     BlockOffset(tip)
@@ -345,12 +375,41 @@ class EvmLogsMicroBatchStream(
   override def commit(offset: sstreaming.Offset): Unit =
     lastCommitted = Some(offset.asInstanceOf[BlockOffset].block)
 
+  // REORG DETECTION (chain-linkage check): the hash of the last block of
+  // the previously-PLANNED batch, refetched before planning the next. A
+  // mismatch means a reorg DEEPER than the confirmation lag rewrote blocks
+  // this stream already shipped: committed offsets are final, so the only
+  // correct move is to FAIL LOUDLY — silently continuing would ship a
+  // mixed history (pre-fork rows below the boundary, post-fork rows
+  // above). A ≤`confirmations` reorg never trips this: those heights are
+  // only ever fetched once they are `confirmations` behind head, i.e.
+  // after any such reorg has settled. The reference leaves reorg handling
+  // open (ROADMAP.md:69-70); this closes the detection half the
+  // confirmation knob cannot argue away. Driver-side, one uncached header
+  // refetch per micro-batch.
+  @volatile private var lastPlanned: Option[(Long, String)] = None
+
   override def planInputPartitions(
       startOff: sstreaming.Offset, endOff: sstreaming.Offset): Array[InputPartition] = {
     val from = startOff.asInstanceOf[BlockOffset].block
     val until = endOff.asInstanceOf[BlockOffset].block
     if (from >= until) Array.empty
-    else Array(EvmLogsPartition(from, until, addresses, topic, required.fieldNames, limit = None, rpc))
+    else {
+      tipClient.foreach { c =>
+        lastPlanned.foreach { case (b, h) =>
+          if (b == from - 1 && h.nonEmpty) {
+            val now = c.blockHeaderFresh(b)._2
+            if (now.nonEmpty && now != h) throw new IllegalStateException(
+              s"evmlogs: REORG past the confirmation depth (confirmations=$confirmations) — " +
+                s"block $b was shipped with hash $h but the node now serves $now; " +
+                "committed batches are final, refusing to append a mixed history. " +
+                "Re-ingest from a checkpoint below the fork, or raise `confirmations`.")
+          }
+        }
+        lastPlanned = Some((until - 1, c.blockHeaderFresh(until - 1)._2))
+      }
+      Array(EvmLogsPartition(from, until, addresses, topic, required.fieldNames, limit = None, rpc))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

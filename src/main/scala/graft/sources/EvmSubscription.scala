@@ -17,7 +17,19 @@ import org.json4s.jackson.JsonMethods
   *    lacks (events.go:221-320 just forwards; a dropped row is gone);
   *  - `logs` (+ address/topic filter): each matching log row is pushed
   *    whole into [[pushedLogs]] — the reference's direct mode, exposed
-  *    for latency-first consumers that accept at-most-once on reconnect.
+  *    for latency-first consumers. This channel is explicitly
+  *    AT-MOST-ONCE and BOUNDED:
+  *      - the buffer holds at most `pushCapacity` rows; a burst against a
+  *        slow consumer drops the OLDEST rows and counts them in
+  *        [[overflowDropped]] (the reference's Go channel gives it
+  *        backpressure for free, events.go:221-320 — a JDK listener has
+  *        no one to block, so the bound + counter make the loss explicit
+  *        instead of growing the driver heap without bound);
+  *      - a reconnect can re-deliver the boundary block's rows (the node
+  *        replays the tip after a resubscribe); a (blockNumber, txHash)
+  *        high-water filter drops the duplicates, counted in
+  *        [[duplicatesDropped]] — so the channel never double-delivers,
+  *        it only ever misses (at-most-once, stated not implied).
   *
   * Transport: `java.net.http.WebSocket` (the JDK client), text frames of
   * JSON-RPC. The zero-egress gate drives this against a loopback
@@ -27,17 +39,50 @@ final class EvmSubscription(
     endpoint: String,
     addresses: Option[Set[Long]] = None,
     topic: Option[String] = None,
-    subscribeLogs: Boolean = false) extends AutoCloseable {
+    subscribeLogs: Boolean = false,
+    pushCapacity: Int = 1 << 16) extends AutoCloseable {
 
   @volatile var head: Long = -1L
   val pushedLogs =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long, String, Double)]()
   val notifications = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Rows dropped oldest-first because the bounded buffer was full. */
+  val overflowDropped = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Rows dropped as reconnect re-deliveries (high-water filter). */
+  val duplicatesDropped = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
   // subscription id -> channel, filled as the node confirms each subscribe
   private val subs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val pendingSub = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+
+  // push-channel state, all mutated under `pushLock` (one listener thread
+  // per socket, but a reconnect swaps sockets — the monitor keeps the
+  // size/high-water bookkeeping exact through the handover)
+  private val pushLock = new Object
+  private var pushedSize = 0
+  private var hwBlock = Long.MinValue
+  private val hwTxs = scala.collection.mutable.Set.empty[String]
+
+  private def pushLog(row: (Long, String, String, Long, String, Double)): Unit =
+    pushLock.synchronized {
+      val (bn, _, tx, _, _, _) = row
+      // (blockNumber, txHash) high-water: anything at or below the mark is
+      // a re-delivery (a reconnect replaying the boundary block) — drop it
+      if (bn < hwBlock || (bn == hwBlock && hwTxs.contains(tx))) {
+        duplicatesDropped.incrementAndGet(): Unit
+      } else {
+        if (bn > hwBlock) { hwBlock = bn; hwTxs.clear() }
+        hwTxs += tx
+        pushedLogs.add(row)
+        pushedSize += 1
+        if (pushedSize > pushCapacity) {
+          pushedLogs.poll()
+          pushedSize -= 1
+          overflowDropped.incrementAndGet(): Unit
+        }
+      }
+    }
 
   private def handle(text: String): Unit = {
     val j = JsonMethods.parse(text)
@@ -58,7 +103,7 @@ final class EvmSubscription(
               case JArray(ts) => ts.collect { case JString(s) => s }
               case _ => Nil
             }
-            pushedLogs.add((
+            pushLog((
               JsonRpcClient.hexToLong(result \ "blockNumber"),
               JsonRpcClient.str(result \ "blockHash"),
               JsonRpcClient.str(result \ "transactionHash"),
@@ -83,7 +128,20 @@ final class EvmSubscription(
     * watermark is what consumers rely on, this says how it stayed alive. */
   val reconnects = new java.util.concurrent.atomic.AtomicLong(0L)
   @volatile private var closed = false
+  @volatile private var terminallyFailed = false
   @volatile private var ws: java.net.http.WebSocket = _
+
+  /** True once the reconnect budget is exhausted — the FAILURE SIGNAL a
+    * consumer must see instead of a silently frozen [[head]]: the
+    * micro-batch source switches its availability watermark to polling
+    * the http endpoint when this flips (round-12 advice). */
+  def isFailed: Boolean = terminallyFailed
+
+  // one reconnect loop at a time: onClose and onError can BOTH fire for a
+  // single socket failure — without the gate they'd race two concurrent
+  // reconnect threads into duplicate sockets and duplicate subscriptions
+  // (round-12 advice)
+  private val reconnecting = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** A node dropping the socket must not freeze the head silently (the
     * availability watermark would stall the whole streaming query with no
@@ -93,17 +151,22 @@ final class EvmSubscription(
     * Already-pushed state (head watermark, queued logs) survives; what a
     * dead socket missed is missed (at-most-once on the push channel — the
     * offset-driven consumer re-fetches rows by range, so IT loses
-    * nothing). */
+    * nothing). Retry exhaustion sets [[isFailed]] instead of giving up
+    * silently. */
   private def reconnectLater(): Unit = {
-    if (closed) return
+    if (closed || terminallyFailed) return
+    if (!reconnecting.compareAndSet(false, true)) return
     val t = new Thread(() => {
-      var attempt = 0
-      var done = false
-      while (!done && !closed && attempt < 8) {
-        try { Thread.sleep(50L << math.min(attempt, 5)); connect(); done = true }
-        catch { case _: Throwable => attempt += 1 }
-      }
-      if (done) reconnects.incrementAndGet(): Unit
+      try {
+        var attempt = 0
+        var done = false
+        while (!done && !closed && attempt < 8) {
+          try { Thread.sleep(50L << math.min(attempt, 5)); connect(); done = true }
+          catch { case _: Throwable => attempt += 1 }
+        }
+        if (done) reconnects.incrementAndGet(): Unit
+        else if (!closed) terminallyFailed = true
+      } finally reconnecting.set(false)
     }, "evm-subscription-reconnect")
     t.setDaemon(true)
     t.start()
@@ -154,11 +217,13 @@ final class EvmSubscription(
 
   /** Blocks until the node has confirmed every requested subscription (or
     * the timeout lapses) — callers that immediately assert on pushes need
-    * the server to have registered them first. */
+    * the server to have registered them first. Returns false early if the
+    * subscription terminally failed while waiting. */
   def awaitSubscribed(timeoutMs: Long = 5000L): Boolean = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (!pendingSub.isEmpty && System.nanoTime() < deadline) Thread.sleep(5L)
-    pendingSub.isEmpty
+    while (!pendingSub.isEmpty && !terminallyFailed && System.nanoTime() < deadline)
+      Thread.sleep(5L)
+    pendingSub.isEmpty && !terminallyFailed
   }
 
   override def close(): Unit = {

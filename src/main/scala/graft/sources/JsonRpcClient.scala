@@ -160,6 +160,21 @@ final class JsonRpcClient(
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** UNCACHED header fetch: (timestamp, blockHash). The reorg linkage
+    * check must see the node's CURRENT answer for an already-served
+    * height — the LRU would hide exactly the rewrite it exists to catch.
+    * Returns "" for the hash when the node omits it. */
+  def blockHeaderFresh(block: Long): (Long, String) = {
+    headerRequests.incrementAndGet()
+    val header = call("eth_getBlockByNumber",
+      JArray(List(JString(JsonRpcClient.hex(block)), JBool(false))))
+    val hash = header \ "hash" match {
+      case JString(h) => h
+      case _ => ""
+    }
+    (JsonRpcClient.hexToLong(header \ "timestamp"), hash)
+  }
+
   /** Block header timestamp (`eth_getBlockByNumber`), LRU-cached — the
     * reference's HeaderByNumber + headerCache (cached_client.go:93-111);
     * callMethod attaches it to every method row (methods.go:123-131). */
@@ -222,6 +237,21 @@ final class JsonRpcClient(
 }
 
 object JsonRpcClient {
+  /** Process-shared client cache — ONE client (and so one header/call LRU)
+    * per (endpoint, rate, retryBase) per executor process, the reference's
+    * CachedClient lifetime (one per worker, shared across its goroutines).
+    * Without it each partition reader built a fresh client and the
+    * 8192-entry header LRU was per-reader: a live batch scan keeping
+    * `timestamp` refetched every block header once per partition (round-12
+    * advice). Entries live for the process — a deployment talks to a
+    * handful of endpoints, so there is nothing to evict. */
+  private val shared =
+    scala.collection.concurrent.TrieMap.empty[(String, Double, Long), JsonRpcClient]
+  def sharedClient(
+      endpoint: String, ratePerSec: Double = 0.0, retryBaseMs: Long = 50L): JsonRpcClient =
+    shared.getOrElseUpdate((endpoint, ratePerSec, retryBaseMs),
+      new JsonRpcClient(endpoint, ratePerSec, retryBaseMs = retryBaseMs))
+
   def hex(v: Long): String = "0x" + java.lang.Long.toHexString(v)
 
   /** 64-bit wire quantity (block numbers, timestamps): UNSIGNED parse —

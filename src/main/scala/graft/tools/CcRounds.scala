@@ -21,6 +21,8 @@ object CcRounds {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // zstd shuffle (SCALING r12.2; round-12 verdict item 5) — see Run.scala
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { dir =>

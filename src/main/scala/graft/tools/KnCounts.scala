@@ -21,6 +21,8 @@ object KnCounts {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // zstd shuffle (SCALING r12.2; round-12 verdict item 5) — see Run.scala
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       .getOrCreate()
     println("| store | kn3 types | kn3 buckets | kn5 types | kn5 buckets |")
     println("|---|---|---|---|---|")

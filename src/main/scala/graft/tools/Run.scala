@@ -331,6 +331,11 @@ object Run {
         .appName("graft")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
+        // zstd shuffle: ~1.7x denser than lz4 on the big-store text
+        // exchanges — the difference between crashing and finishing the
+        // sf100 kn5 apply on one spindle (SCALING r12.2, code not lore:
+        // round-12 verdict item 5). Env override for codec probes.
+        .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
         .getOrCreate()
     }
     spark.sparkContext.setLogLevel(

@@ -46,6 +46,8 @@ object ScaleProbe {
       .config("spark.sql.files.maxPartitionBytes", maxPart)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // zstd shuffle (SCALING r12.2; round-12 verdict item 5) — see Run.scala
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mxBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean

@@ -74,4 +74,29 @@ class BucketingSpec extends SparkSpec {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
   }
+
+  test("kn3 bucketed model lands ONCE per session — earlier lazy frames stay valid (r12 advice)") {
+    // the returned frame is lazy and reads $db.m3 after the landing lock
+    // is released: if a second call DROPped and re-landed the database,
+    // an earlier caller's not-yet-evaluated frame could fail or silently
+    // read the re-landed table. The (session, db) memo makes the landing
+    // run at most once per session — proven here by a marker file that a
+    // re-land (DROP DATABASE + location delete) would destroy.
+    val f1 = graft.ext.TextOps.kn3ScoreBucketed(spark, sf)
+    val r1 = f1.collect().map(_.toSeq).toSeq
+    val dbName = spark.catalog.listDatabases().collect().map(_.name)
+      .filter(_.startsWith("graft_kn3m_")).head
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$dbName.db")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(loc, "_r13_memo_marker")
+    fs.create(marker).close()
+    val r2 = graft.ext.TextOps.kn3ScoreBucketed(spark, sf).collect().map(_.toSeq).toSeq
+    assert(fs.exists(marker),
+      "the second call re-landed the database — the (session, db) memo is gone")
+    // and the FIRST frame, re-evaluated after the second call, still reads
+    // the one stable landing
+    assert(f1.collect().map(_.toSeq).toSeq == r1 && r1 == r2)
+    fs.delete(marker, false)
+  }
 }

@@ -27,6 +27,21 @@ final class JsonRpcReplayServer(
     * between ticks (the chain moving under a live S6 loop). */
   @volatile var tip: Long = tip0
 
+  /** DIVERGING-CHAIN mode (reorg fixture): once set below MaxValue, every
+    * block with number > forkBase serves the FORKED variant — same
+    * heights, new blockHashes/txHashes/values
+    * ([[graft.sources.EvmLogs.fetchBlockLogsForked]]). Flipping this
+    * mid-stream IS the reorg: a client that already fetched those heights
+    * holds rows the chain no longer contains. */
+  @volatile var forkBase: Long = Long.MaxValue
+
+  private def chainLogs(b: Long) =
+    if (b > forkBase) graft.sources.EvmLogs.fetchBlockLogsForked(b)
+    else graft.sources.EvmLogs.fetchBlockLogs(b)
+  private def chainHash(b: Long): String =
+    if (b > forkBase) graft.sources.EvmLogs.forkedBlockHashOf(b)
+    else graft.sources.EvmLogs.blockHashOf(b)
+
   val requests = new java.util.concurrent.atomic.AtomicInteger(0)
   val getLogsCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   val tooManyRejections = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -70,7 +85,7 @@ final class JsonRpcReplayServer(
       case _ => None
     }
     JArray((from to to).flatMap { b =>
-      graft.sources.EvmLogs.fetchBlockLogs(b)
+      chainLogs(b)
         .filter { case (_, _, _, addr, top, _) =>
           addrs.forall(_.contains(addr)) && topic0.forall(_ == top)
         }
@@ -166,6 +181,7 @@ final class JsonRpcReplayServer(
               }
               (200, ok(JObject(
                 "number" -> JString(hex(b)),
+                "hash" -> JString(chainHash(b)),
                 "timestamp" -> JString(hex(graft.sources.EvmLogs.blockTime(b))))))
             case m => (200, err(-32601, s"method not found: $m"))
           }

@@ -211,7 +211,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1).toSeq
     val want = sequentialAdmit((1L to 400L).map(i => (i, 1L + (i * 7) % 23)), budget)
     assert(got == want, "scrambled mtimes changed the admission result")
-    Streams.deleteRecursively(new java.io.File(hop))
+    Streams.deleteDir(hop)
   }
 
   test("admission resumes after a mid-run crash — restart ≡ single uninterrupted run (r11 verdict 8)") {
@@ -238,7 +238,7 @@ class StreamingSpec extends SparkSpec {
       .getOrElse(fail("restart did not complete"))
     assert(resumed == sequentialAdmit(data, budget),
       "crash+resume diverged from the uninterrupted admission")
-    Streams.deleteRecursively(new java.io.File(hop))
+    Streams.deleteDir(hop)
   }
 
   test("admission of an artifact whose staged set is EMPTY returns a typed empty frame (r11 advice)") {
@@ -253,7 +253,7 @@ class StreamingSpec extends SparkSpec {
       outCols = Seq("doc_id", "n_tok", "cum_before", "keep"), hop = hop)
     assert(got.columns.toSeq == Seq("doc_id", "n_tok", "cum_before", "keep"))
     assert(got.count() == 0)
-    Streams.deleteRecursively(new java.io.File(hop))
+    Streams.deleteDir(hop)
   }
 
   test("streaming filter pushes the signature predicate per micro-batch") {
@@ -726,5 +726,59 @@ class StreamingSpec extends SparkSpec {
     assert(out.get(3L).contains(4L),
       s"doc 3 matches the shard-0 twin, never batch-mate 7: $out")
     assert(!out.contains(0L) && !out.contains(4L) && !out.contains(5L))
+  }
+
+  test("index upsert order contract survives a filesystem that scrambles mtimes (r12 verdict 1)") {
+    import spark.implicits._
+    // same twin layout as the r9.2 spec — but the shard files arrive in
+    // REVERSE order (mtimes stamped backwards, the HDFS/S3 no-order case
+    // the retired java.io.File mtime device silently failed on). With the
+    // order carried as the __shard DATA column, "earlier" means lower
+    // shard — a pure function of the artifact — so the result is
+    // IDENTICAL under any arrival order.
+    val same1 = "alpha beta gamma delta epsilon"
+    val same2 = "zeta eta theta iota kappa"
+    val same3 = "lambda mu nu xi omicron"
+    val docs = Seq(
+      (0L, same1), (1L, same1),
+      (2L, same2), (6L, same2),
+      (4L, same3), (7L, same3), (3L, same3),
+      (5L, "unique words only here nothing shared")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_scramble").toString
+    Streams.deleteOnShutdown(tmp)
+    Streams.writeIdxShards(spark, docs, 4, tmp)
+    // hostile FS: newest-first replay (reverse shard order)
+    val files = new java.io.File(s"$tmp/in").listFiles().sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L - i * 60000L))
+    }
+    val out = Streams.indexUpsertRunOver(spark, docs.schema, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Streams.deleteDir(tmp)
+    assert(out == Map(1L -> 0L, 7L -> 4L, 3L -> 4L),
+      s"scrambled arrival order changed the emitted matches: $out")
+  }
+
+  test("admission shard count derives from the at-rest artifact (r12 verdict 4)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("admit_sizing").toString
+    Streams.deleteOnShutdown(dir)
+    (1L to 5000L).map(i => (i, s"payload_$i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/art")
+    // gate regime: the artifact is far under one target file — the floor
+    // (4 shards) holds the genuine multi-batch admission contract
+    assert(Streams.admitShardsFor(spark, s"$dir/art") == 4)
+    // store regime: shards grow as ceil(bytes / target file size)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/art")
+    val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
+    val target = math.max(1L, bytes / 10)
+    assert(Streams.admitShardsFor(spark, s"$dir/art", target) ==
+      ((bytes + target - 1) / target).toInt)
+    // a missing artifact never divides by surprise: floor applies
+    assert(Streams.admitShardsFor(spark, s"$dir/definitely_absent") == 4)
+    Streams.deleteDir(dir)
   }
 }

@@ -173,6 +173,23 @@ final class WsReplayServer(tip0: Long = -1L) {
   acceptor.setDaemon(true)
   acceptor.start()
 
+  private def pushBlockLogs(c: Conn, b: Long): Unit =
+    c.logsSub.foreach { case (subId, addrs, topic) =>
+      graft.sources.EvmLogs.fetchBlockLogs(b)
+        .filter { case (_, _, _, addr, top, _) =>
+          addrs.forall(_.contains(addr)) && topic.forall(_ == top)
+        }
+        .foreach { case (bn, bh, th, addr, top, value) =>
+          c.sendNotification(subId, JObject(
+            "blockNumber" -> JString(hex(bn)),
+            "blockHash" -> JString(bh),
+            "transactionHash" -> JString(th),
+            "address" -> JString(hex(addr)),
+            "topics" -> JArray(List(JString(top))),
+            "data" -> JString(hex(math.round(value * 100)))))
+        }
+    }
+
   /** Advances the chain head, PUSHING per-block notifications to every
     * subscriber: one newHeads header per block, and each block's matching
     * log rows to logs subscribers. */
@@ -181,26 +198,18 @@ final class WsReplayServer(tip0: Long = -1L) {
       tip += 1
       val b = tip
       conns.forEach { c =>
-        c.logsSub.foreach { case (subId, addrs, topic) =>
-          graft.sources.EvmLogs.fetchBlockLogs(b)
-            .filter { case (_, _, _, addr, top, _) =>
-              addrs.forall(_.contains(addr)) && topic.forall(_ == top)
-            }
-            .foreach { case (bn, bh, th, addr, top, value) =>
-              c.sendNotification(subId, JObject(
-                "blockNumber" -> JString(hex(bn)),
-                "blockHash" -> JString(bh),
-                "transactionHash" -> JString(th),
-                "address" -> JString(hex(addr)),
-                "topics" -> JArray(List(JString(top))),
-                "data" -> JString(hex(math.round(value * 100)))))
-            }
-        }
+        pushBlockLogs(c, b)
         c.newHeadsSub.foreach(subId =>
           c.sendNotification(subId, JObject("number" -> JString(hex(b)))))
       }
     }
   }
+
+  /** RE-pushes one block's matching log rows to every logs subscriber —
+    * the boundary double-delivery a node produces after a reconnect (it
+    * replays the tip block to the fresh subscription). The client's
+    * high-water filter must drop these. */
+  def repushBlock(b: Long): Unit = conns.forEach(pushBlockLogs(_, b))
 
   /** Drops every live connection abruptly (no close frame) — the node
     * restart / LB idle-kill case the client must reconnect through. */
