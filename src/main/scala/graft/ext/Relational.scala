@@ -731,23 +731,43 @@ object Relational {
     * (saveAsTable + catalog read-back, all columns and types restored). */
   def layoutBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val db = s"graft_buckets_${new java.io.File(sfDir).getName.replace('.', '_')}"
-    // Cross-SESSION idempotency: the warehouse directory outlives the
-    // (in-memory) catalog, so a fresh session's CREATE DATABASE would hit
-    // LOCATION_ALREADY_EXISTS on the previous run's `$db.db` dir. Drop any
-    // catalog entry AND the on-disk location before recreating — overwrite
-    // mode only covers the case where the catalog still knows the tables.
-    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-    val dbLoc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
-    val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dbLoc)) fs.delete(dbLoc, true)
-    spark.sql(s"CREATE DATABASE $db")
-    Tables.lineitem(spark, sfDir).write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(s"$db.li_b")
-    Tables.orders(spark, sfDir).write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(s"$db.ord_b")
+    // The landing runs ONCE per (session, db): the bucketed layout is a
+    // write-once artifact every downstream join consumes — that
+    // amortization IS the technique — and the old land-on-every-call had
+    // the exact hazard class the r12 advice flagged on kn3 (a later call's
+    // DROP DATABASE invalidates an earlier caller's not-yet-evaluated lazy
+    // frame), plus no lock at all against two concurrent callers racing
+    // DROP vs saveAsTable. The memo REVALIDATES the catalog on every call,
+    // so an externally-dropped landing re-lands instead of returning a
+    // dangling handle (the spec's cleanup drops the db; a later same-JVM
+    // call must survive that).
+    bucketsLock.synchronized {
+      bucketsLanded.filterInPlace { case (s, _) => !s.sparkContext.isStopped }
+      val landed = bucketsLanded.contains((spark, db)) &&
+        spark.catalog.tableExists(s"$db.li_b") && spark.catalog.tableExists(s"$db.ord_b")
+      if (!landed) {
+        // Cross-SESSION idempotency: the warehouse directory outlives the
+        // (in-memory) catalog, so a fresh session's CREATE DATABASE would
+        // hit LOCATION_ALREADY_EXISTS on the previous run's `$db.db` dir.
+        // Drop any catalog entry AND the on-disk location before
+        // recreating — overwrite mode only covers the case where the
+        // catalog still knows the tables.
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        val dbLoc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+        val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dbLoc)) fs.delete(dbLoc, true)
+        spark.sql(s"CREATE DATABASE $db")
+        Tables.lineitem(spark, sfDir).write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(s"$db.li_b")
+        Tables.orders(spark, sfDir).write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(s"$db.ord_b")
+        bucketsLanded.add((spark, db))
+        ()
+      }
+    }
     val discPrice = dec(col("l_extendedprice")) * rate1m(col("l_discount"))
     spark.table(s"$db.li_b")
       .join(spark.table(s"$db.ord_b"), col("l_orderkey") === col("o_orderkey"))
@@ -757,6 +777,10 @@ object Relational {
         decOut(sum(discPrice)).as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  private val bucketsLock = new Object
+  private val bucketsLanded =
+    scala.collection.mutable.Set.empty[(SparkSession, String)]
 
   private val layoutBucketedJoinSql =
     """SELECT o_orderpriority, count(*) AS n_items,

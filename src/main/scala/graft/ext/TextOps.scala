@@ -2485,7 +2485,7 @@ object TextOps {
             .saveAsTable(s"$db.m3")
           val l = Kn3Landed(spark.table(s"$db.m3"), cxy, q2, ny, nz, nbb)
           kn3ModelCache.synchronized {
-            if (kn3ModelCache.size >= 4) kn3ModelCache.clear()
+            evictDeadSessions(kn3ModelCache)
             kn3ModelCache.update((spark, db), l)
           }
           l
@@ -2503,6 +2503,19 @@ object TextOps {
       ny: DataFrame, nz: DataFrame, nbb: DataFrame)
   private val kn3ModelCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), Kn3Landed]
+
+  /** Bounds a (session, db)-keyed model cache by evicting entries whose
+    * SparkSession has stopped — never a LIVE entry: evicting a live (s, db)
+    * lets a later call in that session DROP+re-land the database under an
+    * outstanding lazy frame, exactly the hazard the memo exists to close
+    * (the prior `size >= 4 → clear()` bound did this for a 5th distinct
+    * store in one session). A live session's entries are O(stores touched)
+    * small plan handles, so retaining them all is the cheap, safe bound. */
+  private def evictDeadSessions[V](
+      cache: scala.collection.mutable.Map[(SparkSession, String), V]): Unit = {
+    cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    ()
+  }
 
   /** Stable per-store database tag: the basename (readable) plus a hash
     * of the CANONICAL path — distinct stores sharing a basename land in
@@ -2775,7 +2788,7 @@ object TextOps {
               reuseKn5Model(spark, db).getOrElse(landKn5Model(spark, sfDir, db))
             else landKn5Model(spark, sfDir, db)
           kn5ModelCache.synchronized {
-            if (kn5ModelCache.size >= 4) kn5ModelCache.clear()
+            evictDeadSessions(kn5ModelCache)
             kn5ModelCache.update((spark, db), m)
           }
           m

@@ -75,6 +75,43 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("layout_bucketed_join lands once per session and revalidates a dropped landing (r13)") {
+    // same hazard class the r12 advice flagged on kn3: the returned frame
+    // is lazy, so a per-call DROP DATABASE + re-land would invalidate an
+    // earlier caller's not-yet-evaluated result (and two concurrent calls
+    // raced DROP vs saveAsTable with no lock at all). The landing is now
+    // memoized per (session, db) WITH catalog revalidation.
+    val db = s"graft_buckets_${new java.io.File(sf).getName.replace('.', '_')}"
+    try {
+      val f1 = graft.ext.Relational.layoutBucketedJoin(spark, sf)
+      val r1 = f1.collect().map(_.toSeq).toSeq
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(loc, "_r13_memo_marker")
+      fs.create(marker).close()
+      // memo hit: the second call must NOT re-land (marker survives), and
+      // the first frame still evaluates against the one stable landing
+      val r2 = graft.ext.Relational.layoutBucketedJoin(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(fs.exists(marker), "the second call re-landed the bucketed layout")
+      assert(f1.collect().map(_.toSeq).toSeq == r1 && r1 == r2)
+      // revalidation: an externally-dropped landing must re-land, not
+      // return a dangling handle
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val r3 = graft.ext.Relational.layoutBucketedJoin(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(r3 == r1, "the re-landed layout changed the query result")
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+  }
+
   test("kn3 bucketed model lands ONCE per session — earlier lazy frames stay valid (r12 advice)") {
     // the returned frame is lazy and reads $db.m3 after the landing lock
     // is released: if a second call DROPped and re-landed the database,
@@ -98,5 +135,54 @@ class BucketingSpec extends SparkSpec {
     // the one stable landing
     assert(f1.collect().map(_.toSeq).toSeq == r1 && r1 == r2)
     fs.delete(marker, false)
+  }
+
+  test("a 5th distinct store does NOT evict a live session's landed model (r13)") {
+    // the old bound was `size >= 4 -> clear()`: landing a 5th distinct
+    // store wiped the memo for ALL stores, so a re-call for the first
+    // store would DROP+re-land its database under any outstanding lazy
+    // frame — the exact hazard the memo exists to close, reintroduced at
+    // N=5. Eviction now only removes entries whose session has stopped.
+    import spark.implicits._
+    val f1 = graft.ext.TextOps.kn3ScoreBucketed(spark, sf)
+    val r1 = f1.collect().map(_.toSeq).toSeq
+    val dbName = spark.catalog.listDatabases().collect().map(_.name)
+      .filter(_.startsWith("graft_kn3m_")).head
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$dbName.db")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(loc, "_r13_evict_marker")
+    fs.create(marker).close()
+    // land four MORE distinct tiny stores (distinct canonical paths ->
+    // distinct databases), pushing the cache past the old clear bound
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evict").toString
+    val tinyDbs = (0 until 4).map { i =>
+      val store = s"$tmp/store_$i"
+      (0 until 20).map(d => (d.toLong,
+          s"alpha bravo charlie delta echo foxtrot golf store$i doc$d",
+          "en", "synthetic", 50L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$store/documents.parquet")
+      graft.ext.TextOps.kn3ScoreBucketed(spark, store).collect()
+      spark.catalog.listDatabases().collect().map(_.name)
+        .filter(n => n.startsWith("graft_kn3m_") && n.contains(s"store_$i")).head
+    }
+    try {
+      // re-call the FIRST store: with the memo intact this is a cache hit
+      val r2 = graft.ext.TextOps.kn3ScoreBucketed(spark, sf).collect().map(_.toSeq).toSeq
+      assert(fs.exists(marker),
+        "landing a 5th distinct store evicted the first store's memo — " +
+          "its re-call re-landed the database under the outstanding frame")
+      assert(f1.collect().map(_.toSeq).toSeq == r1 && r1 == r2)
+    } finally {
+      fs.delete(marker, false)
+      tinyDbs.foreach { db =>
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        val dLoc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+        if (fs.exists(dLoc)) fs.delete(dLoc, true)
+      }
+      graft.streaming.Streams.deleteDir(tmp)
+    }
   }
 }
