@@ -260,7 +260,7 @@ class EvmLogsScan(
     * websocket loop lacks (events.go:221-320 just forwards). */
   override def toMicroBatchStream(checkpointLocation: String): sstreaming.MicroBatchStream =
     new EvmLogsMicroBatchStream(lo, hi, blocksPerBatch, addresses, topic, required, rpc,
-      confirmations)
+      confirmations, checkpointLoc = Some(checkpointLocation))
 
   override def description(): String =
     s"evmlogs [$lo, $hi) parts=$parts addresses=$addresses topic=$topic limit=$limit"
@@ -299,7 +299,8 @@ class EvmLogsMicroBatchStream(
     addresses: Option[Set[Long]], topic: Option[String],
     required: StructType,
     rpc: RpcConf = RpcConf(None, 0.0, 50L, 64L),
-    confirmations: Long = 0L)
+    confirmations: Long = 0L,
+    checkpointLoc: Option[String] = None)
   extends sstreaming.MicroBatchStream with sstreaming.SupportsTriggerAvailableNow {
 
   // driver-side client: consulted for the REAL chain tip when an endpoint
@@ -387,7 +388,36 @@ class EvmLogsMicroBatchStream(
   // open (ROADMAP.md:69-70); this closes the detection half the
   // confirmation knob cannot argue away. Driver-side, one uncached header
   // refetch per micro-batch.
-  @volatile private var lastPlanned: Option[(Long, String)] = None
+  //
+  // The boundary PERSISTS in the checkpoint (a tiny `graft-linkage` file
+  // next to the engine's offset log, Hadoop FS API): a reorg that lands
+  // while the stream is DOWN — the common real-world case: node restart,
+  // redeploy, maintenance window — is caught on resume, not just one that
+  // happens to land between two triggers of one long-lived driver. An
+  // in-memory-only boundary starts every restart blind exactly where the
+  // committed history is most exposed.
+  private def linkagePath: Option[org.apache.hadoop.fs.Path] =
+    checkpointLoc.map(c => new org.apache.hadoop.fs.Path(c, "graft-linkage"))
+  private def readLinkage(): Option[(Long, String)] = linkagePath.flatMap { p =>
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      line.split(' ') match {
+        case Array(b, h) => Some((b.toLong, h))
+        case _ => None
+      }
+    }
+  }
+  private def writeLinkage(block: Long, hash: String): Unit = linkagePath.foreach { p =>
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(s"$block $hash".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+  @volatile private var lastPlanned: Option[(Long, String)] = readLinkage()
 
   override def planInputPartitions(
       startOff: sstreaming.Offset, endOff: sstreaming.Offset): Array[InputPartition] = {
@@ -406,7 +436,9 @@ class EvmLogsMicroBatchStream(
                 "Re-ingest from a checkpoint below the fork, or raise `confirmations`.")
           }
         }
-        lastPlanned = Some((until - 1, c.blockHeaderFresh(until - 1)._2))
+        val boundary = (until - 1, c.blockHeaderFresh(until - 1)._2)
+        lastPlanned = Some(boundary)
+        if (boundary._2.nonEmpty) writeLinkage(boundary._1, boundary._2)
       }
       Array(EvmLogsPartition(from, until, addresses, topic, required.fieldNames, limit = None, rpc))
     }

@@ -667,6 +667,55 @@ class EvmLogsSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("reorg replay: a reorg landing while the stream is DOWN is detected on resume (r13)") {
+    // the common real-world reorg exposure is a maintenance window: the
+    // stream is stopped, the chain rewrites blocks it already shipped, the
+    // stream resumes. An in-memory-only boundary starts every restart
+    // blind; the linkage boundary now PERSISTS in the checkpoint
+    // (graft-linkage), so the resumed run refetches the recorded boundary
+    // hash and fails loudly instead of silently appending the fork.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("evmreorgdown").toString
+    graft.streaming.Streams.deleteOnShutdown(dir)
+    def drain(srv: JsonRpcReplayServer): Option[Throwable] = {
+      val q = spark.readStream.format("graft.sources.EvmLogsProvider")
+        .option("start", 0).option("end", 1000).option("blocksPerBatch", 50)
+        .option("endpoint", srv.url) // confirmations = 0: tip-chasing
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); None }
+      catch { case t: Throwable => Some(t) }
+      finally if (q.isActive) q.stop()
+    }
+    val srv = new JsonRpcReplayServer(tip0 = 119L)
+    try {
+      assert(drain(srv).isEmpty) // commits [0, 120) on the canonical chain
+      // stream DOWN; a 25-block reorg rewrites blocks 96+ and the chain
+      // moves on — deeper than the 0-block confirmation lag
+      srv.forkBase = 95L
+      srv.tip = 160L
+      val failure = drain(srv)
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(failure.nonEmpty,
+        "the resumed stream did not fail on the rewrite — a mixed history shipped silently")
+      assert(chain(failure.get).exists(m => m != null && m.contains("REORG")),
+        s"the failure is not the reorg detection: ${chain(failure.get)}")
+      // and nothing post-fork was appended below the detected boundary:
+      // the committed output is exactly the pre-reorg canonical chain
+      val got = spark.read.parquet(s"$dir/out")
+        .select("blocknumber", "block_hash").distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert((0L until 120L).forall(b =>
+        got.get(b).forall(_ == EvmLogs.blockHashOf(b))),
+        "post-fork rows leaked into the committed output")
+    } finally srv.stop()
+  }
+
   test("live transport: partition readers share ONE process client — headers fetch once across scans (r12 advice)") {
     withServer(new JsonRpcReplayServer()) { srv =>
       // collect(), not count(): a count would prune `timestamp` away and
