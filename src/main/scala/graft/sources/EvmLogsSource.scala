@@ -406,8 +406,12 @@ class EvmLogsMicroBatchStream(
       val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
       line.split(' ') match {
-        case Array(b, h) => Some((b.toLong, h))
-        case _ => None
+        case Array(b, h) if b.forall(c => c.isDigit || c == '-') && b.nonEmpty =>
+          Some((b.toLong, h))
+        case _ => throw new IllegalStateException(
+          s"evmlogs: unreadable reorg-linkage record at $p: '$line' — " +
+            "refusing to resume blind; delete the file to restart linkage tracking " +
+            "(detection then begins at the next planned batch)")
       }
     }
   }
