@@ -2785,7 +2785,7 @@ object TextOps {
           // so it is an explicit operator assertion, not an inference.
           val m =
             if (sys.env.get("SPARK_GRAFT_KN5_REUSE_DB").contains("1"))
-              reuseKn5Model(spark, db).getOrElse(landKn5Model(spark, sfDir, db))
+              reuseKn5Model(spark, sfDir, db).getOrElse(landKn5Model(spark, sfDir, db))
             else landKn5Model(spark, sfDir, db)
           kn5ModelCache.synchronized {
             evictDeadSessions(kn5ModelCache)
@@ -2801,18 +2801,56 @@ object TextOps {
   private val kn5ModelCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), KnNModel]
 
+  /** Corpus fingerprint for the cross-session reuse guard: SHA-256 over the
+    * sorted (name, length) listing of the store's documents artifact,
+    * through the Hadoop FS API. Names+sizes are effectively
+    * content-addressed for parquet — writers emit fresh uniquely-named part
+    * files, so appends, overwrites, and compactions all change the listing
+    * — unlike mtimes, the metadata contract this repo already rejects. The
+    * one escape (an in-place byte-rewrite preserving every name and size)
+    * is stated; the default path retrains regardless. */
+  private[graft] def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).foreach(s => walk(s.getPath))
+      else if (!st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        entries += s"${st.getPath.getName}:${st.getLen}"
+    }
+    walk(root)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(entries.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Rebuilds the model handle from an EXISTING complete landing: the
     * bucketed order-3..5 tables read from the catalog, the staged a5/a4
     * parquet re-opened, the small orders (a3..a1, q2/q1, d2, den1 — all
     * vocab-decade frames) re-derived from the staged counts in seconds.
-    * None when any piece is missing (fall back to a fresh landing). */
-  private def reuseKn5Model(spark: SparkSession, db: String): Option[KnNModel] = {
+    * None when any piece is missing (fall back to a fresh landing) — or
+    * when the store's CURRENT corpus fingerprint differs from the one the
+    * landing recorded: the r12 form trusted the operator's env assertion
+    * alone, leaving "reuse against a changed store scores with a stale LM"
+    * as a documented risk; now the landing carries its corpus identity and
+    * a drifted store re-lands instead of silently scoring stale. */
+  private[graft] def reuseKn5Model(
+      spark: SparkSession, sfDir: String, db: String): Option[KnNModel] = {
     val tables = Seq("q5", "d5", "q4", "d4", "q3", "d3")
     if (!spark.catalog.databaseExists(db) ||
         !tables.forall(t => spark.catalog.tableExists(s"$db.$t"))) return None
     val dbLoc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
     val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpPath = new org.apache.hadoop.fs.Path(dbLoc, "_corpus_fingerprint")
+    if (!fs.exists(fpPath)) return None // pre-guard landing: re-land once
+    val recorded = {
+      val in = fs.open(fpPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    if (recorded != corpusFingerprint(spark, sfDir)) return None
     val stage = s"$dbLoc/stage"
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/a5")) ||
         !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/a4"))) return None
@@ -2847,7 +2885,9 @@ object TextOps {
       a = a.toIndexedSeq))
   }
 
-  private def landKn5Model(spark: SparkSession, sfDir: String, db: String): KnNModel = {
+  private[graft] def landKn5Model(
+      spark: SparkSession, sfDir: String, db: String,
+      landCounts: Boolean = sys.env.get("SPARK_GRAFT_KN5_LAND_COUNTS").contains("1")): KnNModel = {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     val dbLoc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
@@ -2863,7 +2903,7 @@ object TextOps {
     // the database; the gate default keeps the (faster at small stores)
     // checkpoint path.
     val m =
-      if (sys.env.get("SPARK_GRAFT_KN5_LAND_COUNTS").contains("1")) {
+      if (landCounts) {
         val stage = s"$dbLoc/stage"
         knNCountsOf(en, 5).write.mode("overwrite").parquet(s"$stage/a5")
         knNModelOfCounts(spark.read.parquet(s"$stage/a5"), 5, Some(stage))
@@ -2899,13 +2939,21 @@ object TextOps {
     val d3 = land(m.d(3), "d3", b3, pfx(3), pfx(3))
     // the force-broadcast orders (≤ 2) stay session frames; eagerly
     // materialized so repeated applies never re-derive them either
-    m.copy(
+    val handle = m.copy(
       q = m.q.updated(5, q5).updated(4, q4).updated(3, q3)
         .updated(2, m.q(2).localCheckpoint())
         .updated(1, m.q(1).localCheckpoint()),
       d = m.d.updated(5, d5).updated(4, d4).updated(3, d3)
         .updated(2, m.d(2).localCheckpoint()),
       den1 = m.den1.localCheckpoint())
+    // record the corpus identity LAST — it doubles as the landing's
+    // completion marker, and reuseKn5Model validates it before trusting
+    // any table (a store that drifted since this landing re-lands)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dbLoc, "_corpus_fingerprint"), true)
+    try out.write(corpusFingerprint(spark, sfDir)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    handle
   }
 
   /** INCREMENTALLY maintained 5-gram artifact — [[knIncremental]]'s

@@ -137,6 +137,45 @@ class BucketingSpec extends SparkSpec {
     fs.delete(marker, false)
   }
 
+  test("kn5 cross-session reuse refuses a DRIFTED corpus — fingerprint guard (r13)") {
+    // the r12 reuse path trusted the operator's env assertion that the
+    // corpus was unchanged, leaving "reuse against a changed store scores
+    // with a stale LM" a documented risk. The landing now records a
+    // corpus fingerprint (sorted name:size listing of the documents
+    // artifact — content-addressed for parquet, NOT mtimes) and reuse
+    // validates it: unchanged store → handle rebuilt; drifted store →
+    // None (fall back to a fresh landing).
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_kn5fp").toString
+    graft.streaming.Streams.deleteOnShutdown(store)
+    def docsOf(n: Int) = (0 until n).map(d => (d.toLong,
+        s"one two three four five six seven eight doc$d tail$d",
+        "en", "synthetic", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docsOf(20).write.parquet(s"$store/documents.parquet")
+    val db = "graft_kn5m_r13_fingerprint_spec"
+    try {
+      graft.ext.TextOps.landKn5Model(spark, store, db, landCounts = true)
+      // the fingerprint is stable across calls on an unchanged store…
+      assert(graft.ext.TextOps.corpusFingerprint(spark, store) ==
+        graft.ext.TextOps.corpusFingerprint(spark, store))
+      // …so reuse accepts and rebuilds the handle without re-landing
+      assert(graft.ext.TextOps.reuseKn5Model(spark, store, db).isDefined,
+        "reuse rejected an UNCHANGED corpus — the guard is too strict")
+      // the corpus drifts: new rows land as new part files (names+sizes
+      // change — the realistic mutation every parquet writer produces)
+      docsOf(5).write.mode("append").parquet(s"$store/documents.parquet")
+      assert(graft.ext.TextOps.reuseKn5Model(spark, store, db).isEmpty,
+        "reuse accepted a DRIFTED corpus — it would score with a stale LM")
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+  }
+
   test("a 5th distinct store does NOT evict a live session's landed model (r13)") {
     // the old bound was `size >= 4 -> clear()`: landing a 5th distinct
     // store wiped the memo for ALL stores, so a re-call for the first
