@@ -468,9 +468,13 @@ object DedupOps {
     * lineage-truncated result, exactly as a production pipeline persists
     * the cluster-map table once and joins it from every downstream query
     * (at 100 TB this memo IS a persisted table; here the final
-    * localCheckpoint plays that role). Size-capped; the compute runs
-    * outside the lock (a racing duplicate compute is harmless — last one
-    * wins). */
+    * localCheckpoint plays that role). Size-capped with a wholesale clear —
+    * safe HERE, unlike the kn3/kn5/bucketed-layout caches (r13): those
+    * guard shared CATALOG state, where eviction lets a re-call DROP a
+    * table an outstanding lazy frame still reads; this cache's values are
+    * self-contained checkpointed frames that stay valid after eviction, so
+    * a clear loses only the memo. The compute runs outside the lock (a
+    * racing duplicate compute is harmless — last one wins). */
   private val clusterMapCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
