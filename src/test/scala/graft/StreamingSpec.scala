@@ -214,6 +214,29 @@ class StreamingSpec extends SparkSpec {
     Streams.deleteDir(hop)
   }
 
+  test("admission is shard-count-FREE: 1, 4, and 9 shards admit the identical set (r13)") {
+    // the scaladoc's claim behind admitShardsFor (shards are pure LAYOUT —
+    // the count may derive from artifact size without touching semantics),
+    // pinned: the same artifact re-landed at three different shard counts,
+    // including a count above the gate floor and the degenerate single
+    // shard, admits byte-identical rows ≡ the sequential reference.
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => (i, 1L + (i * 11) % 29))
+    val budget = 2200L
+    val want = sequentialAdmit(rows, budget)
+    Seq(1, 4, 9).foreach { n =>
+      val hop = java.nio.file.Files.createTempDirectory(s"admit_n$n").toString
+      Streams.deleteOnShutdown(hop)
+      Streams.writeRangeSortedShards(rows.toDF("doc_id", "n_tok"), s"$hop/src", n, col("doc_id"))
+      val got = Streams.admitByBudget(spark, s"$hop/src", identity,
+        orderCol = "doc_id", descending = false, budget = budget,
+        outCols = Seq("doc_id", "n_tok", "cum_before", "keep"), hop = hop)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1).toSeq
+      assert(got == want, s"$n-shard admission diverged from the sequential reference")
+      Streams.deleteDir(hop)
+    }
+  }
+
   test("admission resumes after a mid-run crash — restart ≡ single uninterrupted run (r11 verdict 8)") {
     import spark.implicits._
     val data = (1L to 400L).map(i => (i, 1L + (i * 13) % 31))
