@@ -580,23 +580,26 @@ object Streams {
     * matches are a pure function of the artifact under ANY arrival order,
     * and all filesystem access goes through the Hadoop FS API. At
     * production the `__shard` column is the ingest sequence number the
-    * pipeline already stamps on arrival batches. */
+    * pipeline already stamps on arrival batches.
+    *
+    * ONE pass over `docs` (round-13 verdict item 4): the r12 form ran a
+    * `where(doc_id % shards = i)` + coalesce(1) write PER shard — O(shards
+    * × full scan), ~280 scans at an `admitShardsFor`-sized artifact. Here
+    * a single hash-repartition on the shard value routes every shard to
+    * its own write task (all rows of one shard land in one task, so each
+    * `__shard=i` directory holds exactly one file — the one-shard-one-file
+    * replay contract, unchanged), and `partitionBy` keeps the shard as a
+    * directory column the file stream restores per batch. */
   private[graft] def writeIdxShards(
       spark: SparkSession, docs: DataFrame, shards: Int, tmp: String): Unit = {
+    docs.withColumn("__shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+      .repartition(shards, col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(s"$tmp/in")
+    // only data files for the replay stream — drop the batch commit marker
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
-    (0 until shards).foreach { i =>
-      val shardTmp = s"$tmp/shard_$i"
-      docs.where(pmod(col("doc_id"), lit(shards)) === i)
-        .withColumn("__shard", lit(i))
-        .coalesce(1).write.mode("overwrite").parquet(shardTmp)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(shardTmp))
-        .map(_.getPath)
-        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-        .head
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/in", f"shard_$i%02d.parquet"))
-    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/in/_SUCCESS"), false)
+    ()
   }
 
   /** The streaming probe-then-append run over a [[writeIdxShards]]

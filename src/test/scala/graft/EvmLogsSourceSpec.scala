@@ -716,6 +716,108 @@ class EvmLogsSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("reorg replay: a crash BETWEEN plan and commit cannot blind the resume check (r13 verdict 1)") {
+    // the round-13 window: the engine logs the next batch's offset, the
+    // batch PLANS (under the old plan-time persistence this overwrote the
+    // linkage record with the not-yet-committed boundary), the driver dies
+    // before commit. Restart replans the same range; with the record ahead
+    // of the committed offset the old `b == from-1` guard silently
+    // skipped — a reorg over committed history landing in that window
+    // shipped a mixed history undetected. With commit-time persistence the
+    // record on disk is ALWAYS committed output, so the resumed run checks
+    // it and fails loudly.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("evmreorgcrash").toString
+    graft.streaming.Streams.deleteOnShutdown(dir)
+    def drain(srv: JsonRpcReplayServer, failBatch: Boolean): Option[Throwable] = {
+      val q = spark.readStream.format("graft.sources.EvmLogsProvider")
+        .option("start", 0).option("end", 1000).option("blocksPerBatch", 50)
+        .option("endpoint", srv.url) // confirmations = 0: tip-chasing
+        .load()
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (failBatch) {
+              // force the scan to PLAN (planInputPartitions runs on the
+              // first action), then die before the sink write — the engine
+              // has logged this batch's offset but will never commit it
+              batch.count()
+              throw new RuntimeException("injected crash between plan and commit")
+            } else batch.write.mode("append").parquet(s"$dir/out")
+            ()
+        }
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); None }
+      catch { case t: Throwable => Some(t) }
+      finally if (q.isActive) q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    val srv = new JsonRpcReplayServer(tip0 = 119L)
+    try {
+      assert(drain(srv, failBatch = false).isEmpty) // commits [0, 120) canonical
+      // the chain advances (no fork yet) and the driver dies mid-batch:
+      // offset log written for [120, 161), commit log not
+      srv.tip = 160L
+      val crash = drain(srv, failBatch = true)
+      assert(crash.nonEmpty && chain(crash.get).exists(m => m != null && m.contains("injected")),
+        s"the injected crash did not surface: ${crash.map(chain(_))}")
+      // stream DOWN in the crash window; a 25-block reorg rewrites blocks
+      // 96+ — committed history below the replanned range is now pre-fork
+      srv.forkBase = 95L
+      srv.tip = 180L
+      val failure = drain(srv, failBatch = false)
+      assert(failure.nonEmpty,
+        "the replanned batch resumed blind — the plan/commit crash window is open")
+      assert(chain(failure.get).exists(m => m != null && m.contains("REORG")),
+        s"the failure is not the reorg detection: ${chain(failure.get)}")
+      // nothing post-fork joined the committed output
+      val got = spark.read.parquet(s"$dir/out")
+        .select("blocknumber", "block_hash").distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got.keySet.forall(_ < 120L), "uncommitted batch rows leaked to the sink")
+      assert((0L until 120L).forall(b => got.get(b).forall(_ == EvmLogs.blockHashOf(b))),
+        "post-fork rows leaked into the committed output")
+    } finally srv.stop()
+  }
+
+  test("linkage record IO: corrupt records fail diagnostically, empty/tmp states recover (r13 verdict 3 + advice)") {
+    import graft.sources.LinkageLog
+    val dir = java.nio.file.Files.createTempDirectory("linkageio").toString
+    graft.streaming.Streams.deleteOnShutdown(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, "graft-linkage")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(path: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val out = fs.create(path, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // round trip through the atomic write; no tmp litter left behind
+    LinkageLog.write(p, 119L, "0xabc")
+    assert(LinkageLog.read(p).contains((119L, "0xabc")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "graft-linkage.tmp")))
+    // overwrite replaces, never appends/truncates partially
+    LinkageLog.write(p, 169L, "0xdef")
+    assert(LinkageLog.read(p).contains((169L, "0xdef")))
+    // the r13 guard hole: '-' anywhere passed `forall(isDigit || '-')` and
+    // died with a bare NumberFormatException; now it is the diagnostic stop
+    put(p, "12-3 0xabc")
+    val e = intercept[IllegalStateException](LinkageLog.read(p))
+    assert(e.getMessage.contains("unreadable reorg-linkage record"), e.getMessage)
+    // an EMPTY file (in-place-truncate crash legacy) reads as missing —
+    // linkage tracking restarts instead of hard-stopping every resume
+    put(p, "")
+    assert(LinkageLog.read(p).isEmpty)
+    // crash window between delete(main) and rename(tmp): the complete tmp
+    // record is recovered
+    fs.delete(p, false)
+    put(new org.apache.hadoop.fs.Path(dir, "graft-linkage.tmp"), "42 0xfeed")
+    assert(LinkageLog.read(p).contains((42L, "0xfeed")))
+    // and a normal write supersedes the stale tmp
+    LinkageLog.write(p, 43L, "0xbeef")
+    assert(LinkageLog.read(p).contains((43L, "0xbeef")))
+  }
+
   test("live transport: partition readers share ONE process client — headers fetch once across scans (r12 advice)") {
     withServer(new JsonRpcReplayServer()) { srv =>
       // collect(), not count(): a count would prune `timestamp` away and
