@@ -742,9 +742,19 @@ object Relational {
     // dangling handle (the spec's cleanup drops the db; a later same-JVM
     // call must survive that).
     bucketsLock.synchronized {
-      bucketsLanded.filterInPlace { case (s, _) => !s.sparkContext.isStopped }
-      val landed = bucketsLanded.contains((spark, db)) &&
-        spark.catalog.tableExists(s"$db.li_b") && spark.catalog.tableExists(s"$db.ord_b")
+      bucketsLanded.filterInPlace { case (s, _, _) => !s.sparkContext.isStopped }
+      // the memo is really per CATALOG, not per session (round-13 advice):
+      // `newSession()` siblings share one catalog and warehouse, so a
+      // sibling-keyed miss would run DROP DATABASE CASCADE under another
+      // live session's outstanding lazy frames. A landing by ANY live
+      // session on this context+warehouse counts — provided the catalog
+      // still validates (external drops re-land, as before). Entries from
+      // a PREVIOUS process never appear in the set, so cross-JVM warehouse
+      // leftovers still take the full drop-and-reland path.
+      def wh(s: SparkSession) = s.conf.get("spark.sql.warehouse.dir")
+      val landed = bucketsLanded.exists { case (s, w, d) =>
+        d == db && w == wh(spark) && (s.sparkContext eq spark.sparkContext)
+      } && spark.catalog.tableExists(s"$db.li_b") && spark.catalog.tableExists(s"$db.ord_b")
       if (!landed) {
         // Cross-SESSION idempotency: the warehouse directory outlives the
         // (in-memory) catalog, so a fresh session's CREATE DATABASE would
@@ -764,7 +774,7 @@ object Relational {
         Tables.orders(spark, sfDir).write.mode("overwrite")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable(s"$db.ord_b")
-        bucketsLanded.add((spark, db))
+        bucketsLanded.add((spark, spark.conf.get("spark.sql.warehouse.dir"), db))
         ()
       }
     }
@@ -780,7 +790,7 @@ object Relational {
 
   private val bucketsLock = new Object
   private val bucketsLanded =
-    scala.collection.mutable.Set.empty[(SparkSession, String)]
+    scala.collection.mutable.Set.empty[(SparkSession, String, String)]
 
   private val layoutBucketedJoinSql =
     """SELECT o_orderpriority, count(*) AS n_items,

@@ -2394,7 +2394,7 @@ object TextOps {
 
   /** The kn3 model-apply join block, split out so the bucketed-layout
     * variant can feed the SAME joins from at-rest catalog tables. */
-  private def kn3Apply(
+  private[graft] def kn3Apply(
       docTg: DataFrame, m3: DataFrame, cxy: DataFrame, q2: DataFrame,
       ny: DataFrame, nz: DataFrame, nbb: DataFrame): DataFrame = {
     docTg.join(m3, Seq("x", "y", "z"), "left")
@@ -2456,34 +2456,20 @@ object TextOps {
     // advice). With the memo, the db is dropped/re-landed at most once per
     // session and every returned frame reads the one stable landing.
     val landed = landLock(db).synchronized {
-      kn3ModelCache.synchronized(kn3ModelCache.get((spark, db))) match {
+      kn3ModelCache.synchronized(
+        kn3ModelCache.get((spark, db)).orElse(adoptSibling(kn3ModelCache, spark, db))
+      ) match {
         case Some(l) => l
         case None =>
-          // cross-session idempotency: drop the catalog entry AND the
-          // on-disk location (the warehouse outlives the in-memory catalog)
-          spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-          val dbLoc = new org.apache.hadoop.fs.Path(
-            spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
-          val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(dbLoc)) fs.delete(dbLoc, true)
-          spark.sql(s"CREATE DATABASE $db")
-          val cxyz = kn3CxyzOf(docs.where(col("lang") === "en")).localCheckpoint()
-          val (cxy, byz, ny, nz, nbb) = kn3Stats(cxyz)
-          val q2 = byz.join(ny, Seq("y")).join(nz, Seq("z")).crossJoin(broadcast(nbb))
-            .select(col("y"), col("z"), expr(
-              s"((4*n1p_dyz - 3) * $KnQ) div (4*n1p_dyd) + " +
-                s"(3*n1p_yd*((n1p_dz * $KnQ) div n_bb2)) div (4*n1p_dyd)").as("q2"))
-            .localCheckpoint()
-          // store-sized bucket count off the model frame the landing already
-          // materialized (round-11 verdict item 3 — the env var is an override)
-          val buckets = modelBuckets(cxyz.count(), "SPARK_GRAFT_KN3_BUCKETS")
-          cxyz.join(cxy, Seq("x", "y")).join(q2, Seq("y", "z"))
-            .select(col("x"), col("y"), col("z"), expr(
-              s"((4*c_xyz - 3) * $KnQ) div (4*c_xy) + (3*n1p_xy*q2) div (4*c_xy)").as("q_seen"))
-            .write.mode("overwrite")
-            .bucketBy(buckets, "x", "y", "z").sortBy("x", "y", "z")
-            .saveAsTable(s"$db.m3")
-          val l = Kn3Landed(spark.table(s"$db.m3"), cxy, q2, ny, nz, nbb)
+          // CROSS-SESSION reuse behind the kn5 fingerprint guard (round-13
+          // verdict item 6): when the operator asserts the corpus is
+          // unchanged AND a complete landing (fingerprint marker written
+          // last) validates against the store's current listing, rebuild
+          // the handle from the staged artifact instead of re-training.
+          val l =
+            if (sys.env.get("SPARK_GRAFT_KN3_REUSE_DB").contains("1"))
+              reuseKn3Model(spark, sfDir, db).getOrElse(landKn3Model(spark, sfDir, db))
+            else landKn3Model(spark, sfDir, db)
           kn3ModelCache.synchronized {
             evictDeadSessions(kn3ModelCache)
             kn3ModelCache.update((spark, db), l)
@@ -2496,9 +2482,111 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Drops-and-lands the kn3 model database: the (x,y,z)-bucketed
+    * seen-trigram table plus the small apply-side stats STAGED as parquet
+    * inside the database location (so [[reuseKn3Model]] can rebuild the
+    * whole handle cross-session without touching the corpus), with the
+    * corpus fingerprint written LAST as the completion marker. */
+  private[graft] def landKn3Model(
+      spark: SparkSession, sfDir: String, db: String): Kn3Landed = {
+    // fingerprint BEFORE the first corpus read (round-13 advice): a corpus
+    // mutation landing DURING this landing must not become the recorded
+    // identity of a model trained on pre-mutation (or mixed) data — with
+    // the pre-read listing recorded, any mid-landing drift fails the next
+    // reuse validation and re-lands instead of silently matching
+    val fp = corpusFingerprint(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    // cross-session idempotency: drop the catalog entry AND the
+    // on-disk location (the warehouse outlives the in-memory catalog)
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+    val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbLoc)) fs.delete(dbLoc, true)
+    spark.sql(s"CREATE DATABASE $db")
+    val cxyz = kn3CxyzOf(docs.where(col("lang") === "en")).localCheckpoint()
+    val (cxy, byz, ny, nz, nbb) = kn3Stats(cxyz)
+    val q2 = byz.join(ny, Seq("y")).join(nz, Seq("z")).crossJoin(broadcast(nbb))
+      .select(col("y"), col("z"), expr(
+        s"((4*n1p_dyz - 3) * $KnQ) div (4*n1p_dyd) + " +
+          s"(3*n1p_yd*((n1p_dz * $KnQ) div n_bb2)) div (4*n1p_dyd)").as("q2"))
+      .localCheckpoint()
+    // store-sized bucket count off the model frame the landing already
+    // materialized (round-11 verdict item 3 — the env var is an override)
+    val buckets = modelBuckets(cxyz.count(), "SPARK_GRAFT_KN3_BUCKETS")
+    cxyz.join(cxy, Seq("x", "y")).join(q2, Seq("y", "z"))
+      .select(col("x"), col("y"), col("z"), expr(
+        s"((4*c_xyz - 3) * $KnQ) div (4*c_xy) + (3*n1p_xy*q2) div (4*c_xy)").as("q_seen"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "x", "y", "z").sortBy("x", "y", "z")
+      .saveAsTable(s"$db.m3")
+    // stage the apply-side stats (all a Heaps decade or more below the
+    // trigram table; nbb is one row) for cross-session handle rebuild
+    val stage = s"$dbLoc/stage"
+    cxy.write.mode("overwrite").parquet(s"$stage/cxy")
+    q2.write.mode("overwrite").parquet(s"$stage/q2")
+    ny.write.mode("overwrite").parquet(s"$stage/ny")
+    nz.write.mode("overwrite").parquet(s"$stage/nz")
+    nbb.write.mode("overwrite").parquet(s"$stage/nbb")
+    val out = fs.create(new org.apache.hadoop.fs.Path(dbLoc, "_corpus_fingerprint"), true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    Kn3Landed(spark.table(s"$db.m3"), cxy, q2, ny, nz, nbb)
+  }
+
+  /** Rebuilds the kn3 handle from an EXISTING complete landing — the
+    * [[reuseKn5Model]] discipline at order 3: catalog table + staged
+    * stats + a fingerprint that MATCHES the store's current corpus
+    * listing, else None (fresh landing). */
+  private[graft] def reuseKn3Model(
+      spark: SparkSession, sfDir: String, db: String): Option[Kn3Landed] = {
+    if (!spark.catalog.databaseExists(db) ||
+        !spark.catalog.tableExists(s"$db.m3")) return None
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+    val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpPath = new org.apache.hadoop.fs.Path(dbLoc, "_corpus_fingerprint")
+    if (!fs.exists(fpPath)) return None // incomplete landing: re-land
+    val recorded = {
+      val in = fs.open(fpPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    if (recorded != corpusFingerprint(spark, sfDir)) return None
+    val stage = s"$dbLoc/stage"
+    val parts = Seq("cxy", "q2", "ny", "nz", "nbb")
+    if (!parts.forall(p => fs.exists(new org.apache.hadoop.fs.Path(s"$stage/$p"))))
+      return None
+    def re(p: String) = spark.read.parquet(s"$stage/$p").localCheckpoint()
+    Some(Kn3Landed(spark.table(s"$db.m3"),
+      re("cxy"), re("q2"), re("ny"), re("nz"), re("nbb")))
+  }
+
+  /** Sibling-session adoption for the (session, db)-keyed model memos
+    * (round-13 advice, noted on the kn key shape): `newSession()` siblings
+    * share ONE catalog and warehouse, so a sibling missing the memo would
+    * DROP DATABASE CASCADE under the landing session's outstanding lazy
+    * frames — the exact hazard the memo closes within one session. A miss
+    * now first adopts a LIVE entry for the same db from any session
+    * sharing this session's context and warehouse (frames compose across
+    * sessions of one context; the catalog tables are shared); only a true
+    * process-wide miss lands. Call under the cache's monitor. */
+  private def adoptSibling[V](
+      cache: scala.collection.mutable.Map[(SparkSession, String), V],
+      spark: SparkSession, db: String): Option[V] = {
+    def wh(s: SparkSession) = s.conf.get("spark.sql.warehouse.dir")
+    val hit = cache.collectFirst {
+      case ((s, d), v) if d == db && !s.sparkContext.isStopped &&
+        (s.sparkContext eq spark.sparkContext) && wh(s) == wh(spark) => v
+    }
+    // update AFTER the scan — never mutate the map mid-iteration
+    hit.foreach(v => cache.update((spark, db), v))
+    hit
+  }
+
   /** The landed kn3 model handle: the bucketed seen-trigram table plus the
     * (small, checkpointed) backoff stats [[kn3Apply]] broadcasts. */
-  private final case class Kn3Landed(
+  private[graft] final case class Kn3Landed(
       m3: DataFrame, cxy: DataFrame, q2: DataFrame,
       ny: DataFrame, nz: DataFrame, nbb: DataFrame)
   private val kn3ModelCache =
@@ -2773,7 +2861,9 @@ object TextOps {
     // (round-12 advice: unsynchronized getOrElseUpdate+clear on a shared
     // mutable.Map under per-db locks risks map corruption).
     val landed = landLock(db).synchronized {
-      kn5ModelCache.synchronized(kn5ModelCache.get((spark, db))) match {
+      kn5ModelCache.synchronized(
+        kn5ModelCache.get((spark, db)).orElse(adoptSibling(kn5ModelCache, spark, db))
+      ) match {
         case Some(m) => m
         case None =>
           // CROSS-SESSION artifact reuse (env-gated): a landed model is a
@@ -2888,6 +2978,12 @@ object TextOps {
   private[graft] def landKn5Model(
       spark: SparkSession, sfDir: String, db: String,
       landCounts: Boolean = sys.env.get("SPARK_GRAFT_KN5_LAND_COUNTS").contains("1")): KnNModel = {
+    // fingerprint BEFORE the first corpus read (round-13 advice): recording
+    // a post-landing listing would stamp a mid-landing corpus mutation as
+    // the identity of a model trained on pre-mutation (or mixed) data;
+    // with the pre-read listing recorded, that drift fails the next reuse
+    // validation and re-lands instead of silently matching
+    val fp = corpusFingerprint(spark, sfDir)
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     val dbLoc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
@@ -2946,12 +3042,12 @@ object TextOps {
       d = m.d.updated(5, d5).updated(4, d4).updated(3, d3)
         .updated(2, m.d(2).localCheckpoint()),
       den1 = m.den1.localCheckpoint())
-    // record the corpus identity LAST — it doubles as the landing's
-    // completion marker, and reuseKn5Model validates it before trusting
-    // any table (a store that drifted since this landing re-lands)
+    // record the PRE-READ corpus identity LAST — it doubles as the
+    // landing's completion marker, and reuseKn5Model validates it before
+    // trusting any table (a store that drifted since this landing — even
+    // mid-landing — re-lands)
     val out = fs.create(new org.apache.hadoop.fs.Path(dbLoc, "_corpus_fingerprint"), true)
-    try out.write(corpusFingerprint(spark, sfDir)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     handle
   }

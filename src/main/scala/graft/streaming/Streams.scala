@@ -602,23 +602,83 @@ object Streams {
     ()
   }
 
+  /** Bucket count for the streamed at-rest LSH index table. Gate-sized; a
+    * production deployment derives it from the expected index size at its
+    * periodic compaction exactly like [[graft.ext.TextOps.modelBuckets]]
+    * sizes the LM tables (the count is pure layout — the probe's
+    * semantics never see it). */
+  private val IdxBuckets = 8
+
+  /** Serializes CREATE DATABASE / first-append races between concurrent
+    * index-upsert runs (the landLock discipline, one global seam). */
+  private val idxTableLock = new Object
+
+  /** The probe side of the index upsert: the arriving batch's band rows
+    * against the accumulated index TABLE — factored out so PlanSpec can
+    * pin the plan shape. The index is a (band_idx, bk)-bucketed catalog
+    * table (round-13 verdict item 2): the r12 form appended plain parquet
+    * and re-shuffled the WHOLE accumulated index through this equi-join
+    * every micro-batch — O(index) exchange per batch, the same cost class
+    * the LM landings eliminated with bucketed tables. Bucketed on exactly
+    * the join keys, the index side now arrives pre-partitioned: under
+    * sort-merge the ONLY exchange is the batch side shuffling into the
+    * bucket layout; at gate size the batch side auto-broadcasts and no
+    * exchange exists at all. Either plan leaves the index side
+    * exchange-free — the property PlanSpec asserts. */
+  private[graft] def idxProbeJoin(
+      spark: SparkSession, bands: DataFrame, idxTable: String, shard: Int): DataFrame = {
+    // The appends run on the STREAMING clone session, which invalidates
+    // its own tableRelationCache — not this (outer) session's: without an
+    // explicit refresh the outer session's first resolution of the table
+    // pins a stale file-index snapshot and every later probe reads the
+    // index frozen at that batch (the plain-parquet r12 form re-listed
+    // per read and never hit the catalog cache). One driver-side
+    // re-listing per micro-batch.
+    spark.catalog.refreshTable(idxTable)
+    // BOTH directions, keyed by the data's own order: a colliding pair
+    // (higher shard h, lower shard l) emits in whichever batch arrives
+    // LATER — as (h → l) either way — so the final min-rollup is
+    // arrival-order-free. In arrival-order = shard-order runs the
+    // c_shard > shard branch never fires and this reduces to the
+    // round-12 probe exactly.
+    val idx = spark.table(idxTable).select(
+      col("doc_id").as("c_doc"), col("__shard").as("c_shard"),
+      col("band_idx"), col("bk"))
+    bands.join(idx, Seq("band_idx", "bk"))
+      .select(
+        when(col("c_shard") < shard, col("doc_id")).otherwise(col("c_doc")).as("m_doc"),
+        when(col("c_shard") < shard, col("c_doc")).otherwise(col("doc_id")).as("m_cand"))
+      .groupBy(col("m_doc").as("doc_id"))
+      .agg(min("m_cand").as("match_id"))
+  }
+
   /** The streaming probe-then-append run over a [[writeIdxShards]]
     * artifact: one shard file per micro-batch; "earlier" is decided by
     * comparing `__shard` VALUES, never by arrival order (re-checked
-    * loudly below). */
+    * loudly below). The accumulated index lives as a (band_idx, bk)-
+    * bucketed catalog table (see [[idxProbeJoin]]) — append-only per
+    * batch, dropped with the run. */
   private[graft] def indexUpsertRunOver(
       spark: SparkSession, docSchema: StructType, tmp: String): DataFrame = {
     val inDir = s"$tmp/in"
-    val idxDir = s"$tmp/index"
     val outDir = s"$tmp/matches"
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // table name unique per run (the tmp dir already is), catalog-safe
+    val idxTable = "graft_idx_upsert.t_" +
+      new java.io.File(tmp).getName.filter(_.isLetterOrDigit)
+    idxTableLock.synchronized {
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_upsert")
+      spark.sql(s"DROP TABLE IF EXISTS $idxTable")
+    }
+    val idxLog = sys.env.contains("SPARK_GRAFT_IDX_LOG")
     val matchSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("match_id", LongType)))
     val stream = spark.readStream.schema(docSchema.add("__shard", IntegerType))
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val t0 = System.nanoTime()
         // ≤ shards-cardinality collect: the batch's one shard id (the same
         // distinct-shard probe the admission seam runs)
         val shardVals = batch.select("__shard").distinct().collect().map(_.getInt(0))
@@ -630,32 +690,24 @@ object Streams {
           // cache: the band rows feed the probe join AND the index append
           val bands = graft.ext.DedupOps.bandRowsOf(batch.toDF().drop("__shard")).cache()
           val matches =
-            if (fs.exists(new org.apache.hadoop.fs.Path(idxDir))) {
-              // BOTH directions, keyed by the data's own order: a colliding
-              // pair (higher shard h, lower shard l) emits in whichever
-              // batch arrives LATER — as (h → l) either way — so the final
-              // min-rollup is arrival-order-free. In arrival-order = shard-
-              // order runs the c_shard > shard branch never fires and this
-              // reduces to the round-12 probe exactly.
-              val idx = spark.read.parquet(idxDir).select(
-                col("doc_id").as("c_doc"), col("__shard").as("c_shard"),
-                col("band_idx"), col("bk"))
-              bands.join(idx, Seq("band_idx", "bk"))
-                .select(
-                  when(col("c_shard") < shard, col("doc_id")).otherwise(col("c_doc")).as("m_doc"),
-                  when(col("c_shard") < shard, col("c_doc")).otherwise(col("doc_id")).as("m_cand"))
-                .groupBy(col("m_doc").as("doc_id"))
-                .agg(min("m_cand").as("match_id"))
-            } else
+            if (spark.catalog.tableExists(idxTable))
+              idxProbeJoin(spark, bands, idxTable, shard)
+            else
               spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], matchSchema)
           matches.write.mode("append").parquet(outDir)
-          bands.withColumn("__shard", lit(shard)).write.mode("append").parquet(idxDir)
+          bands.withColumn("__shard", lit(shard))
+            .write.mode("append")
+            .bucketBy(IdxBuckets, "band_idx", "bk")
+            .saveAsTable(idxTable)
           bands.unpersist()
         }
+        if (idxLog) System.err.println(
+          f"idx_upsert batch $batchId: ${(System.nanoTime() - t0) / 1e9}%.3f s")
         ()
     }.option("checkpointLocation", s"$tmp/ck")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    idxTableLock.synchronized(spark.sql(s"DROP TABLE IF EXISTS $idxTable"))
     // final rollup across batches: a doc's pairs can emit in SEVERAL
     // batches when lower shards arrive late — min-of-mins ≡ global min.
     // Eager: the result is ≤ one tiny row per matched doc — materialize it

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measures the PER-BATCH cost curve of `stream_index_upsert` across
+  * micro-batches (round-13 verdict item 2's done-criterion): with the
+  * at-rest index landed as a (band_idx, bk)-bucketed table, the probe
+  * shuffles only the arriving batch — so per-batch wall time should sit
+  * FLAT as the index accumulates shards, instead of growing with the
+  * index as the r12 plain-parquet re-shuffle did. Batch times print when
+  * SPARK_GRAFT_IDX_LOG is set in the environment; the run is the shipped
+  * [[graft.streaming.Streams.indexUpsertStreamOf]] at a caller-chosen
+  * shard count so the curve has enough points to read a slope from.
+  *
+  * Usage: `runMain graft.tools.IdxBatches <storeDir> [shards]`
+  */
+object IdxBatches {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: IdxBatches <storeDir> [shards]")
+    val shards = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, args(0))
+    val t0 = System.nanoTime()
+    val out = graft.streaming.Streams.indexUpsertStreamOf(spark, docs, shards)
+    println(f"IDX ${args(0)}: shards=$shards matches=${out.count()} " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs (per-batch lines above, " +
+      "SPARK_GRAFT_IDX_LOG)")
+    spark.stop()
+  }
+}

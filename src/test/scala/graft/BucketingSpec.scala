@@ -75,6 +75,47 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("index-upsert probe: the at-rest index side joins with NO exchange (r13 verdict 2)") {
+    // the streamed LSH index, bucketed on exactly its probe keys: per
+    // micro-batch the accumulated index must arrive pre-partitioned —
+    // only the (small) batch side may shuffle. Broadcast off: at real
+    // index sizes the batch side is what broadcasts, and at gate size it
+    // would hide the bucketed shape under test.
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tbl = "graft_idx_upsert.t_planspec"
+    try {
+      val docs = Seq(
+        (0L, "alpha beta gamma delta epsilon"),
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+      val bands = graft.ext.DedupOps.bandRowsOf(docs)
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_upsert")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      bands.withColumn("__shard", lit(0))
+        .write.mode("append").bucketBy(8, "band_idx", "bk").saveAsTable(tbl)
+      val probe = graft.streaming.Streams.idxProbeJoin(spark,
+        graft.ext.DedupOps.bandRowsOf(docs.where(col("doc_id") === 1L)), tbl, shard = 1)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // bucket-read proof: the index scan consumes its buckets directly
+      assert(plan.contains("SelectedBucketsCount"),
+        s"the index side must read its buckets:\n$plan")
+      // exactly ONE (band_idx, bk) exchange — the batch side aligning to
+      // the index's buckets; an unbucketed index would add a second (the
+      // r12 O(index)-per-batch shuffle this round removes)
+      val keyExchanges =
+        "Exchange hashpartitioning\\(band_idx#\\d+, bk#\\d+".r.findAllIn(plan).length
+      assert(keyExchanges == 1,
+        s"expected only the batch-side exchange, found $keyExchanges:\n$plan")
+      // and the probe answer is right: doc 1 matches its shard-0 twin
+      assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("layout_bucketed_join lands once per session and revalidates a dropped landing (r13)") {
     // same hazard class the r12 advice flagged on kn3: the returned frame
     // is lazy, so a per-call DROP DATABASE + re-land would invalidate an
@@ -174,6 +215,85 @@ class BucketingSpec extends SparkSpec {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+  }
+
+  test("kn3 cross-session reuse: fingerprint-guarded handle rebuild, drift refused (r14 — kn5 parity)") {
+    // round-13 verdict item 6: kn5 landings survive process boundaries
+    // behind the fingerprint guard while kn3 re-landed per session. The
+    // kn3 landing now stages its apply-side stats inside the database and
+    // records the pre-read corpus fingerprint last, so a fresh session
+    // (or process) rebuilds the handle in seconds — and a drifted corpus
+    // re-lands instead of scoring with a stale LM.
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_kn3fp").toString
+    graft.streaming.Streams.deleteOnShutdown(store)
+    def docsOf(n: Int) = (0 until n).map(d => (d.toLong,
+        s"one two three four five six seven eight doc$d tail$d",
+        "en", "synthetic", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docsOf(20).write.parquet(s"$store/documents.parquet")
+    val db = "graft_kn3m_r14_fingerprint_spec"
+    try {
+      val fresh = graft.ext.TextOps.landKn3Model(spark, store, db)
+      val docs = graft.Tables.documents(spark, store)
+      val want = graft.ext.TextOps.kn3Apply(graft.ext.TextOps.kn3DocTrigrams(docs),
+          fresh.m3, fresh.cxy, fresh.q2, fresh.ny, fresh.nz, fresh.nbb)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      // unchanged store: reuse accepts and the rebuilt handle scores
+      // IDENTICALLY to the fresh landing
+      val reused = graft.ext.TextOps.reuseKn3Model(spark, store, db)
+      assert(reused.isDefined, "reuse rejected an UNCHANGED corpus — the guard is too strict")
+      val r = reused.get
+      val got = graft.ext.TextOps.kn3Apply(graft.ext.TextOps.kn3DocTrigrams(docs),
+          r.m3, r.cxy, r.q2, r.ny, r.nz, r.nbb)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got == want, "the reused kn3 handle scored differently from the fresh landing")
+      // the corpus drifts (new part files — names+sizes change): refused
+      docsOf(5).write.mode("append").parquet(s"$store/documents.parquet")
+      assert(graft.ext.TextOps.reuseKn3Model(spark, store, db).isEmpty,
+        "reuse accepted a DRIFTED corpus — it would score with a stale LM")
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+  }
+
+  test("a sibling session ADOPTS the landed artifacts instead of re-landing under live frames (r13 advice)") {
+    // newSession() shares the catalog and warehouse: before this round a
+    // sibling missed the (session, db)-keyed memos and its first call ran
+    // DROP DATABASE CASCADE under the landing session's outstanding lazy
+    // frames — the same hazard class the memo closes within one session.
+    // Both the bucketed-join memo and the kn model caches now adopt any
+    // LIVE landing on the same context + warehouse. Proven by marker
+    // files a re-land (DROP + location delete) would destroy.
+    val f1 = graft.ext.TextOps.kn3ScoreBucketed(spark, sf)
+    val r1 = f1.collect().map(_.toSeq).toSeq
+    val j1 = graft.ext.Relational.layoutBucketedJoin(spark, sf).collect().map(_.toSeq).toSeq
+    val fs = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = spark.catalog.listDatabases().collect().map(_.name)
+      .filter(n => n.startsWith("graft_kn3m_") || n.startsWith("graft_buckets_"))
+      .map { dbName =>
+        val m = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), s"$dbName.db"),
+          "_r14_sibling_marker")
+        fs.create(m).close(); m
+      }
+    assert(markers.nonEmpty)
+    try {
+      val sib = spark.newSession()
+      val r2 = graft.ext.TextOps.kn3ScoreBucketed(sib, sf).collect().map(_.toSeq).toSeq
+      val j2 = graft.ext.Relational.layoutBucketedJoin(sib, sf).collect().map(_.toSeq).toSeq
+      markers.foreach(m => assert(fs.exists(m),
+        s"a sibling session re-landed ${m.getParent} — adoption failed"))
+      assert(r2 == r1 && j2 == j1)
+      // and the FIRST session's lazy frame still evaluates cleanly
+      assert(f1.collect().map(_.toSeq).toSeq == r1)
+    } finally markers.foreach(m => fs.delete(m, false))
   }
 
   test("a 5th distinct store does NOT evict a live session's landed model (r13)") {

@@ -237,6 +237,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("DERIVED multi-shard count (no override, above the floor) drives a real admission gate (r13 verdict 5)") {
+    // admitShardsFor's formula had only ever produced the floor (4) in an
+    // executed gate — the 1/4/9 pin above uses explicit counts. Here the
+    // DERIVATION itself (shrunk targetBytes, no env override) yields >4
+    // shards, the artifact is landed at that derived count, and the
+    // admission output still matches the sequential reference exactly.
+    import spark.implicits._
+    assert(!sys.env.contains("SPARK_GRAFT_ADMIT_SHARDS"),
+      "this spec must exercise the derived path, not the env override")
+    val hop = java.nio.file.Files.createTempDirectory("admit_derived").toString
+    Streams.deleteOnShutdown(hop)
+    val rows = (1L to 400L).map(i => (i, 1L + (i * 13) % 31))
+    rows.toDF("doc_id", "n_tok").coalesce(1).write.mode("overwrite").parquet(s"$hop/art")
+    val p = new org.apache.hadoop.fs.Path(s"$hop/art")
+    val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
+    val target = math.max(1L, bytes / 7)
+    val n = Streams.admitShardsFor(spark, s"$hop/art", target)
+    assert(n > 4, s"derived count must clear the floor to prove anything: $n")
+    Streams.writeRangeSortedShards(
+      rows.toDF("doc_id", "n_tok"), s"$hop/src", n, col("doc_id"))
+    val budget = 2600L
+    val got = Streams.admitByBudget(spark, s"$hop/src", identity,
+      orderCol = "doc_id", descending = false, budget = budget,
+      outCols = Seq("doc_id", "n_tok", "cum_before", "keep"), hop = hop)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(got == sequentialAdmit(rows, budget),
+      s"derived $n-shard admission diverged from the sequential reference")
+    Streams.deleteDir(hop)
+  }
+
   test("admission resumes after a mid-run crash — restart ≡ single uninterrupted run (r11 verdict 8)") {
     import spark.implicits._
     val data = (1L to 400L).map(i => (i, 1L + (i * 13) % 31))
@@ -726,11 +757,14 @@ class StreamingSpec extends SparkSpec {
 
   test("index upsert: a doc matches only PRIOR batches — later and same-batch twins invisible (r9.2)") {
     import spark.implicits._
-    // shards = doc_id % 4 → arrival order 0,1,2,3. Twin pairs:
-    //  (0, 1): doc 1 arrives AFTER doc 0's bands are indexed → match (1→0)
+    // shards = doc_id % 4; the single-pass shard writer (r13 verdict 4)
+    // gives NO mtime order, so batches may arrive in ANY shard order —
+    // and the assertions hold under all of them because "earlier" is the
+    // __shard VALUE (both-direction probe + min-of-mins rollup):
+    //  (0, 1): the later-arriving of shards 0/1 emits the match (1→0)
     //  (2, 6): both shard 2, SAME batch → probe-before-append hides them
-    //  (7, 4): doc 7 (shard 3) matches doc 4 (shard 0) — min earlier id
-    //          even though doc 3 (shard 3) shares its batch
+    //  (7, 4): doc 7 (shard 3) matches doc 4 (shard 0) — min earlier
+    //          SHARD, even though doc 3 (shard 3) shares its batch
     val same1 = "alpha beta gamma delta epsilon"
     val same2 = "zeta eta theta iota kappa"
     val same3 = "lambda mu nu xi omicron"
@@ -771,8 +805,14 @@ class StreamingSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_idx_scramble").toString
     Streams.deleteOnShutdown(tmp)
     Streams.writeIdxShards(spark, docs, 4, tmp)
-    // hostile FS: newest-first replay (reverse shard order)
-    val files = new java.io.File(s"$tmp/in").listFiles().sortBy(_.getName)
+    // hostile FS: newest-first replay (reverse shard order) — the shard
+    // data files live one per __shard=i partition directory (single-pass
+    // writer, r13 verdict item 4)
+    val files = new java.io.File(s"$tmp/in").listFiles()
+      .filter(_.isDirectory).sortBy(_.getName)
+      .flatMap(_.listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+    assert(files.length == 4, s"expected one data file per shard dir: ${files.toSeq}")
     files.zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.setLastModifiedTime(f.toPath,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L - i * 60000L))
