@@ -24,6 +24,10 @@ object Bench {
       // on one spindle (SCALING r12.2; round-12 verdict item 5 made it
       // code). Measured neutral at the sf0.1 bench (SCALING r13).
       .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+      // report bucketed-scan sort order (guarded inside Spark by a
+      // single-file-per-bucket check): compacted index/model tables feed
+      // sort-merge joins with NO re-sort of the at-rest side
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer reads, shuffle machinery)

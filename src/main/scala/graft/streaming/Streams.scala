@@ -36,7 +36,16 @@ object Streams {
     * `java.io.File` devices left this file this round). */
   private[graft] def deleteDir(dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // prefer the session's hadoopConfiguration (spark.hadoop.* survives —
+    // the LinkageLog discipline); the bare-Configuration fallback only
+    // runs from the shutdown hook after every session is gone, where the
+    // roots are always local createTempDirectory dirs
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .filter(!_.sparkContext.isStopped)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
     if (fs.exists(p)) fs.delete(p, true)
     ()
   }
@@ -555,8 +564,9 @@ object Streams {
     * equi-join of the BATCH's band rows against the index — the corpus
     * never reshuffles for an ingest batch (the `dedup_incremental`
     * property, now held batch-after-batch); the index grows append-only
-    * and a real deployment compacts it bucketed by (band_idx, bk) so the
-    * probe side arrives pre-partitioned. */
+    * as a (band_idx, bk)-bucketed table so the probe side arrives
+    * pre-partitioned, and [[compactIdxTable]] periodically folds the
+    * per-append bucket files back to one sorted file per bucket. */
   def indexUpsertStream(spark: SparkSession, sfDir: String): DataFrame =
     indexUpsertStreamOf(spark, graft.Tables.documents(spark, sfDir), UpsertShards)
 
@@ -613,6 +623,51 @@ object Streams {
     * index-upsert runs (the landLock discipline, one global seam). */
   private val idxTableLock = new Object
 
+  /** Compaction cadence for the streamed index table: after every N
+    * appended batches the accumulated per-append bucket files are
+    * rewritten into ONE sorted file per bucket (swap table + catalog
+    * rename). Each append lands up to [[IdxBuckets]] new files, so
+    * without compaction the per-batch probe's re-listing and index-side
+    * sort grow with batch count FOREVER (measured +0.4 s over 16 batches
+    * at sf0.1 — SCALING r14.1); with it they reset each cadence, and the
+    * single-sorted-file-per-bucket layout lets the sort-merge probe skip
+    * the index-side Sort entirely until the next append. Env-overridable
+    * so the gate can force it every batch. */
+  private def idxCompactEvery: Int =
+    sys.env.get("SPARK_GRAFT_IDX_COMPACT_EVERY").map(_.toInt).getOrElse(16)
+
+  /** Rewrites the accumulated index table to one sorted file per bucket.
+    * `repartition(IdxBuckets, keys)` uses the SAME Murmur3 hash as the
+    * bucket layout, so each write task holds exactly one bucket's rows —
+    * one file per bucket, the shape under which Spark's scan reports the
+    * sortBy order and the probe's SMJ needs no index-side Sort. Swap +
+    * rename, never in-place: the table stays readable at every instant
+    * (the run is single-threaded per table; the lock covers concurrent
+    * RUNS sharing the database). */
+  private[graft] def compactIdxTable(spark: SparkSession, idxTable: String): Unit =
+    idxTableLock.synchronized {
+      val swap = idxTable + "_swap"
+      spark.sql(s"DROP TABLE IF EXISTS $swap")
+      spark.catalog.refreshTable(idxTable)
+      // FORCE the bucketed scan for the rewrite (auto-disable off): each
+      // read task then holds exactly one bucket's rows, so the bucketed
+      // writer emits ONE file per bucket with zero shuffle — compaction
+      // is a pure per-bucket merge-sort, the shape that stays cheap when
+      // the index is TBs. (A repartition on the bucket keys does NOT
+      // guarantee this: reading the same-bucketed table makes the
+      // exchange redundant and the write tasks land multi-bucket.)
+      val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prevAuto = spark.conf.get(autoKey)
+      spark.conf.set(autoKey, "false")
+      try spark.table(idxTable)
+        .write.bucketBy(IdxBuckets, "band_idx", "bk").sortBy("band_idx", "bk")
+        .saveAsTable(swap)
+      finally spark.conf.set(autoKey, prevAuto)
+      spark.sql(s"DROP TABLE $idxTable")
+      spark.sql(s"ALTER TABLE $swap RENAME TO $idxTable")
+      spark.catalog.refreshTable(idxTable)
+    }
+
   /** The probe side of the index upsert: the arriving batch's band rows
     * against the accumulated index TABLE — factored out so PlanSpec can
     * pin the plan shape. The index is a (band_idx, bk)-bucketed catalog
@@ -659,7 +714,8 @@ object Streams {
     * bucketed catalog table (see [[idxProbeJoin]]) — append-only per
     * batch, dropped with the run. */
   private[graft] def indexUpsertRunOver(
-      spark: SparkSession, docSchema: StructType, tmp: String): DataFrame = {
+      spark: SparkSession, docSchema: StructType, tmp: String,
+      compactEvery: Int = idxCompactEvery): DataFrame = {
     val inDir = s"$tmp/in"
     val outDir = s"$tmp/matches"
     val fs = new org.apache.hadoop.fs.Path(tmp)
@@ -672,6 +728,9 @@ object Streams {
       spark.sql(s"DROP TABLE IF EXISTS $idxTable")
     }
     val idxLog = sys.env.contains("SPARK_GRAFT_IDX_LOG")
+    // appended-batch counter driving the compaction cadence; foreachBatch
+    // callbacks run sequentially on the driver, so a plain var is safe
+    var appends = 0
     val matchSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("match_id", LongType)))
     val stream = spark.readStream.schema(docSchema.add("__shard", IntegerType))
@@ -695,11 +754,20 @@ object Streams {
             else
               spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], matchSchema)
           matches.write.mode("append").parquet(outDir)
+          // sortBy matches the compacted layout's spec (appends to a
+          // sorted bucketed table must re-declare its sort columns); the
+          // per-append files are each sorted, and once compaction folds a
+          // bucket to ONE file the scan reports the order and the probe's
+          // SMJ drops its index-side Sort
           bands.withColumn("__shard", lit(shard))
             .write.mode("append")
             .bucketBy(IdxBuckets, "band_idx", "bk")
+            .sortBy("band_idx", "bk")
             .saveAsTable(idxTable)
           bands.unpersist()
+          appends += 1
+          if (compactEvery > 0 && appends % compactEvery == 0)
+            compactIdxTable(spark, idxTable)
         }
         if (idxLog) System.err.println(
           f"idx_upsert batch $batchId: ${(System.nanoTime() - t0) / 1e9}%.3f s")

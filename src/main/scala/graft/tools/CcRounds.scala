@@ -23,6 +23,10 @@ object CcRounds {
       .config("spark.ui.enabled", "false")
       // zstd shuffle (SCALING r12.2; round-12 verdict item 5) — see Run.scala
       .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+      // report bucketed-scan sort order (guarded inside Spark by a
+      // single-file-per-bucket check): compacted index/model tables feed
+      // sort-merge joins with NO re-sort of the at-rest side
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { dir =>

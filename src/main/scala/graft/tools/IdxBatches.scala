@@ -26,6 +26,10 @@ object IdxBatches {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+      // report bucketed-scan sort order (guarded inside Spark by a
+      // single-file-per-bucket check): compacted index/model tables feed
+      // sort-merge joins with NO re-sort of the at-rest side
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.documents(spark, args(0))

@@ -336,6 +336,10 @@ object Run {
         // sf100 kn5 apply on one spindle (SCALING r12.2, code not lore:
         // round-12 verdict item 5). Env override for codec probes.
         .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+      // report bucketed-scan sort order (guarded inside Spark by a
+      // single-file-per-bucket check): compacted index/model tables feed
+      // sort-merge joins with NO re-sort of the at-rest side
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .getOrCreate()
     }
     spark.sparkContext.setLogLevel(

@@ -116,6 +116,62 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("index-table compaction: one sorted file per bucket, probe SMJ drops the index-side Sort (r14)") {
+    // each append lands up to IdxBuckets new files, so listing + the
+    // probe's index-side sort grow with batch count forever; compaction
+    // folds the table back to ONE sorted file per bucket — the layout
+    // Spark's scan reports ordering for, so the probe's sort-merge join
+    // keeps a Sort only on the batch side.
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tbl = "graft_idx_upsert.t_compactspec"
+    try {
+      val docs = Seq(
+        (0L, "alpha beta gamma delta epsilon"),
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_upsert")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      (0 to 2).foreach { s =>
+        graft.ext.DedupOps.bandRowsOf(docs).withColumn("__shard", lit(s))
+          .write.mode("append").bucketBy(8, "band_idx", "bk")
+          .sortBy("band_idx", "bk").saveAsTable(tbl)
+      }
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").where(col("col_name") === "Location")
+          .select("data_type").head().getString(0))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def dataFiles() = fs.listStatus(loc)
+        .map(_.getPath.getName).count(_.endsWith(".parquet"))
+      val before = dataFiles()
+      val rowsBefore = spark.table(tbl).collect().map(_.toSeq).sortBy(_.toString)
+      def probePlan() = graft.streaming.Streams.idxProbeJoin(spark,
+        graft.ext.DedupOps.bandRowsOf(docs.where(col("doc_id") === 1L)), tbl, shard = 9)
+        .queryExecution.executedPlan.toString
+      def sortsIn(plan: String) = "Sort \\[band_idx".r.findAllIn(plan).length
+      // BEFORE compaction the buckets hold multiple per-append files, so
+      // Spark's single-file guard refuses the declared sort order and the
+      // index side re-sorts — the conf alone must never fake an ordering
+      assert(sortsIn(probePlan()) == 2,
+        "multi-file buckets must still sort: Spark's single-file guard is not in effect")
+      graft.streaming.Streams.compactIdxTable(spark, tbl)
+      val after = dataFiles()
+      assert(after <= 8 && after < before,
+        s"compaction must fold the per-append files ($before) to ≤ one per bucket ($after)")
+      assert(spark.table(tbl).collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+        rowsBefore.toSeq, "compaction changed the index contents")
+      // probe plan over the COMPACTED table: still bucket-read, and the
+      // only Sort left is the batch side aligning to the index's order
+      val plan = probePlan()
+      assert(plan.contains("SortMergeJoin") && plan.contains("SelectedBucketsCount"), plan)
+      assert(sortsIn(plan) == 1,
+        s"expected ONLY the batch-side Sort over the compacted index, found ${sortsIn(plan)}:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("layout_bucketed_join lands once per session and revalidates a dropped landing (r13)") {
     // same hazard class the r12 advice flagged on kn3: the returned frame
     // is lazy, so a per-call DROP DATABASE + re-land would invalidate an

@@ -12,6 +12,10 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the deployment builders (Bench/Run/tools) set this too: report
+      // bucketed-scan sort order (guarded inside Spark by a single-file-
+      // per-bucket check) so plan-pinning specs see the deployment plan
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -785,6 +785,32 @@ class StreamingSpec extends SparkSpec {
     assert(!out.contains(0L) && !out.contains(4L) && !out.contains(5L))
   }
 
+  test("index upsert: compaction after EVERY batch is semantically invisible (r14)") {
+    import spark.implicits._
+    // the twin fixture above, with the index table compacted (swap +
+    // rename to one sorted file per bucket) after every single append —
+    // the hostile cadence. A compaction that dropped, duplicated, or
+    // reordered index rows would change which twins match; the emitted
+    // matches must be exactly the uncompacted run's.
+    val same1 = "alpha beta gamma delta epsilon"
+    val same2 = "zeta eta theta iota kappa"
+    val same3 = "lambda mu nu xi omicron"
+    val docs = Seq(
+      (0L, same1), (1L, same1),
+      (2L, same2), (6L, same2),
+      (4L, same3), (7L, same3), (3L, same3),
+      (5L, "unique words only here nothing shared")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_compact").toString
+    Streams.deleteOnShutdown(tmp)
+    Streams.writeIdxShards(spark, docs, 4, tmp)
+    val out = Streams.indexUpsertRunOver(spark, docs.schema, tmp, compactEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Streams.deleteDir(tmp)
+    assert(out == Map(1L -> 0L, 7L -> 4L, 3L -> 4L),
+      s"per-batch compaction changed the emitted matches: $out")
+  }
+
   test("index upsert order contract survives a filesystem that scrambles mtimes (r12 verdict 1)") {
     import spark.implicits._
     // same twin layout as the r9.2 spec — but the shard files arrive in
