@@ -2538,21 +2538,34 @@ object TextOps {
     * [[reuseKn5Model]] discipline at order 3: catalog table + staged
     * stats + a fingerprint that MATCHES the store's current corpus
     * listing, else None (fresh landing). */
-  private[graft] def reuseKn3Model(
-      spark: SparkSession, sfDir: String, db: String): Option[Kn3Landed] = {
-    if (!spark.catalog.databaseExists(db) ||
-        !spark.catalog.tableExists(s"$db.m3")) return None
+  /** The landing database's on-disk location IF it is complete (the
+    * `_corpus_fingerprint` marker is written LAST) and its recorded
+    * PRE-read corpus fingerprint matches the store's CURRENT listing —
+    * the one validation every cross-session reuse path must pass before
+    * trusting any landed table. None = missing/incomplete/drifted:
+    * re-land. Shared by the kn3 and kn5 reuse guards so a change to the
+    * marker format can never diverge between orders. */
+  private def validatedLanding(
+      spark: SparkSession, sfDir: String, db: String): Option[org.apache.hadoop.fs.Path] = {
     val dbLoc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
     val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fpPath = new org.apache.hadoop.fs.Path(dbLoc, "_corpus_fingerprint")
-    if (!fs.exists(fpPath)) return None // incomplete landing: re-land
+    if (!fs.exists(fpPath)) return None // incomplete (or pre-guard) landing: re-land
     val recorded = {
       val in = fs.open(fpPath)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     }
-    if (recorded != corpusFingerprint(spark, sfDir)) return None
+    if (recorded != corpusFingerprint(spark, sfDir)) None else Some(dbLoc)
+  }
+
+  private[graft] def reuseKn3Model(
+      spark: SparkSession, sfDir: String, db: String): Option[Kn3Landed] = {
+    if (!spark.catalog.databaseExists(db) ||
+        !spark.catalog.tableExists(s"$db.m3")) return None
+    val dbLoc = validatedLanding(spark, sfDir, db).getOrElse(return None)
+    val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$dbLoc/stage"
     val parts = Seq("cxy", "q2", "ny", "nz", "nbb")
     if (!parts.forall(p => fs.exists(new org.apache.hadoop.fs.Path(s"$stage/$p"))))
@@ -2930,17 +2943,8 @@ object TextOps {
     val tables = Seq("q5", "d5", "q4", "d4", "q3", "d3")
     if (!spark.catalog.databaseExists(db) ||
         !tables.forall(t => spark.catalog.tableExists(s"$db.$t"))) return None
-    val dbLoc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+    val dbLoc = validatedLanding(spark, sfDir, db).getOrElse(return None)
     val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fpPath = new org.apache.hadoop.fs.Path(dbLoc, "_corpus_fingerprint")
-    if (!fs.exists(fpPath)) return None // pre-guard landing: re-land once
-    val recorded = {
-      val in = fs.open(fpPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    }
-    if (recorded != corpusFingerprint(spark, sfDir)) return None
     val stage = s"$dbLoc/stage"
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/a5")) ||
         !fs.exists(new org.apache.hadoop.fs.Path(s"$stage/a4"))) return None

@@ -432,16 +432,22 @@ class EvmLogsMicroBatchStream(
     if (from >= until) Array.empty
     else {
       tipClient.foreach { c =>
-        // Check EVERY recorded boundary, not just `b == from - 1` (the r13
-        // form): with commit-time persistence the recorded block is always
-        // part of committed output — in-process it is the previous plan's
-        // last block (= from - 1), on resume the committed batch's — and a
-        // legacy plan-time record still pins a block this stream already
-        // served. A hash change at ANY recorded height is a
-        // past-confirmation rewrite; skipping on misalignment was the
-        // undetected-reorg window.
+        // Check EVERY recorded boundary BELOW the committed frontier, not
+        // just `b == from - 1` (the r13 form): with commit-time
+        // persistence the recorded block is always part of committed
+        // output — in-process the previous plan's last block (= from - 1),
+        // on resume the committed batch's — so `b < from` always holds for
+        // records this code wrote, and a hash change at any such height is
+        // a past-confirmation rewrite. A record at `b >= from` can only be
+        // a LEGACY plan-time record (or foreign write) pinning a height
+        // nothing ever committed: a rewrite there is benign — the
+        // replanned batch fetches post-fork data consistently — so it must
+        // not hard-stop the resume (it is overwritten by this plan's
+        // boundary below). Skipping on ANY misalignment was the
+        // undetected-reorg window; enforcing ABOVE the frontier would be
+        // the spurious-stop window.
         lastPlanned.foreach { case (b, h) =>
-          if (h.nonEmpty) {
+          if (h.nonEmpty && b < from) {
             val now = c.blockHeaderFresh(b)._2
             if (now.nonEmpty && now != h) throw new IllegalStateException(
               s"evmlogs: REORG past the confirmation depth (confirmations=$confirmations) — " +
@@ -487,8 +493,15 @@ class EvmLogsMicroBatchStream(
   *    could silently ship a mixed history. */
 private[graft] object LinkageLog {
   private def fsFor(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    // active session first, DEFAULT session as the fallback: the engine's
+    // query-execution thread may never have had a thread-local active
+    // session (it is an InheritableThreadLocal — a pool thread inherits
+    // nothing), while the default is process-wide after getOrCreate; the
+    // bare Configuration runs only with no session at all
     p.getFileSystem(
       org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .filter(!_.sparkContext.isStopped)
         .map(_.sparkContext.hadoopConfiguration)
         .getOrElse(new org.apache.hadoop.conf.Configuration()))
 

@@ -774,8 +774,15 @@ object Streams {
         ()
     }.option("checkpointLocation", s"$tmp/ck")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    idxTableLock.synchronized(spark.sql(s"DROP TABLE IF EXISTS $idxTable"))
+    // drop the per-run table (and a compaction swap a crash may have
+    // stranded between its DROP and RENAME) even when a batch FAILS: the
+    // name is unique per run, so nothing else ever reclaims it — without
+    // the finally, failed runs accumulate tables in the shared warehouse
+    try q.awaitTermination()
+    finally idxTableLock.synchronized {
+      spark.sql(s"DROP TABLE IF EXISTS ${idxTable}_swap")
+      spark.sql(s"DROP TABLE IF EXISTS $idxTable")
+    }
     // final rollup across batches: a doc's pairs can emit in SEVERAL
     // batches when lower shards arrive late — min-of-mins ≡ global min.
     // Eager: the result is ≤ one tiny row per matched doc — materialize it

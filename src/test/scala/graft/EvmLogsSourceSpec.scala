@@ -782,6 +782,67 @@ class EvmLogsSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("reorg check: a legacy plan-ahead linkage record cannot hard-stop a benign resume (r14)") {
+    // a PRE-upgrade stream persisted its boundary at PLAN time, so a crash
+    // in the plan/commit window could leave the record pinning a height
+    // NOTHING ever committed. A rewrite of that height while down is
+    // benign — the replanned batch fetches post-fork data consistently —
+    // so the resume must proceed and overwrite the record, not throw the
+    // permanent REORG stop (which names committed batches that do not
+    // exist). Detection BELOW the committed frontier is unchanged — the
+    // three r13 reorg specs plus the crash-window spec above.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("evmreorglegacy").toString
+    graft.streaming.Streams.deleteOnShutdown(dir)
+    def drain(srv: JsonRpcReplayServer): Option[Throwable] = {
+      val q = spark.readStream.format("graft.sources.EvmLogsProvider")
+        .option("start", 0).option("end", 1000).option("blocksPerBatch", 50)
+        .option("endpoint", srv.url)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); None }
+      catch { case t: Throwable => Some(t) }
+      finally if (q.isActive) q.stop()
+    }
+    val srv = new JsonRpcReplayServer(tip0 = 119L)
+    try {
+      assert(drain(srv).isEmpty) // commits [0, 120) canonical
+      // forge the legacy state: a planned-never-committed boundary AHEAD
+      // of the committed frontier, recording the hash of a block that the
+      // fork below will rewrite
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val links = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/ck"), true)
+        var found = List.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) { val f = it.next(); if (f.getPath.getName == "graft-linkage") found ::= f.getPath }
+        found
+      }
+      assert(links.size == 1, s"expected the one persisted linkage record, found $links")
+      graft.sources.LinkageLog.write(links.head, 160L, graft.sources.EvmLogs.blockHashOf(160L))
+      // while down: the chain forks at 131+ — ABOVE everything committed,
+      // below the forged record's height, so block 160's hash changes
+      srv.forkBase = 130L
+      srv.tip = 200L
+      val res = drain(srv)
+      assert(res.isEmpty,
+        s"a benign legacy record hard-stopped the resume: ${res.map(_.getMessage)}")
+      // the full output is consistent with the FINAL chain end-to-end
+      val got = spark.read.parquet(s"$dir/out")
+        .select("blocknumber", "block_hash").distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got.keySet.max >= 160L)
+      assert(got.forall { case (b, h) =>
+        h == (if (b > 130L) graft.sources.EvmLogs.forkedBlockHashOf(b)
+              else graft.sources.EvmLogs.blockHashOf(b)) },
+        "resumed output is not purely the final chain")
+    } finally srv.stop()
+  }
+
   test("linkage record IO: corrupt records fail diagnostically, empty/tmp states recover (r13 verdict 3 + advice)") {
     import graft.sources.LinkageLog
     val dir = java.nio.file.Files.createTempDirectory("linkageio").toString
