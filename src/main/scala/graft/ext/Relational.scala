@@ -768,10 +768,16 @@ object Relational {
         val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(dbLoc)) fs.delete(dbLoc, true)
         spark.sql(s"CREATE DATABASE $db")
-        Tables.lineitem(spark, sfDir).write.mode("overwrite")
+        // one sorted file per bucket (r14): with BOTH sides aligned this
+        // way the bucketed join needs no exchange AND no sort — the scan
+        // reports the sortBy order under Spark's single-file-per-bucket
+        // guard
+        Tables.lineitem(spark, sfDir).repartition(8, col("l_orderkey"))
+          .write.mode("overwrite")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .saveAsTable(s"$db.li_b")
-        Tables.orders(spark, sfDir).write.mode("overwrite")
+        Tables.orders(spark, sfDir).repartition(8, col("o_orderkey"))
+          .write.mode("overwrite")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable(s"$db.ord_b")
         bucketsLanded.add((spark, spark.conf.get("spark.sql.warehouse.dir"), db))

@@ -2517,6 +2517,15 @@ object TextOps {
     cxyz.join(cxy, Seq("x", "y")).join(q2, Seq("y", "z"))
       .select(col("x"), col("y"), col("z"), expr(
         s"((4*c_xyz - 3) * $KnQ) div (4*c_xy) + (3*n1p_xy*q2) div (4*c_xy)").as("q_seen"))
+      // ONE sorted file per bucket (r14, the index-compaction discipline):
+      // repartition on the bucket columns uses the same Murmur3 hash as
+      // the bucket layout, so each write task holds exactly one bucket —
+      // the shape under which the scan reports its sortBy order and every
+      // APPLY's sort-merge join drops the model-side Sort (Spark guards
+      // the ordering with its own single-file-per-bucket check). One
+      // extra model-sized exchange paid ONCE at landing; a per-apply
+      // O(model log model) sort saved every scoring run.
+      .repartition(buckets, col("x"), col("y"), col("z"))
       .write.mode("overwrite")
       .bucketBy(buckets, "x", "y", "z").sortBy("x", "y", "z")
       .saveAsTable(s"$db.m3")
@@ -3018,7 +3027,13 @@ object TextOps {
       modelBuckets(m.a(k).count(), "SPARK_GRAFT_KN5_BUCKETS")
     def land(df: DataFrame, name: String, buckets: Int, bucketCols: Seq[String],
         sortCols: Seq[String]): DataFrame = {
-      df.write.mode("overwrite")
+      // one sorted file per bucket (r14): repartition on the bucket
+      // columns aligns write tasks to buckets (same Murmur3 hash), so the
+      // landed table reports its sortBy order and the apply's sort-merge
+      // joins drop the model-side Sort — q/d pairs repartition on the
+      // SAME prefix at the same count and stay co-partitioned
+      df.repartition(buckets, bucketCols.map(col): _*)
+        .write.mode("overwrite")
         .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(sortCols.head, sortCols.tail: _*)
         .saveAsTable(s"$db.$name")

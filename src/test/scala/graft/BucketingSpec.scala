@@ -24,6 +24,12 @@ class BucketingSpec extends SparkSpec {
       val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
       assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"), plan)
       assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"), plan)
+      // r14: BOTH sides land as one sorted file per bucket, so the SMJ
+      // needs no Sort either — the scans report their sortBy order under
+      // Spark's single-file-per-bucket guard
+      assert(!joinSection.contains("Sort [l_orderkey") &&
+        !joinSection.contains("Sort [o_orderkey"),
+        s"the bucketed-sorted landing must feed the join sort-free:\n$plan")
       // and the result is right: every lineitem row joins exactly one order
       val n = q.agg(sum("n_items")).head().getLong(0)
       assert(n == Tables.lineitem(spark, sf).count())
@@ -63,6 +69,11 @@ class BucketingSpec extends SparkSpec {
         "Exchange hashpartitioning\\(x#\\d+, y#\\d+, z#\\d+".r.findAllIn(plan).length
       assert(xyzExchanges == 1,
         s"expected only the doc-side (x,y,z) exchange, found $xyzExchanges:\n$plan")
+      // r14: the model lands as one sorted file per bucket, so of the two
+      // (x,y,z) Sorts a plain SMJ would need, only the DOC side's remains
+      val xyzSorts = "Sort \\[x#\\d+ ASC".r.findAllIn(plan).length
+      assert(xyzSorts == 1,
+        s"expected only the doc-side (x,y,z) Sort over the landed model, found $xyzSorts:\n$plan")
       assert(q.limit(1).count() == 1)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
