@@ -19,6 +19,11 @@ object Verify {
       // bucketed-scan path (sort order only reported under Spark's own
       // single-file-per-bucket guard) under the DuckDB oracles
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // subset co-partitioning for the prefix-bucketed kn5 q/d pairs: one
+      // corpus exchange per landed order serves BOTH joins (pre-3.3
+      // default; the only subset-partitioned sources here are the LM
+      // tables, whose n-gram prefixes are far past any skew concern)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

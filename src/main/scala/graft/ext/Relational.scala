@@ -719,6 +719,23 @@ object Relational {
     """SELECT doc_id, source, lang, n_chars FROM documents
       |WHERE lang = 'en' AND source = 'src3' ORDER BY doc_id""".stripMargin
 
+  /** Lands `df` as a bucketed+sorted catalog table holding ONE sorted
+    * file per bucket (r14, shared by every model/layout landing): the
+    * repartition on the bucket columns uses the same Murmur3 hash as the
+    * bucket layout, so each write task holds exactly one bucket — the
+    * shape under which the scan reports its sortBy order (Spark's
+    * single-file-per-bucket guard) and downstream sort-merge joins
+    * consume the table exchange-free AND sort-free. One extra table-sized
+    * exchange paid once at landing; an O(table log table) sort saved on
+    * every subsequent join. */
+  private[ext] def landBucketedSorted(df: DataFrame, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String], table: String): Unit =
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(table)
+
   /** Bucketed co-located fact-fact join — the 100 TB layout story for
     * JOINS (the complement of [[layoutPrunedScan]]'s partition pruning for
     * scans): lineitem and orders are written `bucketBy(orderkey)` +
@@ -768,18 +785,12 @@ object Relational {
         val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(dbLoc)) fs.delete(dbLoc, true)
         spark.sql(s"CREATE DATABASE $db")
-        // one sorted file per bucket (r14): with BOTH sides aligned this
-        // way the bucketed join needs no exchange AND no sort — the scan
-        // reports the sortBy order under Spark's single-file-per-bucket
-        // guard
-        Tables.lineitem(spark, sfDir).repartition(8, col("l_orderkey"))
-          .write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable(s"$db.li_b")
-        Tables.orders(spark, sfDir).repartition(8, col("o_orderkey"))
-          .write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable(s"$db.ord_b")
+        // one sorted file per bucket ([[landBucketedSorted]]): with BOTH
+        // sides aligned, the bucketed join needs no exchange AND no sort
+        landBucketedSorted(Tables.lineitem(spark, sfDir), 8,
+          Seq("l_orderkey"), Seq("l_orderkey"), s"$db.li_b")
+        landBucketedSorted(Tables.orders(spark, sfDir), 8,
+          Seq("o_orderkey"), Seq("o_orderkey"), s"$db.ord_b")
         bucketsLanded.add((spark, spark.conf.get("spark.sql.warehouse.dir"), db))
         ()
       }

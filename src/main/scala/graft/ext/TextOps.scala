@@ -2514,21 +2514,14 @@ object TextOps {
     // store-sized bucket count off the model frame the landing already
     // materialized (round-11 verdict item 3 — the env var is an override)
     val buckets = modelBuckets(cxyz.count(), "SPARK_GRAFT_KN3_BUCKETS")
-    cxyz.join(cxy, Seq("x", "y")).join(q2, Seq("y", "z"))
-      .select(col("x"), col("y"), col("z"), expr(
-        s"((4*c_xyz - 3) * $KnQ) div (4*c_xy) + (3*n1p_xy*q2) div (4*c_xy)").as("q_seen"))
-      // ONE sorted file per bucket (r14, the index-compaction discipline):
-      // repartition on the bucket columns uses the same Murmur3 hash as
-      // the bucket layout, so each write task holds exactly one bucket —
-      // the shape under which the scan reports its sortBy order and every
-      // APPLY's sort-merge join drops the model-side Sort (Spark guards
-      // the ordering with its own single-file-per-bucket check). One
-      // extra model-sized exchange paid ONCE at landing; a per-apply
-      // O(model log model) sort saved every scoring run.
-      .repartition(buckets, col("x"), col("y"), col("z"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "x", "y", "z").sortBy("x", "y", "z")
-      .saveAsTable(s"$db.m3")
+    // one sorted file per bucket ([[Relational.landBucketedSorted]]): the
+    // apply's sort-merge join consumes the model exchange-free AND
+    // sort-free; a per-apply O(model log model) sort saved every run
+    Relational.landBucketedSorted(
+      cxyz.join(cxy, Seq("x", "y")).join(q2, Seq("y", "z"))
+        .select(col("x"), col("y"), col("z"), expr(
+          s"((4*c_xyz - 3) * $KnQ) div (4*c_xy) + (3*n1p_xy*q2) div (4*c_xy)").as("q_seen")),
+      buckets, Seq("x", "y", "z"), Seq("x", "y", "z"), s"$db.m3")
     // stage the apply-side stats (all a Heaps decade or more below the
     // trigram table; nbb is one row) for cross-session handle rebuild
     val stage = s"$dbLoc/stage"
@@ -2796,12 +2789,22 @@ object TextOps {
   private[graft] def knNScoreOfGrams(docGrams: DataFrame, m: KnNModel): DataFrame = {
     val n = m.n
     def bcastIfLow(k: Int, df: DataFrame): DataFrame = if (k <= 2) broadcast(df) else df
+    // PER ORDER, join d BEFORE q (r14): the joins are independent left
+    // equi-joins keyed on columns of the gram stream, so order is free —
+    // and with the d(k)-join first the corpus exchanges to the q/d tables'
+    // SHARED bucket prefix, which the q(k)-join then reuses (a hash
+    // partitioning on a subset of the join keys satisfies its clustering):
+    // one corpus exchange per landed order, ZERO model-side exchanges.
+    // q-first (the pre-r14 order) made the q join the first consumer, and
+    // with no useful incoming partitioning the planner disabled the q
+    // scans' subset-bucketed read and shuffled BOTH sides on the full key
+    // — the shape BucketingSpec now pins away.
     var j = docGrams
-      .join(m.q(n).withColumnRenamed(s"q$n", "q_seen"), knSuffixCols(n, n), "left")
       .join(m.d(n), knSuffixCols(n, n).dropRight(1), "left")
+      .join(m.q(n).withColumnRenamed(s"q$n", "q_seen"), knSuffixCols(n, n), "left")
     for (k <- n - 1 to 2 by -1)
-      j = j.join(bcastIfLow(k, m.q(k)), knSuffixCols(n, k), "left")
-        .join(bcastIfLow(k, m.d(k)), knSuffixCols(n, k).dropRight(1), "left")
+      j = j.join(bcastIfLow(k, m.d(k)), knSuffixCols(n, k).dropRight(1), "left")
+        .join(bcastIfLow(k, m.q(k)), knSuffixCols(n, k), "left")
     j = j.join(broadcast(m.q(1)), Seq(s"w$n"), "left").crossJoin(broadcast(m.den1))
       // add-one continuation floor for a never-seen last token
       .withColumn("qb1", expr(s"coalesce(q1, $KnQ div den1)"))
@@ -3027,16 +3030,10 @@ object TextOps {
       modelBuckets(m.a(k).count(), "SPARK_GRAFT_KN5_BUCKETS")
     def land(df: DataFrame, name: String, buckets: Int, bucketCols: Seq[String],
         sortCols: Seq[String]): DataFrame = {
-      // one sorted file per bucket (r14): repartition on the bucket
-      // columns aligns write tasks to buckets (same Murmur3 hash), so the
-      // landed table reports its sortBy order and the apply's sort-merge
-      // joins drop the model-side Sort — q/d pairs repartition on the
-      // SAME prefix at the same count and stay co-partitioned
-      df.repartition(buckets, bucketCols.map(col): _*)
-        .write.mode("overwrite")
-        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-        .sortBy(sortCols.head, sortCols.tail: _*)
-        .saveAsTable(s"$db.$name")
+      // one sorted file per bucket ([[Relational.landBucketedSorted]]):
+      // the apply's joins drop the model-side Sort; q/d pairs repartition
+      // on the SAME prefix at the same count and stay co-partitioned
+      Relational.landBucketedSorted(df, buckets, bucketCols, sortCols, s"$db.$name")
       spark.table(s"$db.$name")
     }
     val pfx = (k: Int) => knSuffixCols(5, k).dropRight(1) // the shared q/d prefix

@@ -27,6 +27,11 @@ object CcRounds {
       // single-file-per-bucket check): compacted index/model tables feed
       // sort-merge joins with NO re-sort of the at-rest side
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // subset co-partitioning for the prefix-bucketed kn5 q/d pairs: one
+      // corpus exchange per landed order serves BOTH joins (pre-3.3
+      // default; the only subset-partitioned sources here are the LM
+      // tables, whose n-gram prefixes are far past any skew concern)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { dir =>

@@ -245,6 +245,50 @@ class BucketingSpec extends SparkSpec {
     fs.delete(marker, false)
   }
 
+  test("kn5 bucketed model: the sorted landing feeds every model join sort-free (r14)") {
+    // the trickiest of the r14 one-sorted-file-per-bucket sites: kn5
+    // buckets each order on the shared q/d PREFIX while sortBy covers the
+    // full suffix, and the sort-drop rides subset-clustering acceptance
+    // plus join-key/sort-column order agreement. Pin it structurally: no
+    // Sort may sit directly over a bucketed model scan (walking only
+    // through unary nodes — a Sort above a join legitimately re-sorts).
+    import org.apache.spark.sql.execution._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // requireAllClusterKeysForCoPartition=false comes from the session
+    // builder (deployment parity) — the subset co-partitioning below
+    // depends on it
+    try {
+      val q = graft.ext.TextOps.kn5ScoreBucketed(spark, sf)
+      val plan = q.queryExecution.executedPlan
+      @scala.annotation.tailrec
+      def throughUnary(p: SparkPlan): SparkPlan = p match {
+        case u if u.children.length == 1 => throughUnary(u.children.head)
+        case other => other
+      }
+      def modelScan(p: SparkPlan): Boolean = throughUnary(p) match {
+        case f: FileSourceScanExec => f.bucketedScan
+        case _ => false
+      }
+      val sortedScans = plan.collect {
+        case s: SortExec if modelScan(s.child) => s
+      }
+      assert(sortedScans.isEmpty,
+        s"a bucketed model scan is re-sorted at apply time — the sorted landing is not in effect:\n$plan")
+      // sanity: the landed q/d tables for orders 3-5 all arrive bucket-read
+      val bucketed = plan.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(bucketed.size >= 6, s"expected ≥6 bucketed model scans, found ${bucketed.size}:\n$plan")
+      assert(q.limit(1).count() == 1)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // the landing itself stays: it is the session's memoized artifact
+      // (dropping it here would dangle the (session, db) memo other tests
+      // legitimately hit — the write-once reuse discipline under test)
+    }
+  }
+
   test("kn5 cross-session reuse refuses a DRIFTED corpus — fingerprint guard (r13)") {
     // the r12 reuse path trusted the operator's env assertion that the
     // corpus was unchanged, leaving "reuse against a changed store scores

@@ -16,6 +16,11 @@ object TestSession {
       // bucketed-scan sort order (guarded inside Spark by a single-file-
       // per-bucket check) so plan-pinning specs see the deployment plan
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // subset co-partitioning for the prefix-bucketed kn5 q/d pairs: one
+      // corpus exchange per landed order serves BOTH joins (pre-3.3
+      // default; the only subset-partitioned sources here are the LM
+      // tables, whose n-gram prefixes are far past any skew concern)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
