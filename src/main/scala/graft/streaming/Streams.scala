@@ -575,9 +575,25 @@ object Streams {
     val tmp = java.nio.file.Files.createTempDirectory("graft_idx_upsert").toString
     Streams.deleteOnShutdown(tmp) // repeated gate/bench runs must not accumulate temp disk
     writeIdxShards(spark, docs, shards, tmp)
-    val out = indexUpsertRunOver(spark, docs.schema, tmp)
-    deleteDir(tmp)
-    out
+    // this wrapper NEVER resumes (the tmp artifact dies with it), so on
+    // failure the index table the run kept for resumability is garbage —
+    // drop it here, where that knowledge lives, not in the run (which must
+    // keep it: a resume over the same checkpoint needs the accumulated
+    // index or every pre-crash doc silently stops matching)
+    try {
+      val out = indexUpsertRunOver(spark, docs.schema, tmp)
+      deleteDir(tmp)
+      out
+    } catch {
+      case t: Throwable =>
+        // best-effort: a failure that broke the session itself must not
+        // have its diagnostic masked by the cleanup's own throw
+        try idxTableLock.synchronized {
+          spark.sql(s"DROP TABLE IF EXISTS ${idxTableFor(tmp)}_swap")
+          spark.sql(s"DROP TABLE IF EXISTS ${idxTableFor(tmp)}")
+        } catch { case c: Throwable => t.addSuppressed(c) }
+        throw t
+    }
   }
 
   /** Lands `docs` as one parquet file per `doc_id % shards` shard under
@@ -696,7 +712,17 @@ object Streams {
     // arrival-order-free. In arrival-order = shard-order runs the
     // c_shard > shard branch never fires and this reduces to the
     // round-12 probe exactly.
-    val idx = spark.table(idxTable).select(
+    //
+    // `__shard =!= shard` (r14 crash-resume): in an uninterrupted run the
+    // index never contains the probing batch's own shard, so the filter
+    // matches every row and costs nothing — but a batch REPLAYED after a
+    // crash between its index append and its commit finds its own bands
+    // already at rest, and without the filter the equal-shard rows emit
+    // self-matches (doc → itself) and same-shard matches the sequential
+    // semantics exclude. With it, replaying a batch is idempotent: the
+    // recomputed matches duplicate rows the crashed attempt already wrote,
+    // and the final min-of-mins rollup collapses duplicates exactly.
+    val idx = spark.table(idxTable).where(col("__shard") =!= shard).select(
       col("doc_id").as("c_doc"), col("__shard").as("c_shard"),
       col("band_idx"), col("bk"))
     bands.join(idx, Seq("band_idx", "bk"))
@@ -707,26 +733,67 @@ object Streams {
       .agg(min("m_cand").as("match_id"))
   }
 
+  /** The per-artifact index table name — deterministic from the artifact
+    * dir (unique per run family, catalog-safe), so a RESUMED run finds the
+    * table its crashed predecessor accumulated. */
+  private[graft] def idxTableFor(tmp: String): String =
+    "graft_idx_upsert.t_" +
+      new org.apache.hadoop.fs.Path(tmp).getName.filter(_.isLetterOrDigit)
+
+  /** Heals the [[compactIdxTable]] DROP→RENAME crash window on resume: a
+    * driver death between `DROP TABLE main` and `ALTER TABLE swap RENAME`
+    * leaves the whole accumulated index only under the swap name — without
+    * recovery the next probe's `tableExists(main)` is false and the stream
+    * silently rebuilds from an EMPTY index (every pre-crash doc stops
+    * matching: a wrong answer, not a crash). Main missing + swap present →
+    * rename swap back; main present → any swap is a stale pre-DROP copy
+    * (the compaction reruns later), drop it. Call under [[idxTableLock]]. */
+  private[graft] def recoverIdxSwap(spark: SparkSession, idxTable: String): Unit = {
+    val swap = idxTable + "_swap"
+    if (spark.catalog.tableExists(idxTable)) spark.sql(s"DROP TABLE IF EXISTS $swap")
+    else if (spark.catalog.tableExists(swap))
+      spark.sql(s"ALTER TABLE $swap RENAME TO $idxTable")
+  }
+
   /** The streaming probe-then-append run over a [[writeIdxShards]]
     * artifact: one shard file per micro-batch; "earlier" is decided by
     * comparing `__shard` VALUES, never by arrival order (re-checked
     * loudly below). The accumulated index lives as a (band_idx, bk)-
     * bucketed catalog table (see [[idxProbeJoin]]) — append-only per
-    * batch, dropped with the run. */
+    * batch, dropped when the run COMPLETES. A run that FAILS keeps the
+    * table: the checkpoint has already recorded the appended batches as
+    * processed, so a resume must probe against the accumulated index —
+    * dropping it on failure silently unmatches every pre-crash doc.
+    * Callers that never resume (the gate wrapper owns a throwaway tmp)
+    * drop it on their failure path instead.
+    *
+    * `failAfterAppendOnce` is a TEST-ONLY crash injector (the replay-
+    * server discipline): the first batch carrying that shard throws AFTER
+    * its index append — the nastiest window, because the resume replays a
+    * batch whose bands are already at rest (see [[idxProbeJoin]]'s
+    * equal-shard filter). */
   private[graft] def indexUpsertRunOver(
       spark: SparkSession, docSchema: StructType, tmp: String,
-      compactEvery: Int = idxCompactEvery): DataFrame = {
+      compactEvery: Int = idxCompactEvery,
+      failAfterAppendOnce: Option[Int] = None): DataFrame = {
     val inDir = s"$tmp/in"
     val outDir = s"$tmp/matches"
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // table name unique per run (the tmp dir already is), catalog-safe
-    val idxTable = "graft_idx_upsert.t_" +
-      new java.io.File(tmp).getName.filter(_.isLetterOrDigit)
+    val idxTable = idxTableFor(tmp)
+    // fresh run (no checkpoint yet): clear any same-name leftover — a
+    // PREVIOUS process's crashed run whose tmp dir name recycled. Resume
+    // (checkpoint offsets exist): the accumulated index IS the state —
+    // keep it, healing a compaction crash window if one is open.
+    val resuming = fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/ck/offsets"))
     idxTableLock.synchronized {
       spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_upsert")
-      spark.sql(s"DROP TABLE IF EXISTS $idxTable")
+      if (!resuming) {
+        spark.sql(s"DROP TABLE IF EXISTS ${idxTable}_swap")
+        spark.sql(s"DROP TABLE IF EXISTS $idxTable")
+      } else recoverIdxSwap(spark, idxTable)
     }
+    var mustFail = failAfterAppendOnce
     val idxLog = sys.env.contains("SPARK_GRAFT_IDX_LOG")
     // appended-batch counter driving the compaction cadence; foreachBatch
     // callbacks run sequentially on the driver, so a plain var is safe
@@ -768,18 +835,24 @@ object Streams {
           appends += 1
           if (compactEvery > 0 && appends % compactEvery == 0)
             compactIdxTable(spark, idxTable)
+          if (mustFail.contains(shard)) {
+            mustFail = None // fail the FIRST attempt only; the replay succeeds
+            throw new RuntimeException(
+              s"injected crash after the index append of shard $shard")
+          }
         }
         if (idxLog) System.err.println(
           f"idx_upsert batch $batchId: ${(System.nanoTime() - t0) / 1e9}%.3f s")
         ()
     }.option("checkpointLocation", s"$tmp/ck")
       .trigger(Trigger.AvailableNow()).start()
-    // drop the per-run table (and a compaction swap a crash may have
-    // stranded between its DROP and RENAME) even when a batch FAILS: the
-    // name is unique per run, so nothing else ever reclaims it — without
-    // the finally, failed runs accumulate tables in the shared warehouse
-    try q.awaitTermination()
-    finally idxTableLock.synchronized {
+    // COMPLETION drops the per-run table (the rollup below reads the
+    // matches parquet, not the table); a FAILED run keeps it — the
+    // checkpoint counts the appended batches as processed, so resume
+    // correctness depends on the accumulated index surviving the crash
+    // (the resume spec holds both directions)
+    q.awaitTermination()
+    idxTableLock.synchronized {
       spark.sql(s"DROP TABLE IF EXISTS ${idxTable}_swap")
       spark.sql(s"DROP TABLE IF EXISTS $idxTable")
     }

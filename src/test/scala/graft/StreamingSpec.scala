@@ -811,6 +811,92 @@ class StreamingSpec extends SparkSpec {
       s"per-batch compaction changed the emitted matches: $out")
   }
 
+  test("index upsert: a crash between index append and commit resumes exactly-once (r14)") {
+    import spark.implicits._
+    // the nastiest window: the driver dies AFTER a batch appended its
+    // bands to the index but BEFORE the engine committed the batch. The
+    // resume replays that batch against an index that already holds its
+    // own bands — without the probe's equal-shard filter the replay emits
+    // self-matches and same-shard matches (here 7→3: doc 3 is 7's same-
+    // shard twin, and 3 < 4 wins the min), and if a failed run DROPPED the
+    // accumulated table the resume would probe pre-crash docs against an
+    // empty index and silently unmatch everything. Shard 3 carries docs
+    // {7, 3} — both matching doc 4 (shard 0) AND each other's text — so
+    // this fixture trips every one of those corruptions.
+    val same1 = "alpha beta gamma delta epsilon"
+    val same2 = "zeta eta theta iota kappa"
+    val same3 = "lambda mu nu xi omicron"
+    val docs = Seq(
+      (0L, same1), (1L, same1),
+      (2L, same2), (6L, same2),
+      (4L, same3), (7L, same3), (3L, same3),
+      (5L, "unique words only here nothing shared")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_crash").toString
+    Streams.deleteOnShutdown(tmp)
+    Streams.writeIdxShards(spark, docs, 4, tmp)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    // run 1: compaction after every append (hostile cadence) and the
+    // injected crash after shard 3's append lands
+    val crash = intercept[Exception] {
+      Streams.indexUpsertRunOver(spark, docs.schema, tmp,
+        compactEvery = 1, failAfterAppendOnce = Some(3))
+    }
+    assert(msgs(crash).exists(_.contains("injected crash")),
+      s"expected the injected crash, got: ${msgs(crash)}")
+    // the failed run must KEEP the accumulated index for the resume
+    assert(spark.catalog.tableExists(Streams.idxTableFor(tmp)),
+      "a failed run dropped the index its checkpoint already counts as appended")
+    // run 2: same artifact + checkpoint — replays the crashed batch, then
+    // finishes; the result must be EXACTLY the uninterrupted run's
+    val out = Streams.indexUpsertRunOver(spark, docs.schema, tmp, compactEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Streams.deleteDir(tmp)
+    assert(out == Map(1L -> 0L, 7L -> 4L, 3L -> 4L),
+      s"crash-resume changed the emitted matches (replay self/same-shard leak " +
+        s"or a lost index): $out")
+    // completion reclaimed the per-run table as usual
+    assert(!spark.catalog.tableExists(Streams.idxTableFor(tmp)),
+      "the completed resume left its per-run table behind")
+  }
+
+  test("index upsert: the compaction DROP→RENAME crash window heals on resume (r14)") {
+    import spark.implicits._
+    // compactIdxTable swaps via saveAsTable(swap); DROP main; RENAME swap.
+    // A death between the DROP and the RENAME leaves the WHOLE accumulated
+    // index only under the swap name — tableExists(main) is then false,
+    // and an unhealed resume would silently rebuild from an empty index.
+    val db = "graft_idx_upsert"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val main = s"$db.t_recoverspec"
+    val swap = main + "_swap"
+    spark.sql(s"DROP TABLE IF EXISTS $main")
+    spark.sql(s"DROP TABLE IF EXISTS $swap")
+    try {
+      Seq((1L, 0, 11L, 0), (2L, 1, 22L, 1)).toDF("doc_id", "band_idx", "bk", "__shard")
+        .write.bucketBy(2, "band_idx", "bk").sortBy("band_idx", "bk")
+        .saveAsTable(swap)
+      // state as left by the crash: main dropped, swap complete
+      Streams.recoverIdxSwap(spark, main)
+      assert(spark.catalog.tableExists(main) && !spark.catalog.tableExists(swap),
+        "recovery must rename the stranded swap back to the index name")
+      assert(spark.table(main).count() == 2)
+      // the OTHER window (death between saveAsTable(swap) and DROP main):
+      // main is still the live index; the swap is a stale copy — recovery
+      // drops it and leaves main untouched
+      spark.table(main).write.bucketBy(2, "band_idx", "bk")
+        .sortBy("band_idx", "bk").saveAsTable(swap)
+      Streams.recoverIdxSwap(spark, main)
+      assert(spark.catalog.tableExists(main) && !spark.catalog.tableExists(swap),
+        "recovery must drop a stale swap when the index survived the crash")
+      assert(spark.table(main).count() == 2)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $main")
+      spark.sql(s"DROP TABLE IF EXISTS $swap")
+    }
+  }
+
   test("index upsert order contract survives a filesystem that scrambles mtimes (r12 verdict 1)") {
     import spark.implicits._
     // same twin layout as the r9.2 spec — but the shard files arrive in
