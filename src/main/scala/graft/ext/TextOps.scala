@@ -2530,6 +2530,9 @@ object TextOps {
     ny.write.mode("overwrite").parquet(s"$stage/ny")
     nz.write.mode("overwrite").parquet(s"$stage/nz")
     nbb.write.mode("overwrite").parquet(s"$stage/nbb")
+    // bucket count for new-process re-registration (r14), then the
+    // fingerprint LAST — it stays the completion marker
+    writeBucketSpec(fs, dbLoc, Seq("m3" -> buckets))
     val out = fs.create(new org.apache.hadoop.fs.Path(dbLoc, "_corpus_fingerprint"), true)
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -2564,9 +2567,13 @@ object TextOps {
 
   private[graft] def reuseKn3Model(
       spark: SparkSession, sfDir: String, db: String): Option[Kn3Landed] = {
-    if (!spark.catalog.databaseExists(db) ||
-        !spark.catalog.tableExists(s"$db.m3")) return None
+    // artifact first, catalog second — a new process re-registers the
+    // surviving landing instead of silently re-training (r14, kn5 parity)
     val dbLoc = validatedLanding(spark, sfDir, db).getOrElse(return None)
+    if ((!spark.catalog.databaseExists(db) ||
+          !spark.catalog.tableExists(s"$db.m3")) &&
+        !reRegisterKnLanding(spark, dbLoc, db,
+          Seq(("m3", Seq("x", "y", "z"), Seq("x", "y", "z"))))) return None
     val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$dbLoc/stage"
     val parts = Seq("cxy", "q2", "ny", "nz", "nbb")
@@ -2952,10 +2959,19 @@ object TextOps {
     * a drifted store re-lands instead of silently scoring stale. */
   private[graft] def reuseKn5Model(
       spark: SparkSession, sfDir: String, db: String): Option[KnNModel] = {
-    val tables = Seq("q5", "d5", "q4", "d4", "q3", "d3")
-    if (!spark.catalog.databaseExists(db) ||
-        !tables.forall(t => spark.catalog.tableExists(s"$db.$t"))) return None
+    // validate the ARTIFACT first (warehouse-dir resolution — no catalog
+    // needed): a new process's empty in-memory catalog is then healed by
+    // re-registration instead of silently re-training (r14)
     val dbLoc = validatedLanding(spark, sfDir, db).getOrElse(return None)
+    val tables = Seq("q5", "d5", "q4", "d4", "q3", "d3")
+    val pfx = (k: Int) => knSuffixCols(5, k).dropRight(1)
+    val specs = Seq(
+      ("q5", pfx(5), knSuffixCols(5, 5)), ("d5", pfx(5), pfx(5)),
+      ("q4", pfx(4), knSuffixCols(5, 4)), ("d4", pfx(4), pfx(4)),
+      ("q3", pfx(3), knSuffixCols(5, 3)), ("d3", pfx(3), pfx(3)))
+    if ((!spark.catalog.databaseExists(db) ||
+          !tables.forall(t => spark.catalog.tableExists(s"$db.$t"))) &&
+        !reRegisterKnLanding(spark, dbLoc, db, specs)) return None
     val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$dbLoc/stage"
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/a5")) ||
@@ -3058,6 +3074,12 @@ object TextOps {
       d = m.d.updated(5, d5).updated(4, d4).updated(3, d3)
         .updated(2, m.d(2).localCheckpoint()),
       den1 = m.den1.localCheckpoint())
+    // record the store-derived bucket counts (r14): a NEW process's
+    // in-memory catalog has never seen these tables, and re-registering
+    // them needs the count the landing derived from the store — the
+    // bucket/sort COLUMNS are static per table name, only N varies
+    writeBucketSpec(fs, dbLoc, Seq("q5" -> b5, "d5" -> b5,
+      "q4" -> b4, "d4" -> b4, "q3" -> b3, "d3" -> b3))
     // record the PRE-READ corpus identity LAST — it doubles as the
     // landing's completion marker, and reuseKn5Model validates it before
     // trusting any table (a store that drifted since this landing — even
@@ -3066,6 +3088,63 @@ object TextOps {
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     handle
+  }
+
+  private def writeBucketSpec(fs: org.apache.hadoop.fs.FileSystem,
+      dbLoc: org.apache.hadoop.fs.Path, counts: Seq[(String, Int)]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dbLoc, "_bucket_spec"), true)
+    try out.write(counts.map { case (n, b) => s"$n:$b" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-registers a COMPLETE landed model database in a process whose
+    * in-memory catalog has never seen it (r14): the warehouse artifact
+    * outlives the JVM, but `spark.catalog` starts empty — without this,
+    * every reuse guard fails on `databaseExists` and the "landings
+    * survive process boundaries" claim held only across sessions of ONE
+    * process (a restart silently re-trained). Each table is re-created
+    * EXTERNAL over its surviving data directory with the bucket/sort
+    * spec the landing recorded in `_bucket_spec` (the bucketed reader
+    * keys bucket ids off file names, which the bucketed writer stamped,
+    * so the layout round-trips). False — caller re-lands — when the
+    * spec file is missing (pre-r14 landing) or any table's data is gone.
+    * A deployment on a persistent metastore never takes this path.
+    * Caller must already hold a validated landing (fingerprint checked):
+    * registration trusts the artifact exactly as far as the guard does. */
+  private def reRegisterKnLanding(
+      spark: SparkSession, dbLoc: org.apache.hadoop.fs.Path, db: String,
+      tables: Seq[(String, Seq[String], Seq[String])]): Boolean = {
+    val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val specPath = new org.apache.hadoop.fs.Path(dbLoc, "_bucket_spec")
+    if (!fs.exists(specPath)) return false
+    val buckets = {
+      val in = fs.open(specPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      txt.split('\n').map(_.split(':')).collect {
+        case Array(n, b) if b.matches("\\d+") => n -> b.toInt
+      }.toMap
+    }
+    if (!tables.forall { case (n, _, _) =>
+        buckets.contains(n) &&
+          fs.exists(new org.apache.hadoop.fs.Path(dbLoc, n)) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(dbLoc, n))
+            .exists(_.getPath.getName.startsWith("part-")) }) return false
+    if (!spark.catalog.databaseExists(db))
+      spark.sql(s"CREATE DATABASE $db LOCATION '$dbLoc'")
+    tables.foreach { case (name, bucketCols, sortCols) =>
+      if (!spark.catalog.tableExists(s"$db.$name")) {
+        val dir = new org.apache.hadoop.fs.Path(dbLoc, name)
+        val ddl = spark.read.parquet(dir.toString).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $db.$name ($ddl) USING PARQUET
+             |CLUSTERED BY (${bucketCols.mkString(", ")})
+             |SORTED BY (${sortCols.mkString(", ")})
+             |INTO ${buckets(name)} BUCKETS LOCATION '$dir'""".stripMargin)
+      }
+    }
+    true
   }
 
   /** INCREMENTALLY maintained 5-gram artifact — [[knIncremental]]'s

@@ -588,10 +588,8 @@ object Streams {
       case t: Throwable =>
         // best-effort: a failure that broke the session itself must not
         // have its diagnostic masked by the cleanup's own throw
-        try idxTableLock.synchronized {
-          spark.sql(s"DROP TABLE IF EXISTS ${idxTableFor(tmp)}_swap")
-          spark.sql(s"DROP TABLE IF EXISTS ${idxTableFor(tmp)}")
-        } catch { case c: Throwable => t.addSuppressed(c) }
+        try idxTableLock.synchronized(dropIdxTable(spark, idxTableFor(tmp)))
+        catch { case c: Throwable => t.addSuppressed(c) }
         throw t
     }
   }
@@ -680,6 +678,15 @@ object Streams {
         .saveAsTable(swap)
       finally spark.conf.set(autoKey, prevAuto)
       spark.sql(s"DROP TABLE $idxTable")
+      // a RE-REGISTERED index (cross-process resume) is EXTERNAL: its DROP
+      // keeps the old files, and the managed swap's RENAME below would
+      // collide with the occupied directory — clear it (the swap already
+      // holds every row; a no-op for the managed case, where DROP deleted
+      // it). Crash after the delete: main dir absent, swap complete — the
+      // exact state the resume recovery heals.
+      val mainDir = idxDataDir(spark, idxTable)
+      val mfs = mainDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (mfs.exists(mainDir)) mfs.delete(mainDir, true)
       spark.sql(s"ALTER TABLE $swap RENAME TO $idxTable")
       spark.catalog.refreshTable(idxTable)
     }
@@ -755,6 +762,64 @@ object Streams {
       spark.sql(s"ALTER TABLE $swap RENAME TO $idxTable")
   }
 
+  /** The on-disk data directory the index table's rows live under —
+    * resolved from the CATALOG's database location, which outlives any one
+    * process's in-memory catalog entries. */
+  private def idxDataDir(spark: SparkSession, idxTable: String): org.apache.hadoop.fs.Path = {
+    val Array(db, t) = idxTable.split('.')
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(new java.net.URI(spark.catalog.getDatabase(db).locationUri)), t)
+  }
+
+  /** CROSS-PROCESS resume (r14): the index's catalog ENTRY dies with the
+    * JVM when the deployment runs the in-memory catalog, but its parquet
+    * lives on in the warehouse — a resumed driver on a NEW process would
+    * see `tableExists == false` and silently rebuild from an empty index,
+    * the same wrong-answer class as the dropped-on-failure table. When the
+    * entry is gone but the data directory survives, re-register it as an
+    * external table with the SAME bucket/sort spec (the bucketed reader
+    * keys bucket ids off the file names, which the bucketed writer
+    * stamped, so the layout round-trips). The compaction crash window is
+    * healed at the FS level first: main dir missing + swap dir present is
+    * the mid-RENAME death — the data moves back under the main name
+    * before registration. A missing/empty data dir is the legitimate
+    * crashed-before-any-append case: nothing to register, the first batch
+    * re-creates the table. A persistent metastore (production) never
+    * takes this path — the entry survives and [[recoverIdxSwap]] alone
+    * applies. Call under [[idxTableLock]]. */
+  private[graft] def reRegisterIdxTable(spark: SparkSession, idxTable: String): Unit = {
+    if (spark.catalog.tableExists(idxTable) ||
+        spark.catalog.tableExists(idxTable + "_swap")) return
+    val mainDir = idxDataDir(spark, idxTable)
+    val swapDir = idxDataDir(spark, idxTable + "_swap")
+    val fs = mainDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mainDir) && fs.exists(swapDir)) fs.rename(swapDir, mainDir)
+    else if (fs.exists(mainDir) && fs.exists(swapDir)) fs.delete(swapDir, true)
+    val hasData = fs.exists(mainDir) &&
+      fs.listStatus(mainDir).exists(_.getPath.getName.startsWith("part-"))
+    if (!hasData) return
+    val ddl = spark.read.parquet(mainDir.toString).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $idxTable ($ddl) USING PARQUET
+         |CLUSTERED BY (band_idx, bk) SORTED BY (band_idx, bk)
+         |INTO $IdxBuckets BUCKETS LOCATION '$mainDir'""".stripMargin)
+  }
+
+  /** Reclaims the per-run index table AND its data directory: a
+    * re-registered table is EXTERNAL (DROP leaves its files), so the drop
+    * is followed by a best-effort delete of both data dirs — a no-op for
+    * the managed case, where DROP already removed them. */
+  private def dropIdxTable(spark: SparkSession, idxTable: String): Unit = {
+    if (!spark.catalog.databaseExists(idxTable.split('.').head)) return
+    spark.sql(s"DROP TABLE IF EXISTS ${idxTable}_swap")
+    spark.sql(s"DROP TABLE IF EXISTS $idxTable")
+    val mainDir = idxDataDir(spark, idxTable)
+    val fs = mainDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mainDir)) fs.delete(mainDir, true)
+    val swapDir = idxDataDir(spark, idxTable + "_swap")
+    if (fs.exists(swapDir)) fs.delete(swapDir, true)
+  }
+
   /** The streaming probe-then-append run over a [[writeIdxShards]]
     * artifact: one shard file per micro-batch; "earlier" is decided by
     * comparing `__shard` VALUES, never by arrival order (re-checked
@@ -788,10 +853,11 @@ object Streams {
     val resuming = fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/ck/offsets"))
     idxTableLock.synchronized {
       spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_upsert")
-      if (!resuming) {
-        spark.sql(s"DROP TABLE IF EXISTS ${idxTable}_swap")
-        spark.sql(s"DROP TABLE IF EXISTS $idxTable")
-      } else recoverIdxSwap(spark, idxTable)
+      if (!resuming) dropIdxTable(spark, idxTable)
+      else {
+        recoverIdxSwap(spark, idxTable)
+        reRegisterIdxTable(spark, idxTable) // new-process resume: entry died, data lives
+      }
     }
     var mustFail = failAfterAppendOnce
     val idxLog = sys.env.contains("SPARK_GRAFT_IDX_LOG")
@@ -852,10 +918,7 @@ object Streams {
     // correctness depends on the accumulated index surviving the crash
     // (the resume spec holds both directions)
     q.awaitTermination()
-    idxTableLock.synchronized {
-      spark.sql(s"DROP TABLE IF EXISTS ${idxTable}_swap")
-      spark.sql(s"DROP TABLE IF EXISTS $idxTable")
-    }
+    idxTableLock.synchronized(dropIdxTable(spark, idxTable))
     // final rollup across batches: a doc's pairs can emit in SEVERAL
     // batches when lower shards arrive late — min-of-mins ≡ global min.
     // Eager: the result is ≤ one tiny row per matched doc — materialize it

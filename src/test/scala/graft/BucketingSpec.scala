@@ -372,6 +372,81 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("kn LM landings survive a NEW process — catalog re-registration (r14)") {
+    // the r13 claim was "landings survive process boundaries", but both
+    // reuse guards began with spark.catalog.databaseExists — and the
+    // in-memory catalog starts EMPTY in a new JVM, so a restarted scorer
+    // silently RE-TRAINED the model it had on disk (reuse returned None,
+    // the fallback landed afresh: correct scores, the full training cost).
+    // The landing now records its store-derived bucket counts and reuse
+    // re-registers the surviving tables as external bucketed tables over
+    // their data dirs. Simulated by wiping the catalog ENTRIES while the
+    // warehouse artifact survives (rename-aside: DROP DATABASE CASCADE
+    // deletes managed files, so the dir steps out of the way and back).
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_knxp").toString
+    graft.streaming.Streams.deleteOnShutdown(store)
+    def docsOf(n: Int) = (0 until n).map(d => (d.toLong,
+        s"one two three four five six seven eight doc$d tail$d",
+        "en", "synthetic", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docsOf(20).write.parquet(s"$store/documents.parquet")
+    val db5 = "graft_kn5m_r14_xproc_spec"
+    val db3 = "graft_kn3m_r14_xproc_spec"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def wipeCatalogEntriesOnly(db: String): Unit = {
+      val loc = new org.apache.hadoop.fs.Path(wh, s"$db.db")
+      val stash = new org.apache.hadoop.fs.Path(wh, s"$db.stash")
+      assert(fs.rename(loc, stash))
+      spark.sql(s"DROP DATABASE $db CASCADE") // dir moved: only entries die
+      assert(fs.rename(stash, loc))
+      assert(!spark.catalog.databaseExists(db) && fs.exists(loc),
+        "the simulated process death must leave data without catalog entries")
+    }
+    try {
+      graft.ext.TextOps.landKn5Model(spark, store, db5, landCounts = true)
+      val fresh3 = graft.ext.TextOps.landKn3Model(spark, store, db3)
+      val docs = graft.Tables.documents(spark, store)
+      val want3 = graft.ext.TextOps.kn3Apply(graft.ext.TextOps.kn3DocTrigrams(docs),
+          fresh3.m3, fresh3.cxy, fresh3.q2, fresh3.ny, fresh3.nz, fresh3.nbb)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      wipeCatalogEntriesOnly(db5)
+      wipeCatalogEntriesOnly(db3)
+      // the "new process": reuse must re-register, not re-train
+      val r5 = graft.ext.TextOps.reuseKn5Model(spark, store, db5)
+      assert(r5.isDefined,
+        "kn5 reuse failed on an empty catalog — a restart re-trains the landed model")
+      assert(r5.get.q(5).count() > 0 && r5.get.d(3).count() > 0)
+      val r3 = graft.ext.TextOps.reuseKn3Model(spark, store, db3)
+      assert(r3.isDefined,
+        "kn3 reuse failed on an empty catalog — a restart re-trains the landed model")
+      val got3 = graft.ext.TextOps.kn3Apply(graft.ext.TextOps.kn3DocTrigrams(docs),
+          r3.get.m3, r3.get.cxy, r3.get.q2, r3.get.ny, r3.get.nz, r3.get.nbb)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got3 == want3,
+        "the re-registered kn3 handle scored differently from the fresh landing")
+      // the re-registered tables carry the BUCKET layout, not just rows:
+      // a bucketed scan must be available to the planner
+      val scan5 = spark.table(s"$db5.q5").queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scan5.nonEmpty && scan5.head.relation.bucketSpec.isDefined,
+        "re-registration lost the bucket spec — every apply would re-shuffle the model")
+      // and the fingerprint guard still bites: a drifted store re-lands
+      docsOf(5).write.mode("append").parquet(s"$store/documents.parquet")
+      wipeCatalogEntriesOnly(db5)
+      assert(graft.ext.TextOps.reuseKn5Model(spark, store, db5).isEmpty,
+        "reuse accepted a DRIFTED corpus after re-registration")
+    } finally {
+      Seq(db5, db3).foreach { db =>
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        val loc = new org.apache.hadoop.fs.Path(wh, s"$db.db")
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+    }
+  }
+
   test("a sibling session ADOPTS the landed artifacts instead of re-landing under live frames (r13 advice)") {
     // newSession() shares the catalog and warehouse: before this round a
     // sibling missed the (session, db)-keyed memos and its first call ran

@@ -861,6 +861,55 @@ class StreamingSpec extends SparkSpec {
       "the completed resume left its per-run table behind")
   }
 
+  test("index upsert: a NEW-process resume re-registers the surviving index data (r14)") {
+    import spark.implicits._
+    // cross-PROCESS crash: the in-memory catalog's table ENTRY dies with
+    // the JVM while the parquet lives on in the warehouse. An unhealed
+    // resume sees tableExists == false and silently rebuilds from an
+    // empty index — same wrong-answer class as the dropped-on-failure
+    // table. Simulated by moving the data dir aside, dropping the entry,
+    // and restoring the data under the SWAP name (the hardest composite:
+    // new process AND a compaction that died mid-RENAME).
+    val same1 = "alpha beta gamma delta epsilon"
+    val same3 = "lambda mu nu xi omicron"
+    val docs = Seq(
+      (0L, same1), (1L, same1),
+      (4L, same3), (7L, same3), (3L, same3),
+      (5L, "unique words only here nothing shared")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_xproc").toString
+    Streams.deleteOnShutdown(tmp)
+    Streams.writeIdxShards(spark, docs, 4, tmp)
+    intercept[Exception] {
+      Streams.indexUpsertRunOver(spark, docs.schema, tmp,
+        compactEvery = 1, failAfterAppendOnce = Some(3))
+    }
+    val table = Streams.idxTableFor(tmp)
+    val tname = table.split('.').last
+    val dbLoc = new java.net.URI(spark.catalog.getDatabase("graft_idx_upsert").locationUri)
+    val mainDir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dbLoc), tname)
+    val swapDir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dbLoc), tname + "_swap")
+    val fs = mainDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(mainDir), "the crashed run must leave its data on disk")
+    // simulate the JVM death: entry gone, data alive — under the swap name
+    val stash = new org.apache.hadoop.fs.Path(tmp, "stash")
+    assert(fs.rename(mainDir, stash))
+    spark.sql(s"DROP TABLE $table") // dir already moved: only the entry dies
+    assert(fs.rename(stash, swapDir))
+    assert(!spark.catalog.tableExists(table) && !fs.exists(mainDir))
+    // resume on the "new process": recovery renames the swap data back,
+    // re-registers it with the bucket spec, and the replay stays exact
+    val out = Streams.indexUpsertRunOver(spark, docs.schema, tmp, compactEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 0L, 7L -> 4L, 3L -> 4L),
+      s"new-process resume lost or corrupted the surviving index: $out")
+    // completion reclaims BOTH the entry and the (external) data files
+    assert(!spark.catalog.tableExists(table), "per-run table entry not reclaimed")
+    assert(!fs.exists(mainDir) && !fs.exists(swapDir),
+      "external index data left behind in the warehouse")
+    Streams.deleteDir(tmp)
+  }
+
   test("index upsert: the compaction DROP→RENAME crash window heals on resume (r14)") {
     import spark.implicits._
     // compactIdxTable swaps via saveAsTable(swap); DROP main; RENAME swap.
