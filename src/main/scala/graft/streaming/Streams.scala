@@ -669,14 +669,15 @@ object Streams {
       // is a pure per-bucket merge-sort, the shape that stays cheap when
       // the index is TBs. (A repartition on the bucket keys does NOT
       // guarantee this: reading the same-bucketed table makes the
-      // exchange redundant and the write tasks land multi-bucket.)
-      val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      val prevAuto = spark.conf.get(autoKey)
-      spark.conf.set(autoKey, "false")
-      try spark.table(idxTable)
+      // exchange redundant and the write tasks land multi-bucket.) The
+      // conf flips on an ISOLATED session clone (shared catalog, own
+      // SQLConf): mutating the caller's session would leak the forced
+      // setting into any query planned concurrently on another thread.
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      s2.table(idxTable)
         .write.bucketBy(IdxBuckets, "band_idx", "bk").sortBy("band_idx", "bk")
         .saveAsTable(swap)
-      finally spark.conf.set(autoKey, prevAuto)
       spark.sql(s"DROP TABLE $idxTable")
       // a RE-REGISTERED index (cross-process resume) is EXTERNAL: its DROP
       // keeps the old files, and the managed swap's RENAME below would
