@@ -2898,13 +2898,16 @@ object TextOps {
       ) match {
         case Some(m) => m
         case None =>
-          // CROSS-SESSION artifact reuse (env-gated): a landed model is a
-          // persisted trained artifact — when the operator asserts the
-          // corpus is unchanged (SPARK_GRAFT_KN5_REUSE_DB=1) and a complete
-          // landing exists, rebuild the model handle from the catalog
-          // instead of re-training. The default stays drop-and-reland:
-          // reuse against a CHANGED store would score with a stale LM,
-          // so it is an explicit operator assertion, not an inference.
+          // CROSS-SESSION and CROSS-PROCESS artifact reuse (env-gated): a
+          // landed model is a persisted trained artifact — with
+          // SPARK_GRAFT_KN5_REUSE_DB=1 and a complete landing whose
+          // recorded corpus fingerprint matches the store (drift re-lands
+          // regardless of the flag, since r13), rebuild the model handle
+          // from the catalog — or, in a new process whose in-memory
+          // catalog never saw it, re-register the surviving warehouse
+          // tables (r14). The default stays drop-and-reland: the flag
+          // opts INTO trusting a prior landing at all, e.g. off for a
+          // training run that must observe its own fresh corpus rollup.
           val m =
             if (sys.env.get("SPARK_GRAFT_KN5_REUSE_DB").contains("1"))
               reuseKn5Model(spark, sfDir, db).getOrElse(landKn5Model(spark, sfDir, db))
