@@ -42,7 +42,14 @@ final class EvmSubscription(
     subscribeLogs: Boolean = false,
     pushCapacity: Int = 1 << 16) extends AutoCloseable {
 
-  @volatile var head: Long = -1L
+  // max-accumulated, never read-modify-write on a volatile: during a
+  // reconnect handover a stale in-flight frame on the OLD socket could
+  // interleave its `if (n > head) head = n` with the new listener's and
+  // transiently REGRESS the watermark (a one-trigger availability stall,
+  // not a correctness fault — offsets never consume a regressed read —
+  // but monotonic is the contract the name promises)
+  private val headWatermark = new java.util.concurrent.atomic.AtomicLong(-1L)
+  def head: Long = headWatermark.get()
   val pushedLogs =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long, String, Double)]()
   val notifications = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -97,7 +104,7 @@ final class EvmSubscription(
         subs.getOrDefault(subId, "") match {
           case "newHeads" =>
             val n = JsonRpcClient.hexToLong(result \ "number")
-            if (n > head) head = n
+            headWatermark.getAndAccumulate(n, (a, b) => math.max(a, b)): Unit
           case "logs" =>
             val topics = result \ "topics" match {
               case JArray(ts) => ts.collect { case JString(s) => s }
@@ -199,8 +206,14 @@ final class EvmSubscription(
     ws.sendText(body, true).join()
   }
 
+  // ONE HttpClient for the subscription's lifetime: each instance owns a
+  // selector thread that lives until the client is collected, so building
+  // a fresh one per (re)connect let a flapping node accumulate threads
+  // for as long as dead sockets stayed reachable
+  private val httpClient = java.net.http.HttpClient.newHttpClient()
+
   private def connect(): Unit = {
-    ws = java.net.http.HttpClient.newHttpClient().newWebSocketBuilder()
+    ws = httpClient.newWebSocketBuilder()
       .buildAsync(java.net.URI.create(endpoint), newListener())
       .join()
     subscribe("newHeads", Nil)
