@@ -147,18 +147,40 @@ object Sinks {
         val rows = batch.collect()
         if (rows.nonEmpty) {
           val conn = java.sql.DriverManager.getConnection(url, props)
-          try {
-            conn.setAutoCommit(false)
-            // Spark's JDBC writer created the columns QUOTED (exact case) —
-            // our statements must address them the same way or the DB's
-            // case-folding resolves a different identifier
-            val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
-            upsertInto(conn, batch.schema.fieldNames.toSeq, rows, keyCols, qt, quote)
-            conn.commit()
-          } finally conn.close()
+          // Spark's JDBC writer created the columns QUOTED (exact case) —
+          // our statements must address them the same way or the DB's
+          // case-folding resolves a different identifier
+          val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
+          try upsertTxn(conn, batch.schema.fieldNames.toSeq, rows, keyCols, qt, quote)
+          finally conn.close()
         }
       }
     (if (bounded) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** One batch = one transaction, with an EXPLICIT rollback on failure:
+    * `close()` with an open transaction is driver-DEFINED behavior (some
+    * engines roll back, some COMMIT), so relying on close alone could land
+    * a failed batch PARTIALLY — half its groups replaced, half stale: the
+    * exact torn state the single-transaction contract exists to prevent,
+    * and invisible on engines (like Derby) that happen to roll back. The
+    * rollback's own failure is suppressed into the original diagnostic. */
+  private[graft] def upsertTxn(
+      conn: java.sql.Connection,
+      cols: Seq[String],
+      rows: Array[org.apache.spark.sql.Row],
+      keyCols: Seq[String],
+      quotedTable: String,
+      quote: String => String): Unit = {
+    conn.setAutoCommit(false)
+    try {
+      upsertInto(conn, cols, rows, keyCols, quotedTable, quote)
+      conn.commit()
+    } catch {
+      case t: Throwable =>
+        try conn.rollback() catch { case c: Throwable => t.addSuppressed(c) }
+        throw t
+    }
   }
 
   /** Transactional replace of exactly the given groups: DELETE each row's

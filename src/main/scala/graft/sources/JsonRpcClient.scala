@@ -63,7 +63,11 @@ final class JsonRpcClient(
         try Right(http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()))
         catch { case e: java.io.IOException => Left(e) }
       resp match {
-        case Right(r) if r.statusCode() < 500 =>
+        // 429 is TRANSIENT despite being 4xx — the canonical shared-quota
+        // answer from hosted RPC providers, usually with an HTML body:
+        // treating it as a protocol answer died on the JSON parse instead
+        // of backing off (r14). It takes the same bounded retry as 5xx.
+        case Right(r) if r.statusCode() < 500 && r.statusCode() != 429 =>
           val parsed = JsonMethods.parse(r.body())
           parsed \ "error" match {
             case JObject(_) =>

@@ -210,6 +210,21 @@ class EvmLogsSourceSpec extends SparkSpec {
     }
   }
 
+  test("live transport: HTTP 429 with an HTML body is retried like 5xx, not parsed (r14)") {
+    // hosted RPC providers answer shared-quota exhaustion with 429 and an
+    // HTML error page; a client that treated any <500 status as a
+    // protocol answer died on the JSON parse instead of backing off
+    withServer(new JsonRpcReplayServer(failFirst = 2,
+        failStatus = 429, failBody = "<html>Too Many Requests</html>")) { srv =>
+      val live = logs(Map(
+        "endpoint" -> srv.url, "fetchChunk" -> "1024", "parts" -> "1",
+        "retryBaseMs" -> "5"))
+      assert(live.count() == logs().count())
+      assert(srv.requests.get() >= srv.getLogsCalls.get() + 2,
+        "the injected 429s were not retried through")
+    }
+  }
+
   test("live transport: the rate gate spaces requests to the configured budget") {
     withServer(new JsonRpcReplayServer()) { srv =>
       val t0 = System.nanoTime()

@@ -21,7 +21,9 @@ import org.json4s.jackson.JsonMethods
 final class JsonRpcReplayServer(
     tip0: Long = 1000L,
     maxSpan: Long = Long.MaxValue,
-    failFirst: Int = 0) {
+    failFirst: Int = 0,
+    failStatus: Int = 500,
+    failBody: String = """{"error":"injected transient failure"}""") {
 
   /** The simulated chain head — mutable so poller specs can advance it
     * between ticks (the chain moving under a live S6 loop). */
@@ -146,7 +148,7 @@ final class JsonRpcReplayServer(
     val bodyIn = new String(ex.getRequestBody.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
     val (status, body) =
-      if (n <= failFirst) (500, """{"error":"injected transient failure"}""")
+      if (n <= failFirst) (failStatus, failBody)
       else {
         val req = JsonMethods.parse(bodyIn)
         val id = req \ "id"

@@ -394,4 +394,39 @@ class SinksSpec extends SparkSpec {
     assert(rc1.params("""DELETE FROM "0-agg" WHERE "group-key" = ? AND "label" IS NULL""")
       == List(List(2L)))
   }
+
+  test("K3 upsert: a mid-batch failure ROLLS BACK explicitly before close (r14)") {
+    // close() with an open transaction is driver-DEFINED (some engines
+    // commit!), so a failed batch without an explicit rollback could land
+    // PARTIALLY — half its groups replaced, half stale — and Derby (which
+    // happens to roll back on close) would never show it. The transaction
+    // wrapper must call rollback() before the connection closes, never
+    // commit(), and surface the original failure.
+    import spark.implicits._
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failingPs: java.sql.PreparedStatement =
+      java.lang.reflect.Proxy.newProxyInstance(
+        getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
+        (_, m, _) => m.getName match {
+          case "setObject" | "addBatch" | "close" => null
+          case "executeBatch" => throw new java.sql.SQLException("disk full mid-batch")
+          case other => throw new UnsupportedOperationException(other)
+        }).asInstanceOf[java.sql.PreparedStatement]
+    val conn: java.sql.Connection = java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+      (_, m, _) => m.getName match {
+        case "prepareStatement" => failingPs
+        case n @ ("setAutoCommit" | "commit" | "rollback" | "close") => calls += n; null
+        case other => throw new UnsupportedOperationException(other)
+      }).asInstanceOf[java.sql.Connection]
+    val rows = Seq((1L, 10L)).toDF("k", "n").collect()
+    val e = intercept[java.sql.SQLException] {
+      Sinks.upsertTxn(conn, Seq("k", "n"), rows, Seq("k"), "\"t\"", s => s""""$s"""")
+    }
+    assert(e.getMessage.contains("disk full"), e.getMessage)
+    assert(calls.contains("rollback"),
+      s"the failed transaction must roll back explicitly, got calls: $calls")
+    assert(!calls.contains("commit"),
+      s"a failed batch must never commit, got calls: $calls")
+  }
 }
