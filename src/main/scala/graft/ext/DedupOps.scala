@@ -381,7 +381,7 @@ object DedupOps {
     * so the doubles are bit-identical. */
   def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame =
     embeddingCosineAt(spark, sfDir,
-      sys.env.get("SPARK_GRAFT_EMB_BITS").map(_.toInt).getOrElse(4))
+      SimilarityOps.embBitsFor(spark, sfDir)) // b ∝ log N, store-derivable (r14)
 
   /** Width-parameterized form of the b ∝ log N contract above. The oracle
     * gate never sets the env override, so the gated query is pinned at the

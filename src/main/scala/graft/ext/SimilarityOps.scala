@@ -1242,8 +1242,34 @@ object SimilarityOps {
     * has no edges (standard for LSH graphs; more tables is the recall
     * knob, the width b ∝ log N contract bounds bucket occupancy). */
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    knnGraphAt(spark, sfDir,
-      sys.env.get("SPARK_GRAFT_EMB_BITS").map(_.toInt).getOrElse(4))
+    knnGraphAt(spark, sfDir, embBitsFor(spark, sfDir))
+
+  /** The b ∝ log N occupancy contract made DERIVABLE — the semDedup
+    * `SPARK_GRAFT_SEM_TARGET` pattern at the sign-hash-width knob: with a
+    * per-bucket population TARGET set (`SPARK_GRAFT_EMB_TARGET`), each
+    * store computes its own width — bits = ceil(log₂(N / target)),
+    * floor 4 — so ONE deployment knob holds bucket occupancy (and so
+    * candidates per vector) constant across stores, instead of the
+    * operator hand-computing logs per store. An explicit
+    * `SPARK_GRAFT_EMB_BITS` still wins (the probes' direct override); the
+    * oracle gate sets neither and stays at the fixture's b=4. Motivation
+    * measured (SCALING r14.8): fixture b=4 at the 100× store (200k
+    * vectors → 12.5k per bucket) exhausts an 8g local heap inside the kNN
+    * candidate join, while matched-population widths hold the whole graph
+    * family ≤ linear across the 10×→100× decade. One driver-side count()
+    * per call, amortized by every consumer's own scan. */
+  private[graft] def embBitsFor(spark: SparkSession, sfDir: String,
+      target: Option[Long] =
+        sys.env.get("SPARK_GRAFT_EMB_TARGET").map(_.toLong)): Int =
+    sys.env.get("SPARK_GRAFT_EMB_BITS").map(_.toInt).getOrElse(target match {
+      case None => 4
+      case Some(t) =>
+        val buckets =
+          math.max(1L, Tables.embeddings(spark, sfDir).count() / math.max(1L, t))
+        var b = 4
+        while ((1L << b) < buckets && b < 30) b += 1
+        b
+    })
 
   /** Width-parameterized form — the same b ∝ log N occupancy contract as
     * [[DedupOps.embeddingCosineAt]] (same env override, never set by the
@@ -1328,8 +1354,7 @@ object SimilarityOps {
     * the round-2 iterative-frame discipline); edges checkpoint once and
     * feed all iterations. */
   def pagerank(spark: SparkSession, sfDir: String): DataFrame =
-    pagerankAt(spark, sfDir,
-      sys.env.get("SPARK_GRAFT_EMB_BITS").map(_.toInt).getOrElse(4))
+    pagerankAt(spark, sfDir, embBitsFor(spark, sfDir))
 
   def pagerankAt(spark: SparkSession, sfDir: String, bits: Int): DataFrame = {
     val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
@@ -1417,7 +1442,7 @@ object SimilarityOps {
     * per-node window; lineage truncates per iteration (localCheckpoint),
     * edges checkpoint once. */
   def lpaCommunities(spark: SparkSession, sfDir: String): DataFrame = {
-    val bits = sys.env.get("SPARK_GRAFT_EMB_BITS").map(_.toInt).getOrElse(4)
+    val bits = embBitsFor(spark, sfDir)
     val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
     val knn = knnRankedAt(spark, sfDir, bits).select("src", "nbr")
     val und = knn.union(knn.select(col("nbr").as("src"), col("src").as("nbr")))

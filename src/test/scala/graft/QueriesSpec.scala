@@ -1034,4 +1034,30 @@ class QueriesSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
       s"communities mismatch: $got")
   }
+
+  test("sign-hash width DERIVES from the store at a population target (r14)") {
+    // the b ∝ log N occupancy contract, executable: the fixture default is
+    // b=4 (the oracle gate sets no env), and a per-bucket population
+    // target derives the minimal width whose bucket count covers N/target —
+    // the knob that kept the 100× kNN candidate join from exhausting the
+    // heap in the r14.8 decade audit (fixture b=4 there: 12.5k per bucket).
+    import org.apache.spark.sql.functions._
+    assert(ext.SimilarityOps.embBitsFor(spark, sf, None) == 4)
+    val n = Tables.embeddings(spark, sf).count()
+    // a target that wants more than 2^4 buckets must widen past the floor…
+    val t = math.max(1L, n / 64)
+    val b = ext.SimilarityOps.embBitsFor(spark, sf, Some(t))
+    val buckets = math.max(1L, n / t)
+    assert((1L << b) >= buckets, s"derived width $b cannot hold $buckets buckets")
+    assert(b == 4 || (1L << (b - 1)) < buckets, s"derived width $b is not minimal for $buckets")
+    // …and a huge target keeps the floor
+    assert(ext.SimilarityOps.embBitsFor(spark, sf, Some(n * 2)) == 4)
+    // the derived width drives the REAL graph build: a valid ranked kNN
+    val g = ext.SimilarityOps.knnGraphAt(spark, sf, b).cache()
+    try {
+      assert(g.count() > 0, "derived-width kNN graph is empty")
+      assert(g.groupBy("src", "rank").count().where(col("count") > 1).isEmpty,
+        "(src, rank) must be unique in the ranked graph")
+    } finally { g.unpersist(); () }
+  }
 }
