@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.Tables
+import graft.{BucketedPlan, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -746,7 +746,11 @@ object Relational {
     * broadcast covers dims, bucketing covers fact-fact. The oracle gate
     * additionally covers round-trip fidelity through the bucketed layout
     * (saveAsTable + catalog read-back, all columns and types restored). */
-  def layoutBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def layoutBucketedJoin(spark0: SparkSession, sfDir: String): DataFrame = {
+    // plan on a session carrying the bucketed-layout contract (r15): the
+    // sort-free consumption of the one-sorted-file-per-bucket landing
+    // rides a plan-shape conf a vanilla consumer session doesn't set
+    val spark = BucketedPlan.sessionFor(spark0)
     val db = s"graft_buckets_${new java.io.File(sfDir).getName.replace('.', '_')}"
     // The landing runs ONCE per (session, db): the bucketed layout is a
     // write-once artifact every downstream join consumes — that

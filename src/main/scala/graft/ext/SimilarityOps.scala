@@ -1259,17 +1259,43 @@ object SimilarityOps {
     * family ≤ linear across the 10×→100× decade. One driver-side count()
     * per call, amortized by every consumer's own scan. */
   private[graft] def embBitsFor(spark: SparkSession, sfDir: String,
-      target: Option[Long] =
-        sys.env.get("SPARK_GRAFT_EMB_TARGET").map(_.toLong)): Int =
-    sys.env.get("SPARK_GRAFT_EMB_BITS").map(_.toInt).getOrElse(target match {
+      target: Option[Long] = envLong("SPARK_GRAFT_EMB_TARGET")): Int =
+    envLong("SPARK_GRAFT_EMB_BITS").map(_.toInt).getOrElse(target match {
       case None => 4
       case Some(t) =>
-        val buckets =
-          math.max(1L, Tables.embeddings(spark, sfDir).count() / math.max(1L, t))
-        var b = 4
-        while ((1L << b) < buckets && b < 30) b += 1
-        b
+        // memoized per (session, canonical store, target) for the process
+        // lifetime (r14 advice): lpaCommunities / pagerank / knnGraph /
+        // embeddingCosine each re-derive the width within one driver run,
+        // and the derivation is a full count() of the embeddings table —
+        // one scan buys them all. Within one run the width MUST be stable
+        // anyway (consumers disagreeing on b would build incompatible
+        // bucket tables); a drifted store re-derives in a new process,
+        // the same lifetime the corpus-fingerprint discipline covers.
+        embBitsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+        embBitsCache.computeIfAbsent(
+          (spark, new java.io.File(sfDir).getCanonicalPath, t), _ => {
+            val buckets =
+              math.max(1L, Tables.embeddings(spark, sfDir).count() / math.max(1L, t))
+            var b = 4
+            while ((1L << b) < buckets && b < 30) b += 1
+            b
+          })
     })
+
+  private val embBitsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), Integer]()
+
+  /** Env-knob parse that NAMES the variable on failure (r14 advice): a
+    * malformed `SPARK_GRAFT_EMB_*` value must not surface as a bare
+    * NumberFormatException with no hint of where it came from. */
+  private def envLong(name: String): Option[Long] =
+    sys.env.get(name).map { v =>
+      try v.trim.toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"env $name must be an integer, got '$v'", e)
+      }
+    }
 
   /** Width-parameterized form — the same b ∝ log N occupancy contract as
     * [[DedupOps.embeddingCosineAt]] (same env override, never set by the

@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.Tables
+import graft.{BucketedPlan, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2445,7 +2445,11 @@ object TextOps {
     * `text_kn3_score`; bucket count DERIVED from the landed model's row
     * count ([[modelBuckets]] — round-11 verdict item 3; env override
     * SPARK_GRAFT_KN3_BUCKETS for probes). */
-  def kn3ScoreBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+  def kn3ScoreBucketed(spark0: SparkSession, sfDir: String): DataFrame = {
+    // plan on a session carrying the bucketed-layout contract (r15): on a
+    // vanilla consumer session the subset co-partitioning and sort-free
+    // scans below would otherwise silently not execute — the r14 find
+    val spark = BucketedPlan.sessionFor(spark0)
     val db = s"graft_kn3m_${storeTag(sfDir)}"
     val docs = Tables.documents(spark, sfDir)
     // the landing serializes per target database AND runs once per
@@ -2601,8 +2605,11 @@ object TextOps {
       case ((s, d), v) if d == db && !s.sparkContext.isStopped &&
         (s.sparkContext eq spark.sparkContext) && wh(s) == wh(spark) => v
     }
-    // update AFTER the scan — never mutate the map mid-iteration
-    hit.foreach(v => cache.update((spark, db), v))
+    // deliberately NOT recorded under the adopting session's key: the
+    // bucketed apply paths plan on a fresh per-call clone (BucketedPlan),
+    // so recording would grow the cache one entry per call in a long-lived
+    // consumer session — the scan above is O(live landings), trivially
+    // cheap, and only true landings write entries
     hit
   }
 
@@ -2877,7 +2884,13 @@ object TextOps {
     * `text_kn5_score`; per-order bucket counts DERIVED from the count
     * ladder's row counts ([[modelBuckets]] — round-11 verdict item 3;
     * env override SPARK_GRAFT_KN5_BUCKETS for probes). */
-  def kn5ScoreBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+  def kn5ScoreBucketed(spark0: SparkSession, sfDir: String): DataFrame = {
+    // plan on a session carrying the bucketed-layout contract (r15): the
+    // shared-prefix co-partitioning and sort-free model scans below ride
+    // two plan-shape confs that upstream defaults disable — r14 proved the
+    // documented plan silently regresses when they are absent, and every
+    // session outside the repo's own builders was in that state
+    val spark = BucketedPlan.sessionFor(spark0)
     // write-once REUSE seam (the clusterMapCache discipline): the landed
     // model is a persisted trained artifact — score-many is the deployment
     // shape, so the landing runs once per (session, corpus) and every

@@ -83,14 +83,30 @@ final class JsonRpcClient(
               throw JsonRpcException(code, msg)
             case _ => return parsed \ "result"
           }
-        case failed => // 5xx or IOException: transient — bounded backoff
+        case failed => // 5xx, 429, or IOException: transient — bounded backoff
           attempt += 1
           if (attempt > maxRetries) failed match {
             case Left(e) => throw e
             case Right(r) => throw new java.io.IOException(
               s"json-rpc $endpoint: HTTP ${r.statusCode()} after $maxRetries retries")
           }
-          Thread.sleep(retryBaseMs << (attempt - 1))
+          val delayMs = failed match {
+            // 429 is a QUOTA window, not a transport blip (r14 advice):
+            // honor the server's own Retry-After when present, else back
+            // off 10× the transport schedule — the plain ladder tops out
+            // at retryBaseMs<<2 (~200 ms at the 50 ms default) over 3
+            // attempts, shorter than any hosted provider's quota window,
+            // so a real rate-limit episode exhausted retries anyway.
+            case Right(r) if r.statusCode() == 429 =>
+              val ra = r.headers().firstValue("Retry-After")
+              (if (ra.isPresent) JsonRpcClient.parseRetryAfter(ra.get) else None)
+                .getOrElse((retryBaseMs * 10L) << (attempt - 1))
+            case _ => retryBaseMs << (attempt - 1)
+          }
+          // cap: a hostile or clock-skewed Retry-After must not park a
+          // partition reader for minutes — past the cap, bounded retries
+          // exhaust and the error channel reports as usual
+          Thread.sleep(math.min(delayMs, JsonRpcClient.MaxBackoffMs))
       }
     }
     sys.error("unreachable")
@@ -255,6 +271,26 @@ object JsonRpcClient {
       endpoint: String, ratePerSec: Double = 0.0, retryBaseMs: Long = 50L): JsonRpcClient =
     shared.getOrElseUpdate((endpoint, ratePerSec, retryBaseMs),
       new JsonRpcClient(endpoint, ratePerSec, retryBaseMs = retryBaseMs))
+
+  /** Upper bound on any single retry sleep: Retry-After is server-supplied
+    * input — a hostile or clock-skewed value must not park a partition
+    * reader for minutes. */
+  private[sources] val MaxBackoffMs = 10000L
+
+  /** RFC 9110 §10.2.3 Retry-After → milliseconds to wait: delta-seconds
+    * (`"120"`) or an IMF-fixdate (`"Fri, 31 Dec 1999 23:59:59 GMT"`,
+    * relative to now, floored at 0). Anything unparseable → None (fall
+    * back to the client's own schedule — never throw on a header). */
+  private[graft] def parseRetryAfter(v: String): Option[Long] = {
+    val s = v.trim
+    if (s.matches("\\d{1,9}")) Some(s.toLong * 1000L)
+    else try {
+      val at = java.time.ZonedDateTime.parse(
+        s, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME).toInstant
+      Some(math.max(0L,
+        java.time.Duration.between(java.time.Instant.now(), at).toMillis))
+    } catch { case _: java.time.format.DateTimeParseException => None }
+  }
 
   def hex(v: Long): String = "0x" + java.lang.Long.toHexString(v)
 

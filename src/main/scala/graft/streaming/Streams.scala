@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.BucketedPlan
 import graft.engine.{Enrich, Sources}
 import graft.model.{MethodSpec, QuerySpec}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -759,8 +760,21 @@ object Streams {
   private[graft] def recoverIdxSwap(spark: SparkSession, idxTable: String): Unit = {
     val swap = idxTable + "_swap"
     if (spark.catalog.tableExists(idxTable)) spark.sql(s"DROP TABLE IF EXISTS $swap")
-    else if (spark.catalog.tableExists(swap))
+    else if (spark.catalog.tableExists(swap)) {
+      // a RE-REGISTERED (external) index crashed between compaction's
+      // `DROP TABLE main` — which keeps the files — and its main-dir
+      // delete leaves the dir OCCUPIED while the swap holds every row:
+      // the managed rename below targets that dir, and on Hadoop local FS
+      // rename-onto-existing-dir NESTS the swap inside it (duplicate rows
+      // the min rollup silently absorbs) instead of failing. The dir is
+      // stale-but-content-equal — clear it first, mirroring the dir-level
+      // heal reRegisterIdxTable does on the cross-process path (r15,
+      // r14 advice).
+      val mainDir = idxDataDir(spark, idxTable)
+      val mfs = mainDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (mfs.exists(mainDir)) mfs.delete(mainDir, true)
       spark.sql(s"ALTER TABLE $swap RENAME TO $idxTable")
+    }
   }
 
   /** The on-disk data directory the index table's rows live under —
@@ -839,9 +853,14 @@ object Streams {
     * batch whose bands are already at rest (see [[idxProbeJoin]]'s
     * equal-shard filter). */
   private[graft] def indexUpsertRunOver(
-      spark: SparkSession, docSchema: StructType, tmp: String,
+      spark0: SparkSession, docSchema: StructType, tmp: String,
       compactEvery: Int = idxCompactEvery,
       failAfterAppendOnce: Option[Int] = None): DataFrame = {
+    // the probe's sort-free SMJ over the compacted index rides the
+    // bucketed-layout confs (r15): run the whole stream on a session
+    // carrying them — the micro-batch engine clones ITS conf into every
+    // batch frame, so the probe plans under the contract on any caller
+    val spark = BucketedPlan.sessionFor(spark0)
     val inDir = s"$tmp/in"
     val outDir = s"$tmp/matches"
     val fs = new org.apache.hadoop.fs.Path(tmp)

@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `SparkSession.cloneSession()` is `private[sql]`: a full session-state
+    * copy (runtime conf, temp views, registered functions) sharing the
+    * context and catalog — unlike the public `newSession()`, which resets
+    * runtime-set confs to the context defaults. The bucketed-layout
+    * operators plan on a clone carrying the caller's own planning confs
+    * plus the layout contract entries (graft.BucketedPlan). */
+  def cloneSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

@@ -530,4 +530,84 @@ class BucketingSpec extends SparkSpec {
       graft.streaming.Streams.deleteDir(tmp)
     }
   }
+
+  test("BucketedPlan.sessionFor: fast path on a compliant session; contract + caller's runtime confs on a clone (r15)") {
+    // the gate builders already carry the contract — the operator must not
+    // clone there (plans stay byte-identical to r14's)
+    assert(graft.BucketedPlan.sessionFor(spark) eq spark)
+    val vanilla = spark.newSession()
+    // newSession re-inherits the TEST context's builder confs; restore the
+    // stock Spark defaults so this session IS a vanilla consumer's
+    vanilla.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+    vanilla.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    vanilla.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // a runtime deployment knob
+    val c = graft.BucketedPlan.sessionFor(vanilla)
+    assert(c ne vanilla)
+    // the two contract entries are forced...
+    assert(c.conf.get("spark.sql.requireAllClusterKeysForCoPartition") == "false")
+    assert(c.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering") == "true")
+    // ...the caller's own runtime confs carry (cloneSession, not newSession)...
+    assert(c.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
+    // ...and NOTHING leaks back into the caller's session
+    assert(vanilla.conf.get("spark.sql.requireAllClusterKeysForCoPartition") == "true")
+    assert(vanilla.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering") == "false")
+  }
+
+  test("bucketed plans are SELF-CARRYING: a conf-less consumer session still gets the documented shapes (r15)") {
+    // r14's defining find was the kn5 co-partitioning silently NOT
+    // executing for three rounds because a conf default flipped — and the
+    // fix lived only in the repo's own session builders, leaving every
+    // consumer session in exactly that state. The operators now plan on an
+    // internal clone carrying the contract: this test is the r14 plan
+    // walks repeated from a session WITHOUT the two entries.
+    import org.apache.spark.sql.execution._
+    val vanilla = spark.newSession()
+    vanilla.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+    vanilla.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    // broadcast/AQE off so the SMJ shape under test is visible at toy SF —
+    // set on the VANILLA session: the operator's clone must carry them
+    vanilla.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    vanilla.conf.set("spark.sql.adaptive.enabled", "false")
+
+    // kn5: zero Sort over any bucketed model scan, all orders bucket-read
+    val q5 = graft.ext.TextOps.kn5ScoreBucketed(vanilla, sf)
+    val plan5 = q5.queryExecution.executedPlan
+    @scala.annotation.tailrec
+    def throughUnary(p: SparkPlan): SparkPlan = p match {
+      case u if u.children.length == 1 => throughUnary(u.children.head)
+      case other => other
+    }
+    def modelScan(p: SparkPlan): Boolean = throughUnary(p) match {
+      case f: FileSourceScanExec => f.bucketedScan
+      case _ => false
+    }
+    assert(plan5.collect { case s: SortExec if modelScan(s.child) => s }.isEmpty,
+      s"conf-less session: a bucketed kn5 model scan is re-sorted at apply time:\n$plan5")
+    assert(plan5.collect { case f: FileSourceScanExec if f.bucketedScan => f }.size >= 6,
+      s"conf-less session: kn5 model scans are not bucket-read:\n$plan5")
+
+    // kn3: exactly ONE full-key exchange (the doc side) and ONE (x,y,z)
+    // Sort — the model side consumes its sorted buckets directly
+    val plan3 = graft.ext.TextOps.kn3ScoreBucketed(vanilla, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(x#\\d+, y#\\d+, z#\\d+".r.findAllIn(plan3).length == 1,
+      s"conf-less session: kn3 model side re-exchanges:\n$plan3")
+    assert("Sort \\[x#\\d+ ASC".r.findAllIn(plan3).length == 1,
+      s"conf-less session: kn3 model side re-sorts:\n$plan3")
+
+    // fact-fact layout join: no exchange and no sort on either bucketed side
+    val planJ = graft.ext.Relational.layoutBucketedJoin(vanilla, sf)
+      .queryExecution.executedPlan.toString
+    assert(planJ.contains("SortMergeJoin"), planJ)
+    val joinSection = planJ.substring(planJ.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"conf-less session: the bucketed fact join re-exchanges:\n$planJ")
+    assert(!joinSection.contains("Sort [l_orderkey") &&
+      !joinSection.contains("Sort [o_orderkey"),
+      s"conf-less session: the bucketed fact join re-sorts:\n$planJ")
+
+    // the answers are the oracle's, not just the plans: evaluate one
+    assert(graft.ext.TextOps.kn5ScoreBucketed(vanilla, sf).limit(1).count() == 1)
+  }
 }

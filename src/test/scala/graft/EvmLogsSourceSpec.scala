@@ -225,6 +225,45 @@ class EvmLogsSourceSpec extends SparkSpec {
     }
   }
 
+  test("live transport: 429 honors the server's Retry-After before retrying (r15)") {
+    // a hosted provider's quota answer names its own window; the client's
+    // transport ladder (retryBaseMs << k) is far shorter, so without the
+    // header the wait must still outlast a quota window (10x schedule) —
+    // and WITH it, the server's value wins. One injected 429 carrying
+    // Retry-After: 1 must stall the scan by ~1 s and then succeed.
+    withServer(new JsonRpcReplayServer(failFirst = 1, failStatus = 429,
+        failBody = "<html>Too Many Requests</html>",
+        failHeaders = Map("Retry-After" -> "1"))) { srv =>
+      val t0 = System.nanoTime()
+      val live = logs(Map(
+        "endpoint" -> srv.url, "fetchChunk" -> "1024", "parts" -> "1",
+        "retryBaseMs" -> "5"))
+      assert(live.count() == logs().count())
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(elapsedMs >= 900,
+        s"the 1 s Retry-After was not honored (scan took $elapsedMs ms)")
+    }
+  }
+
+  test("Retry-After parses delta-seconds and HTTP-date, refuses garbage (r15)") {
+    import graft.sources.JsonRpcClient.parseRetryAfter
+    assert(parseRetryAfter("2") == Some(2000L))
+    assert(parseRetryAfter(" 120 ") == Some(120000L))
+    // an IMF-fixdate ~3 s out: relative-to-now with scheduling slack
+    val at = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).plusSeconds(3)
+    val ms = parseRetryAfter(
+      at.format(java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME))
+    assert(ms.exists(m => m > 1000L && m <= 3000L), s"date form parsed to $ms")
+    // a date in the PAST floors at 0 (retry immediately), never negative
+    val past = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).minusSeconds(60)
+    assert(parseRetryAfter(
+      past.format(java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)) == Some(0L))
+    // garbage falls back to the client's own schedule — never throws
+    assert(parseRetryAfter("soon").isEmpty)
+    assert(parseRetryAfter("-5").isEmpty)
+    assert(parseRetryAfter("99999999999999999999").isEmpty) // > 9 digits: reject, not overflow
+  }
+
   test("live transport: the rate gate spaces requests to the configured budget") {
     withServer(new JsonRpcReplayServer()) { srv =>
       val t0 = System.nanoTime()

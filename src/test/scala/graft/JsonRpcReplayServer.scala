@@ -23,7 +23,8 @@ final class JsonRpcReplayServer(
     maxSpan: Long = Long.MaxValue,
     failFirst: Int = 0,
     failStatus: Int = 500,
-    failBody: String = """{"error":"injected transient failure"}""") {
+    failBody: String = """{"error":"injected transient failure"}""",
+    failHeaders: Map[String, String] = Map.empty) {
 
   /** The simulated chain head — mutable so poller specs can advance it
     * between ticks (the chain moving under a live S6 loop). */
@@ -193,6 +194,8 @@ final class JsonRpcReplayServer(
       }
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    if (n <= failFirst) // e.g. Retry-After on an injected 429
+      failHeaders.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     ex.close()

@@ -946,6 +946,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("index upsert: compaction crash on a RE-REGISTERED index leaves the main dir OCCUPIED — recovery clears it (r15)") {
+    import spark.implicits._
+    // On a re-registered (EXTERNAL) index, compaction's `DROP TABLE main`
+    // keeps the data files: a death between that DROP and compaction's
+    // main-dir delete leaves the dir occupied while the complete managed
+    // swap survives. The r14 recovery renamed the swap straight onto the
+    // occupied dir — on Hadoop local FS that NESTS the swap data inside it
+    // (duplicate rows the min rollup silently absorbs) or fails loudly.
+    // Recovery now clears the stale-but-content-equal dir first, the same
+    // dir-level heal reRegisterIdxTable does on the cross-process path.
+    val db = "graft_idx_upsert"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val main = s"$db.t_swaphealspec"
+    val swap = main + "_swap"
+    spark.sql(s"DROP TABLE IF EXISTS $main")
+    spark.sql(s"DROP TABLE IF EXISTS $swap")
+    val rows = Seq((1L, 0, 11L, 0), (2L, 1, 22L, 1), (3L, 2, 33L, 0))
+    val dbLoc = new java.net.URI(spark.catalog.getDatabase(db).locationUri)
+    val mainDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dbLoc), "t_swaphealspec")
+    val fs = mainDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (fs.exists(mainDir)) fs.delete(mainDir, true)
+      // the index as a RE-REGISTERED external table (the r14 cross-process
+      // lifecycle): land managed, stash the dir across the entry drop,
+      // restore, re-register
+      rows.toDF("doc_id", "band_idx", "bk", "__shard")
+        .write.bucketBy(8, "band_idx", "bk").sortBy("band_idx", "bk")
+        .saveAsTable(main)
+      val stash = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dbLoc), "t_swaphealspec_stash")
+      assert(fs.rename(mainDir, stash))
+      spark.sql(s"DROP TABLE $main")
+      assert(fs.rename(stash, mainDir))
+      Streams.reRegisterIdxTable(spark, main)
+      assert(spark.catalog.tableExists(main))
+      // compaction up to the crash point: swap written, external main
+      // DROPped (files STAY) — death strikes before the dir delete
+      spark.table(main).write.bucketBy(8, "band_idx", "bk")
+        .sortBy("band_idx", "bk").saveAsTable(swap)
+      spark.sql(s"DROP TABLE $main")
+      assert(fs.exists(mainDir),
+        "external DROP must keep the data files — the window under test")
+      // resume
+      Streams.recoverIdxSwap(spark, main)
+      assert(spark.catalog.tableExists(main) && !spark.catalog.tableExists(swap),
+        "recovery must rename the stranded swap back to the index name")
+      assert(spark.table(main).count() == rows.size,
+        "the heal duplicated rows — the swap data nested inside the occupied dir")
+      assert(spark.table(main).collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet == rows.toSet)
+      assert(!fs.listStatus(mainDir).exists(_.isDirectory),
+        "a directory nested inside the index data dir — the rename collided")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $main")
+      spark.sql(s"DROP TABLE IF EXISTS $swap")
+      if (fs.exists(mainDir)) fs.delete(mainDir, true)
+    }
+  }
+
   test("index upsert order contract survives a filesystem that scrambles mtimes (r12 verdict 1)") {
     import spark.implicits._
     // same twin layout as the r9.2 spec — but the shard files arrive in
