@@ -101,6 +101,33 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
+    // HOST SIGNATURE in the artifact (r15, r14 verdict item 4): per-round
+    // bench totals track the HOST INSTANCE, and rounds 13-14 normalized
+    // them by hand — checking out old HEADs on the current box and reading
+    // SCALING.md prose. One solo warm run of the load-marker query
+    // (stream_join_parity: micro-batch-engine-bound, plan-stable across
+    // rounds) BEFORE the suite puts the normalizer in the JSON itself:
+    // compare marker_solo across rounds to separate code deltas from box
+    // deltas. Cold run first so the marker measures the engine, not its
+    // codegen; skipped in subset mode (not a driver measurement then).
+    val markerSolo =
+      if (only.isEmpty && SparkEntry.queries.contains("stream_join_parity")) {
+        try {
+          val fn = SparkEntry.queries("stream_join_parity")
+          sample(fn) // cold: codegen + state-store setup
+          spark.catalog.clearCache()
+          val (w, _, _) = sample(fn)
+          spark.catalog.clearCache()
+          Some(w)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] marker solo failed (recording null): $e")
+            None
+        }
+      } else None
+    val hostName =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Throwable => "unknown" }
     val firstPass = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): (Double, Double, Double) = sample(fn)
       val times =
@@ -198,8 +225,9 @@ object Bench {
     // a query can legitimately trip BOTH the per-query and the suite-median
     // triggers — report each name once
     val retriedJson = retried.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val markerJson = markerSolo.map(fmt).getOrElse("null")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"queries_cpu_util":$qsCpu,"queries_sys_load":$qsLoad,"queries_retried":$retriedJson,"bench_samples":$warmSamples,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"queries_cpu_util":$qsCpu,"queries_sys_load":$qsLoad,"queries_retried":$retriedJson,"bench_samples":$warmSamples,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"marker_solo":$markerJson,"host":"$hostName","failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     // Harness-parse constraint (found round 8): the driver records only the
     // LAST ~2000 chars of stdout and parses the metric line out of that tail
@@ -230,7 +258,7 @@ object Bench {
       s"""{"n":${names.size},"first":$shown}"""
     }
     val compact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{$qBudget},"n_queries":${ok.size},"total_cold":${f"$totalCold%.3f"},"queries_shown":"slowest-first subset; full detail in bench_out.json","bench_samples":$warmSamples,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"failed":$failedCompact,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{$qBudget},"n_queries":${ok.size},"total_cold":${f"$totalCold%.3f"},"queries_shown":"slowest-first subset; full detail in bench_out.json","bench_samples":$warmSamples,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"marker_solo":$markerJson,"host":"$hostName","failed":$failedCompact,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -2923,7 +2923,12 @@ object TextOps {
           // training run that must observe its own fresh corpus rollup.
           val m =
             if (sys.env.get("SPARK_GRAFT_KN5_REUSE_DB").contains("1"))
-              reuseKn5Model(spark, sfDir, db).getOrElse(landKn5Model(spark, sfDir, db))
+              reuseKn5Model(spark, sfDir, db)
+                // r15: an APPEND-only drift updates the landed artifact
+                // from the new files' rollup (additive counts) instead of
+                // re-scanning the whole corpus; any other drift re-lands
+                .orElse(mergeKn5Model(spark, sfDir, db))
+                .getOrElse(landKn5Model(spark, sfDir, db))
             else landKn5Model(spark, sfDir, db)
           kn5ModelCache.synchronized {
             evictDeadSessions(kn5ModelCache)
@@ -2947,20 +2952,32 @@ object TextOps {
     * — unlike mtimes, the metadata contract this repo already rejects. The
     * one escape (an in-place byte-rewrite preserving every name and size)
     * is stated; the default path retrains regardless. */
-  private[graft] def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+  private[graft] def corpusFingerprint(spark: SparkSession, sfDir: String): String =
+    fingerprintOf(corpusFiles(spark, sfDir).map(_._1))
+
+  private def fingerprintOf(listing: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(listing.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The listing under the fingerprint, kept with full paths so the
+    * APPEND-MERGE path (r15) can read exactly the part files that arrived
+    * since a landing: sorted (`name:size`, absolute path) pairs of the
+    * store's documents artifact. */
+  private[graft] def corpusFiles(
+      spark: SparkSession, sfDir: String): Seq[(String, String)] = {
     val root = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def walk(p: org.apache.hadoop.fs.Path): Unit = {
       val st = fs.getFileStatus(p)
       if (st.isDirectory) fs.listStatus(p).foreach(s => walk(s.getPath))
       else if (!st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-        entries += s"${st.getPath.getName}:${st.getLen}"
+        entries += ((s"${st.getPath.getName}:${st.getLen}", st.getPath.toString))
     }
     walk(root)
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(entries.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    md.digest().map("%02x".format(_)).mkString
+    entries.sortBy(_._1).toSeq
   }
 
   /** Rebuilds the model handle from an EXISTING complete landing: the
@@ -3031,7 +3048,8 @@ object TextOps {
     // the identity of a model trained on pre-mutation (or mixed) data;
     // with the pre-read listing recorded, that drift fails the next reuse
     // validation and re-lands instead of silently matching
-    val fp = corpusFingerprint(spark, sfDir)
+    val listing = corpusFiles(spark, sfDir).map(_._1)
+    val fp = fingerprintOf(listing)
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     val dbLoc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
@@ -3052,6 +3070,20 @@ object TextOps {
         knNCountsOf(en, 5).write.mode("overwrite").parquet(s"$stage/a5")
         knNModelOfCounts(spark.read.parquet(s"$stage/a5"), 5, Some(stage))
       } else knNModelOf(en, 5)
+    landKn5Tables(spark, db, dbLoc, fs, m, fp, listing)
+  }
+
+  /** Lands the bucketed order tables, bucket spec, and corpus identity
+    * from an already-built ladder `m` — shared by the full landing and
+    * the APPEND-MERGE path (r15), so merge ≡ re-land is the same landing
+    * code fed different counts (the knNModelOfCounts discipline one level
+    * up). `fp`/`listing` are the PRE-read identity of the corpus the
+    * ladder was built from; the fingerprint is written LAST as the
+    * completion marker. */
+  private def landKn5Tables(
+      spark: SparkSession, db: String, dbLoc: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem, m: KnNModel, fp: String,
+      listing: Seq[String]): KnNModel = {
     // PER-ORDER store-sized bucket counts (round-11 verdict item 3) off
     // the already-checkpointed count ladder: a(k).count() IS the landed
     // q(k) row count, and each order falls ~a Heaps decade — one knob for
@@ -3096,6 +3128,12 @@ object TextOps {
     // bucket/sort COLUMNS are static per table name, only N varies
     writeBucketSpec(fs, dbLoc, Seq("q5" -> b5, "d5" -> b5,
       "q4" -> b4, "d4" -> b4, "q3" -> b3, "d3" -> b3))
+    // record the listing under the fingerprint (r15): the append-merge
+    // path diffs it against the store to find the part files that arrived
+    // since this landing
+    val lst = fs.create(new org.apache.hadoop.fs.Path(dbLoc, "_corpus_listing"), true)
+    try lst.write(listing.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally lst.close()
     // record the PRE-READ corpus identity LAST — it doubles as the
     // landing's completion marker, and reuseKn5Model validates it before
     // trusting any table (a store that drifted since this landing — even
@@ -3104,6 +3142,75 @@ object TextOps {
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     handle
+  }
+
+  /** APPEND-ONLY drift merge (r15, r14 verdict item 6): when the store has
+    * only GROWN since a complete staged landing, the new part files' order-5
+    * rollup MERGES into the staged a5 (counts are additive sufficient
+    * statistics — the `text_kn5_incremental` insight applied to the landed
+    * artifact) and the ladder re-derives from the merged counts: O(batch)
+    * corpus work + O(model) derivation instead of the full-corpus re-scan a
+    * re-land pays (~3-4 min at the 100× store, SCALING r14.7). None — caller
+    * re-lands — unless ALL of: a complete landing (fingerprint marker), the
+    * staged a5 (a `landCounts` landing), the db registered in THIS process's
+    * catalog (a new process re-lands on drift; a persistent metastore keeps
+    * the entry), and a recorded listing that is a strict subset of the
+    * store's current listing with every recorded entry byte-identical in
+    * name AND size — a rewrite or delete is not an append.
+    *
+    * Crash discipline: the completion marker is DELETED before any table or
+    * staged count is touched and re-written (with the merged identity)
+    * LAST — a death mid-merge leaves an artifact every reuse guard refuses,
+    * never a half-merged landing that still validates against the old
+    * fingerprint. Call under landLock(db). */
+  private[graft] def mergeKn5Model(
+      spark: SparkSession, sfDir: String, db: String): Option[KnNModel] = {
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+    val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpPath = new org.apache.hadoop.fs.Path(dbLoc, "_corpus_fingerprint")
+    val listPath = new org.apache.hadoop.fs.Path(dbLoc, "_corpus_listing")
+    val stage = s"$dbLoc/stage"
+    val a5Path = new org.apache.hadoop.fs.Path(s"$stage/a5")
+    if (!fs.exists(fpPath) || !fs.exists(listPath) || !fs.exists(a5Path)) return None
+    if (!spark.catalog.databaseExists(db) ||
+        !Seq("q5", "d5", "q4", "d4", "q3", "d3")
+          .forall(t => spark.catalog.tableExists(s"$db.$t"))) return None
+    val recorded = {
+      val in = fs.open(listPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n")
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+    val current = corpusFiles(spark, sfDir)
+    val currentKeys = current.map(_._1).toSet
+    // append-only: every recorded entry still present byte-identical in
+    // name AND size, and something new arrived; a recorded NAME back at a
+    // NEW size is an in-place rewrite, not an append
+    def nameOf(k: String) = k.substring(0, k.lastIndexOf(':'))
+    val recordedNames = recorded.map(nameOf)
+    if (!recorded.subsetOf(currentKeys) || currentKeys == recorded ||
+        current.exists(e =>
+          !recorded.contains(e._1) && recordedNames.contains(nameOf(e._1))))
+      return None
+    val fp = fingerprintOf(current.map(_._1)) // PRE-read merged identity
+    // invalidate the completion marker FIRST (crash discipline above)
+    fs.delete(fpPath, false)
+    val newPaths = current.filter(e => !recorded.contains(e._1)).map(_._2)
+    val delta = knNCountsOf(
+      spark.read.parquet(newPaths: _*).where(col("lang") === "en"), 5)
+    // merged counts commit via tmp+rename: the old a5 is both an input
+    // here and the artifact a crash must leave readable-or-absent
+    val mergeTmp = s"$stage/a5_merge"
+    spark.read.parquet(s"$stage/a5").unionByName(delta)
+      .groupBy((1 to 5).map(i => col(s"w$i")): _*)
+      .agg(sum(col("a")).cast("long").as("a"))
+      .write.mode("overwrite").parquet(mergeTmp)
+    fs.delete(a5Path, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(mergeTmp), a5Path))
+      throw new java.io.IOException(s"cannot commit merged counts to $a5Path")
+    val m = knNModelOfCounts(spark.read.parquet(s"$stage/a5"), 5, Some(stage))
+    Some(landKn5Tables(spark, db, dbLoc, fs, m, fp, current.map(_._1)))
   }
 
   private def writeBucketSpec(fs: org.apache.hadoop.fs.FileSystem,

@@ -627,33 +627,139 @@ object Streams {
     ()
   }
 
-  /** Bucket count for the streamed at-rest LSH index table. Gate-sized; a
-    * production deployment derives it from the expected index size at its
-    * periodic compaction exactly like [[graft.ext.TextOps.modelBuckets]]
-    * sizes the LM tables (the count is pure layout — the probe's
-    * semantics never see it). */
-  private val IdxBuckets = 8
+  /** Floor for the streamed index's bucket count — the fixture's
+    * gate-pinned layout, so small stores and the oracle gate stay
+    * byte-identical to the hand-pinned r14 shape. */
+  private[graft] val IdxBucketsFloor = 8
+
+  /** Target at-rest bytes per index bucket — the store-derivation knob
+    * ([[graft.ext.TextOps.ModelBucketRows]]'s byte-denominated sibling).
+    * 256 MiB keeps a compacted bucket file in the comfortable parquet
+    * scan-task range at any store size. */
+  private def idxBucketTargetBytes: Long =
+    envLong("SPARK_GRAFT_IDX_BUCKET_BYTES").getOrElse(256L << 20)
+
+  /** Bucket count for the streamed at-rest LSH index table, DERIVED from
+    * the ingest artifact's at-rest bytes (r15 — the family's last
+    * underived constant, r14 verdict item 3): the minimal power of two
+    * whose per-bucket share stays under [[idxBucketTargetBytes]], floored
+    * at [[IdxBucketsFloor]]. The band-row index is a bounded multiple of
+    * its corpus (fixed bands per doc), so the artifact size is the right
+    * proxy at table-creation time, before any row exists. The count is
+    * pure layout — probe semantics never see it — but at 100 TB the old
+    * hand-pinned 8 meant 12.5 TB bucket files; the derived count holds
+    * per-bucket bytes at the target instead. Persisted as a sidecar next
+    * to the table dir so appends, compactions, and cross-process
+    * re-registrations all agree on the layout. */
+  private[graft] def idxBucketsFor(artifactBytes: Long,
+      targetBytes: Long = idxBucketTargetBytes): Int = {
+    require(targetBytes > 0, s"per-bucket byte target must be positive: $targetBytes")
+    var b = IdxBucketsFloor
+    while (b.toLong * targetBytes < artifactBytes && b < 4096) b <<= 1
+    b
+  }
+
+  private def envLong(name: String): Option[Long] =
+    sys.env.get(name).map { v =>
+      try v.trim.toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"env $name must be an integer, got '$v'", e)
+      }
+    }
+
+  /** The sidecar recording the index table's bucket count — a sibling of
+    * the table's data dir (NOT inside it: compaction swaps the dir
+    * wholesale), written once at run start via tmp+rename. Absent on a
+    * pre-derivation artifact → [[IdxBucketsFloor]], the count every such
+    * artifact was written with. */
+  private def idxBucketsSidecar(spark: SparkSession, idxTable: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(idxDataDir(spark, idxTable).toString + "._buckets")
+
+  private def writeIdxBucketsSidecar(spark: SparkSession, idxTable: String, n: Int): Unit = {
+    val p = idxBucketsSidecar(spark, idxTable)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(s"cannot commit $p")
+  }
+
+  private[graft] def readIdxBucketsSidecar(spark: SparkSession, idxTable: String): Option[Int] = {
+    val p = idxBucketsSidecar(spark, idxTable)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      if (s.matches("\\d+")) Some(s.toInt)
+      else throw new IllegalStateException(
+        s"corrupt index bucket sidecar $p: '$s' (expected an integer)")
+    }
+  }
+
+  /** The live table's own bucket count, from the catalog — the one source
+    * appends and compaction rewrites must agree with. */
+  private def idxTableBucketCount(spark: SparkSession, idxTable: String): Int =
+    spark.sql(s"DESCRIBE FORMATTED $idxTable")
+      .where(col("col_name") === "Num Buckets")
+      .select("data_type").head().getString(0).trim.toInt
 
   /** Serializes CREATE DATABASE / first-append races between concurrent
     * index-upsert runs (the landLock discipline, one global seam). */
   private val idxTableLock = new Object
 
-  /** Compaction cadence for the streamed index table: after every N
-    * appended batches the accumulated per-append bucket files are
-    * rewritten into ONE sorted file per bucket (swap table + catalog
-    * rename). Each append lands up to [[IdxBuckets]] new files, so
-    * without compaction the per-batch probe's re-listing and index-side
-    * sort grow with batch count FOREVER (measured +0.4 s over 16 batches
-    * at sf0.1 — SCALING r14.1); with it they reset each cadence, and the
-    * single-sorted-file-per-bucket layout lets the sort-merge probe skip
-    * the index-side Sort entirely until the next append. Env-overridable
-    * so the gate can force it every batch. */
+  /** Compaction policy for the streamed index table. Each append lands up
+    * to bucket-count new files, so without compaction the per-batch
+    * probe's re-listing and index-side sort grow with batch count FOREVER
+    * (measured +0.4 s over 16 batches at sf0.1 — SCALING r14.1);
+    * compaction rewrites the accumulated table to ONE sorted file per
+    * bucket (swap table + catalog rename), and the single-file layout
+    * lets the sort-merge probe skip the index-side Sort until the next
+    * append.
+    *
+    * The DEFAULT (negative sentinel) is SIZE-TRIGGERED (r15, r14 verdict
+    * item 2): compact when the bytes appended since the last compaction
+    * reach [[idxCompactRatio]] × the compacted size — the doubling
+    * discipline, under which every row is rewritten O(log(index/batch))
+    * times over the run. The r14 fixed cadence (every 16 appends)
+    * rewrote the ENTIRE index each period: amortized O(index/cadence)
+    * write bytes per batch, unbounded as the index grows — at a 100 TB
+    * index, 100 TB of write amplification every 16 micro-batches. A
+    * positive env value restores the fixed cadence for probes and the
+    * compaction-invisibility specs. */
   private def idxCompactEvery: Int =
-    sys.env.get("SPARK_GRAFT_IDX_COMPACT_EVERY").map(_.toInt).getOrElse(16)
+    sys.env.get("SPARK_GRAFT_IDX_COMPACT_EVERY").map(_.toInt).getOrElse(-1)
 
-  /** Rewrites the accumulated index table to one sorted file per bucket.
-    * `repartition(IdxBuckets, keys)` uses the SAME Murmur3 hash as the
-    * bucket layout, so each write task holds exactly one bucket's rows —
+  /** Size-trigger threshold: delta-bytes ≥ ratio × compacted-bytes →
+    * compact. 1.0 = classic doubling (total rewrite bytes ≈ 2× final
+    * index size over any run); smaller trades write amplification for a
+    * tighter file count between compactions. */
+  private def idxCompactRatio: Double =
+    sys.env.get("SPARK_GRAFT_IDX_COMPACT_RATIO").map(_.toDouble).getOrElse(1.0)
+
+  /** Total bytes rewritten by index compactions in this process, and the
+    * number of compactions — the write-amplification meters the
+    * IdxBatches probe reads (a size-triggered run at a fixed store must
+    * show FLAT total rewrite bytes as the batch count doubles, where the
+    * fixed cadence's grow linearly). */
+  private[graft] val idxCompactionBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val idxCompactions = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Raw bytes the size-triggered runs APPENDED (the denominator of the
+    * write-amplification invariant: with ratio r, every rewrite is ≤
+    * (1 + 1/r) × the delta that triggered it, so total rewrite bytes ≤
+    * (1 + 1/r) × total appended — a CONSTANT amplification per ingested
+    * byte at any index size, where a fixed cadence's grows with the
+    * index). Metered only on the size-triggered path, which already pays
+    * the per-batch content summary. */
+  private[graft] val idxAppendBytes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Rewrites the accumulated index table to one sorted file per bucket
+    * (at the table's OWN bucket count, read from the catalog): each write
+    * task holds exactly one bucket's rows under the forced bucketed scan —
     * one file per bucket, the shape under which Spark's scan reports the
     * sortBy order and the probe's SMJ needs no index-side Sort. Swap +
     * rename, never in-place: the table stays readable at every instant
@@ -676,9 +782,19 @@ object Streams {
       // setting into any query planned concurrently on another thread.
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // rewrite with the TABLE's own bucket count (derived per artifact
+      // since r15, so no constant to trust) — the swap keeps the layout
+      val nBuckets = idxTableBucketCount(spark, idxTable)
       s2.table(idxTable)
-        .write.bucketBy(IdxBuckets, "band_idx", "bk").sortBy("band_idx", "bk")
+        .write.bucketBy(nBuckets, "band_idx", "bk").sortBy("band_idx", "bk")
         .saveAsTable(swap)
+      // write-amplification meters (one driver-side content summary per
+      // compaction — compaction is already a table rewrite)
+      val swapDir = idxDataDir(spark, swap)
+      idxCompactionBytes.addAndGet(
+        swapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(swapDir).getLength)
+      idxCompactions.incrementAndGet()
       spark.sql(s"DROP TABLE $idxTable")
       // a RE-REGISTERED index (cross-process resume) is EXTERNAL: its DROP
       // keeps the old files, and the managed swap's RENAME below would
@@ -814,10 +930,14 @@ object Streams {
       fs.listStatus(mainDir).exists(_.getPath.getName.startsWith("part-"))
     if (!hasData) return
     val ddl = spark.read.parquet(mainDir.toString).schema.toDDL
+    // the count the artifact was WRITTEN with (sidecar; floor for
+    // pre-derivation artifacts) — registering a different count would
+    // mis-route the bucketed reads
+    val nBuckets = readIdxBucketsSidecar(spark, idxTable).getOrElse(IdxBucketsFloor)
     spark.sql(
       s"""CREATE TABLE $idxTable ($ddl) USING PARQUET
          |CLUSTERED BY (band_idx, bk) SORTED BY (band_idx, bk)
-         |INTO $IdxBuckets BUCKETS LOCATION '$mainDir'""".stripMargin)
+         |INTO $nBuckets BUCKETS LOCATION '$mainDir'""".stripMargin)
   }
 
   /** Reclaims the per-run index table AND its data directory: a
@@ -833,6 +953,7 @@ object Streams {
     if (fs.exists(mainDir)) fs.delete(mainDir, true)
     val swapDir = idxDataDir(spark, idxTable + "_swap")
     if (fs.exists(swapDir)) fs.delete(swapDir, true)
+    fs.delete(idxBucketsSidecar(spark, idxTable), false) // layout sidecar (r15)
   }
 
   /** The streaming probe-then-append run over a [[writeIdxShards]]
@@ -855,7 +976,8 @@ object Streams {
   private[graft] def indexUpsertRunOver(
       spark0: SparkSession, docSchema: StructType, tmp: String,
       compactEvery: Int = idxCompactEvery,
-      failAfterAppendOnce: Option[Int] = None): DataFrame = {
+      failAfterAppendOnce: Option[Int] = None,
+      idxBucketTarget: Long = idxBucketTargetBytes): DataFrame = {
     // the probe's sort-free SMJ over the compacted index rides the
     // bucketed-layout confs (r15): run the whole stream on a session
     // carrying them — the micro-batch engine clones ITS conf into every
@@ -871,12 +993,24 @@ object Streams {
     // (checkpoint offsets exist): the accumulated index IS the state —
     // keep it, healing a compaction crash window if one is open.
     val resuming = fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/ck/offsets"))
-    idxTableLock.synchronized {
+    // bucket count DERIVED from the at-rest ingest artifact (r15) and
+    // persisted as the table's layout sidecar on a fresh run; a RESUME
+    // reads it back — appends must match the crashed run's layout, not
+    // re-derive it (same artifact → same answer, but the sidecar is the
+    // recorded truth, floor for pre-derivation artifacts).
+    val idxBuckets = idxTableLock.synchronized {
       spark.sql("CREATE DATABASE IF NOT EXISTS graft_idx_upsert")
-      if (!resuming) dropIdxTable(spark, idxTable)
-      else {
+      if (!resuming) {
+        dropIdxTable(spark, idxTable)
+        val b = idxBucketsFor(
+          fs.getContentSummary(new org.apache.hadoop.fs.Path(inDir)).getLength,
+          idxBucketTarget)
+        writeIdxBucketsSidecar(spark, idxTable, b)
+        b
+      } else {
         recoverIdxSwap(spark, idxTable)
         reRegisterIdxTable(spark, idxTable) // new-process resume: entry died, data lives
+        readIdxBucketsSidecar(spark, idxTable).getOrElse(IdxBucketsFloor)
       }
     }
     var mustFail = failAfterAppendOnce
@@ -884,6 +1018,12 @@ object Streams {
     // appended-batch counter driving the compaction cadence; foreachBatch
     // callbacks run sequentially on the driver, so a plain var is safe
     var appends = 0
+    // size-trigger baseline: index bytes at the last compaction. 0 on a
+    // fresh run; 0 on resume too — the first post-resume append then
+    // triggers one compaction, re-establishing the baseline (cheap, and
+    // it folds whatever per-append files the crashed run left behind)
+    var compactedBytes = 0L
+    var lastTotalBytes = 0L // at-rest bytes after the previous append/compaction
     val matchSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("match_id", LongType)))
     val stream = spark.readStream.schema(docSchema.add("__shard", IntegerType))
@@ -914,13 +1054,32 @@ object Streams {
           // SMJ drops its index-side Sort
           bands.withColumn("__shard", lit(shard))
             .write.mode("append")
-            .bucketBy(IdxBuckets, "band_idx", "bk")
+            .bucketBy(idxBuckets, "band_idx", "bk")
             .sortBy("band_idx", "bk")
             .saveAsTable(idxTable)
           bands.unpersist()
           appends += 1
-          if (compactEvery > 0 && appends % compactEvery == 0)
-            compactIdxTable(spark, idxTable)
+          if (compactEvery > 0) { // fixed cadence (probes, invisibility specs)
+            if (appends % compactEvery == 0) compactIdxTable(spark, idxTable)
+          } else if (compactEvery < 0) {
+            // SIZE-TRIGGERED (default, r15): one driver-side content
+            // summary per batch — of the dir the per-batch refreshTable
+            // already listed — and compact when the appended delta
+            // reaches idxCompactRatio × the compacted size (doubling)
+            def idxBytes(): Long = {
+              val dir = idxDataDir(spark, idxTable)
+              dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .getContentSummary(dir).getLength
+            }
+            val total = idxBytes()
+            idxAppendBytes.addAndGet(total - lastTotalBytes)
+            if (total - compactedBytes >=
+                math.max(1L, (idxCompactRatio * compactedBytes).toLong)) {
+              compactIdxTable(spark, idxTable)
+              compactedBytes = idxBytes()
+              lastTotalBytes = compactedBytes
+            } else lastTotalBytes = total
+          } // compactEvery == 0: never compact (curve probes)
           if (mustFail.contains(shard)) {
             mustFail = None // fail the FIRST attempt only; the replay succeeds
             throw new RuntimeException(

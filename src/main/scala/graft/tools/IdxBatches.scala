@@ -39,9 +39,22 @@ object IdxBatches {
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.documents(spark, args(0))
     val t0 = System.nanoTime()
+    val cb0 = graft.streaming.Streams.idxCompactionBytes.get()
+    val cn0 = graft.streaming.Streams.idxCompactions.get()
+    val ab0 = graft.streaming.Streams.idxAppendBytes.get()
     val out = graft.streaming.Streams.indexUpsertStreamOf(spark, docs, shards)
-    println(f"IDX ${args(0)}: shards=$shards matches=${out.count()} " +
-      f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs (per-batch lines above, " +
+    val matches = out.count()
+    // write-amplification meters (r15): at a FIXED store, doubling the
+    // shard count must leave size-triggered total rewrite bytes ~flat
+    // (each row rewritten O(log) times), where the r14 fixed cadence
+    // rewrote the whole index every 16 appends — linear in batch count
+    val cBytes = graft.streaming.Streams.idxCompactionBytes.get() - cb0
+    val cN = graft.streaming.Streams.idxCompactions.get() - cn0
+    val aBytes = graft.streaming.Streams.idxAppendBytes.get() - ab0
+    println(f"IDX ${args(0)}: shards=$shards matches=$matches " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs compactions=$cN " +
+      f"compactBytes=${cBytes / 1048576.0}%.1fMiB " +
+      f"appendBytes=${aBytes / 1048576.0}%.1fMiB (per-batch lines above, " +
       "SPARK_GRAFT_IDX_LOG)")
     spark.stop()
   }

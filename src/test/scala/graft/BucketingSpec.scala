@@ -531,6 +531,76 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("kn5 append-only drift MERGES the landed artifact — no re-land; other drift still refuses (r15)") {
+    import spark.implicits._
+    // r14 verdict item 6: the landed model re-landed on ANY fingerprint
+    // drift — a full corpus re-scan (~3-4 min at the 100x store) for a
+    // daily ingest batch. The count tables are additive sufficient
+    // statistics, so an append-only drift now rolls up ONLY the new part
+    // files and merges them into the staged a5, re-deriving the ladder
+    // from the merged counts: O(batch) corpus work instead of O(corpus).
+    val store = java.nio.file.Files.createTempDirectory("graft_kn5merge").toString
+    graft.streaming.Streams.deleteOnShutdown(store)
+    def docsOf(ids: Range) = ids.map(d => (d.toLong,
+        s"one two three four five six seven eight doc$d tail$d",
+        "en", "synthetic", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docsOf(0 until 20).write.parquet(s"$store/documents.parquet")
+    val db = "graft_kn5m_r15_merge_spec"
+    try {
+      graft.ext.TextOps.landKn5Model(spark, store, db, landCounts = true)
+      // append-only drift: new part files land, every old file untouched
+      docsOf(20 until 28).write.mode("append").parquet(s"$store/documents.parquet")
+      // exact reuse refuses the drifted store (the r13 guard, unchanged)...
+      assert(graft.ext.TextOps.reuseKn5Model(spark, store, db).isEmpty)
+      // ...but the merge path UPDATES it in place: the marker file proves
+      // the database survived (a re-land starts with DROP DATABASE)
+      val dbLoc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+      val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(dbLoc, "_r15_merge_marker")
+      fs.create(marker).close()
+      val merged = graft.ext.TextOps.mergeKn5Model(spark, store, db)
+      assert(merged.isDefined, "append-only drift must take the merge path")
+      assert(fs.exists(marker), "the merge DROPped the database — that is a re-land")
+      // ORACLE PARITY: scoring through the merged artifact equals a FRESH
+      // full landing over the appended store, row for row (additive
+      // counts make merge = retrain bit-for-bit — the text_kn5_incremental
+      // property, now held by the landed artifact too)
+      val docs = graft.Tables.documents(spark, store)
+      val mergedScores = graft.ext.TextOps.knNScoreOfGrams(
+        graft.ext.TextOps.knNDocGrams(docs, 5), merged.get)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val fresh = graft.ext.TextOps.landKn5Model(
+        spark, store, db + "_fresh", landCounts = true)
+      val freshScores = graft.ext.TextOps.knNScoreOfGrams(
+        graft.ext.TextOps.knNDocGrams(docs, 5), fresh)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(mergedScores == freshScores,
+        "the merged artifact diverged from a fresh landing over the same store")
+      assert(mergedScores.nonEmpty)
+      // the merged landing carries its NEW identity: exact reuse now accepts
+      assert(graft.ext.TextOps.reuseKn5Model(spark, store, db).isDefined,
+        "the merge did not re-record the corpus identity")
+      // non-append drift — a part file DELETED — refuses the merge (and
+      // reuse): only a strict superset listing is an append
+      val parts = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$store/documents.parquet"))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+      fs.delete(parts.head, false)
+      assert(graft.ext.TextOps.mergeKn5Model(spark, store, db).isEmpty,
+        "a deleted part file is not an append — merge must refuse")
+    } finally {
+      Seq(db, db + "_fresh").foreach { d =>
+        spark.sql(s"DROP DATABASE IF EXISTS $d CASCADE")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), s"$d.db")
+        val fs2 = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs2.exists(loc)) fs2.delete(loc, true)
+      }
+    }
+  }
+
   test("BucketedPlan.sessionFor: fast path on a compliant session; contract + caller's runtime confs on a clone (r15)") {
     // the gate builders already carry the contract — the operator must not
     // clone there (plans stay byte-identical to r14's)

@@ -721,6 +721,50 @@ class EvmLogsSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("reorg replay: PUSH-driven offsets ride the same planned-batch linkage — a deep rewrite is detected (r15)") {
+    // the push-path reorg CONTRACT (r14 verdict item 5): the websocket
+    // channel only ADVANCES AVAILABILITY — rows still arrive through
+    // planned, ranged eth_getLogs micro-batches, whose commit-persisted
+    // linkage check the poll-mode specs pin. So a >confirmations rewrite
+    // under push mode must hard-stop exactly like poll mode: same check,
+    // same planned-batch path, only the head signal differs. This spec is
+    // the poll-mode detect spec re-run with offsets riding pushed
+    // newHeads and the fork landing on BOTH transports (the node's ws and
+    // http views fork together).
+    val ws = new WsReplayServer()
+    val http = new JsonRpcReplayServer()
+    try {
+      val q = spark.readStream.format("graft.sources.EvmLogsProvider")
+        .option("start", 0).option("end", 1000).option("blocksPerBatch", 50)
+        .option("endpoint", http.url).option("wsEndpoint", ws.url)
+        .load() // confirmations = 0: tip-chasing, every reorg is deep
+        .writeStream.format("memory").queryName("evmpushreorg").start()
+      try {
+        val deadline = System.nanoTime() + 10000000000L
+        while (ws.subscribeRequests.get() < 1 && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        assert(ws.subscribeRequests.get() >= 1, "the source never subscribed")
+        ws.advanceTip(119)
+        q.processAllAvailable() // commits [0, 120) on the canonical chain
+        assert(spark.table("evmpushreorg").count() ==
+          (0L until 120L).map(EvmLogs.fetchBlockLogs(_).size).sum)
+        // a 25-block rewrite (blocks 96+) lands on the FETCH path while
+        // the PUSHED head keeps advancing on the forked chain
+        http.forkBase = 95L
+        ws.advanceTip(160)
+        val failure =
+          try { q.processAllAvailable(); q.awaitTermination(30000L); None }
+          catch { case t: Throwable => Some(t) }
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Nil else t.getMessage +: chain(t.getCause)
+        assert(failure.nonEmpty,
+          "push mode shipped a mixed history silently — the planned-batch linkage did not run")
+        assert(chain(failure.get).exists(m => m != null && m.contains("REORG")),
+          s"the failure is not the reorg detection: ${chain(failure.get)}")
+      } finally if (q.isActive) q.stop()
+    } finally { ws.stop(); http.stop() }
+  }
+
   test("reorg replay: a reorg landing while the stream is DOWN is detected on resume (r13)") {
     // the common real-world reorg exposure is a maintenance window: the
     // stream is stopped, the chain rewrites blocks it already shipped, the

@@ -946,6 +946,103 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("index compaction: the size-triggered default rewrites O(log) bytes — matches identical to cadence (r15, r14 verdict 2)") {
+    import spark.implicits._
+    // the r14 fixed cadence rewrote the ENTIRE accumulated index every N
+    // appends — amortized O(index/cadence) write bytes per batch,
+    // unbounded as the index grows. The size trigger (delta >= ratio x
+    // compacted) is the doubling discipline: over B equal batches it
+    // compacts at batches 1,2,4,8,... — O(log B) rewrites totalling
+    // ~2x the final index, where a cadence rewrites O(B) times. Both
+    // policies must emit the SAME matches (compaction is invisible).
+    val shards = 12
+    val docs = (0 until 24).map { d =>
+      val text = if (d % 2 == 0) s"alpha beta gamma delta epsilon zeta eta theta common$d"
+      else "identical twin payload words one two three four five"
+      (d.toLong, text)
+    }.toDF("doc_id", "text")
+    def run(compactEvery: Int): (Map[Long, Long], Long, Long, Long) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_idx_size").toString
+      Streams.deleteOnShutdown(tmp)
+      Streams.writeIdxShards(spark, docs, shards, tmp)
+      val b0 = Streams.idxCompactionBytes.get()
+      val n0 = Streams.idxCompactions.get()
+      val a0 = Streams.idxAppendBytes.get()
+      val out = Streams.indexUpsertRunOver(spark, docs.schema, tmp, compactEvery)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val res = (out, Streams.idxCompactionBytes.get() - b0,
+        Streams.idxCompactions.get() - n0, Streams.idxAppendBytes.get() - a0)
+      Streams.deleteDir(tmp)
+      res
+    }
+    val (mCadence, bytesCadence, nCadence, _) = run(compactEvery = 1)
+    val (mSize, bytesSize, nSize, appended) = run(compactEvery = -1)
+    assert(mSize == mCadence, "compaction policy changed the matches")
+    assert(nCadence == shards.toLong, s"cadence-1 must compact per batch, did $nCadence")
+    // the doubling INVARIANT: with ratio 1, every rewrite is at most
+    // 2 x the delta that triggered it, so total rewrite bytes stay under
+    // ~2 x the raw appended bytes AT ANY SCALE (slack for the post-
+    // compaction shrink inflating later triggers at toy file sizes) —
+    // where a fixed cadence rewrites the whole index every period,
+    // unbounded amplification per ingested byte as the index grows
+    assert(bytesSize <= (2.5 * appended).toLong,
+      s"size-triggered rewrote $bytesSize bytes for $appended appended — the doubling bound is broken")
+    assert(nSize < nCadence && bytesSize < bytesCadence,
+      s"size-triggered ($nSize compactions, $bytesSize B) must beat the per-batch cadence ($nCadence, $bytesCadence B)")
+  }
+
+  test("index bucket count derives from the artifact (minimal, floored) and persists across a crash-resume (r15, r14 verdict 3)") {
+    import spark.implicits._
+    // the derivation itself: minimal power of two meeting the per-bucket
+    // target, floored at the fixture's 8 so the gate layout is unchanged
+    val t = 1L << 20
+    assert(Streams.idxBucketsFor(0L, t) == 8)
+    assert(Streams.idxBucketsFor(8 * t, t) == 8)
+    assert(Streams.idxBucketsFor(8 * t + 1, t) == 16)
+    assert(Streams.idxBucketsFor(100 * t, t) == 128) // 64 * t < 100t <= 128 * t
+    assert(Streams.idxBucketsFor(Long.MaxValue, t) == 4096) // runaway cap
+    // end-to-end at a DERIVED width: a tiny per-bucket target pushes the
+    // count past the floor; the run must emit the same matches as the
+    // floor-width run, and a crash-resume must read the recorded layout
+    // back instead of re-deriving (appends must match the crashed run)
+    val same1 = "alpha beta gamma delta epsilon"
+    val same3 = "lambda mu nu xi omicron"
+    val docs = Seq(
+      (0L, same1), (1L, same1),
+      (4L, same3), (7L, same3), (3L, same3),
+      (5L, "unique words only here nothing shared")
+    ).toDF("doc_id", "text")
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft_idx_floorw").toString
+    Streams.deleteOnShutdown(tmp1)
+    Streams.writeIdxShards(spark, docs, 4, tmp1)
+    val base = Streams.indexUpsertRunOver(spark, docs.schema, tmp1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Streams.deleteDir(tmp1)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_idx_derivw").toString
+    Streams.deleteOnShutdown(tmp2)
+    Streams.writeIdxShards(spark, docs, 4, tmp2)
+    val fs = new org.apache.hadoop.fs.Path(tmp2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val artifactBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$tmp2/in")).getLength
+    val expected = Streams.idxBucketsFor(artifactBytes, targetBytes = 64L)
+    assert(expected > 8, s"test target too large to exercise the derivation ($expected)")
+    intercept[Exception] {
+      Streams.indexUpsertRunOver(spark, docs.schema, tmp2,
+        failAfterAppendOnce = Some(3), idxBucketTarget = 64L)
+    }
+    // the crashed run recorded its derived layout in the sidecar...
+    val table = Streams.idxTableFor(tmp2)
+    assert(Streams.readIdxBucketsSidecar(spark, table).contains(expected),
+      "the derived bucket count was not persisted for the resume")
+    // ...and the resume (which never sees the target) replays to the
+    // exact floor-width answer over the derived-width layout
+    val out = Streams.indexUpsertRunOver(spark, docs.schema, tmp2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == base, s"derived-width index diverged: $out vs $base")
+    Streams.deleteDir(tmp2)
+  }
+
   test("index upsert: compaction crash on a RE-REGISTERED index leaves the main dir OCCUPIED — recovery clears it (r15)") {
     import spark.implicits._
     // On a re-registered (EXTERNAL) index, compaction's `DROP TABLE main`
