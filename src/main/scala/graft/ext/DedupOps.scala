@@ -846,8 +846,14 @@ object DedupOps {
     val cells = sys.env.get("SPARK_GRAFT_SEM_TARGET") match {
       case None => 8
       case Some(t) =>
+        val target =
+          try t.trim.toLong
+          catch {
+            case e: NumberFormatException => throw new IllegalArgumentException(
+              s"env SPARK_GRAFT_SEM_TARGET must be an integer, got '$t'", e)
+          }
         val n = Tables.embeddings(spark, sfDir).count()
-        val raw = math.max(8L, n / t.toLong)
+        val raw = math.max(8L, n / target)
         (((raw + 7) / 8) * 8).toInt // multiple of 8 → refines generator cells
     }
     semDedupAt(spark, sfDir, cells)
@@ -1344,7 +1350,13 @@ object DedupOps {
     * parity. */
   def fuzzyTitle(spark: SparkSession, sfDir: String): DataFrame =
     fuzzyTitleAt(spark, sfDir,
-      sys.env.get("SPARK_GRAFT_FUZZY_SEGW").map(_.toInt).getOrElse(SegW))
+      sys.env.get("SPARK_GRAFT_FUZZY_SEGW").map { v =>
+        try v.trim.toInt
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"env SPARK_GRAFT_FUZZY_SEGW must be an integer, got '$v'", e)
+        }
+      }.getOrElse(SegW))
 
   /** [[fuzzyTitle]] with the segment width (= title/4) as the scale knob;
     * the oracle gate stays pinned at the fixture's [[SegW]]. */

@@ -2668,7 +2668,13 @@ object TextOps {
     * near 200–400k. [[ModelBucketRows]] = 250k reproduces that pair
     * exactly and keeps every landed order in the measured-good band. */
   private[graft] def modelBuckets(rows: Long, envKey: String): Int =
-    sys.env.get(envKey).map(_.toInt).getOrElse {
+    sys.env.get(envKey).map { v =>
+      try v.trim.toInt
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"env $envKey must be an integer, got '$v'", e)
+      }
+    }.getOrElse {
       var b = 32
       while (b.toLong * ModelBucketRows < rows && b < 4096) b <<= 1
       b

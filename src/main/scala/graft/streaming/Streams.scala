@@ -732,14 +732,20 @@ object Streams {
     * positive env value restores the fixed cadence for probes and the
     * compaction-invisibility specs. */
   private def idxCompactEvery: Int =
-    sys.env.get("SPARK_GRAFT_IDX_COMPACT_EVERY").map(_.toInt).getOrElse(-1)
+    envLong("SPARK_GRAFT_IDX_COMPACT_EVERY").map(_.toInt).getOrElse(-1)
 
   /** Size-trigger threshold: delta-bytes ≥ ratio × compacted-bytes →
     * compact. 1.0 = classic doubling (total rewrite bytes ≈ 2× final
     * index size over any run); smaller trades write amplification for a
     * tighter file count between compactions. */
   private def idxCompactRatio: Double =
-    sys.env.get("SPARK_GRAFT_IDX_COMPACT_RATIO").map(_.toDouble).getOrElse(1.0)
+    sys.env.get("SPARK_GRAFT_IDX_COMPACT_RATIO").map { v =>
+      try v.trim.toDouble
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"env SPARK_GRAFT_IDX_COMPACT_RATIO must be a number, got '$v'", e)
+      }
+    }.getOrElse(1.0)
 
   /** Total bytes rewritten by index compactions in this process, and the
     * number of compactions — the write-amplification meters the
@@ -1163,7 +1169,7 @@ object Streams {
   private[graft] def admitShardsFor(
       spark: SparkSession, artifactDir: String,
       targetBytes: Long = AdmitTargetFileBytes): Int =
-    sys.env.get("SPARK_GRAFT_ADMIT_SHARDS").map(_.toInt).getOrElse {
+    envLong("SPARK_GRAFT_ADMIT_SHARDS").map(_.toInt).getOrElse {
       val p = new org.apache.hadoop.fs.Path(artifactDir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val bytes = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L

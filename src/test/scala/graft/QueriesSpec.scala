@@ -1035,6 +1035,37 @@ class QueriesSpec extends SparkSpec {
       s"communities mismatch: $got")
   }
 
+  test("derived sign-hash width is memoized — one embeddings count() serves every consumer (r15, r14 advice)") {
+    // lpaCommunities / pagerank / knnGraph / embeddingCosine each derive
+    // the width within one driver run; before r15 each call re-paid a
+    // full count() of the embeddings table. The derivation now caches per
+    // (session, canonical store, target): a repeat call must run ZERO
+    // Spark jobs. The listener bus is async, so instead of flushing we
+    // run a sentinel job AFTER the memo hit — events deliver in order, so
+    // when the sentinel's start arrives, any job the memo hit ran would
+    // already be counted.
+    val t = math.max(1L, Tables.embeddings(spark, sf).count() / 64)
+    val first = ext.SimilarityOps.embBitsFor(spark, sf, Some(t)) // prime
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(ext.SimilarityOps.embBitsFor(spark, sf, Some(t)) == first)
+      // RDD count: exactly ONE job, no AQE sub-jobs (a Dataset count runs
+      // two under AQE — the shuffle map stage submits separately)
+      spark.sparkContext.range(0L, 10L).count()
+      val deadline = System.nanoTime() + 10000000000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(jobs.get() == 1,
+        s"the memoized width derivation re-ran ${jobs.get() - 1} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("sign-hash width DERIVES from the store at a population target (r14)") {
     // the b ∝ log N occupancy contract, executable: the fixture default is
     // b=4 (the oracle gate sets no env), and a per-bucket population
