@@ -2950,6 +2950,60 @@ object TextOps {
   private val kn5ModelCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), KnNModel]
 
+  /** The r15 APPEND-MERGE landing as an ORACLE-GATED query (r14 verdict
+    * item 6's done-criterion, `text_kn5_incremental`-style): the store's
+    * documents re-land into a scratch store in two waves — a BASE
+    * (doc_id % 4 ≠ 0) that takes a full staged landing, then the rest
+    * APPENDED as new part files — and the landed artifact is MERGED, with
+    * a loud failure if [[mergeKn5Model]] refuses (the query gates the
+    * merge path, never a silent re-land fallback). Scoring the ORIGINAL
+    * store's docs through the merged model must hash-equal the stock kn5
+    * score oracle: additive counts make merge ≡ retrain bit-for-bit,
+    * proven here through DuckDB on every gate run, not only the spec's
+    * fresh-landing comparison. One landing+merge per (session, store) —
+    * the [[kn5ScoreBucketed]] write-once memo discipline — so repeated
+    * runs measure the scoring apply (which consumes the merged tables
+    * bucketed, like every landed model). */
+  def kn5MergeScore(spark0: SparkSession, sfDir: String): DataFrame = {
+    val spark = BucketedPlan.sessionFor(spark0)
+    val db = s"graft_kn5g_${storeTag(sfDir)}"
+    val landed = landLock(db).synchronized {
+      kn5MergeCache.synchronized(
+        kn5MergeCache.get((spark, db)).orElse(adoptSibling(kn5MergeCache, spark, db))
+      ) match {
+        case Some(m) => m
+        case None =>
+          val m = mergedModelOf(spark, sfDir, db)
+          kn5MergeCache.synchronized {
+            evictDeadSessions(kn5MergeCache)
+            kn5MergeCache.update((spark, db), m)
+          }
+          m
+      }
+    }
+    knNScoreOfGrams(knNDocGrams(Tables.documents(spark, sfDir), 5), landed)
+      .orderBy("doc_id")
+  }
+
+  private val kn5MergeCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), KnNModel]
+
+  /** Builds [[kn5MergeScore]]'s artifact: land on the base split, append
+    * the rest as new part files, merge. The scratch corpus copy dies with
+    * the JVM; the landed db holds everything the returned handle reads. */
+  private def mergedModelOf(spark: SparkSession, sfDir: String, db: String): KnNModel = {
+    val store = java.nio.file.Files.createTempDirectory("graft_kn5ms").toString
+    graft.streaming.Streams.deleteOnShutdown(store)
+    val docs = Tables.documents(spark, sfDir)
+    docs.where(pmod(col("doc_id"), lit(4)) =!= 0)
+      .write.parquet(s"$store/documents.parquet")
+    landKn5Model(spark, store, db, landCounts = true)
+    docs.where(pmod(col("doc_id"), lit(4)) === 0)
+      .write.mode("append").parquet(s"$store/documents.parquet")
+    mergeKn5Model(spark, store, db).getOrElse(throw new IllegalStateException(
+      s"append-only drift on $store did not take the merge path"))
+  }
+
   /** Corpus fingerprint for the cross-session reuse guard: SHA-256 over the
     * sorted (name, length) listing of the store's documents artifact,
     * through the Hadoop FS API. Names+sizes are effectively
@@ -3528,6 +3582,7 @@ object TextOps {
     "text_kn5_score" -> (kn5Score _),
     "text_kn5_incremental" -> (kn5Incremental _),
     "text_kn5_score_bucketed" -> (kn5ScoreBucketed _),
+    "text_kn5_merge_score" -> (kn5MergeScore _),
     "text_kn3_score_bucketed" -> (kn3ScoreBucketed _),
     "text_dup_spans" -> (dupSpans _),
     "text_normalize_nfc" -> (normalizeNfc _),
@@ -3570,6 +3625,9 @@ object TextOps {
     "text_kn3_score" -> kn3ScoreSql,
     "text_kn5_train" -> knNLmTrainSql(5),
     "text_kn5_score" -> knNScoreSql(5),
+    // the merged landing must score EXACTLY like a full retrain over the
+    // same corpus — the same oracle gates both (merge ≡ retrain, via DuckDB)
+    "text_kn5_merge_score" -> knNScoreSql(5),
     // incremental ≡ retrain: the oracle IS the full-corpus order-5 training SQL
     "text_kn5_incremental" -> knNLmTrainSql(5),
     // the bucketed-layout variant computes the IDENTICAL scores
