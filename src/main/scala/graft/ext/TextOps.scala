@@ -2472,7 +2472,12 @@ object TextOps {
           // the handle from the staged artifact instead of re-training.
           val l =
             if (sys.env.get("SPARK_GRAFT_KN3_REUSE_DB").contains("1"))
-              reuseKn3Model(spark, sfDir, db).getOrElse(landKn3Model(spark, sfDir, db))
+              reuseKn3Model(spark, sfDir, db)
+                // r15: append-only drift updates the landed artifact from
+                // the new files' rollup (needs a landCounts landing);
+                // other drift re-lands — the kn5 discipline at order 3
+                .orElse(mergeKn3Model(spark, sfDir, db))
+                .getOrElse(landKn3Model(spark, sfDir, db))
             else landKn3Model(spark, sfDir, db)
           kn3ModelCache.synchronized {
             evictDeadSessions(kn3ModelCache)
@@ -2492,13 +2497,16 @@ object TextOps {
     * whole handle cross-session without touching the corpus), with the
     * corpus fingerprint written LAST as the completion marker. */
   private[graft] def landKn3Model(
-      spark: SparkSession, sfDir: String, db: String): Kn3Landed = {
+      spark: SparkSession, sfDir: String, db: String,
+      landCounts: Boolean =
+        sys.env.get("SPARK_GRAFT_KN3_LAND_COUNTS").contains("1")): Kn3Landed = {
     // fingerprint BEFORE the first corpus read (round-13 advice): a corpus
     // mutation landing DURING this landing must not become the recorded
     // identity of a model trained on pre-mutation (or mixed) data — with
     // the pre-read listing recorded, any mid-landing drift fails the next
     // reuse validation and re-lands instead of silently matching
-    val fp = corpusFingerprint(spark, sfDir)
+    val listing = corpusFiles(spark, sfDir).map(_._1)
+    val fp = fingerprintOf(listing)
     val docs = Tables.documents(spark, sfDir)
     // cross-session idempotency: drop the catalog entry AND the
     // on-disk location (the warehouse outlives the in-memory catalog)
@@ -2509,6 +2517,19 @@ object TextOps {
     if (fs.exists(dbLoc)) fs.delete(dbLoc, true)
     spark.sql(s"CREATE DATABASE $db")
     val cxyz = kn3CxyzOf(docs.where(col("lang") === "en")).localCheckpoint()
+    landKn3Tables(spark, db, dbLoc, fs, cxyz, fp, listing, landCounts)
+  }
+
+  /** Lands the kn3 artifact from an already-materialized trigram count
+    * table — shared by the full landing and the APPEND-MERGE path (r15),
+    * the [[landKn5Tables]] discipline at order 3. `stageCounts`
+    * additionally stages the RAW cxyz — the additive statistic the merge
+    * needs — env-gated like kn5's landCounts because it roughly doubles
+    * the landing's write volume (cxyz is m3's size class). */
+  private def landKn3Tables(
+      spark: SparkSession, db: String, dbLoc: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem, cxyz: DataFrame, fp: String,
+      listing: Seq[String], stageCounts: Boolean): Kn3Landed = {
     val (cxy, byz, ny, nz, nbb) = kn3Stats(cxyz)
     val q2 = byz.join(ny, Seq("y")).join(nz, Seq("z")).crossJoin(broadcast(nbb))
       .select(col("y"), col("z"), expr(
@@ -2529,18 +2550,59 @@ object TextOps {
     // stage the apply-side stats (all a Heaps decade or more below the
     // trigram table; nbb is one row) for cross-session handle rebuild
     val stage = s"$dbLoc/stage"
+    if (stageCounts) cxyz.write.mode("overwrite").parquet(s"$stage/cxyz")
     cxy.write.mode("overwrite").parquet(s"$stage/cxy")
     q2.write.mode("overwrite").parquet(s"$stage/q2")
     ny.write.mode("overwrite").parquet(s"$stage/ny")
     nz.write.mode("overwrite").parquet(s"$stage/nz")
     nbb.write.mode("overwrite").parquet(s"$stage/nbb")
     // bucket count for new-process re-registration (r14), then the
-    // fingerprint LAST — it stays the completion marker
+    // listing (r15, the merge's diff base) and the fingerprint LAST — it
+    // stays the completion marker
     writeBucketSpec(fs, dbLoc, Seq("m3" -> buckets))
+    val lst = fs.create(new org.apache.hadoop.fs.Path(dbLoc, "_corpus_listing"), true)
+    try lst.write(listing.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally lst.close()
     val out = fs.create(new org.apache.hadoop.fs.Path(dbLoc, "_corpus_fingerprint"), true)
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     Kn3Landed(spark.table(s"$db.m3"), cxy, q2, ny, nz, nbb)
+  }
+
+  /** [[mergeKn5Model]]'s discipline at order 3 (r15): an append-only
+    * drift merges the new part files' trigram rollup into the staged
+    * cxyz (requires a `landCounts` landing) and re-derives the artifact —
+    * O(batch) corpus work + O(model) stats. Same crash discipline:
+    * completion marker deleted first, re-written with the merged identity
+    * last. Call under landLock(db). */
+  private[graft] def mergeKn3Model(
+      spark: SparkSession, sfDir: String, db: String): Option[Kn3Landed] = {
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+    val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpPath = new org.apache.hadoop.fs.Path(dbLoc, "_corpus_fingerprint")
+    val listPath = new org.apache.hadoop.fs.Path(dbLoc, "_corpus_listing")
+    val stage = s"$dbLoc/stage"
+    val cxyzPath = new org.apache.hadoop.fs.Path(s"$stage/cxyz")
+    if (!fs.exists(fpPath) || !fs.exists(listPath) || !fs.exists(cxyzPath)) return None
+    if (!spark.catalog.databaseExists(db) ||
+        !spark.catalog.tableExists(s"$db.m3")) return None
+    val (newPaths, listing) =
+      appendedFiles(spark, sfDir, readRecordedListing(fs, listPath))
+        .getOrElse(return None)
+    val fp = fingerprintOf(listing)
+    fs.delete(fpPath, false) // invalidate FIRST (crash discipline)
+    val delta = kn3CxyzOf(
+      spark.read.parquet(newPaths: _*).where(col("lang") === "en"))
+    val mergeTmp = s"$stage/cxyz_merge"
+    spark.read.parquet(s"$stage/cxyz").unionByName(delta)
+      .groupBy("x", "y", "z").agg(sum(col("c_xyz")).cast("long").as("c_xyz"))
+      .write.mode("overwrite").parquet(mergeTmp)
+    fs.delete(cxyzPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(mergeTmp), cxyzPath))
+      throw new java.io.IOException(s"cannot commit merged counts to $cxyzPath")
+    val cxyz = spark.read.parquet(s"$stage/cxyz").localCheckpoint()
+    Some(landKn3Tables(spark, db, dbLoc, fs, cxyz, fp, listing, stageCounts = true))
   }
 
   /** Rebuilds the kn3 handle from an EXISTING complete landing — the
@@ -3040,6 +3102,34 @@ object TextOps {
     entries.sortBy(_._1).toSeq
   }
 
+  /** (new part-file PATHS, current listing) iff the store only GREW since
+    * `recorded`: every recorded `name:size` still present byte-identical,
+    * at least one new file, and no recorded NAME back at a new size (an
+    * in-place rewrite is not an append). None = re-land. Shared by the
+    * kn3 and kn5 merge guards, like [[validatedLanding]] for reuse. */
+  private def appendedFiles(spark: SparkSession, sfDir: String,
+      recorded: Set[String]): Option[(Seq[String], Seq[String])] = {
+    val current = corpusFiles(spark, sfDir)
+    val currentKeys = current.map(_._1).toSet
+    def nameOf(k: String) = k.substring(0, k.lastIndexOf(':'))
+    val recordedNames = recorded.map(nameOf)
+    if (!recorded.subsetOf(currentKeys) || currentKeys == recorded ||
+        current.exists(e =>
+          !recorded.contains(e._1) && recordedNames.contains(nameOf(e._1))))
+      None
+    else Some((current.filter(e => !recorded.contains(e._1)).map(_._2),
+      current.map(_._1)))
+  }
+
+  private def readRecordedListing(
+      fs: org.apache.hadoop.fs.FileSystem,
+      listPath: org.apache.hadoop.fs.Path): Set[String] = {
+    val in = fs.open(listPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n")
+      .filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
   /** Rebuilds the model handle from an EXISTING complete landing: the
     * bucketed order-3..5 tables read from the catalog, the staged a5/a4
     * parquet re-opened, the small orders (a3..a1, q2/q1, d2, den1 — all
@@ -3236,27 +3326,12 @@ object TextOps {
     if (!spark.catalog.databaseExists(db) ||
         !Seq("q5", "d5", "q4", "d4", "q3", "d3")
           .forall(t => spark.catalog.tableExists(s"$db.$t"))) return None
-    val recorded = {
-      val in = fs.open(listPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n")
-        .filter(_.nonEmpty).toSet
-      finally in.close()
-    }
-    val current = corpusFiles(spark, sfDir)
-    val currentKeys = current.map(_._1).toSet
-    // append-only: every recorded entry still present byte-identical in
-    // name AND size, and something new arrived; a recorded NAME back at a
-    // NEW size is an in-place rewrite, not an append
-    def nameOf(k: String) = k.substring(0, k.lastIndexOf(':'))
-    val recordedNames = recorded.map(nameOf)
-    if (!recorded.subsetOf(currentKeys) || currentKeys == recorded ||
-        current.exists(e =>
-          !recorded.contains(e._1) && recordedNames.contains(nameOf(e._1))))
-      return None
-    val fp = fingerprintOf(current.map(_._1)) // PRE-read merged identity
+    val (newPaths, listing) =
+      appendedFiles(spark, sfDir, readRecordedListing(fs, listPath))
+        .getOrElse(return None)
+    val fp = fingerprintOf(listing) // PRE-read merged identity
     // invalidate the completion marker FIRST (crash discipline above)
     fs.delete(fpPath, false)
-    val newPaths = current.filter(e => !recorded.contains(e._1)).map(_._2)
     val delta = knNCountsOf(
       spark.read.parquet(newPaths: _*).where(col("lang") === "en"), 5)
     // merged counts commit via tmp+rename: the old a5 is both an input
@@ -3270,7 +3345,7 @@ object TextOps {
     if (!fs.rename(new org.apache.hadoop.fs.Path(mergeTmp), a5Path))
       throw new java.io.IOException(s"cannot commit merged counts to $a5Path")
     val m = knNModelOfCounts(spark.read.parquet(s"$stage/a5"), 5, Some(stage))
-    Some(landKn5Tables(spark, db, dbLoc, fs, m, fp, current.map(_._1)))
+    Some(landKn5Tables(spark, db, dbLoc, fs, m, fp, listing))
   }
 
   private def writeBucketSpec(fs: org.apache.hadoop.fs.FileSystem,

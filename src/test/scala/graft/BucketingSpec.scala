@@ -601,6 +601,58 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("kn3 append-only drift MERGES the landed artifact — the kn5 discipline at order 3 (r15)") {
+    import spark.implicits._
+    // the kn5 append-merge's sibling: the kn3 landing can stage its raw
+    // trigram counts (landCounts — env SPARK_GRAFT_KN3_LAND_COUNTS), and
+    // an append-only drift then merges the new part files' rollup into
+    // them and re-derives the artifact, instead of re-scanning the corpus.
+    val store = java.nio.file.Files.createTempDirectory("graft_kn3merge").toString
+    graft.streaming.Streams.deleteOnShutdown(store)
+    def docsOf(ids: Range) = ids.map(d => (d.toLong,
+        s"one two three four five six seven eight doc$d tail$d",
+        "en", "synthetic", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docsOf(0 until 20).write.parquet(s"$store/documents.parquet")
+    val db = "graft_kn3m_r15_merge_spec"
+    def scoresOf(l: graft.ext.TextOps.Kn3Landed) = graft.ext.TextOps.kn3Apply(
+        graft.ext.TextOps.kn3DocTrigrams(graft.Tables.documents(spark, store)),
+        l.m3, l.cxy, l.q2, l.ny, l.nz, l.nbb)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    try {
+      graft.ext.TextOps.landKn3Model(spark, store, db, landCounts = true)
+      docsOf(20 until 28).write.mode("append").parquet(s"$store/documents.parquet")
+      assert(graft.ext.TextOps.reuseKn3Model(spark, store, db).isEmpty)
+      val dbLoc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+      val fs = dbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(dbLoc, "_r15_merge_marker")
+      fs.create(marker).close()
+      val merged = graft.ext.TextOps.mergeKn3Model(spark, store, db)
+      assert(merged.isDefined, "append-only drift must take the kn3 merge path")
+      assert(fs.exists(marker), "the merge DROPped the database — that is a re-land")
+      val fresh = graft.ext.TextOps.landKn3Model(
+        spark, store, db + "_fresh", landCounts = true)
+      val ms = scoresOf(merged.get)
+      assert(ms == scoresOf(fresh) && ms.nonEmpty,
+        "the merged kn3 artifact diverged from a fresh landing")
+      // without staged counts the merge refuses (a plain landing re-lands)
+      val db2 = db + "_nocounts"
+      graft.ext.TextOps.landKn3Model(spark, store, db2, landCounts = false)
+      docsOf(28 until 30).write.mode("append").parquet(s"$store/documents.parquet")
+      assert(graft.ext.TextOps.mergeKn3Model(spark, store, db2).isEmpty,
+        "a landing without staged counts cannot merge — it must re-land")
+    } finally {
+      Seq(db, db + "_fresh", db + "_nocounts").foreach { d =>
+        spark.sql(s"DROP DATABASE IF EXISTS $d CASCADE")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), s"$d.db")
+        val fs2 = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs2.exists(loc)) fs2.delete(loc, true)
+      }
+    }
+  }
+
   test("BucketedPlan.sessionFor: fast path on a compliant session; contract + caller's runtime confs on a clone (r15)") {
     // the gate builders already carry the contract — the operator must not
     // clone there (plans stay byte-identical to r14's)
