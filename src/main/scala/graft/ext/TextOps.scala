@@ -3107,10 +3107,19 @@ object TextOps {
     * at least one new file, and no recorded NAME back at a new size (an
     * in-place rewrite is not an append). None = re-land. Shared by the
     * kn3 and kn5 merge guards, like [[validatedLanding]] for reuse. */
-  private def appendedFiles(spark: SparkSession, sfDir: String,
-      recorded: Set[String]): Option[(Seq[String], Seq[String])] = {
+  private[graft] def appendedFiles(spark: SparkSession, sfDir: String,
+      recordedSeq: Seq[String]): Option[(Seq[String], Seq[String])] = {
+    val recorded = recordedSeq.toSet
     val current = corpusFiles(spark, sfDir)
     val currentKeys = current.map(_._1).toSet
+    // AMBIGUOUS listings refuse: the diff runs on name:size KEYS, so two
+    // identically-named same-size files in different subdirectories
+    // (never produced by Spark writers — part names carry job UUIDs —
+    // but possible from foreign ones) would let a deletion of one twin
+    // hide behind the other and the merge silently keep the deleted
+    // file's counts. Duplicate keys on either side → the full re-land.
+    if (recordedSeq.size != recorded.size || current.size != currentKeys.size)
+      return None
     def nameOf(k: String) = k.substring(0, k.lastIndexOf(':'))
     val recordedNames = recorded.map(nameOf)
     if (!recorded.subsetOf(currentKeys) || currentKeys == recorded ||
@@ -3123,10 +3132,10 @@ object TextOps {
 
   private def readRecordedListing(
       fs: org.apache.hadoop.fs.FileSystem,
-      listPath: org.apache.hadoop.fs.Path): Set[String] = {
+      listPath: org.apache.hadoop.fs.Path): Seq[String] = {
     val in = fs.open(listPath)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n")
-      .filter(_.nonEmpty).toSet
+      .filter(_.nonEmpty).toSeq
     finally in.close()
   }
 

@@ -653,6 +653,33 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("append-merge refuses an AMBIGUOUS listing — duplicate name:size keys (r15)") {
+    // the merge diff runs on name:size keys; two identically-named
+    // same-size files in different subdirectories (foreign writers —
+    // Spark part names carry job UUIDs) would let a deletion of one twin
+    // hide behind the other and the merge keep the deleted file's counts.
+    // Duplicate keys on either side must refuse (full re-land).
+    val store = java.nio.file.Files.createTempDirectory("graft_dupkeys").toString
+    graft.streaming.Streams.deleteOnShutdown(store)
+    val root = new org.apache.hadoop.fs.Path(s"$store/documents.parquet")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(rel: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, rel), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    put("a/part-0001", "12345678")
+    val recorded = Seq("part-0001:8")
+    // clean append first (control): a uniquely-named new file diffs fine
+    put("c/part-0002", "xy")
+    val ok = graft.ext.TextOps.appendedFiles(spark, store, recorded)
+    assert(ok.exists(_._1.size == 1), s"clean append must diff to ONE new path: $ok")
+    // now the ambiguous twin: same NAME, same SIZE, different subdir
+    put("b/part-0001", "abcdefgh")
+    assert(graft.ext.TextOps.appendedFiles(spark, store, recorded).isEmpty,
+      "duplicate name:size keys must refuse the merge diff")
+  }
+
   test("BucketedPlan.sessionFor: fast path on a compliant session; contract + caller's runtime confs on a clone (r15)") {
     // the gate builders already carry the contract — the operator must not
     // clone there (plans stay byte-identical to r14's)
