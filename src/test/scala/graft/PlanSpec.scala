@@ -243,6 +243,7 @@ class PlanSpec extends SparkSpec {
       "text_kn5_train", "text_kn5_score", // 1-row order-1 total (den1) broadcast, the order-n ladder
       "text_kn5_incremental", // same ladder tail off the merged counts
       "text_kn5_score_bucketed", // same scorer tail; model orders 3-5 read buckets
+      "text_kn5_merge_score", // same scorer tail over the MERGED landing (r15)
       "sim_clustered_recall")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(executesOnBuild)
