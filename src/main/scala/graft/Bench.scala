@@ -33,6 +33,21 @@ object Bench {
       // default; the only subset-partitioned sources here are the LM
       // tables, whose n-gram prefixes are far past any skew concern)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // streaming checkpoints on a no-native-Hadoop local FS (r16): the
+      // default FileContext-based manager forks a shell (readlink, ls -ld)
+      // on EVERY delta-file rename — with 32 tasks × 4 join state stores a
+      // single stream-stream-join stage measured 103 CPU-s of fork/exec,
+      // 3.5 s wall; the FileSystem-based manager renames via the local
+      // rename syscall (same stage: 30 CPU-s, 1.0 s). The 4.1-default
+      // checksum companion files double per-commit file count and block
+      // each close on an async write (+0.6 s/query) — off by default here;
+      // both stay env-overridable for deployments whose checkpoint FS
+      // (HDFS/S3) wants the FileContext semantics or corruption checksums.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+          "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"))
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer reads, shuffle machinery)

@@ -9,8 +9,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet scan so Catalyst can push filters/projections into the reader.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Inferred-schema memo keyed on (canonical path, mtime, length): every
+    * bare `spark.read.parquet` runs a one-task schema-inference JOB to read
+    * the footer (~40-65 ms), and the bench/gate inventory re-reads the same
+    * handful of store tables hundreds of times per run — a metastore-backed
+    * deployment reads the schema from the catalog instead, which is what
+    * this memo reproduces (r16, guide §1/§6). The mtime+length key
+    * invalidates on any rewrite/append (spec fixtures re-land stores under
+    * one path), so a drifted store re-infers; results are byte-identical —
+    * the memoized schema IS the footer's. Metadata only: no rows, plans,
+    * or results are cached. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        return spark.read.parquet(path) } // keep the reader's own error text
+    // nanosAsLong changes what the SAME footer infers to (events' legacy
+    // TIMESTAMP(NANOS) layout) — a flag-dependent inference must not serve
+    // a flagless read, so the flag is part of the key
+    val nanosFlag =
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val key = (s"${fs.makeQualified(p)}#nanos=$nanosFlag",
+      st.getModificationTime, st.getLen)
+    val schema = Option(schemaCache.get(key)).getOrElse {
+      val s = spark.read.parquet(path).schema
+      schemaCache.putIfAbsent(key, s)
+      s
+    }
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** events.ts has shipped in two physical layouts: TIMESTAMP(NANOS), which
     * Spark has no native type for (read as long nanos under the legacy flag

@@ -24,6 +24,15 @@ object Verify {
       // default; the only subset-partitioned sources here are the LM
       // tables, whose n-gram prefixes are far past any skew concern)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // streaming-checkpoint manager + checksum parity with Bench (r16):
+      // the FileContext-based default forks readlink/ls per state-store
+      // delta rename on a no-native-Hadoop local FS — see Bench.scala for
+      // the measurement; env-overridable for real checkpoint filesystems.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+          "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"))
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

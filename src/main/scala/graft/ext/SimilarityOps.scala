@@ -1272,14 +1272,21 @@ object SimilarityOps {
         // bucket tables); a drifted store re-derives in a new process,
         // the same lifetime the corpus-fingerprint discipline covers.
         embBitsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-        embBitsCache.computeIfAbsent(
-          (spark, new java.io.File(sfDir).getCanonicalPath, t), _ => {
-            val buckets =
-              math.max(1L, Tables.embeddings(spark, sfDir).count() / math.max(1L, t))
-            var b = 4
-            while ((1L << b) < buckets && b < 30) b += 1
-            b
-          })
+        // derive OUTSIDE the map (r16 advice): computeIfAbsent holds the
+        // bin lock for the mapping function's duration, and the derivation
+        // is a full embeddings count() — a Spark-job-length bin lock that
+        // serializes unrelated keys hashing to the same bin and deadlocks
+        // any re-entrant access. get-then-putIfAbsent races at worst
+        // duplicate one count(); both racers compute the same width.
+        val key = (spark, new java.io.File(sfDir).getCanonicalPath, t)
+        Option(embBitsCache.get(key)).map(_.intValue).getOrElse {
+          val buckets =
+            math.max(1L, Tables.embeddings(spark, sfDir).count() / math.max(1L, t))
+          var b = 4
+          while ((1L << b) < buckets && b < 30) b += 1
+          embBitsCache.putIfAbsent(key, b)
+          embBitsCache.get(key).intValue
+        }
     })
 
   private val embBitsCache =

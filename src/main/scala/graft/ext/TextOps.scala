@@ -2602,7 +2602,12 @@ object TextOps {
     if (!fs.rename(new org.apache.hadoop.fs.Path(mergeTmp), cxyzPath))
       throw new java.io.IOException(s"cannot commit merged counts to $cxyzPath")
     val cxyz = spark.read.parquet(s"$stage/cxyz").localCheckpoint()
-    Some(landKn3Tables(spark, db, dbLoc, fs, cxyz, fp, listing, stageCounts = true))
+    // stageCounts = false (r16 advice): the merged counts are ALREADY
+    // committed at $stage/cxyz via the tmp+rename above — re-staging them
+    // doubled the merge's largest write and re-opened the non-atomic
+    // mode(overwrite) window the rename commit exists to close. Mirrors
+    // mergeKn5Model, which never rewrites a5.
+    Some(landKn3Tables(spark, db, dbLoc, fs, cxyz, fp, listing, stageCounts = false))
   }
 
   /** Rebuilds the kn3 handle from an EXISTING complete landing — the

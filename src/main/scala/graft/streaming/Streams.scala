@@ -1029,7 +1029,19 @@ object Streams {
     // triggers one compaction, re-establishing the baseline (cheap, and
     // it folds whatever per-append files the crashed run left behind)
     var compactedBytes = 0L
-    var lastTotalBytes = 0L // at-rest bytes after the previous append/compaction
+    // at-rest bytes after the previous append/compaction. On RESUME this
+    // must start at the SURVIVING index's size, not 0 (r16 advice): the
+    // appended-bytes meter adds (total - lastTotalBytes) per batch, and a
+    // 0 start charged the entire pre-crash index to the first post-resume
+    // delta — inflating the denominator the IdxBatches write-amplification
+    // probe reports. compactedBytes deliberately stays 0 so the healing
+    // compaction above still fires on the first post-resume append.
+    var lastTotalBytes =
+      if (resuming) {
+        val dir = idxDataDir(spark, idxTable)
+        val dfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (dfs.exists(dir)) dfs.getContentSummary(dir).getLength else 0L
+      } else 0L
     val matchSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("match_id", LongType)))
     val stream = spark.readStream.schema(docSchema.add("__shard", IntegerType))
