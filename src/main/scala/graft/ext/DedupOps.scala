@@ -1298,15 +1298,23 @@ object DedupOps {
     * so the streamed index is bit-identical to what a batch build writes.
     * Null buckets (docs under [[K]] tokens) are dropped here, mirroring
     * the join-never-matches-null semantics both engines share. */
-  private[graft] def bandRowsOf(documents: DataFrame): DataFrame = {
+  private[graft] def bandRowsOf(
+      documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    // `carry` rides extra columns through unchanged (r16): the streamed
+    // index keeps its batch's `__shard` as DATA instead of re-attaching it
+    // as a per-batch literal — a literal bakes the shard VALUE into the
+    // generated code, so every micro-batch's probe/append plans missed the
+    // codegen cache and re-ran Janino (thread dumps: 38/177 executor
+    // samples waiting in CodeGenerator.compile).
     val sig = documents
       .repartition(col("doc_id"))
-      .select(col("doc_id"), TextFns.wordShingles(col("text"), K).as("shs"))
+      .select(Seq(col("doc_id"), TextFns.wordShingles(col("text"), K).as("shs")) ++
+        carry.map(col): _*)
       .withColumn("sigs", TextFns.minhashSignature(col("shs"), NumPerm))
       .select((Seq(col("doc_id")) ++ (0 until NumPerm).map(i =>
-        element_at(col("sigs"), i + 1).as(s"mh$i"))): _*)
-    banded(sig).select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)).as(Seq("band_idx", "bk")))
+        element_at(col("sigs"), i + 1).as(s"mh$i")) ++ carry.map(col)): _*)
+    banded(sig).select(Seq(col("doc_id")) ++ carry.map(col) :+
+      posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)).as(Seq("band_idx", "bk")): _*)
       .where(col("bk").isNotNull)
   }
 

@@ -120,7 +120,17 @@ object MultimodalOps {
       StructField("resized_h", LongType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    // repartition before the decode (r16, guide §2.5 input skew): the
+    // single-file store arrives as ONE split, so without it every batch
+    // decodes on one core; the exchange moves only (doc_id[, payload]) —
+    // bytes-cheap at any scale, and a multi-file production store already
+    // parallelizes at the scan (same caveat as DedupOps.docShingles).
+    // Explicit partition count (defaultParallelism = the session's cores,
+    // scale-adaptive, not a constant): a bare repartition(col) is
+    // AQE-coalesced back to one partition at this data size, which would
+    // re-serialize the decode.
     df.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // STUB decode per batch — a real impl hands `batch` to a codec once.
@@ -210,7 +220,9 @@ object MultimodalOps {
       StructField("mean_g", DoubleType),
       StructField("mean_b", DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.select(col("doc_id")).mapPartitions { rows =>
+    df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val id = r.getLong(0)
@@ -286,7 +298,9 @@ object MultimodalOps {
       StructField("thumb_mean_g", DoubleType),
       StructField("thumb_mean_b", DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.select(col("doc_id")).mapPartitions { rows =>
+    df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val id = r.getLong(0)
@@ -365,7 +379,9 @@ object MultimodalOps {
       StructField("mean_g", DoubleType),
       StructField("mean_b", DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.select(col("doc_id")).mapPartitions { rows =>
+    df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
           val id = r.getLong(0)
@@ -512,7 +528,9 @@ object MultimodalOps {
       StructField("mean_abs", DoubleType),
       StructField("mean_square", DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.select(col("doc_id")).mapPartitions { rows =>
+    df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val id = r.getLong(0)
@@ -618,7 +636,9 @@ object MultimodalOps {
       StructField("ph0", LongType),
       StructField("ph1", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val hashed = df.select(col("doc_id")).mapPartitions { rows =>
+    val hashed = df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val id = r.getLong(0)
@@ -740,7 +760,9 @@ object MultimodalOps {
       StructField("n_samples", LongType),
       StructField("sig16", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val hashed = df.select(col("doc_id")).mapPartitions { rows =>
+    val hashed = df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val id = r.getLong(0)

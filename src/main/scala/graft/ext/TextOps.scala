@@ -22,6 +22,26 @@ object TextOps {
   /** DuckDB-side tokenizer. */
   private val toksSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
+  /** Spread a single-split corpus scan across cores BEFORE a CPU-heavy
+    * per-row kernel (r16, guide §2.5 "input skew — one huge unsplittable
+    * file"): the driver's one-file store arrives as ONE input split (one
+    * row group), so tokenize/explode otherwise runs on one core no matter
+    * how many the session has. No-op when the scan already carries at
+    * least the session's parallelism (a real multi-file store — there the
+    * kernels parallelize with the scan and this exchange would be a
+    * pointless full-corpus shuffle) and on streaming frames (micro-batch
+    * plans pick partitioning at the sink, and `.rdd` is illegal on them).
+    * The EXPLICIT partition count matters: AQE coalesces a bare
+    * repartition(col) back to one partition at this data size (measured:
+    * getNumPartitions == 1), silently re-serializing the kernel —
+    * repartition(n, col) is pinned. */
+  private[ext] def spreadDocs(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p, col("doc_id"))
+  }
+
   private val stop = Map(
     "de" -> Seq("der", "die", "das", "und", "ist", "mit"),
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
@@ -667,7 +687,7 @@ object TextOps {
   /** Fingerprinting: canonical form (sorted distinct tokens) → md5, plus a
     * 31-polynomial rolling hash mod 1e9+7 over the canonical chars. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    spreadDocs(Tables.documents(spark, sfDir))
       .withColumn("canon", expr(s"array_join(array_sort(array_distinct($toksExpr)), ' ')"))
       .withColumn("fp_md5", md5(col("canon")))
       .withColumn("fp_roll", expr(
@@ -741,7 +761,7 @@ object TextOps {
     val tg = "IF(size(toks) >= 3, transform(sequence(1, size(toks) - 2), " +
       "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))), " +
       "CAST(array() AS ARRAY<STRING>))"
-    documents
+    spreadDocs(documents)
       .withColumn("toks", expr(toksExpr))
       .withColumn("tg", expr(tg))
       .withColumn("dup_trigram_frac",
@@ -1317,7 +1337,7 @@ object TextOps {
     // projection — so no corpus-wide (doc_id) aggregation ever happens; the
     // broadcast semi-join shrinks the token stream to query terms BEFORE
     // the one (query, doc, term) shuffle
-    val qtok = documents
+    val qtok = spreadDocs(documents)
       .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("len"),
         explode(expr(toksExpr)).as("term"))
       .join(broadcast(q), Seq("term"))
@@ -1706,7 +1726,7 @@ object TextOps {
     val gramsExpr = s"IF(size(toks) >= $k, " +
       s"transform(sequence(1, size(toks) - ${k - 1}), i -> $gram), " +
       "CAST(array() AS ARRAY<STRING>))"
-    val grams = documents
+    val grams = spreadDocs(documents)
       .withColumn("toks", expr(toksExpr))
       .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
@@ -1908,7 +1928,7 @@ object TextOps {
     val winExpr = s"IF(size(toks) >= $w, " +
       s"transform(sequence(1, size(toks) - ${w - 1}), i -> $gram), " +
       "CAST(array() AS ARRAY<STRING>))"
-    val wins = documents
+    val wins = spreadDocs(documents)
       .withColumn("toks", expr(toksExpr))
       .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), md5(col("g")).as("h"))
@@ -2297,7 +2317,7 @@ object TextOps {
 
   /** The (x, y, z, c_xyz) trigram-type rollup — the ONE corpus-sized job
     * of the whole trigram family; everything below is type-bounded. */
-  private def kn3CxyzOf(train: DataFrame): DataFrame =
+  private def kn3CxyzOf(train: DataFrame): DataFrame = // not spread — see knNCountsOf
     train.select(expr(toksExpr).as("toks"))
       .select(explode(expr(knTrigramZip)).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"), col("p.z").as("z"))
@@ -2374,7 +2394,7 @@ object TextOps {
     kn3ScoreOf(Tables.documents(spark, sfDir))
 
   private[graft] def kn3DocTrigrams(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), expr(toksExpr).as("toks"))
+    spreadDocs(documents).select(col("doc_id"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), explode(expr(knTrigramZip)).as("p"))
       .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"), col("p.z").as("z"))
 
@@ -2783,7 +2803,7 @@ object TextOps {
 
   /** (doc_id, w1..wn) n-gram stream of a documents frame. */
   private[graft] def knNDocGrams(documents: DataFrame, n: Int): DataFrame =
-    documents.select(col("doc_id"), expr(toksExpr).as("toks"))
+    spreadDocs(documents).select(col("doc_id"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), explode(expr(knGramZip(n))).as("g"))
       .select(col("doc_id") +: (1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
 
@@ -2806,6 +2826,10 @@ object TextOps {
     * multi-consumer lazy-cache race finding (SCALING.md r10.1). */
   /** The order-n count table (w1..wn, a) — the ONE corpus-sized rollup
     * and, like its bigram ancestor, an ADDITIVE sufficient statistic. */
+  // NOT spread (r16): the rollup's groupBy shuffles right after the
+  // explode, and the ladder's localCheckpoint steps amplify partition
+  // count — measured slower with the spread (kn5_incremental 3.9→5.0 s),
+  // unlike the scoring-side gram streams, which join downstream.
   private[graft] def knNCountsOf(train: DataFrame, n: Int): DataFrame =
     train.select(expr(toksExpr).as("toks"))
       .select(explode(expr(knGramZip(n))).as("g"))

@@ -827,8 +827,17 @@ object Streams {
     * bucket layout; at gate size the batch side auto-broadcasts and no
     * exchange exists at all. Either plan leaves the index side
     * exchange-free — the property PlanSpec asserts. */
+  /** Literal-shard form for one-shot probes (specs): production batches go
+    * through [[idxProbeJoinCarried]], which reads the shard from the bands'
+    * own `__shard` DATA column — a literal here bakes the shard value into
+    * the generated code, so a multi-batch run recompiled every plan every
+    * micro-batch (r16; see [[graft.ext.DedupOps.bandRowsOf]]'s carry). */
   private[graft] def idxProbeJoin(
-      spark: SparkSession, bands: DataFrame, idxTable: String, shard: Int): DataFrame = {
+      spark: SparkSession, bands: DataFrame, idxTable: String, shard: Int): DataFrame =
+    idxProbeJoinCarried(spark, bands.withColumn("__shard", lit(shard)), idxTable)
+
+  private[graft] def idxProbeJoinCarried(
+      spark: SparkSession, bands: DataFrame, idxTable: String): DataFrame = {
     // The appends run on the STREAMING clone session, which invalidates
     // its own tableRelationCache — not this (outer) session's: without an
     // explicit refresh the outer session's first resolution of the table
@@ -853,13 +862,21 @@ object Streams {
     // semantics exclude. With it, replaying a batch is idempotent: the
     // recomputed matches duplicate rows the crashed attempt already wrote,
     // and the final min-of-mins rollup collapses duplicates exactly.
-    val idx = spark.table(idxTable).where(col("__shard") =!= shard).select(
+    val idx = spark.table(idxTable).select(
       col("doc_id").as("c_doc"), col("__shard").as("c_shard"),
       col("band_idx"), col("bk"))
-    bands.join(idx, Seq("band_idx", "bk"))
+    // the not-own-shard filter is now the column-column residual
+    // c_shard =!= p_shard (same rows excluded: every bands row carries the
+    // batch's one shard value) — evaluated at the join instead of pushed
+    // into the index scan, which costs nothing here (it excludes rows only
+    // during a crash replay) and keeps the generated code batch-invariant
+    bands.select(col("doc_id"), col("band_idx"), col("bk"),
+        col("__shard").as("p_shard"))
+      .join(idx, Seq("band_idx", "bk"))
+      .where(col("c_shard") =!= col("p_shard"))
       .select(
-        when(col("c_shard") < shard, col("doc_id")).otherwise(col("c_doc")).as("m_doc"),
-        when(col("c_shard") < shard, col("c_doc")).otherwise(col("doc_id")).as("m_cand"))
+        when(col("c_shard") < col("p_shard"), col("doc_id")).otherwise(col("c_doc")).as("m_doc"),
+        when(col("c_shard") < col("p_shard"), col("c_doc")).otherwise(col("doc_id")).as("m_cand"))
       .groupBy(col("m_doc").as("doc_id"))
       .agg(min("m_cand").as("match_id"))
   }
@@ -1057,11 +1074,17 @@ object Streams {
             s"index-upsert micro-batch $batchId spans shards ${shardVals.toSeq} — " +
               "one shard per micro-batch is the contract (one file per shard)")
           val shard = shardVals.head
-          // cache: the band rows feed the probe join AND the index append
-          val bands = graft.ext.DedupOps.bandRowsOf(batch.toDF().drop("__shard")).cache()
+          // cache: the band rows feed the probe join AND the index append.
+          // __shard rides through as DATA (r16): re-attaching it as
+          // lit(shard) baked the shard value into every generated class, so
+          // each micro-batch recompiled the probe/append plans from scratch
+          // — with it carried, the per-batch plans are codegen-identical
+          // and Janino's cache serves batches 2..n.
+          val bands = graft.ext.DedupOps.bandRowsOf(
+            batch.toDF(), carry = Seq("__shard")).cache()
           val matches =
             if (spark.catalog.tableExists(idxTable))
-              idxProbeJoin(spark, bands, idxTable, shard)
+              idxProbeJoinCarried(spark, bands, idxTable)
             else
               spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], matchSchema)
           matches.write.mode("append").parquet(outDir)
@@ -1070,7 +1093,7 @@ object Streams {
           // per-append files are each sorted, and once compaction folds a
           // bucket to ONE file the scan reports the order and the probe's
           // SMJ drops its index-side Sort
-          bands.withColumn("__shard", lit(shard))
+          bands.select(col("doc_id"), col("band_idx"), col("bk"), col("__shard"))
             .write.mode("append")
             .bucketBy(idxBuckets, "band_idx", "bk")
             .sortBy("band_idx", "bk")
@@ -1278,6 +1301,15 @@ object Streams {
       val prefix = sorted.zip(sorted.scanLeft(0L)((acc, s) => acc + manifest(s))).toMap
       s => prefix.getOrElse(s, manifest.keys.filter(_ < s).map(manifest).sum)
     }
+    // all offsets as ONE map literal, looked up from the batch's __shard
+    // column (r16): `lit(offsetOf(shard))` baked a different constant into
+    // each micro-batch's generated code, so every batch recompiled the
+    // admission plan — a map literal is a codegen REFERENCE object (the
+    // generated source is batch-invariant) and Janino's cache serves every
+    // batch after the first. Same values: the map covers every shard in
+    // the artifact, computed by the same offsetOf.
+    val offsetsCol = typedLit(
+      shardFiles.map(r => r.getInt(0) -> offsetOf(r.getInt(0))).toMap)
     val batchesWritten = new java.util.concurrent.atomic.AtomicInteger(0)
     val staged = stage(spark.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir))
@@ -1289,10 +1321,14 @@ object Streams {
             s"admission micro-batch $batchId spans shards ${shards.toSeq} — " +
               "one complete shard per micro-batch is the contract")
           val shard = shards.head
+          // __shard rides through the cum-before decomposition (all its
+          // expressions are column-based) and keys the offset map lookup;
+          // outCols drops it on write
           val (withCum, _) = graft.ext.SamplingOps.bucketedCumBefore(
-            batch.toDF().drop("__shard"), orderCol, "n_tok", descending)
+            batch.toDF(), orderCol, "n_tok", descending)
           withCum
-            .withColumn("cum_before", col("cum_before") + lit(offsetOf(shard)))
+            .withColumn("cum_before",
+              col("cum_before") + element_at(offsetsCol, col("__shard")))
             .withColumn("keep", col("cum_before") < lit(budget))
             .select(outCols.map(col): _*)
             // shard-keyed OVERWRITE, not a blind append: replays (same-run

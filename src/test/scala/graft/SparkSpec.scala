@@ -30,6 +30,12 @@ object TestSession {
           "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"))
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // local chmod without fork/exec (r16): no libhadoop on this box, so
+      // stock RawLocalFileSystem shells `chmod` per created file/dir —
+      // FileOutputCommitter mkdirs + every parquet part file pay a fork of
+      // this JVM. NioLocalFileSystem sets the same bits via java.nio.
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS", "graft.util.NioLocalFileSystem"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
