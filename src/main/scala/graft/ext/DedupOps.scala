@@ -40,10 +40,14 @@ object DedupOps {
     * CPU-heavy part (NumPerm md5 per shingle), so spread rows across cores
     * first — on a real multi-split source this repartition is unnecessary
     * and the kernels parallelize with the scan. */
-  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .repartition(col("doc_id"))
+  private def docShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // pinned partition count (r16): AQE coalesces a bare repartition(col)
+    // back to ONE partition at this data size (measured), silently
+    // re-serializing the md5 kernels this spread exists for
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), TextFns.wordShingles(col("text"), K).as("shs"))
+  }
 
   private val shinglesCte =
     s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
@@ -340,11 +344,13 @@ object DedupOps {
     * form — explode tokens, 32 signed-bit sums per doc — is what the DuckDB
     * oracle runs; a 32-aggregate plan also works in Spark but compiles a
     * huge codegen class and shuffles for no benefit.) */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .repartition(col("doc_id"))
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // pinned count — see docShingles (AQE coalesces bare repartition(col))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), TextFns.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
+  }
 
   private[graft] val simhashSql = {
     val sums = (0 until 32).map { j =>
@@ -1307,7 +1313,7 @@ object DedupOps {
     // codegen cache and re-ran Janino (thread dumps: 38/177 executor
     // samples waiting in CodeGenerator.compile).
     val sig = documents
-      .repartition(col("doc_id"))
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(Seq(col("doc_id"), TextFns.wordShingles(col("text"), K).as("shs")) ++
         carry.map(col): _*)
       .withColumn("sigs", TextFns.minhashSignature(col("shs"), NumPerm))

@@ -1159,7 +1159,10 @@ object ApolloQueries {
     // BigInteger-bound, so spread rows across cores before the kernels (a
     // real multi-split source parallelizes with the scan and doesn't need
     // this — same note as DedupOps.docShingles).
-    val ev = Tables.events(spark, sfDir).repartition(col("event_id"))
+    // pinned count (r16): AQE coalesces a bare repartition(col) to ONE
+    // partition at this byte size, re-serializing the BigInteger decode
+    val ev = Tables.events(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
     val wUint = lpad(lower(hex(col("event_id"))), 64, "0")
     val wAddr = lpad(lower(hex(col("user_id"))), 64, "0")
     val wShort = lower(hex(col("event_id") % 256)) // unpadded → left-pad path
