@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes through sbt's logger by default, which
+// prefixes every stdout line with "[info] " — the round driver parses the
+// bench's one-line JSON metric off stdout and a line-anchored parser never
+// sees a line starting with '{' (every BENCH_r*.json recorded parsed:null).
+// StdoutOutput makes the forked JVM inherit sbt's own stdout/stderr:
+// program output lands raw, bytes-for-bytes.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -250,14 +250,24 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"queries_cpu_util":$qsCpu,"queries_sys_load":$qsLoad,"queries_retried":$retriedJson,"bench_samples":$warmSamples,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"marker_solo":$markerJson,"host":"$hostName","failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
-    // Harness-parse constraint (found round 8): the driver records only the
-    // LAST ~2000 chars of stdout and parses the metric line out of that tail
-    // — rounds 1-7 all recorded `parsed: null` because the full line above
-    // carries four ~143-entry per-query maps (~17 KB) whose head is
-    // truncated out of the tail. stdout therefore gets ONE compact line
-    // (total + the slowest warm queries that fit a fixed budget); the full
-    // per-query detail (warm/cold/cpu-util/sys-load maps) stays in
-    // bench_out.json.
+    // per-invocation-named copy (r16 verdict item 1): the driver benches at
+    // TWO core counts and bench_out.json is overwritten by whichever ran
+    // last — keep each core count's full artifact alongside
+    Files.writeString(Paths.get(s"bench_out_c$cpus.json"), line + "\n")
+    // Harness-parse history (r16 verdict item 1 — all 16 rounds recorded
+    // `parsed: null`): rounds 1-7 printed the FULL ~17 KB line, whose head
+    // fell out of the driver's 2000-char stdout tail; rounds 8-16 printed a
+    // compact line that sat COMPLETE inside the tail and still failed — the
+    // remaining difference is sbt's logger: `run / fork := true` pipes the
+    // forked JVM's stdout through it and every line gains an "[info] "
+    // prefix, so a line-anchored JSON parser never sees a line starting
+    // with '{'. Fixed in build.sbt (`run / outputStrategy := StdoutOutput`,
+    // the forked JVM inherits sbt's stdout — output lands raw). Here: TWO
+    // lines as the LAST stdout the process writes, so every parse shape
+    // succeeds — first the full per-query map (~5 KB, what PERF's
+    // per_query/scaling blocks need; a whole-stdout line scan finds it),
+    // last the compact slowest-first subset (complete inside even a
+    // 2000-char stdout tail).
     val slowest = ok.sortBy { case (_, (_, (warm, _, _))) => -warm }
     val qBudget = new StringBuilder
     // break on first overflow so the subset is strictly slowest-first (a
@@ -278,10 +288,22 @@ object Bench {
       val shown = names.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"n":${names.size},"first":$shown}"""
     }
+    val meta =
+      s""""bench_samples":$warmSamples,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"marker_solo":$markerJson,"host":"$hostName","sf":"$sfDir""""
     val compact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{$qBudget},"n_queries":${ok.size},"total_cold":${f"$totalCold%.3f"},"queries_shown":"slowest-first subset; full detail in bench_out.json","bench_samples":$warmSamples,"bench_cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"marker_solo":$markerJson,"host":"$hostName","failed":$failedCompact,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{$qBudget},"n_queries":${ok.size},"total_cold":${f"$totalCold%.3f"},"queries_shown":"slowest-first subset; full detail in bench_out.json",$meta,"failed":$failedCompact}"""
+    // full warm per-query map + cold total — the driver-parse payload
+    // (values rounded to ms so the full 178-entry map stays ~5 KB)
+    val qsRounded = ok.map { case (k, (_, (warm, _, _))) =>
+      "\"" + k + "\":" + f"$warm%.3f" }.mkString("{", ",", "}")
+    val driverFull =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsRounded,"n_queries":${ok.size},"total_cold":${f"$totalCold%.3f"},$meta,"failed":$failedCompact}"""
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop: $e") }
+    // LAST output, after any stop-time logging
+    println(driverFull)
     println(compact)
-    spark.stop()
+    System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

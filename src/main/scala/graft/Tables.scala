@@ -30,12 +30,23 @@ object Tables {
       try fs.getFileStatus(p)
       catch { case _: java.io.FileNotFoundException =>
         return spark.read.parquet(path) } // keep the reader's own error text
-    // nanosAsLong changes what the SAME footer infers to (events' legacy
-    // TIMESTAMP(NANOS) layout) — a flag-dependent inference must not serve
-    // a flagless read, so the flag is part of the key
-    val nanosFlag =
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
-    val key = (s"${fs.makeQualified(p)}#nanos=$nanosFlag",
+    // directory-backed stores are NOT memoized (ADVICE r16): a directory's
+    // length is 0 and its mtime does not change when an existing part file
+    // is rewritten in place, so (mtime, len) cannot witness a re-land —
+    // fall through to the reader's own inference there
+    if (st.isDirectory) return spark.read.parquet(path)
+    // every inference-affecting session conf is part of the key (ADVICE
+    // r16): nanosAsLong changes what the SAME footer infers to (events'
+    // legacy TIMESTAMP(NANOS) layout), and mergeSchema / inferTimestampNTZ /
+    // caseSensitive likewise change inference — flipping one mid-process
+    // must not serve a schema inferred under the old setting
+    def conf(k: String, dflt: String) = spark.conf.getOption(k).getOrElse(dflt)
+    val confSig = Seq(
+      "nanos=" + conf("spark.sql.legacy.parquet.nanosAsLong", "false"),
+      "merge=" + conf("spark.sql.parquet.mergeSchema", "false"),
+      "ntz=" + conf("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+      "case=" + conf("spark.sql.caseSensitive", "false")).mkString(",")
+    val key = (s"${fs.makeQualified(p)}#$confSig",
       st.getModificationTime, st.getLen)
     val schema = Option(schemaCache.get(key)).getOrElse {
       val s = spark.read.parquet(path).schema

@@ -42,10 +42,10 @@ object DedupOps {
     * and the kernels parallelize with the scan. */
   private def docShingles(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // pinned partition count (r16): AQE coalesces a bare repartition(col)
-    // back to ONE partition at this data size (measured), silently
-    // re-serializing the md5 kernels this spread exists for
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    // guarded spread (r17, see graft.util.Spread): skipped on multi-split
+    // stores, byte-aware partition count otherwise; projected to the two
+    // columns the kernel reads BEFORE the exchange
+    graft.util.Spread.byCols(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextFns.wordShingles(col("text"), K).as("shs"))
   }
 
@@ -346,8 +346,8 @@ object DedupOps {
     * huge codegen class and shuffles for no benefit.) */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // pinned count — see docShingles (AQE coalesces bare repartition(col))
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    // guarded spread — see docShingles / graft.util.Spread (r17)
+    graft.util.Spread.byCols(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextFns.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
   }
@@ -1312,8 +1312,9 @@ object DedupOps {
     // generated code, so every micro-batch's probe/append plans missed the
     // codegen cache and re-ran Janino (thread dumps: 38/177 executor
     // samples waiting in CodeGenerator.compile).
-    val sig = documents
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val sig = graft.util.Spread.byCols(
+        documents.select(Seq(col("doc_id"), col("text")) ++ carry.map(col): _*),
+        col("doc_id"))
       .select(Seq(col("doc_id"), TextFns.wordShingles(col("text"), K).as("shs")) ++
         carry.map(col): _*)
       .withColumn("sigs", TextFns.minhashSignature(col("shs"), NumPerm))

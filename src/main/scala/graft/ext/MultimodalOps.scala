@@ -120,17 +120,14 @@ object MultimodalOps {
       StructField("resized_h", LongType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    // repartition before the decode (r16, guide §2.5 input skew): the
-    // single-file store arrives as ONE split, so without it every batch
-    // decodes on one core; the exchange moves only (doc_id[, payload]) —
-    // bytes-cheap at any scale, and a multi-file production store already
-    // parallelizes at the scan (same caveat as DedupOps.docShingles).
-    // Explicit partition count (defaultParallelism = the session's cores,
-    // scale-adaptive, not a constant): a bare repartition(col) is
-    // AQE-coalesced back to one partition at this data size, which would
-    // re-serialize the decode.
+    // spread before the decode (guide §2.5 input skew): the single-file
+    // store arrives as ONE split, so without it every batch decodes on one
+    // core. This site's exchange carries the PAYLOAD, not just doc_id, so
+    // on a multi-split store it would be a full-corpus shuffle — the r17
+    // guard (graft.util.Spread) skips it there and sizes the partition
+    // count by input bytes otherwise.
     df.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .transform(graft.util.Spread.byCols(_, col("doc_id"))) // guarded spread (r17)
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // STUB decode per batch — a real impl hands `batch` to a codec once.
@@ -221,7 +218,7 @@ object MultimodalOps {
       StructField("mean_b", DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .transform(graft.util.Spread.byCols(_, col("doc_id"))) // guarded spread (r17)
       .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
@@ -299,7 +296,7 @@ object MultimodalOps {
       StructField("thumb_mean_b", DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .transform(graft.util.Spread.byCols(_, col("doc_id"))) // guarded spread (r17)
       .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
@@ -380,7 +377,7 @@ object MultimodalOps {
       StructField("mean_b", DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .transform(graft.util.Spread.byCols(_, col("doc_id"))) // guarded spread (r17)
       .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
@@ -529,7 +526,7 @@ object MultimodalOps {
       StructField("mean_square", DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .transform(graft.util.Spread.byCols(_, col("doc_id"))) // guarded spread (r17)
       .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
@@ -637,7 +634,7 @@ object MultimodalOps {
       StructField("ph1", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val hashed = df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .transform(graft.util.Spread.byCols(_, col("doc_id"))) // guarded spread (r17)
       .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
@@ -761,7 +758,7 @@ object MultimodalOps {
       StructField("sig16", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val hashed = df.select(col("doc_id")) // see decodeBatched: spread the 1-split store before decoding
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .transform(graft.util.Spread.byCols(_, col("doc_id"))) // guarded spread (r17)
       .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>

@@ -23,24 +23,13 @@ object TextOps {
   private val toksSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
   /** Spread a single-split corpus scan across cores BEFORE a CPU-heavy
-    * per-row kernel (r16, guide §2.5 "input skew — one huge unsplittable
-    * file"): the driver's one-file store arrives as ONE input split (one
-    * row group), so tokenize/explode otherwise runs on one core no matter
-    * how many the session has. No-op when the scan already carries at
-    * least the session's parallelism (a real multi-file store — there the
-    * kernels parallelize with the scan and this exchange would be a
-    * pointless full-corpus shuffle) and on streaming frames (micro-batch
-    * plans pick partitioning at the sink, and `.rdd` is illegal on them).
-    * The EXPLICIT partition count matters: AQE coalesces a bare
-    * repartition(col) back to one partition at this data size (measured:
-    * getNumPartitions == 1), silently re-serializing the kernel —
-    * repartition(n, col) is pinned. */
-  private[ext] def spreadDocs(df: DataFrame): DataFrame = {
-    if (df.isStreaming) return df
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df
-    else df.repartition(p, col("doc_id"))
-  }
+    * per-row kernel — see [[graft.util.Spread]] (r17: one shared guard for
+    * every spread site; the r16 `.rdd.getNumPartitions` probe built a
+    * separate QueryExecution per call and could materialize AQE stages
+    * just to inspect partitioning — replaced by the metadata-only
+    * `inputFiles` check, per ADVICE r16). */
+  private[ext] def spreadDocs(df: DataFrame): DataFrame =
+    graft.util.Spread.byCols(df, col("doc_id"))
 
   private val stop = Map(
     "de" -> Seq("der", "die", "das", "und", "ist", "mit"),

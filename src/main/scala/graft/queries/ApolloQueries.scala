@@ -1159,10 +1159,12 @@ object ApolloQueries {
     // BigInteger-bound, so spread rows across cores before the kernels (a
     // real multi-split source parallelizes with the scan and doesn't need
     // this — same note as DedupOps.docShingles).
-    // pinned count (r16): AQE coalesces a bare repartition(col) to ONE
-    // partition at this byte size, re-serializing the BigInteger decode
-    val ev = Tables.events(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
+    // guarded spread (r17, graft.util.Spread): skipped on multi-split
+    // stores, byte-aware count otherwise; projected to the two columns the
+    // decode reads before the exchange
+    val ev = graft.util.Spread.byCols(
+      Tables.events(spark, sfDir).select(col("event_id"), col("user_id")),
+      col("event_id"))
     val wUint = lpad(lower(hex(col("event_id"))), 64, "0")
     val wAddr = lpad(lower(hex(col("user_id"))), 64, "0")
     val wShort = lower(hex(col("event_id") % 256)) // unpadded → left-pad path

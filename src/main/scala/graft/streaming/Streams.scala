@@ -1327,8 +1327,18 @@ object Streams {
           val (withCum, _) = graft.ext.SamplingOps.bucketedCumBefore(
             batch.toDF(), orderCol, "n_tok", descending)
           withCum
+            // fail LOUD on a shard missing from the offsets map (ADVICE
+            // r16): element_at returns NULL there, which would null-poison
+            // cum_before and silently mis-admit the batch — unreachable
+            // today (the map covers every shard of the artifact the stream
+            // reads), but a file landing in srcDir after the driver-side
+            // collect must error, not sail through
             .withColumn("cum_before",
-              col("cum_before") + element_at(offsetsCol, col("__shard")))
+              col("cum_before") + coalesce(
+                element_at(offsetsCol, col("__shard")),
+                raise_error(concat(lit("admitByBudget: shard "),
+                  col("__shard").cast("string"),
+                  lit(" absent from the offsets manifest")))))
             .withColumn("keep", col("cum_before") < lit(budget))
             .select(outCols.map(col): _*)
             // shard-keyed OVERWRITE, not a blind append: replays (same-run
