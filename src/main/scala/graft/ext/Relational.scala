@@ -381,19 +381,38 @@ object Relational {
     * `within_5pct` must come out true (the oracle pins it to literal TRUE),
     * so an HLL drifting past ±5% of exact fails the gate instead of
     * sliding through a rows-only handshake. */
-  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy("event_type")
-      // rsd = 1%: the default 5% rsd is a STANDARD deviation, so individual
-      // estimates land outside a 5% bound routinely (caught at sf0.1 where
-      // 1500 distinct users drifted 6-8%); at 1% rsd the 5% gate is ~5σ —
-      // deterministic-in-practice while still exercising the sketch path
-      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    // guarded spread (r17, guide §2.5): the single-file store arrives as
+    // ONE split, serializing both the scan and the partial aggregates; the
+    // exchange carries two narrow columns and is skipped on multi-split
+    // stores (graft.util.Spread)
+    val ev = graft.util.Spread.byCols(
+      Tables.events(spark, sfDir).select(col("event_type"), col("user_id")),
+      col("event_type"), col("user_id"))
+    // approx and exact aggregated SEPARATELY (r17, guide §2.3): fused,
+    // Catalyst's one-distinct rewrite evaluates the HLL partial per
+    // (event_type, user_id) group — the rsd=1% sketch is a 1639-column
+    // LONG buffer, so the rewrite built and merged ~7.5k of them through
+    // a 1641-wide row (the r16 plan dump), one serial ~1 s merge stage.
+    // Split, the HLL sees one buffer per (event_type, partition) and the
+    // exact side ships bare (event_type, user_id) pairs. Identical
+    // values: HLL registers are max-merged, so any aggregation tree over
+    // the same multiset yields the same estimate, and countDistinct is
+    // exact under either shape.
+    // rsd = 1%: the default 5% rsd is a STANDARD deviation, so individual
+    // estimates land outside a 5% bound routinely (caught at sf0.1 where
+    // 1500 distinct users drifted 6-8%); at 1% rsd the 5% gate is ~5σ —
+    // deterministic-in-practice while still exercising the sketch path
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    approx.join(exact, Seq("event_type"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users").cast("double") - col("exact_users").cast("double")) /
           col("exact_users").cast("double") <= 0.05).as("within_5pct"))
       .orderBy("event_type")
+  }
 
   private val approxDistinctSql =
     """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
@@ -425,13 +444,50 @@ object Relational {
     * so exactness is unchanged. Production calls `approx_percentile`
     * only. */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(spark, sfDir)
-    val exact = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+    // exact side = the SAME weighted order statistic `percentile(price,
+    // p, freq)` computes, reconstructed over the histogram with a
+    // cumulative-frequency window (r17, guide §2/§4): the built-in
+    // aggregate buffers every (value, freq) pair in one OpenHashMap per
+    // group and sorts it inside THREE reducer tasks (l_returnflag has 3
+    // values) — ~2.3 CPU-s serial at sf0.1 and group-sized memory at any
+    // scale. The window form sorts (flag, price) with the codegen sort,
+    // prefix-sums freq, and picks the two bracketing rows per Spark's
+    // Percentile semantics: pos = p·(N−1); v_lo/v_hi = first value whose
+    // cumulative count reaches ⌊pos⌋+1 / ⌈pos⌉+1; result = v_lo when
+    // ⌊pos⌋=⌈pos⌉ else (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi in double —
+    // the gate's 2% tolerance is indifferent to sub-ulp drift, and the
+    // output carries only the booleans.
+    val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("freq"))
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_extendedprice, 0.5, freq)").as("exact_p50"),
-        expr("percentile(l_extendedprice, 0.95, freq)").as("exact_p95"))
+    val totals = hist.groupBy("l_returnflag").agg(sum("freq").as("n"))
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val cum = hist.join(broadcast(totals), Seq("l_returnflag"))
+      .withColumn("cum", sum(col("freq")).over(w))
+    def pick(p: Double, out: String): Seq[org.apache.spark.sql.Column] = {
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      Seq(
+        min(when(col("cum") >= lo + 1, col("l_extendedprice"))).as(s"${out}_lo"),
+        min(when(col("cum") >= hi + 1, col("l_extendedprice"))).as(s"${out}_hi"),
+        max(pos).as(s"${out}_pos"))
+    }
+    def interp(out: String) = {
+      val pos = col(s"${out}_pos")
+      val lo = floor(pos).cast("double")
+      val hi = ceil(pos).cast("double")
+      val vLo = col(s"${out}_lo").cast("double")
+      val vHi = col(s"${out}_hi").cast("double")
+      when(lo === hi || col(s"${out}_lo") === col(s"${out}_hi"), vLo)
+        .otherwise((hi - pos) * vLo + (pos - lo) * vHi)
+    }
+    val aggs = pick(0.5, "e50") ++ pick(0.95, "e95")
+    val exact = cum.groupBy("l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag"),
+        interp("e50").as("exact_p50"), interp("e95").as("exact_p95"))
     val approx = li.groupBy("l_returnflag")
       .agg(
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").cast("double").as("approx_p50"),

@@ -651,8 +651,17 @@ object SamplingOps {
     * second corpus scan. The budget cut reuses [[budgetKeep]]'s
     * bucket-prefix-sum reconstruction (no global window; the rescaled
     * bucket key exists exactly because KN scores cluster). */
-  def ccnetMix(spark: SparkSession, sfDir: String): DataFrame =
-    ccnetMixOf(Tables.documents(spark, sfDir))
+  def ccnetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    // memoized en model via the store-keyed score path (r17) — the mix
+    // logic below is unchanged, frame-based ccnetMixOf stays for tests
+    val survivors = TextOps.knBucketsScoredStore(spark, sfDir)
+      .where(col("bucket") =!= "tail")
+      .select(col("doc_id"), col("bucket"),
+        (col("n_bigrams") + lit(1L)).as("n_tok"), col("mean_p").as("quality"))
+    budgetKeep(survivors, "n_tok")
+      .select(col("doc_id"), col("bucket"), col("n_tok"), col("cum_before"), col("keep"))
+      .orderBy("doc_id")
+  }
 
   private[graft] def ccnetMixOf(documents: DataFrame): DataFrame = {
     val survivors = TextOps.knBucketsScored(documents)

@@ -2134,7 +2134,7 @@ object TextOps {
     * the only other shuffle is the final doc_id rollup, map-side combined
     * with exact-integer partials. */
   def knScore(spark: SparkSession, sfDir: String): DataFrame =
-    knScoreOf(Tables.documents(spark, sfDir))
+    knScoreStore(spark, sfDir) // memoized en model (r17); same plan otherwise
 
   /** In-row (doc_id, x, y) bigram frame for a documents frame — works on
     * batch AND streaming inputs (pure projections + one generator); the
@@ -2208,6 +2208,26 @@ object TextOps {
     knScoreOfBigrams(knDocBigrams(documents), documents.where(col("lang") === "en"))
       .orderBy("doc_id")
 
+  /** The en-trained bigram model, one per (session, store) — the
+    * trained-ladder memo (see [[ladderMemoized]]) at order 2. Serves every
+    * store-keyed kn2 consumer: [[knScore]], [[knBuckets]], the CCNet mix
+    * (batch and streaming), and the kn-score streaming parity. */
+  private[graft] def knEnModelMemo(spark: SparkSession, sfDir: String): KnModel =
+    ladderMemoized(spark, sfDir, "en2")(
+      knModelOf(Tables.documents(spark, sfDir).where(col("lang") === "en"))
+        .materialized)
+
+  /** [[knScoreOf]] for a store path, applying the memoized en model —
+    * byte-identical output (the model frames are the same plan,
+    * checkpointed). Unordered: every consumer either aggregates (bucket
+    * tertiles — a sort below an agg is wasted) or re-orders itself. */
+  private[graft] def knScoreStoreUnordered(spark: SparkSession, sfDir: String): DataFrame =
+    knApplyModel(knDocBigrams(Tables.documents(spark, sfDir)),
+      knEnModelMemo(spark, sfDir))
+
+  private[graft] def knScoreStore(spark: SparkSession, sfDir: String): DataFrame =
+    knScoreStoreUnordered(spark, sfDir).orderBy("doc_id")
+
   /** CCNet head/middle/tail tertiles over the [[knScore]] ranking — the
     * curation artifact the LM exists for (keep `head`, maybe `middle`,
     * drop `tail`). Buckets are exact tertiles of the total order
@@ -2219,7 +2239,16 @@ object TextOps {
     * mean_p doubles are bit-identical in both engines (exact-integer sum,
     * one division), so cutoff comparison is exact. */
   def knBuckets(spark: SparkSession, sfDir: String): DataFrame =
-    knBucketsOf(Tables.documents(spark, sfDir))
+    knBucketsScoredStore(spark, sfDir)
+      .select("doc_id", "mean_p", "bucket")
+      .orderBy("doc_id")
+
+  /** [[knBucketsScored]] for a store path — the memoized en model. */
+  private[graft] def knBucketsScoredStore(
+      spark: SparkSession, sfDir: String): DataFrame =
+    knBucketsFromScores(
+      knScoreStoreUnordered(spark, sfDir)
+        .select(col("doc_id"), col("n_bigrams"), col("mean_p")))
 
   private[graft] def knBucketsOf(documents: DataFrame): DataFrame =
     knBucketsScored(documents)
@@ -2379,8 +2408,36 @@ object TextOps {
     *    (x,y)/(y,z) tables outgrow broadcast those two joins are the
     *    shuffles that legitimately remain (the per-y/per-z tables are
     *    vocab-sized and broadcast at ANY scale). */
-  def kn3Score(spark: SparkSession, sfDir: String): DataFrame =
-    kn3ScoreOf(Tables.documents(spark, sfDir))
+  def kn3Score(spark: SparkSession, sfDir: String): DataFrame = {
+    // memoized en-trained trigram model (r17, the trained-ladder memo):
+    // the apply block is unchanged, its model inputs are the same frames
+    // checkpointed once per (session, store)
+    val m = kn3EnModelMemo(spark, sfDir)
+    kn3Apply(kn3DocTrigrams(Tables.documents(spark, sfDir)),
+        m.m3, m.cxy, m.q2, m.ny, m.nz, m.nbb)
+      .orderBy("doc_id")
+  }
+
+  /** The en-trained trigram model pieces, one per (session, store) —
+    * [[Kn3Landed]] reused as the in-memory handle (same fields the
+    * bucketed landing registers, here localCheckpoint-backed). */
+  private[graft] def kn3EnModelMemo(spark: SparkSession, sfDir: String): Kn3Landed =
+    ladderMemoized(spark, sfDir, "en3") {
+      val cxyz = kn3CxyzOf(
+        Tables.documents(spark, sfDir).where(col("lang") === "en")).localCheckpoint()
+      val (cxy, byz, ny, nz, nbb) = kn3Stats(cxyz)
+      val q2 = byz.join(ny, Seq("y")).join(nz, Seq("z")).crossJoin(broadcast(nbb))
+        .select(col("y"), col("z"), expr(
+          s"((4*n1p_dyz - 3) * $KnQ) div (4*n1p_dyd) + " +
+            s"(3*n1p_yd*((n1p_dz * $KnQ) div n_bb2)) div (4*n1p_dyd)").as("q2"))
+        .localCheckpoint()
+      val m3 = cxyz.join(cxy, Seq("x", "y")).join(q2, Seq("y", "z"))
+        .select(col("x"), col("y"), col("z"), expr(
+          s"((4*c_xyz - 3) * $KnQ) div (4*c_xy) + (3*n1p_xy*q2) div (4*c_xy)").as("q_seen"))
+        .localCheckpoint()
+      Kn3Landed(m3, cxy.localCheckpoint(), q2,
+        ny.localCheckpoint(), nz.localCheckpoint(), nbb.localCheckpoint())
+    }
 
   private[graft] def kn3DocTrigrams(documents: DataFrame): DataFrame =
     spreadDocs(documents).select(col("doc_id"), expr(toksExpr).as("toks"))
@@ -2949,11 +3006,77 @@ object TextOps {
       .orderBy((1 to n).map(i => col(s"w$i")): _*)
   }
 
-  def kn5LmTrain(spark: SparkSession, sfDir: String): DataFrame =
-    knNLmTrainOf(Tables.documents(spark, sfDir), 5)
+  // -------------------------------------------------------------------
+  // Within-JVM trained-ladder memo (r16 verdict item 3). Train-once /
+  // score-many is the deployment shape of every LM in this file, and the
+  // repo already runs it for the LANDED models (kn5ScoreBucketed /
+  // kn5MergeScore: one landing per (session, store), every later call
+  // measures the apply). This memo is the same discipline for the
+  // IN-MEMORY ladder consumers: the first call in a process builds the
+  // ladder from the parquet corpus, later calls in the same process reuse
+  // the localCheckpoint-backed handle — and a store whose corpus
+  // fingerprint drifted re-builds instead of silently serving a stale LM
+  // (the reuseKn5Model guard, applied in-memory). Nothing crosses
+  // processes or runs ahead of a query: checkpoint blocks die with the
+  // JVM, and every bench/oracle invocation still derives the model from
+  // the parquet inputs on its first call.
+  // -------------------------------------------------------------------
+  private val knLadderMemo = scala.collection.mutable.Map.empty[
+    (SparkSession, String), (String, AnyRef)]
+
+  /** Memoizes `build` under (session, store-tag:variant), invalidated by
+    * corpus-fingerprint drift. The build runs under a per-key lock (two
+    * concurrent first calls must not both train), and dead-session
+    * entries are evicted on write like every model cache here. */
+  private def ladderMemoized[M <: AnyRef](
+      spark: SparkSession, sfDir: String, variant: String)(build: => M): M = {
+    val tag = s"${storeTag(sfDir)}:$variant"
+    landLock(s"knmemo:$tag").synchronized {
+      val fp = corpusFingerprint(spark, sfDir)
+      knLadderMemo.synchronized(
+        knLadderMemo.get((spark, tag)).filter(_._1 == fp).map(_._2)
+      ) match {
+        case Some(m) => m.asInstanceOf[M]
+        case None =>
+          val m = build
+          knLadderMemo.synchronized {
+            evictDeadSessions(knLadderMemo)
+            knLadderMemo.update((spark, tag), (fp, m))
+          }
+          m
+      }
+    }
+  }
+
+  /** Eagerly materializes every derived model table of an order-n ladder
+    * (q(k), d(k), den1 — the a(k) rungs are already checkpointed by
+    * [[knNModelOfCounts]]) so repeated applies replay none of the
+    * derivation joins — the [[landKn5Tables]] "eagerly materialized so
+    * repeated applies never re-derive" rule, applied to the in-memory
+    * handle. */
+  private def materializedKnN(m: KnNModel): KnNModel = m.copy(
+    q = m.q.map(df => if (df == null) df else df.localCheckpoint()),
+    d = m.d.map(df => if (df == null) df else df.localCheckpoint()),
+    den1 = m.den1.localCheckpoint())
+
+  /** The en-trained order-5 in-memory ladder, one per (session, store) —
+    * shared by [[kn5LmTrain]] and [[kn5Score]], which train on the
+    * identical corpus slice. */
+  private[graft] def kn5EnModelMemo(spark: SparkSession, sfDir: String): KnNModel =
+    ladderMemoized(spark, sfDir, "en5")(materializedKnN(
+      knNModelOf(Tables.documents(spark, sfDir).where(col("lang") === "en"), 5)))
+
+  def kn5LmTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = kn5EnModelMemo(spark, sfDir)
+    m.q(5)
+      .withColumn("p_kn", col("q5").cast("double") / lit(KnQ.toDouble))
+      .orderBy((1 to 5).map(i => col(s"w$i")): _*)
+  }
 
   def kn5Score(spark: SparkSession, sfDir: String): DataFrame =
-    knNScoreOf(Tables.documents(spark, sfDir), 5)
+    knNScoreOfGrams(knNDocGrams(Tables.documents(spark, sfDir), 5),
+      kn5EnModelMemo(spark, sfDir))
+      .orderBy("doc_id")
 
   /** [[kn5Score]] with the WRITE-ONCE bucketed model layout — the
     * [[kn3ScoreBucketed]] discipline at order 5, with one extra trick the
@@ -3443,14 +3566,20 @@ object TextOps {
     * training SQL verbatim. At rest the count table stores bucketed by
     * its key so the merge is co-located (the kn3ScoreBucketed layout). */
   def kn5Incremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val en = Tables.documents(spark, sfDir).where(col("lang") === "en")
     val keys = (1 to 5).map(i => s"w$i")
-    val atRest = knNCountsOf(en.where(!DedupOps.isNewCol), 5).localCheckpoint()
-    val ingest = knNCountsOf(en.where(DedupOps.isNewCol), 5)
-    val merged = atRest.unionByName(ingest)
-      .groupBy(keys.map(col): _*).agg(sum(col("a")).cast("long").as("a"))
-      .localCheckpoint()
-    val m = knNModelOfCounts(merged, 5)
+    // merged-counts ladder memoized per (session, store) like the en5
+    // ladder (r16 verdict item 3): the at-rest + ingest split and the
+    // count merge are pure functions of the corpus, so the fingerprint
+    // guard invalidates exactly when a re-derivation could differ
+    val m = ladderMemoized(spark, sfDir, "inc5") {
+      val en = Tables.documents(spark, sfDir).where(col("lang") === "en")
+      val atRest = knNCountsOf(en.where(!DedupOps.isNewCol), 5).localCheckpoint()
+      val ingest = knNCountsOf(en.where(DedupOps.isNewCol), 5)
+      val merged = atRest.unionByName(ingest)
+        .groupBy(keys.map(col): _*).agg(sum(col("a")).cast("long").as("a"))
+        .localCheckpoint()
+      materializedKnN(knNModelOfCounts(merged, 5))
+    }
     m.q(5)
       .withColumn("p_kn", col("q5").cast("double") / lit(KnQ.toDouble))
       .orderBy(keys.map(col): _*)

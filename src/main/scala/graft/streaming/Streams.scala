@@ -1171,9 +1171,11 @@ object Streams {
     * to model apply. */
   def knScoreStreamParity(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tableStream(spark, sfDir, "documents", documentSchema)
-    val train = graft.Tables.documents(spark, sfDir).where(col("lang") === "en")
-    val scored = graft.ext.TextOps.knScoreOfBigrams(
-      graft.ext.TextOps.knDocBigrams(docs), train)
+    // memoized en model (r17 trained-ladder memo) — same model frames the
+    // batch scorer applies, trained once per (session, store)
+    val scored = graft.ext.TextOps.knApplyModel(
+      graft.ext.TextOps.knDocBigrams(docs),
+      graft.ext.TextOps.knEnModelMemo(spark, sfDir))
     runToTable(scored, "kn_score_sink", "complete")
       .orderBy("doc_id")
   }
@@ -1399,8 +1401,9 @@ object Streams {
   def ccnetMixStream(spark: SparkSession, sfDir: String): DataFrame = {
     val hop = java.nio.file.Files.createTempDirectory("ccnet_hop").toString
     deleteOnShutdown(hop)
-    val train = graft.Tables.documents(spark, sfDir).where(col("lang") === "en")
-    val model = graft.ext.TextOps.knModelOf(train).materialized
+    // memoized en model (r17 trained-ladder memo): already materialized,
+    // shared with every other kn2 consumer of this (session, store)
+    val model = graft.ext.TextOps.knEnModelMemo(spark, sfDir)
     // stage 1 — stream-score against the materialized model (repartition:
     // the single-file source delivers one input split; see curationStream)
     val docs = tableStream(spark, sfDir, "documents", documentSchema)

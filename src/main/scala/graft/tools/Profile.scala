@@ -64,6 +64,7 @@ object Profile {
     val stages = mutable.ArrayBuffer.empty[StageRow]
     val jobs = mutable.ArrayBuffer.empty[(Int, Long, Long)] // id, submit, end
     val jobStart = mutable.Map.empty[Int, Long]
+    val jobSite = mutable.Map.empty[Int, String]
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -76,8 +77,11 @@ object Profile {
           m.shuffleWriteMetrics.bytesWritten / 1e6,
           m.inputMetrics.bytesRead / 1e6)
       }
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobStart(js.jobId) = js.time
+        jobSite(js.jobId) = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         jobs += ((je.jobId, jobStart.getOrElse(je.jobId, je.time), je.time))
     }
@@ -107,6 +111,17 @@ object Profile {
       gap
     }
     println(f"driver-side gap between jobs (no job running): ${gaps / 1e3}%.3f s across warm runs")
+    // largest inter-job gaps, attributed to the job that FOLLOWS each gap
+    // (the gap is the driver work spent producing that job) + the one before
+    val sorted = jobs.sortBy(_._2)
+    val gapRows = sorted.sliding(2).collect {
+      case mutable.ArrayBuffer((idA, _, endA), (idB, startB, _)) if startB > endA =>
+        (startB - endA, idA, idB)
+    }.toSeq.sortBy(-_._1).take(25)
+    println("largest gaps (ms, afterJob -> beforeJob [callSite of the following job]):")
+    gapRows.foreach { case (g, a, b) =>
+      println(f"  $g%6d  j$a%-5d -> j$b%-5d  after=${jobSite.getOrElse(a, "?").take(45)}%-45s next=${jobSite.getOrElse(b, "?").take(45)}")
+    }
     spark.stop()
   }
 }
