@@ -88,6 +88,21 @@ object DedupOps {
 
   private def banded(sig: DataFrame): DataFrame = bandedWith(sig, NumPerm / Bands, "b")
 
+  /** The at-rest LSH band index for a store, one per (session, store) —
+    * the [[graft.ext.TextOps]] trained-ladder memo applied to the index
+    * this family's own production story stores at ingest
+    * ([[graft.streaming.Streams]] `stream_index_upsert` maintains exactly
+    * these rows at rest; `dedup_incremental` documents "the corpus index
+    * is computed once at ingest and stored"). The first consumer in a
+    * process pays the NumPerm-md5 signature kernel and materializes the
+    * (doc_id, mh*, b*) frame eagerly (the [[minhashLsh]] localCheckpoint
+    * discipline — lazy caches race concurrent recomputes, r10.1); every
+    * later consumer reads the checkpointed blocks. Fingerprint-guarded:
+    * a rewritten corpus re-derives. */
+  private def bandIndex(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.ladderMemoized(spark, sfDir, "lshband")(
+      banded(signatures(spark, sfDir)).localCheckpoint())
+
   private val bandedCte =
     "band AS (SELECT *, " +
       (0 until Bands).map { b =>
@@ -225,7 +240,8 @@ object DedupOps {
     // box's page-cache noise (SCALING.md r10.1 — where the r9.5 15.7×
     // reading is also re-attributed to probe-context inflation: ten solo
     // runs across three materialization variants max out at 10.8×).
-    val band = banded(signatures(spark, sfDir)).localCheckpoint()
+    // r17: the eager checkpoint moved into the per-(session, store) memo.
+    val band = bandIndex(spark, sfDir)
     val est = (0 until NumPerm)
       .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -258,7 +274,7 @@ object DedupOps {
     * keeps the synthetic near-dup clusters. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = docShingles(spark, sfDir)
-    val band = banded(signatures(spark, sfDir))
+    val band = bandIndex(spark, sfDir)
     candidatePairs(band)
       .join(docs.select(col("doc_id").as("doc1"), col("shs").as("s1")), Seq("doc1"))
       .join(docs.select(col("doc_id").as("doc2"), col("shs").as("s2")), Seq("doc2"))
@@ -302,7 +318,7 @@ object DedupOps {
     * Exact-integer division both engines — oracle bit-parity. */
   def ngramContainment(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = docShingles(spark, sfDir)
-    val band = banded(signatures(spark, sfDir))
+    val band = bandIndex(spark, sfDir)
     candidatePairs(band)
       .join(docs.select(col("doc_id").as("doc1"), col("shs").as("s1")), Seq("doc1"))
       .join(docs.select(col("doc_id").as("doc2"), col("shs").as("s2")), Seq("doc2"))
@@ -676,7 +692,9 @@ object DedupOps {
 
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val band = banded(signatures(spark, sfDir)).cache()
+    // r17: the shared memoized index (eager checkpoint) replaces the
+    // per-call lazy cache — same blocks every consumer reads
+    val band = bandIndex(spark, sfDir)
     // same capped stack as candidatePairs: bucket sizes counted over the
     // whole (band_idx, bk) key the join shuffles on
     val sized = band.select(col("doc_id"),
@@ -1076,17 +1094,16 @@ object DedupOps {
       documents: DataFrame, gearMod: Long = CdcMod): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(gearMod >= 2, s"cdcChunkDedup: gearMod $gearMod cuts a chunk per token")
-    val docs = documents.select(col("doc_id"),
-      expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
-    // per-token (word, gear-hash) pairs; boundary AFTER a gear-hit token
-    val hashed = docs
-      .select(col("doc_id"), posexplode(expr(
-        """transform(toks, w -> named_struct(
-          |  'w', w,
-          |  'g', aggregate(
-          |         transform(sequence(1, length(w)), i -> cast(ascii(substring(w, i, 1)) as bigint)),
-          |         cast(0 as bigint), (h, c) -> (h * 31 + c) % 1000000007)))""".stripMargin))
-        .as(Seq("pos", "tg")))
+    // per-token (word, gear-hash) pairs via the compiled kernel (r17,
+    // guide §4: the HOF form interpreted a lambda per CHARACTER — a
+    // triple-nested transform/aggregate/transform — and computed it all
+    // inside the single input split); boundary AFTER a gear-hit token.
+    // Guarded spread before the kernel, the docShingles discipline.
+    val hashed = graft.util.Spread
+      .byCols(documents.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFns.cdcGearTokens(col("text")))
+          .as(Seq("pos", "tg")))
       .select(col("doc_id"), col("pos"), col("tg.w").as("w"),
         (col("tg.g") % gearMod === 0).cast("int").as("b"))
     val wCh = Window.partitionBy("doc_id").orderBy("pos")
@@ -1192,8 +1209,8 @@ object DedupOps {
     // frame twice, and the NumPerm-md5 signature kernel is the CPU cost of
     // the whole op — same discipline as [[minhashLsh]] (uncached probed
     // 11.7× on 10× rows, SCALING.md r7; lazy-cached, the two join sides
-    // race into concurrent recomputes — r10.1)
-    val band = banded(signatures(spark, sfDir)).localCheckpoint()
+    // race into concurrent recomputes — r10.1); r17: via the shared memo
+    val band = bandIndex(spark, sfDir)
     candidatePairs(band)
       .withColumn("split1", splitOf(col("doc1")))
       .withColumn("split2", splitOf(col("doc2")))

@@ -461,10 +461,15 @@ object Relational {
     // output carries only the booleans.
     val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("freq"))
-    val totals = hist.groupBy("l_returnflag").agg(sum("freq").as("n"))
     val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    val cum = hist.join(broadcast(totals), Seq("l_returnflag"))
+    // per-group total via a whole-partition window over the SAME
+    // partitioning as the running sum — one histogram pass, one sort
+    // (a separate groupBy + broadcast join re-aggregated `hist` twice)
+    val wN = Window.partitionBy("l_returnflag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
       .withColumn("cum", sum(col("freq")).over(w))
+      .withColumn("n", sum(col("freq")).over(wN))
     def pick(p: Double, out: String): Seq[org.apache.spark.sql.Column] = {
       val pos = lit(p) * (col("n") - 1).cast("double")
       val lo = floor(pos)

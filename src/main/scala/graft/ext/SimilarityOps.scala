@@ -1310,9 +1310,21 @@ object SimilarityOps {
     * fixture-pinned b=4 measured 11.5× on 10× vectors while b=7 restores
     * ~linear (SCALING.md r7). */
   def knnGraphAt(spark: SparkSession, sfDir: String, bits: Int): DataFrame =
-    knnRankedAt(spark, sfDir, bits)
+    knnRankedMemo(spark, sfDir, bits)
       .select("src", "rank", "nbr", "cos_sim")
       .orderBy("src", "rank")
+
+  /** [[knnRankedAt]] memoized per (session, store, bits) — the
+    * trained-ladder memo ([[graft.ext.TextOps.ladderMemoized]]) applied to
+    * the kNN edge set: the graph is a pure function of the embeddings
+    * artifact, built once and consumed by [[knnGraphAt]], [[pagerankAt]]
+    * and [[lpaCommunities]] — the build-the-graph-once / query-it-many
+    * deployment shape. Fingerprinted on the EMBEDDINGS listing (the input
+    * that determines it), eagerly checkpointed (the minhashLsh
+    * discipline: the edge frame feeds every PageRank/LPA iteration). */
+  private def knnRankedMemo(spark: SparkSession, sfDir: String, bits: Int): DataFrame =
+    graft.ext.TextOps.ladderMemoized(spark, sfDir, s"knn$bits", fpTable = "embeddings")(
+      knnRankedAt(spark, sfDir, bits).localCheckpoint())
 
   /** The unsorted top-[[KnnK]] edge frame both [[knnGraphAt]] and
     * [[pagerankAt]] build on — (src, rank, nbr, cos_sim), rank ≤ KnnK. */
@@ -1392,7 +1404,7 @@ object SimilarityOps {
   def pagerankAt(spark: SparkSession, sfDir: String, bits: Int): DataFrame = {
     val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
     val n = nodes.count() // bounded driver scalar: |V|, in every base term
-    val edges = knnRankedAt(spark, sfDir, bits)
+    val edges = knnRankedMemo(spark, sfDir, bits)
       .select("src", "nbr").localCheckpoint()
     // iteration-INVARIANT, so materialize once: left lazy, the loop body's
     // two consumers (contribution join + dangling scan) re-rolled this
@@ -1477,7 +1489,7 @@ object SimilarityOps {
   def lpaCommunities(spark: SparkSession, sfDir: String): DataFrame = {
     val bits = embBitsFor(spark, sfDir)
     val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
-    val knn = knnRankedAt(spark, sfDir, bits).select("src", "nbr")
+    val knn = knnRankedMemo(spark, sfDir, bits).select("src", "nbr")
     val und = knn.union(knn.select(col("nbr").as("src"), col("src").as("nbr")))
       .distinct()
     lpaOnEdges(nodes, und).orderBy("vec_id")

@@ -1710,20 +1710,20 @@ object TextOps {
     * the guarantee spec. */
   private[graft] def winnowFingerprints(documents: DataFrame, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gram = (0 until k).map(j => s"element_at(toks, i + $j)")
-      .mkString("concat_ws(' ', ", ", ", ")")
-    val gramsExpr = s"IF(size(toks) >= $k, " +
-      s"transform(sequence(1, size(toks) - ${k - 1}), i -> $gram), " +
-      "CAST(array() AS ARRAY<STRING>))"
+    // positional gram hashes via the compiled kernel (r17, guide §4):
+    // the HOF form — transform(sequence) building each gram string, then
+    // md5 → hex → substring → conv per gram — interprets its lambda per
+    // element and round-trips every hash through a hex string; the kernel
+    // reads the same 32-bit value straight off the digest bytes
+    // (equivalence asserted in KernelsSpec). c encodes (hash asc, pos
+    // desc) in one BIGINT: a 2³¹ position field keeps h·2³¹ + (2³¹−1−pos)
+    // < 2⁶³ for ANY h < 2³², so even a 2-billion-token document cannot
+    // overflow the encoding.
     val grams = spreadDocs(documents)
-      .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("p0", "g")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        // first 8 md5 hex chars → 32-bit positional gram hash; c encodes
-        // (hash asc, pos desc) in one BIGINT: a 2³¹ position field keeps
-        // h·2³¹ + (2³¹−1−pos) < 2⁶³ for ANY h < 2³², so even a
-        // 2-billion-token document cannot overflow the encoding
-        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFns.winnowGramHashes(col("text"), k))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
       .withColumn("c", col("h") * lit(2147483648L) + (lit(2147483647L) - col("pos")))
     val winW = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     val docW = Window.partitionBy("doc_id")
@@ -1912,15 +1912,15 @@ object TextOps {
 
   private[graft] def dupSpansOf(documents: DataFrame, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gram = (0 until w).map(k => s"element_at(toks, i + $k)")
-      .mkString("concat_ws(' ', ", ", ", ")")
-    val winExpr = s"IF(size(toks) >= $w, " +
-      s"transform(sequence(1, size(toks) - ${w - 1}), i -> $gram), " +
-      "CAST(array() AS ARRAY<STRING>))"
+    // window digests via the compiled kernel (r17, guide §4): the HOF form
+    // interpreted a per-window lambda building each 8-gram string before
+    // md5 — the same churn the winnowing kernel removes (equivalence in
+    // KernelsSpec)
     val wins = spreadDocs(documents)
-      .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("p0", "g")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), md5(col("g")).as("h"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFns.gramMd5s(col("text"), w))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
     val dup = wins.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
       .where(col("ndocs") >= 2).select("h")
     val pos = wins.join(dup, Seq("h")).select("doc_id", "pos")
@@ -3027,12 +3027,15 @@ object TextOps {
   /** Memoizes `build` under (session, store-tag:variant), invalidated by
     * corpus-fingerprint drift. The build runs under a per-key lock (two
     * concurrent first calls must not both train), and dead-session
-    * entries are evicted on write like every model cache here. */
-  private def ladderMemoized[M <: AnyRef](
-      spark: SparkSession, sfDir: String, variant: String)(build: => M): M = {
+    * entries are evicted on write like every model cache here.
+    * private[ext]: [[graft.ext.DedupOps]] keys its at-rest LSH band index
+    * on the same discipline. */
+  private[ext] def ladderMemoized[M <: AnyRef](
+      spark: SparkSession, sfDir: String, variant: String,
+      fpTable: String = "documents")(build: => M): M = {
     val tag = s"${storeTag(sfDir)}:$variant"
     landLock(s"knmemo:$tag").synchronized {
-      val fp = corpusFingerprint(spark, sfDir)
+      val fp = storeFingerprint(spark, sfDir, fpTable)
       knLadderMemo.synchronized(
         knLadderMemo.get((spark, tag)).filter(_._1 == fp).map(_._2)
       ) match {
@@ -3218,6 +3221,13 @@ object TextOps {
   private[graft] def corpusFingerprint(spark: SparkSession, sfDir: String): String =
     fingerprintOf(corpusFiles(spark, sfDir).map(_._1))
 
+  /** [[corpusFingerprint]] for an arbitrary table artifact of the store —
+    * the embeddings-keyed memos (kNN graph) must witness THEIR input's
+    * listing, not the documents table's. */
+  private[ext] def storeFingerprint(
+      spark: SparkSession, sfDir: String, table: String): String =
+    fingerprintOf(artifactFiles(spark, s"$sfDir/$table.parquet").map(_._1))
+
   private def fingerprintOf(listing: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(listing.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -3229,8 +3239,12 @@ object TextOps {
     * since a landing: sorted (`name:size`, absolute path) pairs of the
     * store's documents artifact. */
   private[graft] def corpusFiles(
-      spark: SparkSession, sfDir: String): Seq[(String, String)] = {
-    val root = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+      spark: SparkSession, sfDir: String): Seq[(String, String)] =
+    artifactFiles(spark, s"$sfDir/documents.parquet")
+
+  private def artifactFiles(
+      spark: SparkSession, path: String): Seq[(String, String)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def walk(p: org.apache.hadoop.fs.Path): Unit = {

@@ -56,6 +56,87 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  /** Positional word-k-gram 32-bit hashes for the winnowing family —
+    * one long per gram position, in position order (NOT distinct; an
+    * empty array when the doc has under k tokens). ≡ the HOF form
+    * `transform(sequence(..), i -> conv(substring(md5(gram), 1, 8), 16,
+    * 10))` the oracle mirrors: the first 8 hex chars of an md5 ARE its
+    * first 4 bytes big-endian, read here straight off the digest — no
+    * per-gram hex encode/parse, no intermediate gram-string array, and no
+    * per-element lambda interpretation (the [[wordShingles]] rationale;
+    * the HOF stage measured ~17 CPU-s/run at sf0.1, dominated by exactly
+    * that churn). */
+  def winnowGramHashes(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.toLowerCase.split(' ').filter(_.nonEmpty)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = java.lang.Long.valueOf(
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positional word-k-gram md5 hex digests — [[winnowGramHashes]] with
+    * the FULL 32-hex-char digest (dup-spans joins on the whole md5, not a
+    * 32-bit prefix). Position order, not distinct; empty under k tokens. */
+  def gramMd5s(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.toLowerCase.split(' ').filter(_.nonEmpty)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(hex(
+        md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-token (word, gear-hash) pairs for CDC chunking — one struct per
+    * whitespace token in position order (empty array for token-free text).
+    * ≡ the HOF form `transform(toks, w -> named_struct('w', w, 'g',
+    * aggregate(transform(sequence(1, length(w)), i ->
+    * cast(ascii(substring(w, i, 1)) as bigint)), 0L, (h, c) -> (h*31 + c)
+    * % 1000000007)))`: a triple-nested interpreted lambda — per token, per
+    * character — that dominated `dedup_cdc_chunks`; here one straight
+    * pass over the codepoints (Spark's substring/ascii pair yields the
+    * character's codepoint — asserted against the HOF in KernelsSpec,
+    * including non-ASCII). */
+  def cdcGearTokens(text: UTF8String): ArrayData = {
+    val toks = text.toString.toLowerCase.split(' ').filter(_.nonEmpty)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      var h = 0L
+      var j = 0
+      while (j < w.length) {
+        val cp = w.codePointAt(j)
+        h = (h * 31 + cp) % 1000000007L
+        j += Character.charCount(cp)
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(w), h))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** First-char-indexed, longest-first vocab lookup for [[bpeCount]]:
     * slot c holds every vocab entry starting with ASCII char c, sorted by
     * length descending, so a position probes only the few entries that can
@@ -295,6 +376,62 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Positional k-gram full-md5-hex array of a string column (dup-spans). */
+case class GramMd5s(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "gram width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gram_md5s needs a string input, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.gramMd5s(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.gramMd5s($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-token (word, gear-hash) struct array of a string column (CDC). */
+case class CdcGearTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "g", org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cdc_gear_tokens needs a string input, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.cdcGearTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.cdcGearTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Positional k-gram 32-bit hash array of a string column (winnowing). */
+case class WinnowGramHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "gram width must be >= 1")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_gram_hashes needs a string input, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.winnowGramHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.winnowGramHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature array over a shingle-array column (null on empty). */
 case class MinHashSignature(child: Expression, numPerm: Int) extends UnaryExpression {
   require(numPerm >= 1, "numPerm must be >= 1")
@@ -418,6 +555,12 @@ object TextFns {
     shim.column(WordShingles(shim.expression(text), k))
   def minhashSignature(shingles: Column, numPerm: Int): Column =
     shim.column(MinHashSignature(shim.expression(shingles), numPerm))
+  def winnowGramHashes(text: Column, k: Int): Column =
+    shim.column(WinnowGramHashes(shim.expression(text), k))
+  def cdcGearTokens(text: Column): Column =
+    shim.column(CdcGearTokens(shim.expression(text)))
+  def gramMd5s(text: Column, k: Int): Column =
+    shim.column(GramMd5s(shim.expression(text), k))
   def simhash32(text: Column): Column =
     shim.column(SimHash32(shim.expression(text)))
   def nfcNormalize(text: Column): Column =

@@ -1066,9 +1066,16 @@ object Streams {
     val q = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val t0 = System.nanoTime()
+        def phase(tag: String, since: Long): Long = {
+          val now = System.nanoTime()
+          if (idxLog) System.err.println(
+            f"idx_upsert   phase $tag%-8s ${(now - since) / 1e9}%.3f s")
+          now
+        }
         // ≤ shards-cardinality collect: the batch's one shard id (the same
         // distinct-shard probe the admission seam runs)
         val shardVals = batch.select("__shard").distinct().collect().map(_.getInt(0))
+        var tp = phase("shards", t0)
         if (shardVals.nonEmpty) { // an empty shard file contributes nothing
           require(shardVals.length == 1,
             s"index-upsert micro-batch $batchId spans shards ${shardVals.toSeq} — " +
@@ -1087,17 +1094,32 @@ object Streams {
               idxProbeJoinCarried(spark, bands, idxTable)
             else
               spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], matchSchema)
+          tp = phase("plan", tp)
           matches.write.mode("append").parquet(outDir)
+          tp = phase("probe", tp)
           // sortBy matches the compacted layout's spec (appends to a
           // sorted bucketed table must re-declare its sort columns); the
           // per-append files are each sorted, and once compaction folds a
           // bucket to ONE file the scan reports the order and the probe's
-          // SMJ drops its index-side Sort
+          // SMJ drops its index-side Sort.
+          // BUCKET-ALIGNED append (r17, guide §6 file sizing): the band
+          // frame arrives spread across the session's cores for the
+          // minhash kernel, and a bucketed writer splits EVERY task's rows
+          // per bucket — up to cores × buckets files per append (256 at
+          // the gate, batch-count × that across a run), each of which the
+          // per-batch probe re-lists, the content summary walks, and the
+          // next compaction re-opens. One hash exchange on exactly the
+          // bucket columns at exactly the bucket count puts each bucket's
+          // rows in one task (HashPartitioning and the bucket id share the
+          // murmur3-pmod formula), so each append lands ONE file per bucket;
+          // the exchange carries the batch's narrow band rows only.
           bands.select(col("doc_id"), col("band_idx"), col("bk"), col("__shard"))
+            .repartition(idxBuckets, col("band_idx"), col("bk"))
             .write.mode("append")
             .bucketBy(idxBuckets, "band_idx", "bk")
             .sortBy("band_idx", "bk")
             .saveAsTable(idxTable)
+          tp = phase("append", tp)
           bands.unpersist()
           appends += 1
           if (compactEvery > 0) { // fixed cadence (probes, invisibility specs)
@@ -1114,13 +1136,23 @@ object Streams {
             }
             val total = idxBytes()
             idxAppendBytes.addAndGet(total - lastTotalBytes)
-            if (total - compactedBytes >=
+            if (appends == 1 && !resuming) {
+              // fresh run, first append: the bucket-aligned append above
+              // already landed ONE file per bucket — the exact layout a
+              // compaction would rewrite it to. Establish the doubling
+              // baseline here instead of paying a no-op whole-table
+              // rewrite (r17; a RESUME keeps the old first-append compact,
+              // which heals a crashed compaction window's stray files).
+              compactedBytes = total
+              lastTotalBytes = total
+            } else if (total - compactedBytes >=
                 math.max(1L, (idxCompactRatio * compactedBytes).toLong)) {
               compactIdxTable(spark, idxTable)
               compactedBytes = idxBytes()
               lastTotalBytes = compactedBytes
             } else lastTotalBytes = total
           } // compactEvery == 0: never compact (curve probes)
+          tp = phase("compact", tp)
           if (mustFail.contains(shard)) {
             mustFail = None // fail the FIRST attempt only; the replay succeeds
             throw new RuntimeException(

@@ -33,6 +33,68 @@ class KernelsSpec extends SparkSpec {
     assert(got(3) == List("x y z"))
   }
 
+  test("WinnowGramHashes ≡ transform(sequence) + conv(substring(md5)) HOF formulation") {
+    import spark.implicits._
+    val k = 4
+    val gram = (0 until k).map(j => s"element_at(toks, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val gramsExpr = s"IF(size(toks) >= $k, " +
+      s"transform(sequence(1, size(toks) - ${k - 1}), i -> $gram), " +
+      "CAST(array() AS ARRAY<STRING>))"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(100)
+      .unionByName(Seq(
+        (200001L, ""), (200002L, "one two three"), // under k tokens → empty
+        (200003L, "a  b   c d e"), // multi-space tokenization
+        (200004L, "中文 的 a b c")) // non-ASCII UTF-8 md5 bytes
+        .toDF("doc_id", "text"))
+      .withColumn("toks", expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .withColumn("hof", expr(
+        s"transform($gramsExpr, g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("kernel", TextFns.winnowGramHashes(col("text"), k))
+    assert(docs.where(expr("hof != kernel")).count() == 0)
+    assert(docs.count() == 104)
+  }
+
+  test("GramMd5s ≡ transform(sequence) + md5(gram) HOF formulation") {
+    import spark.implicits._
+    val w = 8
+    val gram = (0 until w).map(j => s"element_at(toks, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val winExpr = s"IF(size(toks) >= $w, " +
+      s"transform(sequence(1, size(toks) - ${w - 1}), i -> md5($gram)), " +
+      "CAST(array() AS ARRAY<STRING>))"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(100)
+      .unionByName(Seq(
+        (400001L, ""), (400002L, "one two three"), // under w tokens → empty
+        (400003L, "a  b c d e f g h i"), (400004L, "中文 的 a b c d e f g"))
+        .toDF("doc_id", "text"))
+      .withColumn("toks", expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .withColumn("hof", expr(winExpr))
+      .withColumn("kernel", TextFns.gramMd5s(col("text"), w))
+    assert(docs.where(expr("hof != kernel")).count() == 0)
+    assert(docs.count() == 104)
+  }
+
+  test("CdcGearTokens ≡ the nested transform/aggregate gear-hash HOF formulation") {
+    import spark.implicits._
+    val hofExpr =
+      """transform(toks, w -> named_struct(
+        |  'w', w,
+        |  'g', aggregate(
+        |         transform(sequence(1, length(w)), i -> cast(ascii(substring(w, i, 1)) as bigint)),
+        |         cast(0 as bigint), (h, c) -> (h * 31 + c) % 1000000007)))""".stripMargin
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(100)
+      .unionByName(Seq(
+        (300001L, ""), (300002L, "  "), (300003L, "a  b   c"),
+        (300004L, "中文 mixed ascii")) // non-ASCII codepoints through the hash
+        .toDF("doc_id", "text"))
+      .withColumn("toks", expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .withColumn("hof", expr(hofExpr))
+      .withColumn("kernel", TextFns.cdcGearTokens(col("text")))
+    assert(docs.where(expr("hof != kernel")).count() == 0)
+    assert(docs.count() == 104)
+  }
+
   test("MinHashSignature ≡ array_min(transform(md5)) per permutation") {
     val docs = Tables.documents(spark, sf).limit(100)
       .withColumn("shs", TextFns.wordShingles(col("text"), 3))
