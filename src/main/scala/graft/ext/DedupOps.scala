@@ -475,14 +475,8 @@ object DedupOps {
   /** The clustering OPERATOR's own query: computes honestly on every call
     * (its benchmark number must measure the iterative job, not a memo hit)
     * and refreshes the reuse seam for downstream consumers. */
-  def clusterCanonical(spark: SparkSession, sfDir: String): DataFrame = {
-    val fresh = computeClusterMap(spark, sfDir)
-    clusterMapCache.synchronized {
-      if (clusterMapCache.size >= 8) clusterMapCache.clear()
-      clusterMapCache.put((spark, sfDir), fresh)
-    }
-    fresh.orderBy("doc_id")
-  }
+  def clusterCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    clusterMap(spark, sfDir).orderBy("doc_id")
 
   /** Cluster-map REUSE seam: the canonical labels are the product of an
     * iterative multi-job computation, and every curation CONSUMER needs the
@@ -490,26 +484,14 @@ object DedupOps {
     * lineage-truncated result, exactly as a production pipeline persists
     * the cluster-map table once and joins it from every downstream query
     * (at 100 TB this memo IS a persisted table; here the final
-    * localCheckpoint plays that role). Size-capped with a wholesale clear —
-    * safe HERE, unlike the kn3/kn5/bucketed-layout caches (r13): those
-    * guard shared CATALOG state, where eviction lets a re-call DROP a
-    * table an outstanding lazy frame still reads; this cache's values are
-    * self-contained checkpointed frames that stay valid after eviction, so
-    * a clear loses only the memo. The compute runs outside the lock (a
-    * racing duplicate compute is harmless — last one wins). */
-  private val clusterMapCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-
-  private def clusterMap(spark: SparkSession, sfDir: String): DataFrame = {
-    val hit = clusterMapCache.synchronized(clusterMapCache.get((spark, sfDir)))
-    hit.getOrElse {
-      val fresh = computeClusterMap(spark, sfDir)
-      clusterMapCache.synchronized {
-        if (clusterMapCache.size >= 8) clusterMapCache.clear()
-        clusterMapCache.getOrElseUpdate((spark, sfDir), fresh)
-      }
-    }
-  }
+    * localCheckpoint plays that role). r17: the bespoke (session, sfDir)
+    * cache — which a corpus rewrite could serve STALE, and which the
+    * producer query refreshed by recomputing on every call — became the
+    * shared corpus-fingerprint-guarded memo: recompute happens exactly
+    * when the corpus listing changes, for producer and consumers alike. */
+  private def clusterMap(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.ladderMemoized(spark, sfDir, "clustermap")(
+      computeClusterMap(spark, sfDir))
 
   /** Per-run iteration trace of [[computeClusterMap]]'s pointer-jumping
     * loop: the label sum after each round (round count = trace length; the

@@ -1212,7 +1212,18 @@ object ApolloQueries {
     * driver via cty, dsl/functions.go:15-21).
     */
   def scalarSuite(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    // guarded spread (r17, guide §2.5): the scan arrives as 3 splits and
+    // the date-format/unix-timestamp projection is evaluated over EVERY
+    // row twice (the orderBy's range-partition sampling pass + the write
+    // pass) — measured 2×~0.9 s of 3-way stages for a 60k-row output.
+    // Spread first, the projection parallelizes in both passes; skipped
+    // on multi-split stores like every Spread site.
+    graft.util.Spread.byCols(
+      Tables.lineitem(spark, sfDir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"), col("l_shipdate"),
+        col("l_extendedprice")),
+      col("l_orderkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         upper(col("l_returnflag")).as("flag_upper"),
